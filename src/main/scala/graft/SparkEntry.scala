@@ -1,13 +1,352 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Driver contract (SURVEY.md §7 + §2.11). Each `queries` entry is one
+ * verification query exercising an operator family from SURVEY.md §2;
+ * `oracleSql` holds the DuckDB-equivalent SQL (same column names, same
+ * total ORDER BY, doubles rounded to 2 digits).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  /** Typing helper so lambda parameter types infer inside Map(...) ++. */
+  private def q(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = fn
+
+  /** Flagship: whistler-style extraction pipeline on sf0.001 — normalize,
+   *  embed-join orders into customer, nation display column, group-nest by
+   *  market segment. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val customer = NormalizeColumns(t(spark, dir, "customer"))
+    val orders = NormalizeColumns(t(spark, dir, "orders"))
+      .withColumnRenamed("o_custkey", "c_custkey")
+    val nationDisplay = t(spark, dir, "nation")
+      .collect().map(r => r.getInt(0).toString -> r.getString(1)).toMap
+    val embedded = EmbedJoin(customer, orders, "orders", "c_custkey")
+    val withDisplay = DisplayColumns(embedded, nationDisplay, Seq("c_nationkey"))
+    GroupByNest(withDisplay.drop("orders"), "c_mktsegment", ordered = false)
+  }
+
+  // ---------------------------------------------------------------------
+  // Verification queries (SURVEY.md §2.11). DataFrame-first; spark.sql only
+  // where the SQL form is the idiomatic Spark API (grouping sets).
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // VQ-1: scan + projection + predicate (pushed to parquet)
+    "vq1_scan_filter" -> q((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // VQ-2: module-style counting + forced-first ordering (ModuleSummary)
+    "vq2_count_order" -> q((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .withColumn("grp", when(col("o_orderstatus") === "O", 0).otherwise(1))
+        .select("grp", "o_orderstatus", "n")
+        .orderBy("grp", "o_orderstatus")
+    }),
+
+    // VQ-3: distinct / dedup / sorted-set
+    "vq3_distinct" -> q((s, dir) => {
+      t(s, dir, "customer")
+        .select("c_mktsegment", "c_nationkey").distinct()
+        .orderBy("c_mktsegment", "c_nationkey")
+    }),
+
+    // VQ-4: per-group count/min/max/sum (GroupBy key profiling)
+    "vq4_groupby_stats" -> q((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          count(lit(1)).as("n"),
+          min("o_orderkey").as("first_ord"),
+          max("o_orderkey").as("last_ord"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_custkey")
+    }),
+
+    // VQ-4b: grouping sets (partial+final agg)
+    "vq4b_grouping_sets" -> q((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ROUND(SUM(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY n, revenue, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    }),
+
+    // VQ-4c: rollup over a two-hop join (shuffle agg under join)
+    "vq4c_rollup_join" -> q((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      orders
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .rollup("n_name", "o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc_nulls_first("n_name"), asc_nulls_first("o_orderstatus"))
+    }),
+
+    // VQ-5: scalar predicates — regex cleanup, sentinel nulling, try-cast
+    "vq5_scalar_predicates" -> q((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_size").between(10, 30))
+        .select(
+          col("p_partkey"),
+          lower(trim(regexp_replace(col("p_name"), " +", "_"))).as("fixed_name"),
+          when(col("p_brand").isin("Brand#1", "NA", ""), lit(null))
+            .otherwise(col("p_brand")).as("brand"),
+          when(expr("try_cast(p_type AS DOUBLE)").isNull, 0).otherwise(1).as("numericish"))
+        .orderBy("p_partkey")
+    }),
+
+    // VQ-6: embed join shape — pre-aggregate child, left join, zero-fill.
+    // Aggregate-before-join keeps the shuffle on the (smaller) aggregated
+    // side at scale rather than joining raw fact rows to every parent.
+    "vq6_embed_join_agg" -> q((s, dir) => {
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("_n"), sum("o_totalprice").as("_spend"))
+      t(s, dir, "customer")
+        .join(perCust, Seq("c_custkey"), "left")
+        .select(
+          col("c_custkey"),
+          coalesce(col("_n"), lit(0L)).as("n_orders"),
+          round(coalesce(col("_spend"), lit(0.0)), 2).as("spend"))
+        .orderBy("c_custkey")
+    }),
+
+    // VQ-6b: anti join (deferred-load split)
+    "vq6b_anti_join" -> q((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    }),
+
+    // VQ-7: harmonize lookup (small-dim broadcast translation join)
+    "vq7_harmonize_dims" -> q((s, dir) => {
+      val supplier = t(s, dir, "supplier")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      supplier
+        .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .select(
+          col("s_suppkey"), col("s_name"),
+          col("n_name").as("nation_display"),
+          col("r_name").as("region_display"))
+        .orderBy("s_suppkey")
+    }),
+
+    // VQ-8: reference resolution (multi-hop identifier join, miss -> null)
+    "vq8_reference_resolution" -> q((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_linenumber") === 1)
+      val orders = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val supplier = t(s, dir, "supplier")
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(broadcast(supplier), li("l_suppkey") === supplier("s_suppkey"), "left")
+        .select(col("o_orderkey"), col("l_linenumber"), col("s_name"))
+        .orderBy("o_orderkey", "l_linenumber")
+    }),
+
+    // VQ-9: system-prefix filters (Self/NonSelf/prefix) flattened
+    "vq9_prefix_filter" -> q((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_type").like("STANDARD%") && !col("p_type").like("%unharmonized%"))
+        .select("p_partkey", "p_type")
+        .orderBy("p_partkey")
+    }),
+
+    // VQ-9b: run-length adjacent-code grouping (BuildConceptMap runs)
+    "vq9b_runlength" -> q((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+      RunLengthGroup(li, "l_returnflag", Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // VQ-10: last-wins / per-key top-1 (redundant-mapping, max_validations)
+    "vq10_topk_per_key" -> q((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // VQ-11: analytic window with frame (running sum)
+    "vq11_window_running" -> q((s, dir) => {
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 50)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(sum("l_extendedprice").over(w), 2).as("running"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // VQ-12: union (multi-file table)
+    "vq12_union" -> q((s, dir) => {
+      t(s, dir, "nation").select(col("n_name").as("x"))
+        .unionByName(t(s, dir, "region").select(col("r_name").as("x")))
+        .orderBy("x")
+    }),
+
+    // VQ-12b: except (module set-minus)
+    "vq12b_except" -> q((s, dir) => {
+      t(s, dir, "nation").select(col("n_regionkey").as("k"))
+        .except(t(s, dir, "region").select(col("r_regionkey").as("k")))
+        .orderBy("k")
+    }),
+
+    // VQ-13: date/timestamp handling over events
+    "vq13_events_date" -> q((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("d"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("d", "event_type", "n")
+    })
+  ) ++ PipelineQueries.queries
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL. Same column names / ORDER BY as the Spark results.
+  // Dialect notes: DuckDB regexp_replace needs the 'g' flag for global
+  // replace; SUM over INTEGER returns HUGEINT, so run-length sums are cast
+  // to BIGINT to match Spark's LongType.
+  // ---------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "vq1_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "vq2_count_order" ->
+      """SELECT CASE WHEN o_orderstatus = 'O' THEN 0 ELSE 1 END AS grp,
+        |       o_orderstatus, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY grp, o_orderstatus""".stripMargin,
+
+    "vq3_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    "vq4_groupby_stats" ->
+      """SELECT o_custkey, COUNT(*) AS n, MIN(o_orderkey) AS first_ord,
+        |       MAX(o_orderkey) AS last_ord, ROUND(SUM(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
+    "vq4b_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       ROUND(SUM(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY n, revenue, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "vq4c_rollup_join" ->
+      """SELECT n_name, o_orderstatus, COUNT(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, o_orderstatus)
+        |ORDER BY n DESC, n_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "vq5_scalar_predicates" ->
+      """SELECT p_partkey,
+        |       LOWER(TRIM(REGEXP_REPLACE(p_name, ' +', '_', 'g'))) AS fixed_name,
+        |       CASE WHEN p_brand IN ('Brand#1', 'NA', '') THEN NULL ELSE p_brand END AS brand,
+        |       CASE WHEN TRY_CAST(p_type AS DOUBLE) IS NULL THEN 0 ELSE 1 END AS numericish
+        |FROM part WHERE p_size BETWEEN 10 AND 30
+        |ORDER BY p_partkey""".stripMargin,
+
+    "vq6_embed_join_agg" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |       ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS spend
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "vq6b_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "vq7_harmonize_dims" ->
+      """SELECT s_suppkey, s_name, n_name AS nation_display, r_name AS region_display
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "vq8_reference_resolution" ->
+      """SELECT o_orderkey, l_linenumber, s_name
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE o_orderstatus = 'F' AND l_linenumber = 1
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+
+    "vq9_prefix_filter" ->
+      """SELECT p_partkey, p_type FROM part
+        |WHERE p_type LIKE 'STANDARD%' AND p_type NOT LIKE '%unharmonized%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "vq9b_runlength" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |       CAST(SUM(chg) OVER (ORDER BY l_orderkey, l_linenumber
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        |FROM (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |             CASE WHEN l_returnflag =
+        |               LAG(l_returnflag) OVER (ORDER BY l_orderkey, l_linenumber)
+        |             THEN 0 ELSE 1 END AS chg
+        |      FROM lineitem WHERE l_orderkey <= 100) t
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "vq10_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "vq11_window_running" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_orderkey
+        |             ORDER BY l_linenumber
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM lineitem WHERE l_orderkey <= 50
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "vq12_union" ->
+      """SELECT x FROM (SELECT n_name AS x FROM nation UNION ALL SELECT r_name FROM region) t
+        |ORDER BY x""".stripMargin,
+
+    "vq12b_except" ->
+      """SELECT n_regionkey AS k FROM nation EXCEPT SELECT r_regionkey FROM region
+        |ORDER BY k""".stripMargin,
+
+    "vq13_events_date" ->
+      """SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n,
+        |       ROUND(SUM(value), 2) AS total
+        |FROM events GROUP BY CAST(ts AS DATE), event_type
+        |ORDER BY d, event_type, n""".stripMargin
+  ) ++ PipelineQueries.oracleSql
 }
