@@ -88,17 +88,20 @@ object SparkEntry {
         ORDER BY n, revenue, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
     }),
 
-    // VQ-4c: rollup over a two-hop join (shuffle agg under join)
+    // VQ-4c: rollup over a two-hop join (shuffle agg under join). SQL form
+    // (like vq4b): DataFrame rollup + orderBy on grouping columns trips
+    // Spark's ambiguous-self-join resolution; ROLLUP in SQL resolves
+    // cleanly and produces the identical plan. The nation dim is broadcast
+    // by AQE (25 rows, far under autoBroadcastJoinThreshold).
     "vq4c_rollup_join" -> q((s, dir) => {
-      val orders = t(s, dir, "orders")
-      val customer = t(s, dir, "customer")
-      val nation = t(s, dir, "nation")
-      orders
-        .join(customer, orders("o_custkey") === customer("c_custkey"))
-        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
-        .rollup("n_name", "o_orderstatus")
-        .agg(count(lit(1)).as("n"))
-        .orderBy(desc("n"), asc_nulls_first("n_name"), asc_nulls_first("o_orderstatus"))
+      Seq("orders", "customer", "nation").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT n_name, o_orderstatus, COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, o_orderstatus)
+        ORDER BY n DESC, n_name NULLS FIRST, o_orderstatus NULLS FIRST""")
     }),
 
     // VQ-5: scalar predicates — regex cleanup, sentinel nulling, try-cast

@@ -148,8 +148,10 @@ object DisplayColumns {
     if (codeDetails.isEmpty) return df
     val lookup = map(codeDetails.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
     val target = if (columns.nonEmpty) columns else df.columns.toSeq
+    // Map keys are strings; cast the probe column so non-string columns
+    // (e.g. integer codes) resolve instead of failing analysis.
     target.foldLeft(df) { (d, c) =>
-      d.withColumn(s"${c}_display", element_at(lookup, col(c)))
+      d.withColumn(s"${c}_display", element_at(lookup, col(c).cast("string")))
     }
   }
 }
@@ -166,7 +168,7 @@ object DisplayColumns {
  * the final single-file write).
  */
 object GroupByNest {
-  def apply(df: DataFrame, groupByConfig: String, ordered: Boolean = true): DataFrame = {
+  def apply(df: DataFrame, groupByConfig: String, ordered: Boolean = false): DataFrame = {
     val keys = groupByConfig.split(",").map(k => Naming.fixFieldName(k.trim)).toSeq
     val withRid = Restructure.withRowId(df)
     val payloadCols = df.columns.filterNot(keys.contains).toSeq
@@ -191,8 +193,11 @@ object GroupByNest {
  * (left-outer). The reference builds an in-RAM hash of the whole child —
  * the Spark shape is the same idea done scalably: pre-aggregate the child
  * with `collect_list`, then a left join that Catalyst turns into a
- * broadcast hash join when the nested child is small (the `broadcast` hint
- * is applied under `hintBroadcast`).
+ * broadcast hash join when the nested child is small. By default the join
+ * strategy is left to Catalyst/AQE (size-estimated); pass
+ * `hintBroadcast = true` only when the caller knows the child is a
+ * bounded dimension — an unconditional hint on an unbounded child plus
+ * unbounded per-key `collect_list` groups would OOM at scale.
  *
  * Compound keys are comma-separated colnames (ref: project_config.md:79-96).
  */
@@ -202,7 +207,7 @@ object EmbedJoin {
       child: DataFrame,
       childTableName: String,
       joinColname: String,
-      hintBroadcast: Boolean = true,
+      hintBroadcast: Boolean = false,
       preserveOrder: Boolean = true): DataFrame = {
     val keys = joinColname.split(",").map(k => Naming.fixFieldName(k.trim)).toSeq
     keys.foreach { k =>

@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Parquet table catalog over a testdata scale-factor directory. */
@@ -8,8 +10,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark refuses to read
+    // by default (PARQUET_TYPE_ILLEGAL). Read nanos as long, then convert
+    // to a proper timestamp column so every query sees a usable `ts`.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else df
+  }
 
   /** Register every table as a temp view for spark.sql-driven queries. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
