@@ -1,13 +1,174 @@
 package graft
 
+import graft.llm._
+import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /**
- * Training-data-pipeline verification queries (dedup, similarity search,
- * text analysis) over the `documents` and `embeddings` tables. Populated
- * alongside graft.functions.*.
+ * LLM-training-data pipeline verification queries over the `documents`
+ * (doc_id, text, lang, source, n_chars) and `embeddings` (vec_id,
+ * embedding float[], label) tables. Each entry routes through the
+ * operators in [[graft.llm]]; each has a DuckDB oracle computing the
+ * bit-identical result (md5-based hashing and integer-quantized vector
+ * math are engine-portable by construction — see TextOps/Similarity
+ * scaladoc).
  */
 object PipelineQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map.empty
-  def oracleSql: Map[String, String] = Map.empty
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
+
+  private def q(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = fn
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on content md5 (one shuffle on the hash)
+    "pq1_exact_dedup" -> q((s, dir) =>
+      ExactDedup(docs(s, dir), "doc_id", "text").orderBy("keep_id")),
+
+    // Corpus stats per language: one hash aggregation
+    "pq2_text_stats" -> q((s, dir) =>
+      TextAnalysis.corpusStats(docs(s, dir), "lang", "n_chars", "text")),
+
+    // Per-doc quality metrics: projection only
+    "pq3_quality" -> q((s, dir) =>
+      TextAnalysis.qualityMetrics(docs(s, dir), "doc_id", "text")),
+
+    // Stopword-profile language ID + distribution
+    "pq4_langid" -> q((s, dir) =>
+      TextAnalysis.langDistribution(docs(s, dir), "text")),
+
+    // Bottom-4 minwise fingerprint over word bigrams
+    "pq5_fingerprint" -> q((s, dir) =>
+      TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")),
+
+    // Near-dup pairs: 3-gram shingles -> 9 minhashes -> 3 bands -> bucket
+    // join -> exact-Jaccard >= 0.8. Never all-pairs.
+    "pq6_minhash_lsh" -> q((s, dir) =>
+      MinHashNearDup(docs(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 9, bands = 3, threshold = 0.8)),
+
+    // 64-bit SimHash signature per document (projection)
+    "pq7_simhash" -> q((s, dir) =>
+      SimHashSignatures(docs(s, dir), "doc_id", "text")),
+
+    // Brute-force cosine top-5 for queries vec_id < 20 (broadcast queries)
+    "pq8_cosine_topk" -> q((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.cosineTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+    }),
+
+    // Sign-bucketed ANN top-3 for queries vec_id < 50 (bucket-equality join)
+    "pq9_ann_bucketed" -> q((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bucketedTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 3, bucketBits = 4)
+    }),
+
+    // Multimodal metadata path: binary payload size/tag + stub-decode dims
+    "pq10_multimodal_meta" -> q((s, dir) =>
+      Multimodal.metaColumns(docs(s, dir), "doc_id", "text"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "pq1_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "pq2_text_stats" ->
+      """WITH t AS (SELECT lang, n_chars, len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       ROUND(AVG(n_chars), 2) AS avg_chars, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pq3_quality" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_types,
+        |       ROUND(len(list_distinct(toks))::DOUBLE / len(toks), 3) AS ttr,
+        |       ROUND(len(list_filter(toks, w -> w IN ('the', 'a', 'of', 'and', 'in')))::DOUBLE / len(toks), 3) AS stop_ratio,
+        |       ROUND(list_sum(list_transform(toks, w -> len(w)))::DOUBLE / len(toks), 3) AS mean_wlen
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "pq4_langid" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |       len(list_filter(toks, w -> w IN ('the', 'a', 'of'))) AS s_en,
+        |       len(list_filter(toks, w -> w IN ('el', 'la', 'los'))) AS s_es,
+        |       len(list_filter(toks, w -> w IN ('der', 'die', 'das'))) AS s_de,
+        |       len(list_filter(toks, w -> w IN ('le', 'les', 'une'))) AS s_fr
+        |      FROM t)
+        |SELECT CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+        |            WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+        |            WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted_lang,
+        |       COUNT(*) AS n FROM s GROUP BY 1 ORDER BY predicted_lang""".stripMargin,
+
+    "pq5_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS shingles
+        |       FROM t WHERE len(toks) >= 2)
+        |SELECT doc_id, array_to_string(list_sort(list_transform(shingles, s -> md5(s)))[1:4], ',') AS fingerprint
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "pq6_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM toks WHERE len(t) >= 3),
+        |sig AS (SELECT doc_id, shingles, list_transform(range(0, 9),
+        |          k -> list_min(list_transform(shingles, s -> md5(k::VARCHAR || ':' || s)))) AS mh FROM sh),
+        |bands AS (SELECT doc_id, b, md5(mh[3*b+1] || mh[3*b+2] || mh[3*b+3]) AS band_key
+        |          FROM sig, unnest([0, 1, 2]) AS u(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.b = b.b AND a.doc_id < b.doc_id),
+        |j AS (SELECT doc_a, doc_b,
+        |        len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+        |        (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jac
+        |      FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, ROUND(jac, 3) AS jaccard FROM j WHERE jac >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "pq7_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+        |h AS (SELECT doc_id, md5(w) AS hx FROM toks),
+        |wb AS (SELECT doc_id, b,
+        |        CASE WHEN ((strpos('0123456789abcdef', substr(hx, 1 + b // 4, 1)) - 1)
+        |                   >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END AS v
+        |       FROM h, unnest(range(0, 64)) AS u(b)),
+        |bits AS (SELECT doc_id, b, CASE WHEN SUM(v) > 0 THEN 1 ELSE 0 END AS bit FROM wb GROUP BY doc_id, b),
+        |nibs AS (SELECT doc_id, b // 4 AS nib, SUM(bit << (3 - (b % 4))) AS nv FROM bits GROUP BY doc_id, b // 4)
+        |SELECT doc_id, string_agg(substr('0123456789abcdef', (nv + 1)::INT, 1), '' ORDER BY nib) AS simhash
+        |FROM nibs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pq8_cosine_topk" ->
+      """WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |            FROM embeddings),
+        |nrm AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM qv),
+        |pairs AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |            list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS dot, a.n2 AS na, b.n2 AS nb
+        |          FROM nrm a JOIN nrm b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+        |scored AS (SELECT qid, cid, dot / sqrt(na::DOUBLE * nb::DOUBLE) AS cos,
+        |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / sqrt(na::DOUBLE * nb::DOUBLE) DESC, cid) AS rnk
+        |           FROM pairs)
+        |SELECT qid, rnk, cid, ROUND(cos, 4) AS cos FROM scored WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "pq9_ann_bucketed" ->
+      """WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |            FROM embeddings),
+        |nrm AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2,
+        |          array_to_string(list_transform([1, 2, 3, 4], i -> CASE WHEN v[i] > 0 THEN '1' ELSE '0' END), '') AS bucket
+        |        FROM qv),
+        |pairs AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |            list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS dot, a.n2 AS na, b.n2 AS nb
+        |          FROM nrm a JOIN nrm b ON a.bucket = b.bucket AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
+        |scored AS (SELECT qid, cid, dot / sqrt(na::DOUBLE * nb::DOUBLE) AS cos,
+        |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / sqrt(na::DOUBLE * nb::DOUBLE) DESC, cid) AS rnk
+        |           FROM pairs)
+        |SELECT qid, rnk, cid, ROUND(cos, 4) AS cos FROM scored WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    "pq10_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_tag,
+        |       16 + (octet_length(encode(text)) % 64) AS fake_width,
+        |       16 + ((octet_length(encode(text)) // 64) % 64) AS fake_height,
+        |       1 + (octet_length(encode(text)) % 7) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,115 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for document corpora. Three tiers, in increasing
+ * cost per candidate and decreasing candidate volume:
+ *
+ *  1. [[ExactDedup]] — hash-groupBy on content md5. One shuffle on the
+ *     16-byte hash; at 100 TB this is the cheapest possible exact dedup
+ *     (shuffle carries only (hash, id), never the text, when `keepText`
+ *     is false downstream).
+ *  2. [[MinHashNearDup]] — shingle -> minhash -> band -> bucket-join.
+ *     The self-join is keyed on band hashes, so candidate generation is a
+ *     shuffle on the band key with per-bucket pair expansion — never an
+ *     all-pairs cross join. Exact Jaccard verification runs only on the
+ *     candidate pairs.
+ *  3. SimHash signatures ([[TextOps.simhash64Hex]]) — a per-row projection;
+ *     near-dup detection by Hamming distance over the 64-bit signature is a
+ *     band-join over signature chunks (same pattern as 2).
+ */
+object ExactDedup {
+
+  /**
+   * Group documents by exact content hash. Output: one row per distinct
+   * content — (content_hash, keep_id = min id, n_copies). Downstream
+   * "keep first copy" dedup is a semi-join of the input against keep_id.
+   */
+  def apply(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextOps.md5Hex(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+}
+
+object MinHashNearDup {
+
+  /**
+   * Near-duplicate pairs via banded MinHash LSH, verified with exact
+   * Jaccard over the shingle sets.
+   *
+   * @param shingleN     word n-gram size (docs with fewer tokens are skipped)
+   * @param numHashes    minhash signature length (= bands * rowsPerBand)
+   * @param bands        LSH bands; collision prob = 1-(1-j^r)^b
+   * @param threshold    exact-Jaccard cutoff applied to candidates
+   * @return (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
+   *         to 3 digits, totally ordered.
+   *
+   * Scale shape: shingling + signatures are per-row projections; candidate
+   * generation shuffles (band_key, id) — a few dozen bytes per doc per
+   * band; the only join is bucket-equality on band_key. Jaccard
+   * verification joins shingle sets back for candidate pairs only. Skewed
+   * buckets (a band key shared by thousands of docs) expand quadratically —
+   * callers dealing with adversarial corpora should salt or cap bucket
+   * sizes; AQE's skew-join handles moderate skew.
+   */
+  def apply(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 9,
+      bands: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes ($numHashes) must divide into bands ($bands)")
+    val rowsPerBand = numHashes / bands
+
+    val toks = TextOps.tokens(col(textCol))
+    val sh = df
+      .select(col(idCol).as("_id"), toks.as("_toks"))
+      .filter(size(col("_toks")) >= shingleN)
+      .select(col("_id"), TextOps.shingles(col("_toks"), shingleN).as("_shingles"))
+
+    val sig = sh.select(col("_id"), col("_shingles"),
+      TextOps.minhashSignature(col("_shingles"), numHashes).as("_mh"))
+
+    val banded = sig.select(col("_id"),
+      posexplode(TextOps.bandKeys(col("_mh"), bands, rowsPerBand)).as(Seq("_b", "_band_key")))
+
+    // bucket-join: same band index + same band key, ordered pair, distinct
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a._band_key") === col("b._band_key") &&
+          col("a._b") === col("b._b") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
+      .distinct()
+
+    // exact-Jaccard verification on candidates only
+    val sa = sh.select(col("_id").as("doc_a"), col("_shingles").as("_sha"))
+    val sb = sh.select(col("_id").as("doc_b"), col("_shingles").as("_shb"))
+    val inter = size(array_intersect(col("_sha"), col("_shb")))
+    val union = size(col("_sha")) + size(col("_shb")) - inter
+    cand
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b"))
+      .withColumn("_jac", inter.cast("double") / union)
+      .filter(col("_jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("_jac"), 3).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+}
+
+object SimHashSignatures {
+
+  /**
+   * Per-document 64-bit SimHash signature (16-char hex). A projection —
+   * no shuffle. Near-dup candidates at scale: split the signature into k
+   * chunks and bucket-join on each chunk (docs within Hamming distance d
+   * share at least one of d+1 chunks exactly — pigeonhole).
+   */
+  def apply(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      TextOps.simhash64Hex(TextOps.tokens(col(textCol))).as("simhash"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal column handling: image/audio/video payloads ride through the
+ * pipeline as opaque `binary` columns plus typed metadata, so Spark's
+ * columnar machinery (parquet encoding, predicate pushdown on the metadata
+ * columns, partition pruning) applies without ever interpreting the bytes.
+ *
+ * The decode step (`decodeBatch`) is where a real codec library would run.
+ * This container has none, so decoding is STUBBED with a deterministic
+ * fake derived from the payload bytes — but the Spark-side plumbing is
+ * real and tested: binary schema, per-partition batched decode via
+ * `mapPartitions` (one decoder init per partition, the same shape a JNI /
+ * native codec needs), and typed output rows.
+ *
+ * Scale notes: payload columns make rows wide — repartition by byte budget
+ * (not row count) before decode so a partition's batch fits executor
+ * memory; keep metadata in separate columns so metadata-only queries never
+ * read the payload pages (parquet column pruning).
+ */
+object Multimodal {
+
+  /** A media payload row: id + opaque bytes + declared type. */
+  case class MediaRow(doc_id: Long, content: Array[Byte], media_type: String)
+
+  /** Decoded metadata produced by the (stubbed) decoder. */
+  case class DecodedMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      frame_offsets: Seq[Long])
+
+  /**
+   * Wrap a text column as an opaque binary payload (the test stand-in for
+   * real image/audio bytes — schema and sizes behave identically).
+   */
+  def asBinaryPayload(df: DataFrame, idCol: String, textCol: String,
+      mediaType: String = "application/octet-stream"): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("binary").as("content"),
+      lit(mediaType).as("media_type"))
+
+  /**
+   * STUB decoder for one payload. Deterministic dimensions derived from
+   * the byte length — a real build replaces this body with an actual codec
+   * call; the signature (bytes in, typed meta out) is the contract.
+   */
+  def decodeOne(id: Long, bytes: Array[Byte]): DecodedMeta = {
+    val n = bytes.length.toLong
+    val width = 16 + (n % 64).toInt
+    val height = 16 + ((n / 64) % 64).toInt
+    val nFrames = 1 + (n % 7).toInt
+    // evenly spaced fake frame byte-offsets, the shape a frame sampler needs
+    val offsets = (0 until nFrames).map(i => i * (n / math.max(nFrames, 1))).toSeq
+    DecodedMeta(id, n, width, height, nFrames, offsets)
+  }
+
+  /**
+   * Batched decode: one pass per partition, decoder state initialized once
+   * per partition (the `iter =>` prologue is where a real codec handle
+   * would be opened). Returns a typed Dataset of metadata.
+   */
+  def decodeBatch(media: Dataset[MediaRow]): Dataset[DecodedMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      // real impl: open codec / JNI context here, close in a final step
+      iter.map(m => decodeOne(m.doc_id, m.content))
+    }
+  }
+
+  /**
+   * Expression-only metadata over a payload column (no decode): byte
+   * length, content tag, and the same deterministic fake dimensions as
+   * [[decodeOne]] — lets metadata-driven pruning/filtering run without
+   * touching the decoder, and pins decodeOne's arithmetic against the
+   * SQL oracle.
+   */
+  def metaColumns(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nBytes = octet_length(col(textCol)).cast("long")
+    df.select(
+      col(idCol).as("doc_id"),
+      nBytes.as("n_bytes"),
+      TextOps.md5Hex(col(textCol)).as("content_tag"),
+      (lit(16) + nBytes % 64).cast("long").as("fake_width"),
+      (lit(16) + (nBytes.cast("long") / lit(64)).cast("long") % 64).cast("long").as("fake_height"),
+      (lit(1) + nBytes % 7).cast("long").as("n_frames"))
+      .orderBy("doc_id")
+  }
+}
