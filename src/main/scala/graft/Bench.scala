@@ -29,20 +29,33 @@ object Bench {
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
 
+    // Dev aid: SPARK_GRAFT_ONLY=pq8_cosine_topk,pq9_ann_bucketed runs a
+    // subset (and SPARK_GRAFT_REPS repeats the timed run) for profiling.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       try {
         runOnce(fn, warmDir) // warmup, untimed
-        val t0 = System.nanoTime()
-        runOnce(fn, sfDir)
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        (1 to reps).foreach { rep =>
+          val t0 = System.nanoTime()
+          runOnce(fn, sfDir)
+          val dt = (System.nanoTime() - t0) / 1e9
+          timings(if (rep == 1) name else s"$name#$rep") = dt
+        }
       } catch {
         case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      } finally {
+        // operators that persist intermediates (e.g. MinHash LSH's shingle
+        // cache) would otherwise accumulate across queries and perturb
+        // later timings via memory pressure
+        spark.catalog.clearCache()
       }
     }
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -38,6 +38,19 @@ object PipelineQueries {
     "pq4_langid" -> q((s, dir) =>
       TextAnalysis.langDistribution(docs(s, dir), "text")),
 
+    // Language ID over a corpus with synthetic multi-language rows so the
+    // es/de/fr branches and the >=-tie-break are all oracle-exercised
+    // (the test corpus alone is single-language).
+    "pq4b_langid_multi" -> q((s, dir) => {
+      val synth = s.createDataFrame(
+        java.util.Arrays.asList(SynthLangRows.map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType, nullable = true))))
+      TextAnalysis.langDistribution(
+        docs(s, dir).select("text").unionByName(synth), "text")
+    }),
+
     // Bottom-4 minwise fingerprint over word bigrams
     "pq5_fingerprint" -> q((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")),
@@ -67,8 +80,36 @@ object PipelineQueries {
 
     // Multimodal metadata path: binary payload size/tag + stub-decode dims
     "pq10_multimodal_meta" -> q((s, dir) =>
-      Multimodal.metaColumns(docs(s, dir), "doc_id", "text"))
+      Multimodal.metaColumns(docs(s, dir), "doc_id", "text")),
+
+    // Multimodal decode path: text -> opaque binary payload -> batched
+    // per-partition decode (the stub codec) -> typed metadata rows. This
+    // executes asBinaryPayload + decodeBatch + decodeOne end-to-end; the
+    // deterministic stub arithmetic makes it oracle-checkable.
+    "pq11_multimodal_decode" -> q((s, dir) => {
+      import s.implicits._
+      val media = Multimodal
+        .asBinaryPayload(docs(s, dir), "doc_id", "text")
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeBatch(media).toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          concat_ws(",", col("frame_offsets").cast("array<string>")).as("frame_offsets"))
+        .orderBy("doc_id")
+    })
   )
+
+  /** Synthetic rows covering every language branch of the lang-ID fold:
+   *  es/de/fr winners, an all-ones tie (en wins via >=), and an en-loses
+   *  tie (es wins via >=). Mirrored verbatim in the pq4b oracle VALUES. */
+  val SynthLangRows: Seq[String] = Seq(
+    "el la los el la",
+    "der die das der",
+    "le les une le",
+    "the el der le",
+    "el der")
 
   def oracleSql: Map[String, String] = Map(
     "pq1_exact_dedup" ->
@@ -102,6 +143,22 @@ object PipelineQueries {
         |            WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
         |            WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted_lang,
         |       COUNT(*) AS n FROM s GROUP BY 1 ORDER BY predicted_lang""".stripMargin,
+
+    "pq4b_langid_multi" -> {
+      val values = SynthLangRows.map(t => s"('${t}')").mkString(", ")
+      s"""WITH corpus AS (SELECT text FROM documents UNION ALL SELECT text FROM (VALUES $values) v(text)),
+         |t AS (SELECT string_split_regex(trim(text), '\\s+') AS toks FROM corpus),
+         |s AS (SELECT
+         |       len(list_filter(toks, w -> w IN ('the', 'a', 'of'))) AS s_en,
+         |       len(list_filter(toks, w -> w IN ('el', 'la', 'los'))) AS s_es,
+         |       len(list_filter(toks, w -> w IN ('der', 'die', 'das'))) AS s_de,
+         |       len(list_filter(toks, w -> w IN ('le', 'les', 'une'))) AS s_fr
+         |      FROM t)
+         |SELECT CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+         |            WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+         |            WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted_lang,
+         |       COUNT(*) AS n FROM s GROUP BY 1 ORDER BY predicted_lang""".stripMargin
+    },
 
     "pq5_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -143,7 +200,7 @@ object PipelineQueries {
         |            FROM embeddings),
         |nrm AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM qv),
         |pairs AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
-        |            list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS dot, a.n2 AS na, b.n2 AS nb
+        |            list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS dot, a.n2 AS na, b.n2 AS nb
         |          FROM nrm a JOIN nrm b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
         |scored AS (SELECT qid, cid, dot / sqrt(na::DOUBLE * nb::DOUBLE) AS cos,
         |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / sqrt(na::DOUBLE * nb::DOUBLE) DESC, cid) AS rnk
@@ -157,7 +214,7 @@ object PipelineQueries {
         |          array_to_string(list_transform([1, 2, 3, 4], i -> CASE WHEN v[i] > 0 THEN '1' ELSE '0' END), '') AS bucket
         |        FROM qv),
         |pairs AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
-        |            list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS dot, a.n2 AS na, b.n2 AS nb
+        |            list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS dot, a.n2 AS na, b.n2 AS nb
         |          FROM nrm a JOIN nrm b ON a.bucket = b.bucket AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
         |scored AS (SELECT qid, cid, dot / sqrt(na::DOUBLE * nb::DOUBLE) AS cos,
         |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / sqrt(na::DOUBLE * nb::DOUBLE) DESC, cid) AS rnk
@@ -169,6 +226,17 @@ object PipelineQueries {
         |       16 + (octet_length(encode(text)) % 64) AS fake_width,
         |       16 + ((octet_length(encode(text)) // 64) % 64) AS fake_height,
         |       1 + (octet_length(encode(text)) % 7) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pq11_multimodal_decode" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+        |m AS (SELECT doc_id, n_bytes,
+        |        CAST(16 + (n_bytes % 64) AS BIGINT) AS width,
+        |        CAST(16 + ((n_bytes // 64) % 64) AS BIGINT) AS height,
+        |        CAST(1 + (n_bytes % 7) AS BIGINT) AS n_frames
+        |      FROM d)
+        |SELECT doc_id, n_bytes, width, height, n_frames,
+        |       array_to_string(list_transform(range(0, n_frames), i -> (i * (n_bytes // n_frames))::VARCHAR), ',') AS frame_offsets
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,7 +1,9 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Deduplication operators for document corpora. Three tiers, in increasing
@@ -16,7 +18,7 @@ import org.apache.spark.sql.functions._
  *     shuffle on the band key with per-bucket pair expansion — never an
  *     all-pairs cross join. Exact Jaccard verification runs only on the
  *     candidate pairs.
- *  3. SimHash signatures ([[TextOps.simhash64Hex]]) — a per-row projection;
+ *  3. SimHash signatures ([[SimHashSignatures]]) — a per-row projection;
  *     near-dup detection by Hamming distance over the 64-bit signature is a
  *     band-join over signature chunks (same pattern as 2).
  */
@@ -64,17 +66,42 @@ object MinHashNearDup {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must divide into bands ($bands)")
     val rowsPerBand = numHashes / bands
 
-    val toks = TextOps.tokens(col(textCol))
+    // One typed pass computes tokenize -> shingle -> minhash -> band keys
+    // (a 64-wide md5 workload per row evaluates interpreted as
+    // higher-order Column expressions — the JVM twins in TextOps keep the
+    // exact md5/lexicographic semantics). The result feeds FOUR plan
+    // branches (both sides of the candidate self-join via the band
+    // explode, plus the sa/sb Jaccard re-joins), so it is persisted —
+    // exchange reuse covers at most the self-join, never the re-reads;
+    // without the cache the shingle/signature work runs 3-4x. Storage is
+    // (id, shingle-set, band keys) only — tiny relative to the corpus.
+    // Long-lived sessions can clear it via spark.catalog.clearCache.
+    val shSchema = StructType(Seq(
+      df.schema(df.schema.fieldIndex(idCol)).copy(name = "_id"),
+      StructField("_shingles", ArrayType(StringType, containsNull = true), nullable = true),
+      StructField("_bands", ArrayType(StringType, containsNull = true), nullable = true)))
     val sh = df
-      .select(col(idCol).as("_id"), toks.as("_toks"))
-      .filter(size(col("_toks")) >= shingleN)
-      .select(col("_id"), TextOps.shingles(col("_toks"), shingleN).as("_shingles"))
+      .select(col(idCol), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val toks = TextOps.tokensJvm(r.getString(1))
+            if (toks.length < shingleN) Iterator.empty
+            else {
+              val shingles = TextOps.shinglesJvm(toks, shingleN)
+              val sig = TextOps.minhashSignatureJvm(md, shingles, numHashes)
+              val bandKeys = TextOps.bandKeysJvm(md, sig, bands, rowsPerBand)
+              Iterator.single(Row(r.get(0), shingles, bandKeys))
+            }
+          }
+        }
+      }(Encoders.row(shSchema))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val sig = sh.select(col("_id"), col("_shingles"),
-      TextOps.minhashSignature(col("_shingles"), numHashes).as("_mh"))
-
-    val banded = sig.select(col("_id"),
-      posexplode(TextOps.bandKeys(col("_mh"), bands, rowsPerBand)).as(Seq("_b", "_band_key")))
+    val banded = sh.select(col("_id"),
+      posexplode(col("_bands")).as(Seq("_b", "_band_key")))
 
     // bucket-join: same band index + same band key, ordered pair, distinct
     val cand = banded.as("a")
@@ -107,9 +134,28 @@ object SimHashSignatures {
    * no shuffle. Near-dup candidates at scale: split the signature into k
    * chunks and bucket-join on each chunk (docs within Hamming distance d
    * share at least one of d+1 chunks exactly — pigeonhole).
+   *
+   * Implemented as a typed `mapPartitions` stage (one MessageDigest per
+   * partition, one md5 per token, bit-twiddling on raw digest bytes) —
+   * a pure-expression encoding of the 64-wide signed-bit fold evaluates
+   * interpreted (higher-order functions get no codegen) at ~64 expression
+   * evaluations per token. Tokenization and hashing replicate the Column
+   * tier exactly ([[TextOps.tokensJvm]]), so results are unchanged.
    */
-  def apply(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-      TextOps.simhash64Hex(TextOps.tokens(col(textCol))).as("simhash"))
+  def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(df.schema.fieldIndex(idCol)).copy(name = "doc_id"),
+      StructField("simhash", StringType, nullable = true)))
+    df.select(col(idCol), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val sig =
+            if (r.isNullAt(1)) null
+            else TextOps.simhashHexJvm(md, TextOps.tokensJvm(r.getString(1)))
+          Row(r.get(0), sig)
+        }
+      }(Encoders.row(outSchema))
       .orderBy("doc_id")
+  }
 }

@@ -1,8 +1,9 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /**
  * Similarity search over an embedding column (`array<float>`).
@@ -47,10 +48,57 @@ object Similarity {
     concat((1 to bits).map(i =>
       when(element_at(qv, i) > 0, lit("1")).otherwise(lit("0"))): _*)
 
+  /** Numeric key for (qid, cid) ordering inside the pre-reduce heap —
+   *  must agree with the window's `cid` ASC tie-break, so the reduction
+   *  only applies to numeric id types. */
+  private def numericKey(v: Any): Double = v match {
+    case n: java.lang.Number => n.doubleValue
+    case _ => Double.NaN
+  }
+
+  /**
+   * Map-side top-k pre-reduction: per partition, keep only the k best
+   * (cosine desc, cid asc) candidates per query. The cosine here is the
+   * same double expression the final window recomputes (long dot /
+   * sqrt(long*long)), so selection agrees bit-for-bit with the window
+   * ranking. Only the surviving numPartitions * |Q| * k rows shuffle.
+   * Applied only when both ids are numeric (the heap's tie-break must
+   * match the window's `cid` ordering); non-numeric ids fall back to the
+   * direct window — correct, just shuffling all pairs.
+   */
+  private def partitionTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val schema = pairs.schema
+    val idsNumeric = Seq("qid", "cid").forall { c =>
+      schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+        case _ => false
+      }
+    }
+    if (!idsNumeric) return pairs
+    pairs.mapPartitions { rows =>
+      // per-qid bounded heap, worst candidate on top (min-heap by rank order)
+      type Cand = (Double, Double, Row) // (cos, cidKey, row)
+      // rank key (-cos, cidKey): smaller = better. The queue dequeues its
+      // max, i.e. the current worst survivor.
+      val byRank = Ordering.by[Cand, (Double, Double)](c => (-c._1, c._2))
+      val heaps = new java.util.HashMap[Double, scala.collection.mutable.PriorityQueue[Cand]]()
+      rows.foreach { r =>
+        val cos = r.getLong(2).toDouble / math.sqrt(r.getLong(3).toDouble * r.getLong(4).toDouble)
+        val cand = (cos, numericKey(r.get(1)), r)
+        val heap = heaps.computeIfAbsent(numericKey(r.get(0)),
+          _ => scala.collection.mutable.PriorityQueue.empty[Cand](byRank))
+        if (heap.size < k) heap.enqueue(cand)
+        else if (byRank.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values.asScala.iterator.flatMap(_.iterator.map(_._3))
+    }(Encoders.row(schema))
+  }
+
   private def scored(pairs: DataFrame, k: Int): DataFrame = {
     val cos = cosine(col("_dot"), col("_na"), col("_nb"))
     val w = Window.partitionBy("qid").orderBy(cos.desc, col("cid"))
-    pairs
+    partitionTopK(pairs, k)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("cid"), round(cos, 4).as("cos"))
@@ -61,8 +109,10 @@ object Similarity {
    * Brute-force cosine top-k: for each query vector, the k most similar
    * corpus vectors (self excluded), ranked by cosine desc then id.
    * Output: (qid, rnk, cid, cos). The query side is broadcast — the
-   * corpus partitioning is untouched and no shuffle happens until the
-   * final (small, |Q|*k-row) ranking.
+   * corpus partitioning is untouched during scoring — and a map-side
+   * per-partition top-k reduction runs before the ranking window, so the
+   * only shuffle carries numPartitions * |Q| * k candidate rows, not the
+   * full |Q| * N scored set.
    */
   def cosineTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {

@@ -1,7 +1,8 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 /**
  * Text-analysis operators over a document corpus: corpus statistics,
@@ -41,17 +42,44 @@ object TextAnalysis {
    */
   def qualityMetrics(df: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String] = DefaultStopwords): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    df.select(col(idCol).as("doc_id"), toks.as("_t"))
-      .select(
-        col("doc_id"),
-        size(col("_t")).cast("long").as("n_tokens"),
-        size(array_distinct(col("_t"))).cast("long").as("n_types"),
-        round(size(array_distinct(col("_t"))).cast("double") / size(col("_t")), 3).as("ttr"),
-        round(size(filter(col("_t"), w => w.isin(stopwords.map(lit): _*)))
-          .cast("double") / size(col("_t")), 3).as("stop_ratio"),
-        round(aggregate(col("_t"), lit(0L), (acc, w) => acc + length(w))
-          .cast("double") / size(col("_t")), 3).as("mean_wlen"))
+    // Typed single-pass stage: the five metrics share the token array, and
+    // Catalyst's projection collapse would re-inline (and re-evaluate) the
+    // tokenizer per metric — interpreted, since filter/aggregate are
+    // higher-order. One mapPartitions computes the array once per row.
+    // Rounding replicates Spark's round() (BigDecimal HALF_UP) exactly.
+    val stopSet = stopwords.toSet
+    val outSchema = StructType(Seq(
+      df.schema(df.schema.fieldIndex(idCol)).copy(name = "doc_id"),
+      StructField("n_tokens", LongType, nullable = true),
+      StructField("n_types", LongType, nullable = true),
+      StructField("ttr", DoubleType, nullable = true),
+      StructField("stop_ratio", DoubleType, nullable = true),
+      StructField("mean_wlen", DoubleType, nullable = true)))
+    df.select(col(idCol), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          if (r.isNullAt(1)) Row(r.get(0), null, null, null, null, null)
+          else {
+            val toks = TextOps.tokensJvm(r.getString(1))
+            val n = toks.length
+            val types = new java.util.HashSet[String]()
+            var stops = 0
+            var sumLen = 0L
+            var i = 0
+            while (i < n) {
+              val w = toks(i)
+              types.add(w)
+              if (stopSet.contains(w)) stops += 1
+              sumLen += w.codePointCount(0, w.length)
+              i += 1
+            }
+            Row(r.get(0), n.toLong, types.size.toLong,
+              TextOps.round3(types.size.toDouble / n),
+              TextOps.round3(stops.toDouble / n),
+              TextOps.round3(sumLen.toDouble / n))
+          }
+        }
+      }(Encoders.row(outSchema))
       .orderBy("doc_id")
   }
 
@@ -83,13 +111,59 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das"),
     "fr" -> Seq("le", "les", "une"))
 
-  /** Language distribution of a corpus under [[langIdExpr]]. */
+  /** JVM twin of [[langIdExpr]]'s winner selection: first lang i whose
+   *  score >= max of all later scores; last lang is the fallthrough. */
+  def pickLangJvm(langs: IndexedSeq[String], scores: Array[Int]): String = {
+    var i = 0
+    while (i < scores.length - 1) {
+      var maxRest = Int.MinValue
+      var j = i + 1
+      while (j < scores.length) { if (scores(j) > maxRest) maxRest = scores(j); j += 1 }
+      if (scores(i) >= maxRest) return langs(i)
+      i += 1
+    }
+    langs.last
+  }
+
+  /**
+   * Language distribution of a corpus: per-row language ID + one hash
+   * aggregation. Scoring runs as a typed stage (the expression form
+   * re-tokenizes once per profile, interpreted); [[langIdExpr]] remains
+   * the Column form and the unit suite pins both to identical outputs.
+   */
   def langDistribution(df: DataFrame, textCol: String,
-      profiles: Seq[(String, Seq[String])] = DefaultLangProfiles): DataFrame =
-    df.select(langIdExpr(TextOps.tokens(col(textCol)), profiles).as("predicted_lang"))
+      profiles: Seq[(String, Seq[String])] = DefaultLangProfiles): DataFrame = {
+    val langs = profiles.map(_._1).toIndexedSeq
+    val wordSets = profiles.map(_._2.toSet).toIndexedSeq
+    val outSchema = StructType(Seq(StructField("predicted_lang", StringType, nullable = true)))
+    df.select(col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val lang =
+            // null text: every score is null -> every `when` falls through
+            // to the last profile, matching langIdExpr / the SQL CASE
+            if (r.isNullAt(0)) langs.last
+            else {
+              val toks = TextOps.tokensJvm(r.getString(0))
+              val scores = new Array[Int](wordSets.length)
+              var i = 0
+              while (i < toks.length) {
+                var p = 0
+                while (p < wordSets.length) {
+                  if (wordSets(p).contains(toks(i))) scores(p) += 1
+                  p += 1
+                }
+                i += 1
+              }
+              pickLangJvm(langs, scores)
+            }
+          Row(lang)
+        }
+      }(Encoders.row(outSchema))
       .groupBy("predicted_lang")
       .agg(count(lit(1)).as("n"))
       .orderBy("predicted_lang")
+  }
 
   /**
    * Per-document bottom-k fingerprint over word bigram shingles (docs with

@@ -4,14 +4,14 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /**
- * Column-level text primitives for the large-scale training-data pipeline
- * operators (dedup, fingerprinting, text analysis). Everything here is a
- * pure per-row Catalyst expression — no UDFs, no shuffle, no driver-side
- * data movement — so the operators composed from these scale linearly with
- * the input. Fixed-size loops (hash count, bit positions) are unrolled
- * driver-side into static expressions rather than evaluated as dynamic
- * array indexing, which keeps every index/shift a constant the optimizer
- * can fold.
+ * Text primitives for the large-scale training-data pipeline operators
+ * (dedup, fingerprinting, text analysis). Two tiers with identical
+ * semantics: per-row Catalyst Column expressions (codegen'd, no UDFs) for
+ * everything the expression engine evaluates efficiently, and plain-JVM
+ * twins (for typed `mapPartitions` stages) where expression evaluation
+ * would be interpreted — higher-order folds over wide accumulator arrays.
+ * Neither tier shuffles or moves data to the driver, so the operators
+ * composed from these scale linearly with the input.
  *
  * Hashing discipline: all content hashes are md5 over UTF-8 bytes —
  * deterministic and engine-portable (the DuckDB oracle computes
@@ -45,59 +45,137 @@ object TextOps {
   }
 
   /**
-   * MinHash signature: k permutation-mins, where permutation i is
-   * "lexicographic order of md5(i + ':' + shingle)". Output: array of k
-   * hex strings. Cost: k * |shingles| md5 calls per row, no shuffle.
+   * MinHash signature (JVM): k permutation-mins, where permutation i is
+   * "lexicographic order of md5(i + ':' + shingle)" — lexicographic min
+   * over lowercase hex is byte-order min, identical in Spark, the JVM and
+   * the oracle. Cost: k * |shingles| md5 calls per row, no shuffle.
    */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(k =>
-      array_min(transform(shingleCol, s =>
-        md5Hex(concat(lit(k.toString), lit(":"), s))))): _*)
+  def minhashSignatureJvm(md: java.security.MessageDigest,
+      shingles: Array[String], numHashes: Int): Array[String] =
+    Array.tabulate(numHashes) { k =>
+      val prefix = k.toString + ":"
+      var best: String = null
+      var i = 0
+      while (i < shingles.length) {
+        val h = md5HexJvm(md, prefix + shingles(i))
+        if (best == null || h.compareTo(best) < 0) best = h
+        i += 1
+      }
+      best
+    }
 
   /**
-   * LSH band keys from a minhash signature: `bands` keys, each the md5 of
-   * `rowsPerBand` concatenated signature entries. Two docs agree on band b
-   * iff their signatures agree on all rows of that band — the standard
-   * banding construction (collision prob = 1-(1-j^r)^b).
+   * LSH band keys (JVM) from a minhash signature: `bands` keys, each the
+   * md5 of `rowsPerBand` concatenated signature entries. Two docs agree on
+   * band b iff their signatures agree on all rows of that band — the
+   * standard banding construction (collision prob = 1-(1-j^r)^b).
    */
-  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map(b =>
-      md5Hex(concat((1 to rowsPerBand).map(r =>
-        element_at(sig, b * rowsPerBand + r)): _*))): _*)
+  def bandKeysJvm(md: java.security.MessageDigest,
+      sig: Array[String], bands: Int, rowsPerBand: Int): Array[String] =
+    Array.tabulate(bands) { b =>
+      val sb = new java.lang.StringBuilder(32 * rowsPerBand)
+      var r = 0
+      while (r < rowsPerBand) { sb.append(sig(b * rowsPerBand + r)); r += 1 }
+      md5HexJvm(md, sb.toString)
+    }
 
-  /** Value (0-15) of hex digit at 0-based char position `pos` of a hex string. */
-  private def hexDigitVal(hx: Column, pos: Int): Column =
-    conv(substring(hx, pos + 1, 1), 16, 10).cast("int")
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** JVM twin of [[md5Hex]]: lowercase hex md5 of the UTF-8 bytes. */
+  def md5HexJvm(md: java.security.MessageDigest, s: String): String = {
+    val digest = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((digest(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(digest(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** JVM twin of [[shingles]]: distinct word n-grams in first-seen order. */
+  def shinglesJvm(toks: Array[String], n: Int): Array[String] = {
+    val set = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= toks.length) {
+      if (n == 1) set.add(toks(i))
+      else {
+        val sb = new java.lang.StringBuilder()
+        var o = 0
+        while (o < n) { if (o > 0) sb.append(' '); sb.append(toks(i + o)); o += 1 }
+        set.add(sb.toString)
+      }
+      i += 1
+    }
+    set.toArray(new Array[String](set.size))
+  }
+
+  // -------------------------------------------------------------------
+  // Plain-JVM twins of the Column primitives above, for the operators that
+  // run as typed `Dataset.mapPartitions` stages (SURVEY.md §2.9 names
+  // Dataset[T].map as the sanctioned escape hatch where expression-only
+  // evaluation would be interpreted, e.g. SimHash's 64-wide fold). They
+  // replicate Spark's `trim`/`split` semantics exactly — space-only trim,
+  // Java-regex split with limit -1 — so a typed stage and an expression
+  // stage tokenize identically and oracle hashes are unaffected.
+  // -------------------------------------------------------------------
+
+  /** Spark `trim` semantics: strips ASCII spaces only (not \t/\n, unlike
+   *  java.lang.String#trim). */
+  def sparkTrim(s: String): String = {
+    var start = 0
+    var end = s.length
+    while (start < end && s.charAt(start) == ' ') start += 1
+    while (end > start && s.charAt(end - 1) == ' ') end -= 1
+    if (start == 0 && end == s.length) s else s.substring(start, end)
+  }
+
+  /** JVM twin of [[tokens]]: Spark's split keeps trailing empties
+   *  (Java split with limit -1), so "" tokenizes to Array(""). */
+  def tokensJvm(text: String): Array[String] = sparkTrim(text).split("\\s+", -1)
+
+  /** JVM twin of Spark's `round(c, 3)` on doubles: BigDecimal.valueOf +
+   *  HALF_UP — bit-identical to the expression form. */
+  def round3(d: Double): Double =
+    java.math.BigDecimal.valueOf(d).setScale(3, java.math.RoundingMode.HALF_UP).doubleValue
 
   /**
    * 64-bit SimHash over a token array (with multiplicity — repeated words
-   * weigh more), returned as a 16-char lowercase hex string. Bit j of the
-   * result is 1 iff the sum over tokens of (+1 if bit j of md5(token) else
-   * -1) is positive. One md5 per token; bit extraction is hex-digit math
-   * the DuckDB oracle reproduces exactly.
+   * weigh more) as a 16-char lowercase hex string. Bit j of the result is
+   * 1 iff the sum over tokens of (+1 if bit j of md5(token) else -1) is
+   * positive. One md5 per token, bit-twiddling on the raw digest bytes —
+   * plain JVM code meant for a `mapPartitions` stage (pass a per-partition
+   * MessageDigest; `digest()` resets it after each call).
    */
-  def simhash64Hex(toks: Column): Column = {
-    // per-token md5 hex, computed once per token
-    val hashes = transform(toks, w => md5Hex(w))
-    // +1/-1 for bit j (static j) of a token hash
-    def signedBit(hx: Column, j: Int): Column = {
-      val bit = shiftright(hexDigitVal(hx, j / 4), 3 - (j % 4)) % 2
-      when(bit === 1, lit(1L)).otherwise(lit(-1L))
+  def simhashHexJvm(md: java.security.MessageDigest, toks: Array[String]): String = {
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val digest = md.digest(toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 64) {
+        // bit j = bit (7 - j%8) of digest byte j/8, MSB-first — identical
+        // to the hex-digit math the DuckDB oracle computes
+        if (((digest(j >> 3) >> (7 - (j & 7))) & 1) == 1) counts(j) += 1
+        else counts(j) -= 1
+        j += 1
+      }
+      t += 1
     }
-    // accumulate 64 signed bit-counts in one pass over the token hashes
-    val acc = aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (a: Column, hx: Column) =>
-        array((0 until 64).map(j => element_at(a, j + 1) + signedBit(hx, j)): _*))
-    // assemble 16 hex chars from the sign of each 4-bit group
-    val nibbleChars = (0 until 16).map { nib =>
-      val v = (0 to 3)
-        .map(j => when(element_at(acc, 4 * nib + j + 1) > 0, lit(1 << (3 - j))).otherwise(lit(0)))
-        .reduce(_ + _)
-      lower(conv(v.cast("string"), 10, 16))
+    val sb = new java.lang.StringBuilder(16)
+    var nib = 0
+    while (nib < 16) {
+      var v = 0
+      var j = 0
+      while (j < 4) {
+        if (counts(4 * nib + j) > 0) v |= 1 << (3 - j)
+        j += 1
+      }
+      sb.append(Character.forDigit(v, 16))
+      nib += 1
     }
-    concat(nibbleChars: _*)
+    sb.toString
   }
 
   /**
