@@ -28,6 +28,10 @@ object Restructure {
   /** Internal row-id column used for order preservation. */
   val RowId = "_rid"
 
+  /** Backtick-quote an identifier for splicing into generated lambda SQL
+   *  (hyphens, keywords, spaces all survive normalization paths). */
+  def quoted(name: String): String = "`" + name.replace("`", "``") + "`"
+
   /** Attach a monotonically increasing row id capturing encounter order.
    *  Not contiguous across partitions, but monotone w.r.t. file/row order
    *  for file sources — exactly what first-seen-order semantics need. */
@@ -126,8 +130,13 @@ object AggregatorPivot {
           case _ => v
         }
         val code = varnameLookup.getOrElse(s"$newcol:$codeVar", codeVar)
+        // when any matched column carries a text detail, every entry gets
+        // the field (null where absent) — array() requires a uniform
+        // struct type, unlike the reference's heterogeneous JSON dicts
         val fields = Seq(lit(code).as("code"), col(v).as("value")) ++
-          codeDetails.get(v).map(t => lit(t).as("text"))
+          (if (codeDetails.nonEmpty)
+            Seq(codeDetails.get(v).map(lit).getOrElse(lit(null).cast("string")).as("text"))
+          else Nil)
         struct(fields: _*)
       }
       array(entries: _*).as(outName)
@@ -179,7 +188,7 @@ object GroupByNest {
         sort_array(collect_list(payload)).as("_sorted"),
         min(col(Restructure.RowId)).as("_gid"))
       .withColumn("content",
-        expr(s"transform(_sorted, x -> struct(${payloadCols.map(c => s"x.$c as $c").mkString(", ")}))"))
+        expr(s"transform(_sorted, x -> struct(${payloadCols.map(c => s"x.${Restructure.quoted(c)} as ${Restructure.quoted(c)}").mkString(", ")}))"))
       .drop("_sorted")
     val shaped = grouped.select((keys.map(col) :+ col("content") :+ col("_gid")).toIndexedSeq: _*)
     (if (ordered) shaped.orderBy(col("_gid")) else shaped).drop("_gid")
@@ -221,7 +230,7 @@ object EmbedJoin {
       (col(Restructure.RowId) +:
         lit(childTableName).as("table_name") +:
         child.columns.toSeq.map(col)).toIndexedSeq: _*)
-    val shape = s"x -> struct(x.table_name as table_name, ${child.columns.map(c => s"x.$c as $c").mkString(", ")})"
+    val shape = s"x -> struct(x.table_name as table_name, ${child.columns.map(c => s"x.${Restructure.quoted(c)} as ${Restructure.quoted(c)}").mkString(", ")})"
     val collected =
       if (preserveOrder) sort_array(collect_list(rowStruct))
       else collect_list(rowStruct)

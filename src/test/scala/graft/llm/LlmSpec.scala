@@ -1,0 +1,203 @@
+package graft.llm
+
+import graft.TestSpark
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Twin-equivalence and behavior tests for the LLM-pipeline operators.
+ *  The typed (JVM) stages must agree exactly with the Column expression
+ *  forms they replaced — these tests pin that contract. */
+class LlmSpec extends AnyFunSuite {
+  import TestSpark.{df, spark}
+
+  private val trickyTexts = Seq(
+    "a b c", "  leading and trailing  ", "", " ", "one",
+    "double  space", "tab\tseparated", "newline\nbound", "a  b   c    d")
+
+  test("tokensJvm matches Spark split(trim(text), \\s+) on edge cases") {
+    val in = df("t STRING", trickyTexts.map(Row(_)))
+    val sparkToks = in.select(TextOps.tokens(col("t"))).collect()
+      .map(_.getSeq[String](0).toList).toList
+    val jvmToks = trickyTexts.map(TextOps.tokensJvm(_).toList).toList
+    assert(jvmToks == sparkToks)
+  }
+
+  test("md5HexJvm matches Spark md5()") {
+    val inputs = Seq("", "hello", "0:three gram shingle", "ünïcode")
+    val in = df("s STRING", inputs.map(Row(_)))
+    val sparkMd5 = in.select(TextOps.md5Hex(col("s"))).collect().map(_.getString(0)).toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(inputs.map(TextOps.md5HexJvm(md, _)) == sparkMd5)
+  }
+
+  test("shinglesJvm matches the shingles Column expression") {
+    val texts = Seq("a b c d e", "x x x x", "p q r")
+    val in = df("t STRING", texts.map(Row(_)))
+    val sparkSh = in.select(TextOps.shingles(TextOps.tokens(col("t")), 3))
+      .collect().map(_.getSeq[String](0).toList).toList
+    val jvmSh = texts.map(t => TextOps.shinglesJvm(TextOps.tokensJvm(t), 3).toList)
+    assert(jvmSh == sparkSh)
+  }
+
+  test("round3 matches Spark round(c, 3)") {
+    val vals = Seq(0.0015, 1.0 / 3.0, 2.0 / 3.0, 0.5, 0.12345, 7.0)
+    val in = df("d DOUBLE", vals.map(Row(_)))
+    val sparkRounded = in.select(round(col("d"), 3)).collect().map(_.getDouble(0)).toSeq
+    assert(vals.map(TextOps.round3) == sparkRounded)
+  }
+
+  test("simhashHexJvm: independent bit-count reference implementation agrees") {
+    // independent reference: BigInteger bit tests over the md5 digest
+    def reference(text: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](64)
+      TextOps.tokensJvm(text).foreach { w =>
+        val d = md.digest(w.getBytes("UTF-8"))
+        val hi = new java.math.BigInteger(1, d.take(8))
+        (0 until 64).foreach { j =>
+          counts(j) += (if (hi.testBit(63 - j)) 1 else -1)
+        }
+      }
+      val bits = counts.map(c => if (c > 0) 1 else 0)
+      bits.grouped(4)
+        .map(g => Character.forDigit(g.foldLeft(0)((a, b) => (a << 1) | b), 16))
+        .mkString
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq("the quick brown fox", "a a a b", "solo").foreach { t =>
+      val got = TextOps.simhashHexJvm(md, TextOps.tokensJvm(t))
+      assert(got == reference(t), s"for '$t'")
+      assert(got.length == 16 && got.forall("0123456789abcdef".contains(_)))
+    }
+  }
+
+  test("pickLangJvm matches langIdExpr fold semantics including ties") {
+    val texts = Seq(
+      "the cat sat", "el la los", "der die das", "le les une",
+      "the el der le", // all-ones tie -> en
+      "el der",        // en loses, es ties de -> es
+      "xyz nothing")   // all zero -> en
+    val profiles = TextAnalysis.DefaultLangProfiles
+    val in = df("t STRING", texts.map(Row(_)))
+    val viaExpr = in.select(
+      TextAnalysis.langIdExpr(TextOps.tokens(col("t")), profiles))
+      .collect().map(_.getString(0)).toSeq
+    val langs = profiles.map(_._1).toIndexedSeq
+    val sets = profiles.map(_._2.toSet)
+    val viaJvm = texts.map { t =>
+      val toks = TextOps.tokensJvm(t)
+      val scores = sets.map(s => toks.count(s.contains)).toArray
+      TextAnalysis.pickLangJvm(langs, scores)
+    }
+    assert(viaJvm == viaExpr)
+    assert(viaJvm == Seq("en", "es", "de", "fr", "en", "es", "en"))
+  }
+
+  test("ExactDedup groups by content hash with min-id keeper and copy count") {
+    val in = df("doc_id BIGINT, text STRING", Seq(
+      Row(3L, "same text"), Row(1L, "same text"), Row(2L, "unique")))
+    val out = ExactDedup(in, "doc_id", "text").orderBy("keep_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("MinHashNearDup finds near-identical docs and orders pairs (a < b)") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val in = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, base),
+      Row(2L, base + " extra"),      // ~0.9 jaccard on 3-gram shingles
+      Row(3L, (100 to 140).map(i => s"z$i").mkString(" ")),
+      Row(4L, "too short")))         // < 3 tokens after shingling guard
+    val out = MinHashNearDup(in, "doc_id", "text", threshold = 0.8).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(out.head.getDouble(2) >= 0.8)
+  }
+
+  test("SimHashSignatures: identical docs share a signature; signature is stable hex") {
+    val in = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "shared words in this document"),
+      Row(2L, "shared words in this document"),
+      Row(3L, "totally different content here")))
+    val out = SimHashSignatures(in, "doc_id", "text").collect()
+    assert(out(0).getString(1) == out(1).getString(1))
+    assert(out(0).getString(1) != out(2).getString(1))
+  }
+
+  test("cosineTopK ranks by exact cosine, excludes self, respects k") {
+    val rows = Seq(
+      Row(0L, Seq(1.0f, 0.0f)),   // query
+      Row(1L, Seq(1.0f, 0.01f)),  // nearly parallel -> rank 1
+      Row(2L, Seq(1.0f, 1.0f)),   // 45 degrees -> rank 2
+      Row(3L, Seq(-1.0f, 0.0f)))  // opposite -> rank 3 (excluded by k=2)
+    val e = df("vec_id BIGINT, embedding ARRAY<FLOAT>", rows)
+    val out = Similarity.cosineTopK(e, e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 2)
+      .collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("partitionTopK pre-reduction returns the same rows as the plain window") {
+    // many candidates across partitions, with exact cosine ties (duplicate
+    // vectors) to exercise the cid tie-break agreement
+    val vecs = (0L until 40L).map { i =>
+      Row(i, Seq((i % 7).toFloat + 1f, ((i * 3) % 5).toFloat))
+    }
+    val e = TestSpark.spark.createDataFrame(
+      TestSpark.spark.sparkContext.parallelize(vecs, numSlices = 4),
+      org.apache.spark.sql.types.StructType.fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>"))
+    val q = e.filter(col("vec_id") < 5)
+    val got = Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 3).collect().toSeq
+    // independent computation of expected top-3 per query
+    val all = vecs.map(r => (r.getLong(0), r.getSeq[Float](1).map(f => math.round(f * 1000).toLong)))
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / math.sqrt(a.map(x => x * x).sum.toDouble * b.map(x => x * x).sum.toDouble)
+    }
+    val expected = all.filter(_._1 < 5).flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid)
+        .map { case (cid, cv) => (qid, cid, cos(qv, cv)) }
+        .sortBy { case (_, cid, c) => (-c, cid) }
+        .take(3).zipWithIndex
+        .map { case ((q2, cid, c), i) =>
+          Row(q2, (i + 1).toLong, cid,
+            BigDecimal.valueOf(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }
+    assert(got == expected)
+  }
+
+  test("Multimodal decodeBatch produces the deterministic stub metadata") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, Array.fill[Byte](100)(7), "image/x-test"),
+      Multimodal.MediaRow(2L, Array.fill[Byte](3)(1), "audio/x-test")).toDS()
+    val out = Multimodal.decodeBatch(media).collect().sortBy(_.doc_id)
+    val m1 = out(0)
+    assert(m1.n_bytes == 100 && m1.width == 16 + 100 % 64 && m1.height == 16 + (100 / 64) % 64)
+    assert(m1.n_frames == 1 + 100 % 7)
+    assert(m1.frame_offsets == (0 until m1.n_frames).map(i => i * (100L / m1.n_frames)))
+    assert(out(1).n_bytes == 3)
+  }
+
+  test("corpusStats aggregates per language") {
+    val in = df("lang STRING, n_chars BIGINT, text STRING", Seq(
+      Row("en", 10L, "a b"), Row("en", 20L, "c d e"), Row("fr", 6L, "f")))
+    val out = TextAnalysis.corpusStats(in, "lang", "n_chars", "text").collect()
+    val en = out.find(_.getString(0) == "en").get
+    assert(en.getLong(1) == 2L)       // n_docs
+    assert(en.getLong(2) == 30L)      // total_chars
+    assert(en.getDouble(3) == 15.0)   // avg_chars
+    assert(en.getLong(4) == 5L)       // total_tokens
+    assert(en.getLong(5) == 3L)       // max_tokens
+  }
+
+  test("qualityMetrics computes the five metrics in one pass") {
+    val in = df("doc_id BIGINT, text STRING",
+      Seq(Row(1L, "the cat the dog")))
+    val r = TextAnalysis.qualityMetrics(in, "doc_id", "text").collect().head
+    assert(r.getLong(1) == 4L)             // n_tokens
+    assert(r.getLong(2) == 3L)             // n_types (the, cat, dog)
+    assert(r.getDouble(3) == 0.75)         // ttr
+    assert(r.getDouble(4) == 0.5)          // stop_ratio (the x2)
+    assert(r.getDouble(5) == 3.0)          // mean_wlen (3+3+3+3)/4
+  }
+}
