@@ -228,6 +228,41 @@ object SparkEntry {
         .groupBy(col("ts").cast("date").as("d"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
         .orderBy("d", "event_type", "n")
+    }),
+
+    // VQ-14: duplicate-identifier detection (inspector.py:57-97) — the
+    // system:value composite repeated within a resource type
+    "vq14_dup_identifiers" -> q((s, dir) => {
+      graft.inspect.DuplicateIdentifiers(
+        t(s, dir, "lineitem"), "l_returnflag",
+        concat_ws(":", col("l_partkey"), col("l_suppkey")))
+        .orderBy("resource_type", "idval")
+    }),
+
+    // VQ-15: ModuleSummary (module_summary.py:9-41) — counts + share of
+    // each resource type's total
+    "vq15_module_summary" -> q((s, dir) => {
+      graft.inspect.ModuleSummary(
+        t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
+    }),
+
+    // VQ-16: study-ids aggregation (studyids.py:103) — dedup + sort per
+    // type, string-joined for a cross-engine-stable shape
+    "vq16_sorted_idsets" -> q((s, dir) => {
+      graft.sink.StudyIdsSink.sortedIdSets(
+        t(s, dir, "customer"), "c_mktsegment", "c_nationkey")
+        .select(col("resource_type"), array_join(col("ids"), ",").as("ids"))
+        .orderBy("resource_type")
+    }),
+
+    // VQ-17: bundle chunk assignment (bundle.py:84,131-134) — new chunk
+    // per module per maxRecords, verified via per-chunk counts
+    "vq17_bundle_chunks" -> q((s, dir) => {
+      graft.sink.BundleSink.assignChunks(
+        t(s, dir, "orders"), "o_orderstatus", "o_orderkey", maxRecords = 1000)
+        .groupBy(col("o_orderstatus").as("module"), col("_chunk").as("chunk"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("module", "chunk")
     })
   ) ++ PipelineQueries.queries
 
@@ -350,6 +385,35 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n,
         |       ROUND(SUM(value), 2) AS total
         |FROM events GROUP BY CAST(ts AS DATE), event_type
-        |ORDER BY d, event_type, n""".stripMargin
+        |ORDER BY d, event_type, n""".stripMargin,
+
+    "vq14_dup_identifiers" ->
+      """SELECT l_returnflag AS resource_type,
+        |       l_partkey::VARCHAR || ':' || l_suppkey::VARCHAR AS idval,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY 1, 2 HAVING COUNT(*) > 1
+        |ORDER BY resource_type, idval""".stripMargin,
+
+    "vq15_module_summary" ->
+      """WITH c AS (SELECT o_orderpriority AS module, o_orderstatus AS resource_type,
+        |                  COUNT(*) AS n
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT module, resource_type, n,
+        |       ROUND(100.0 * n / SUM(n) OVER (PARTITION BY resource_type), 2) AS pct
+        |FROM c ORDER BY module, resource_type""".stripMargin,
+
+    "vq16_sorted_idsets" ->
+      """SELECT c_mktsegment AS resource_type,
+        |       array_to_string(list_sort(list_distinct(list(c_nationkey::VARCHAR))), ',') AS ids
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY resource_type""".stripMargin,
+
+    "vq17_bundle_chunks" ->
+      """WITH r AS (SELECT o_orderstatus AS module,
+        |                  ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn
+        |           FROM orders)
+        |SELECT module, CAST((rn - 1) // 1000 AS INT) AS chunk, COUNT(*) AS n
+        |FROM r GROUP BY 1, 2 ORDER BY module, chunk""".stripMargin
   ) ++ PipelineQueries.oracleSql
 }

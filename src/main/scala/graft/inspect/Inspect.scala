@@ -1,0 +1,57 @@
+package graft.inspect
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Inspection aggregates over projected resources
+ * (ref: wstlr/inspector.py, wstlr/module_summary.py). Both are plain
+ * hash aggregations — partial/map-side combinable, no driver state,
+ * unlike the reference's in-RAM defaultdict accumulators.
+ */
+object DuplicateIdentifiers {
+
+  /**
+   * Duplicate-identifier detection (ref: wstlr/inspector.py:57-97): the
+   * reference accumulates `system:value` per resourceType into sets and
+   * hard-errors on a repeat; the scalable form is one aggregation
+   * returning every (resourceType, identifier) seen more than once —
+   * empty result = the pipeline is clean.
+   *
+   * @param idVal the `system:value` composite (inspector.py:90)
+   */
+  def apply(resources: DataFrame, typeCol: String, idVal: Column): DataFrame =
+    resources
+      .groupBy(col(typeCol).as("resource_type"), idVal.as("idval"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** True in every row iff no duplicates exist — the reference's
+   *  hard-error gate as a checkable predicate. */
+  def isClean(resources: DataFrame, typeCol: String, idVal: Column): Boolean =
+    apply(resources, typeCol, idVal).isEmpty
+}
+
+object ModuleSummary {
+
+  /**
+   * Per-(module, resourceType) counts plus each cell's share of its
+   * resource type's total (ref: wstlr/module_summary.py:9-41:
+   * `module_summary` + `resource_summary` + the percent column).
+   * One aggregation plus a window over the small aggregated result.
+   */
+  def apply(resources: DataFrame, moduleCol: String, typeCol: String,
+      resourceTypes: Seq[String] = Nil): DataFrame = {
+    val filtered =
+      if (resourceTypes.isEmpty) resources
+      else resources.filter(col(typeCol).isin(resourceTypes.map(lit): _*))
+    val counts = filtered
+      .groupBy(col(moduleCol).as("module"), col(typeCol).as("resource_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("resource_type")
+    counts
+      .withColumn("pct", round(lit(100.0) * col("n") / sum(col("n")).over(w), 2))
+      .orderBy("module", "resource_type")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.sink
+
+import graft.TestSpark
+import graft.inspect.{DuplicateIdentifiers, ModuleSummary}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bundle/study-ids sinks and inspection aggregates
+ *  (ref: wstlr/bundle.py, studyids.py, inspector.py, module_summary.py,
+ *  tests/test_studyids.py, tests/test_module_summary.py). */
+class SinksSpec extends AnyFunSuite {
+  import TestSpark.{df, spark}
+
+  private val resources = df(
+    "module STRING, resourceType STRING, id STRING, resource STRING",
+    Seq(
+      Row("patient", "Patient", "P1", """{"resourceType":"Patient","id":"P1"}"""),
+      Row("patient", "Patient", "P2", """{"resourceType":"Patient","id":"P2"}"""),
+      Row("patient", "Patient", "P2", """{"resourceType":"Patient","id":"P2"}"""), // dup fullUrl
+      Row("condition", "Condition", "C1", """{"resourceType":"Condition","id":"C1"}""")))
+
+  test("bundle entries: PUT verb with id, fullUrl built from service url, dedup per module") {
+    val e = BundleSink.entries(resources, "http://fhir.example", BundleSink.Put)
+    val rows = e.orderBy("fullUrl").collect()
+    assert(rows.length == 3) // P2 dup dropped
+    val p1 = rows.find(_.getString(3).endsWith("Patient/P1")).get
+    assert(p1.getString(3) == "http://fhir.example/Patient/P1")
+    assert(p1.getString(4).contains(""""request":{"method":"PUT","url":"Patient/P1"}"""))
+    assert(p1.getString(4).contains(""""resource":{"resourceType":"Patient","id":"P1"}"""))
+  }
+
+  test("bundle chunking: new bundle per module and per maxRecords") {
+    val many = spark.range(25).selectExpr(
+      "'patient' AS module", "'Patient' AS resourceType",
+      "concat('P', lpad(cast(id as string), 3, '0')) AS id",
+      """concat('{"id":"', id, '"}') AS resource""")
+    val e = BundleSink.entries(many, "http://svc")
+    val b = BundleSink.bundles(e, "graft-test", maxRecords = 10).orderBy("module", "chunk").collect()
+    assert(b.map(r => (r.getInt(1), r.getLong(2))).toSeq == Seq((0, 10L), (1, 10L), (2, 5L)))
+    val doc = b.head.getString(3)
+    assert(doc.startsWith("""{"resourceType":"Bundle","id":"graft-test","type":"transaction","entry":["""))
+    assert(doc.endsWith("]}"))
+    // each bundle parses as one JSON document
+    import spark.implicits._
+    val parsed = spark.read.json(Seq(doc).toDS)
+    assert(parsed.select(explode(col("entry"))).count() == 10)
+  }
+
+  test("bundle write produces one file per (module, chunk)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bundles").toString
+    val e = BundleSink.entries(resources, "http://svc")
+    BundleSink.write(BundleSink.bundles(e, "bid"), dir)
+    val files = new java.io.File(dir).listFiles.filter(_.isDirectory).map(_.getName).sorted
+    assert(files.toSeq == Seq("module=condition", "module=patient"))
+  }
+
+  test("study-ids aggregation dedups and sorts per resourceType") {
+    val in = df("t STRING, id STRING", Seq(
+      Row("Patient", "B"), Row("Patient", "A"), Row("Patient", "B"),
+      Row("Condition", "Z")))
+    val out = StudyIdsSink.sortedIdSets(in, "t", "id").collect()
+    assert(out.map(r => r.getString(0) -> r.getSeq[String](1)).toMap ==
+      Map("Patient" -> Seq("A", "B"), "Condition" -> Seq("Z")))
+  }
+
+  test("study-ids json nests study/host/type and merges, not overwrites") {
+    val in = df("t STRING, id STRING", Seq(Row("Patient", "P1")))
+    val sets = StudyIdsSink.sortedIdSets(in, "t", "id")
+    val existing = """{"other_study":{"hostA":{"Patient":["X"]}}}"""
+    val json = StudyIdsSink.toJson(sets, "my_study", "hostA", Some(existing))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    assert(root.get("other_study").get("hostA").get("Patient").get(0).asText == "X")
+    assert(root.get("my_study").get("hostA").get("Patient").get(0).asText == "P1")
+  }
+
+  test("duplicate-identifier detection flags repeats per resourceType only") {
+    val in = df("t STRING, system STRING, value STRING", Seq(
+      Row("Patient", "s", "1"), Row("Patient", "s", "1"),
+      Row("Condition", "s", "1"), // same idval, different type: not a dup
+      Row("Patient", "s", "2")))
+    val idval = concat_ws(":", col("system"), col("value"))
+    val dups = DuplicateIdentifiers(in, "t", idval).collect()
+    assert(dups.length == 1)
+    assert(dups.head.getString(0) == "Patient" && dups.head.getString(1) == "s:1")
+    assert(!DuplicateIdentifiers.isClean(in, "t", idval))
+  }
+
+  test("module summary counts per module/type with share of type total") {
+    val in = df("module STRING, t STRING", Seq(
+      Row("patient", "Patient"), Row("patient", "Patient"),
+      Row("extra", "Patient"), Row("condition", "Condition")))
+    val out = ModuleSummary(in, "module", "t").collect()
+    val byKey = out.map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(byKey(("patient", "Patient")) == ((2L, 66.67)))
+    assert(byKey(("extra", "Patient")) == ((1L, 33.33)))
+    assert(byKey(("condition", "Condition")) == ((1L, 100.0)))
+  }
+
+  test("module summary honors a resource-type restriction (test_module_summary.py)") {
+    val in = df("module STRING, t STRING", Seq(
+      Row("m1", "Patient"), Row("m1", "Observation")))
+    val out = ModuleSummary(in, "module", "t", resourceTypes = Seq("Patient")).collect()
+    assert(out.length == 1 && out.head.getString(1) == "Patient")
+  }
+}
