@@ -21,17 +21,17 @@ object SparkEntry {
   private def q(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = fn
 
   /** Flagship: whistler-style extraction pipeline on sf0.001 — normalize,
-   *  embed-join orders into customer, nation display column, group-nest by
+   *  embed-join orders into customer, nation display column via a
+   *  broadcast dimension join (never a driver collect), group-nest by
    *  market segment. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val customer = NormalizeColumns(t(spark, dir, "customer"))
     val orders = NormalizeColumns(t(spark, dir, "orders"))
       .withColumnRenamed("o_custkey", "c_custkey")
-    val nationDisplay = t(spark, dir, "nation")
-      .collect().map(r => r.getInt(0).toString -> r.getString(1)).toMap
     val embedded = EmbedJoin(customer, orders, "orders", "c_custkey")
-    val withDisplay = DisplayColumns(embedded, nationDisplay, Seq("c_nationkey"))
+    val withDisplay = DisplayJoin(embedded, t(spark, dir, "nation"),
+      "c_nationkey", "n_nationkey", "n_name")
     GroupByNest(withDisplay.drop("orders"), "c_mktsegment", ordered = false)
   }
 

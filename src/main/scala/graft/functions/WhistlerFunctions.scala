@@ -40,6 +40,22 @@ object WhistlerFunctions {
   def parseFloat(c: Column): Column = c.cast("string").try_cast("double")
   def isNumeric(c: Column): Column = parseFloat(c).isNotNull
 
+  // --- Column twins of the Naming scalar helpers ------------------------
+  // (driver-side forms in graft.model.Naming; these are the data-level
+  // equivalents for when the value — not the schema — carries a name)
+
+  /** fix_fieldname as a Column (ref: wstlr/__init__.py:153-161). */
+  def fixFieldName(c: Column): Column =
+    translate(regexp_replace(lower(trim(c)), "[()]", ""), " /", "__")
+
+  /** clean_values as a Column (ref: wstlr/__init__.py:143-150). */
+  def cleanValues(c: Column): Column =
+    regexp_replace(trim(coalesce(c, lit(""))), ";\\s+", ";")
+
+  /** evaluate_bool as a Column (ref: wstlr/__init__.py:183-194). */
+  def evaluateBool(c: Column): Column =
+    lower(c.cast("string")).isin("true", "yes", "1")
+
   // --- Core document constructors ---------------------------------------
 
   /** BuildCoding (ref: wlib/core/_build_coding.wstl:8-12): display/system

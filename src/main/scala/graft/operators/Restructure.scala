@@ -166,6 +166,25 @@ object DisplayColumns {
 }
 
 /**
+ * Join-based `_display` columns: the scale-safe sibling of
+ * [[DisplayColumns]] — the code->display dimension rides a broadcast
+ * left join instead of a driver-collected map, so the same idiom works
+ * whether the dimension has 25 rows or 25 million. Use [[DisplayColumns]]
+ * only for maps that are already driver-side (harmony display maps).
+ */
+object DisplayJoin {
+  def apply(df: DataFrame, dim: DataFrame, column: String,
+            codeCol: String, displayCol: String): DataFrame = {
+    val d = dim.select(
+      col(codeCol).cast("string").as("__code"),
+      col(displayCol).as("__display"))
+    df.join(broadcast(d), col(column).cast("string") === col("__code"), "left")
+      .withColumn(s"${column}_display", col("__display"))
+      .drop("__code", "__display")
+  }
+}
+
+/**
  * Order-preserving group-by nesting (ref: wstlr/extractor.py:48-97):
  * rows sharing the group_by key columns nest under a `content` array of the
  * non-key columns; first-seen key order and intra-group row order preserved.

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.TestSpark
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Goldens for the restructuring operators. Embed semantics port the
@@ -167,6 +168,26 @@ class RestructureSpec extends AnyFunSuite {
   }
 
   // --- DisplayColumns / RunLengthGroup ----------------------------------
+
+  test("DisplayJoin adds <col>_display via a broadcast dim join, null on miss") {
+    val data = df("code INT", Seq(Row(1), Row(2), Row(9)))
+    val dim = df("k INT, name STRING", Seq(Row(1, "One"), Row(2, "Two")))
+    val out = DisplayJoin(data, dim, "code", "k", "name").orderBy("code")
+    assert(out.columns.toSeq == Seq("code", "code_display"))
+    assert(out.collect().toSeq == Seq(Row(1, "One"), Row(2, "Two"), Row(9, null)))
+  }
+
+  test("Column twins of the Naming helpers match the driver-side forms") {
+    import graft.functions.WhistlerFunctions
+    val in = df("s STRING", Seq(Row("  My Column (x)/Y  "), Row("a;   b"), Row("YES")))
+    val r = in.select(
+      WhistlerFunctions.fixFieldName(col("s")),
+      WhistlerFunctions.cleanValues(col("s")),
+      WhistlerFunctions.evaluateBool(col("s"))).collect()
+    assert(r(0).getString(0) == graft.model.Naming.fixFieldName("  My Column (x)/Y  "))
+    assert(r(1).getString(1) == graft.model.Naming.cleanValues("a;   b"))
+    assert(r(2).getBoolean(2) == graft.model.Naming.evaluateBool("YES"))
+  }
 
   test("DisplayColumns adds <col>_display from the code->display map, null on miss") {
     val in = df("code STRING", Seq(Row("M"), Row("F"), Row("X")))
