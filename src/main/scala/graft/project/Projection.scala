@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
 object Projection {
 
   /** Study identity carried into resources (ref: wstlr/config.py:91-207:
-   *  study_id, identifier_prefix). */
-  final case class StudyInfo(id: String, identifierPrefix: String)
+   *  study_id, identifier_prefix, publisher). */
+  final case class StudyInfo(
+      id: String,
+      identifierPrefix: String,
+      publisher: String = "NCPI FHIR Working Group")
 
   /**
    * The Participant -> Patient projection — the reference's canonical

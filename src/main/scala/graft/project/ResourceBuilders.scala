@@ -1,0 +1,280 @@
+package graft.project
+
+import graft.functions.WhistlerFunctions._
+import graft.model.{DdStudy, DdTable, DdType}
+import graft.project.Projection.StudyInfo
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+
+/**
+ * DD-catalog-driven resource builders — the replacement for the
+ * reference's Jinja2->Whistle codegen (ref: wstlr/sourcedata/obscomp.py:
+ * 36-127, questionnaire.py:28-94, and the templates they render:
+ * observation_w_components.wstl, questionnaires.wstl,
+ * wlib/core/wlib_dd_terms_codesystem.wstl, wlib_dd_terms_valueset.wstl).
+ *
+ * Instead of generating per-table Whistle source, the builders iterate
+ * the [[DdTable]] metadata on the driver and emit Column expressions per
+ * variable (SURVEY.md §2.9: "programmatic plan building — straight
+ * Scala, no codegen step needed"). Per-variable harmonize joins are all
+ * broadcast (mapping dimensions), so an N-variable table costs N
+ * broadcast hash probes inside one stage — the data table itself never
+ * shuffles.
+ *
+ * All builders emit the projection output contract
+ * (module, resourceType, id, resource-JSON).
+ */
+object ResourceBuilders {
+
+  private val CodingType = "array<struct<code:string,display:string,system:string>>"
+
+  /** Literal coding array from driver-side (code, display, system) rows. */
+  private def codingsLit(codings: Seq[(String, String, String)]): Column =
+    if (codings.isEmpty) lit(null).cast(CodingType)
+    else array(codings.map { case (c, d, s) =>
+      struct(lit(c).as("code"), nullif(lit(d), lit("")).as("display"),
+        nullif(lit(s), lit("")).as("system"))
+    }: _*)
+
+  /** The constant LOINC form-definition coding
+   *  (ref: observation_w_components.wstl:81). */
+  private val FormDefCoding: Column =
+    struct(lit("74468-0").as("code"),
+      lit("Questionnaire form definition Document").as("display"),
+      lit("https://loinc.org").as("system"))
+
+  private def metaTag(study: StudyInfo): Column =
+    struct(array(studyMeta(lit(study.identifierPrefix), lit(study.id))).as("tag"))
+
+  private def officialIdentifier(study: StudyInfo, resourceType: String, value: Column): Column = {
+    val ki = keyIdentifier(lit(study.identifierPrefix), lit(resourceType), value)
+    array(struct(
+      ki.getField("value").as("value"),
+      ki.getField("system").as("system"),
+      lit("official").as("use")))
+  }
+
+  // --- CodeSystem / ValueSet (ref: wlib_dd_terms_codesystem.wstl:30-72,
+  // wlib_dd_terms_valueset.wstl:12-49) ------------------------------------
+
+  /**
+   * One CodeSystem + ValueSet pair per DD table and per categorical
+   * variable with values (variable code systems are only built when the
+   * value list is non-empty; value sets only alongside a code system —
+   * ref: wlib_dd_terms_codesystem.wstl:33,76-81). Module `ddmeta`.
+   */
+  def ddTerminology(spark: SparkSession, study: StudyInfo, dd: DdStudy): DataFrame = {
+    val entrySchema = StructType(Seq(
+      StructField("table_name", StringType),
+      StructField("varname", StringType, nullable = true),
+      StructField("url", StringType),
+      StructField("values", ArrayType(StructType(Seq(
+        StructField("code", StringType), StructField("description", StringType)))))))
+    val entries = dd.tables.flatMap { table =>
+      val tableEntry = Row(table.tableName, null,
+        table.url, table.tableCodeSystemValues.map(v => Row(v.code, v.description)))
+      val varEntries = table.variables
+        .filter(_.values.nonEmpty)
+        .map(v => Row(table.tableName, v.varName, v.url,
+          v.values.map(e => Row(e.code, e.description))))
+      tableEntry +: varEntries
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(entries, math.max(1, entries.size / 256)), entrySchema)
+
+    val termId = when(col("varname").isNotNull,
+      buildVariableTerminologyId(lit(study.id), col("table_name"), col("varname")))
+      .otherwise(buildTableTerminologyId(lit(study.id), col("table_name")))
+    val csTitle = when(col("varname").isNotNull,
+      concat(lit("Values associated with variable, "), col("table_name"), lit("."),
+        col("varname"), lit(s", from study, ${study.id}.")))
+      .otherwise(concat(lit("Variables associated with table, "), col("table_name"),
+        lit(s", from study, ${study.id}.")))
+    val ki = keyIdentifier(lit(study.identifierPrefix), lit("CodeSystem"), termId)
+    val kiVs = keyIdentifier(lit(study.identifierPrefix), lit("ValueSet"), termId)
+    def official(k: Column): Column = array(struct(
+      k.getField("value").as("value"), k.getField("system").as("system"),
+      lit("official").as("use")))
+
+    val codeSystem = struct(
+      lit("CodeSystem").as("resourceType"),
+      metaTag(study).as("meta"),
+      official(ki).as("identifier"),
+      termId.as("name"),
+      csTitle.as("title"),
+      col("url").as("url"),
+      lit("active").as("status"),
+      lit(study.publisher).as("publisher"),
+      lit("complete").as("content"),
+      size(col("values")).as("count"),
+      expr("transform(values, v -> struct(v.code as code, v.description as display))").as("concept"))
+    val valueSet = struct(
+      lit("ValueSet").as("resourceType"),
+      metaTag(study).as("meta"),
+      official(kiVs).as("identifier"),
+      termId.as("name"),
+      when(col("varname").isNotNull,
+        concat(lit("ValueSet for all values associated with variable, "), col("table_name"),
+          lit("."), col("varname"), lit(s", from study, ${study.id}.")))
+        .otherwise(concat(lit("ValueSet for all variables associated with table, "),
+          col("table_name"), lit(s", from study, ${study.id}."))).as("title"),
+      convertForValueSetUrl(col("url")).as("url"),
+      struct(array(struct(col("url").as("system"))).as("include")).as("compose"),
+      lit("active").as("status"),
+      lit(study.publisher).as("publisher"))
+
+    val withValues = df.filter(size(col("values")) > 0)
+    val cs = withValues.select(
+      lit("ddmeta").as("module"), lit("CodeSystem").as("resourceType"),
+      termId.as("id"), to_json(codeSystem).as("resource"))
+    val vs = withValues.select(
+      lit("ddmeta").as("module"), lit("ValueSet").as("resourceType"),
+      termId.as("id"), to_json(valueSet).as("resource"))
+    cs.unionByName(vs)
+  }
+
+  // --- Observation-per-row (ref: observation_w_components.wstl:12-124,
+  // obscomp.py) -----------------------------------------------------------
+
+  /**
+   * One Observation per data row, one component per DD variable, typed by
+   * the variable's DD type:
+   *  - enumeration -> valueCodeableConcept from the harmonized value
+   *    (a broadcast join per enum variable, system = varname)
+   *  - string -> valueString
+   *  - int    -> valueQuantity when it parses, else valueString
+   *  - number -> valueQuantity when it parses, else valueString
+   * (ref: observation_w_components.wstl:12-63 branch per type.)
+   *
+   * Component `code.coding` (the varname-level coding) is resolved from
+   * the harmony lookup once, driver-side — it is per-*variable* metadata,
+   * not per-row data.
+   */
+  def observations(
+      data: DataFrame,
+      study: StudyInfo,
+      dd: DdTable,
+      harmonyLookup: Option[DataFrame] = None,
+      idCols: Seq[String] = Nil): DataFrame = {
+    val tableName = dd.tableName
+    val subjectCol = dd.subjectId.getOrElse(
+      throw new IllegalArgumentException(s"table $tableName has no subject id"))
+    val keyCols = if (idCols.nonEmpty) idCols else Seq(subjectCol)
+
+    // driver-side varname-level codings (DD-sized metadata); HarmonizeMapped
+    // semantics = NonSelfOnly (ref: wlib/core/_harmonize_mapped.wstl:7-10)
+    def mappedCodings(lookup: DataFrame, system: String): Map[String, Seq[(String, String, String)]] =
+      lookup.filter(col("system") === system)
+        .select(col("code"), col("codings"))
+        .collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[Row](1).map(c => (c.getString(0), c.getString(1), c.getString(2)))
+            .filterNot(c => c._3 == "self" || c._3.contains("-unharmonized")).toSeq)
+        .toMap
+    val varCodings: Map[String, Seq[(String, String, String)]] =
+      harmonyLookup.map(mappedCodings(_, tableName)).getOrElse(Map.empty)
+    // table-level coding: HarmonizeMapped(table_name, "DataSet")
+    // (ref: observation_w_components.wstl:82)
+    val tableCodingSeq: Seq[(String, String, String)] =
+      harmonyLookup.map(mappedCodings(_, "DataSet").getOrElse(tableName, Nil)).getOrElse(Nil)
+
+    // one broadcast join per enumeration variable for the value codings
+    val enumVars = dd.variables.filter(v =>
+      v.dataType == DdType.Enumeration && data.columns.contains(v.fieldName))
+    val joined = harmonyLookup match {
+      case Some(lookup) =>
+        enumVars.foldLeft(data) { (df, v) =>
+          harmonize(df, lookup, v.fieldName, v.varName, s"_h_${v.fieldName}")
+        }
+      case None => data
+    }
+
+    val components = dd.variables
+      .filter(v => data.columns.contains(v.fieldName))
+      .map { v =>
+        val value = col(v.fieldName)
+        val codeStruct = struct(codingsLit(varCodings.getOrElse(v.varName, Nil)).as("coding"))
+        val valueCodings =
+          if (v.dataType == DdType.Enumeration && harmonyLookup.isDefined) {
+            val mapped = nonSelfOnly(col(s"_h_${v.fieldName}"))
+            when(size(mapped) > 0, struct(mapped.as("coding")))
+          } else lit(null).cast(s"struct<coding:$CodingType>")
+        val numeric = v.dataType match {
+          case DdType.Integer => parseInt(value).cast("double")
+          case DdType.Number  => parseFloat(value)
+          case _              => lit(null).cast("double")
+        }
+        val valueString = v.dataType match {
+          case DdType.Enumeration => lit(null).cast("string")
+          case DdType.Integer | DdType.Number => when(numeric.isNull, value)
+          case _ => value
+        }
+        when(value.isNotNull, struct(
+          codeStruct.as("code"),
+          valueString.as("valueString"),
+          when(numeric.isNotNull, struct(numeric.as("value"))).as("valueQuantity"),
+          valueCodings.as("valueCodeableConcept")))
+      }
+
+    val rowId = concat_ws(".", keyCols.map(col): _*)
+    val obsIdValue = concat_ws(".", lit(study.id), lit(tableName), rowId, col(subjectCol))
+    val codeCoding =
+      if (tableCodingSeq.isEmpty) array(FormDefCoding)
+      else concat(array(FormDefCoding), codingsLit(tableCodingSeq))
+
+    val resource = struct(
+      lit("Observation").as("resourceType"),
+      metaTag(study).as("meta"),
+      officialIdentifier(study, "Observation", obsIdValue).as("identifier"),
+      lit("final").as("status"),
+      struct(
+        codeCoding.as("coding"),
+        concat(lit("Source data for data table, "), lit(tableName)).as("text")).as("code"),
+      referenceKeyIdentifier(lit(study.identifierPrefix), lit("Patient"), col(subjectCol))
+        .as("subject"),
+      array_compact(array(components: _*)).as("component"))
+
+    joined.select(
+      lit("source_data").as("module"),
+      lit("Observation").as("resourceType"),
+      obsIdValue.as("id"),
+      to_json(resource).as("resource"))
+  }
+
+  // --- Questionnaire (ref: questionnaires.wstl:46-99) ---------------------
+
+  /** One Questionnaire per DD table: an item per variable, categorical
+   *  variables typed `choice` with their ValueSet URL. */
+  def questionnaire(spark: SparkSession, study: StudyInfo, dd: DdTable): DataFrame = {
+    val items = dd.variables.map { v =>
+      val (itemType, answerValueSet) = v.dataType match {
+        case DdType.Enumeration => ("choice", convertForValueSetUrl(lit(v.url)))
+        case DdType.Integer => ("integer", lit(null).cast("string"))
+        case DdType.Number => ("decimal", lit(null).cast("string"))
+        case _ => ("string", lit(null).cast("string"))
+      }
+      struct(lit(v.varName).as("linkId"), lit(v.desc).as("text"),
+        lit(itemType).as("type"), answerValueSet.as("answerValueSet"))
+    }
+    val url = concat_ws("/", lit(study.identifierPrefix),
+      lit("data-dictionary/rl-questionnaire"), lit(study.id), lower(lit(dd.tableName)))
+    val idValue = concat_ws(".", lit(study.id), lit(dd.tableName))
+    val resource = struct(
+      lit("Questionnaire").as("resourceType"),
+      metaTag(study).as("meta"),
+      officialIdentifier(study, "Questionnaire", idValue).as("identifier"),
+      url.as("url"),
+      lit(dd.tableName).as("name"),
+      lit("active").as("status"),
+      array(lit("Patient")).as("subjectType"),
+      array(FormDefCoding).as("code"),
+      array(items: _*).as("item"))
+    import spark.implicits._
+    Seq(1).toDF("_one").select(
+      lit("questionnaire").as("module"),
+      lit("Questionnaire").as("resourceType"),
+      idValue.as("id"),
+      to_json(resource).as("resource"))
+  }
+}
