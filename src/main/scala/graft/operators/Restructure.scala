@@ -199,7 +199,9 @@ object GroupByNest {
   def apply(df: DataFrame, groupByConfig: String, ordered: Boolean = false): DataFrame = {
     val keys = groupByConfig.split(",").map(k => Naming.fixFieldName(k.trim)).toSeq
     val withRid = Restructure.withRowId(df)
-    val payloadCols = df.columns.filterNot(keys.contains).toSeq
+    // a pre-attached _rid stays the sort key but never leaks into content
+    val payloadCols = df.columns
+      .filterNot(c => keys.contains(c) || c == Restructure.RowId).toSeq
     val payload = struct((col(Restructure.RowId) +: payloadCols.map(col)).toIndexedSeq: _*)
     val grouped = withRid
       .groupBy(keys.map(col).toIndexedSeq: _*)
@@ -245,11 +247,12 @@ object EmbedJoin {
         s"Embed parent missing join column '$k'. Columns: ${parent.columns.mkString(", ")}")
     }
     val childRid = Restructure.withRowId(child)
+    val childCols = child.columns.toSeq.filterNot(_ == Restructure.RowId)
     val rowStruct = struct(
       (col(Restructure.RowId) +:
         lit(childTableName).as("table_name") +:
-        child.columns.toSeq.map(col)).toIndexedSeq: _*)
-    val shape = s"x -> struct(x.table_name as table_name, ${child.columns.map(c => s"x.${Restructure.quoted(c)} as ${Restructure.quoted(c)}").mkString(", ")})"
+        childCols.map(col)).toIndexedSeq: _*)
+    val shape = s"x -> struct(x.table_name as table_name, ${childCols.map(c => s"x.${Restructure.quoted(c)} as ${Restructure.quoted(c)}").mkString(", ")})"
     val collected =
       if (preserveOrder) sort_array(collect_list(rowStruct))
       else collect_list(rowStruct)
