@@ -167,14 +167,32 @@ object TextAnalysis {
 
   /**
    * Per-document bottom-k fingerprint over word bigram shingles (docs with
-   * < 2 tokens are skipped). Projection-only; see [[TextOps.bottomKSketch]].
+   * < 2 tokens are skipped). Projection-only, computed as a typed stage —
+   * the tokenize/shingle/md5/sort chain is a higher-order expression
+   * pipeline that would evaluate interpreted; the JVM twins keep the
+   * exact md5/lexicographic semantics (see [[TextOps.bottomKSketch]] for
+   * the Column form of the same sketch).
    */
   def fingerprints(df: DataFrame, idCol: String, textCol: String, k: Int = 4): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    df.select(col(idCol).as("doc_id"), toks.as("_t"))
-      .filter(size(col("_t")) >= 2)
-      .select(col("doc_id"),
-        TextOps.bottomKSketch(TextOps.shingles(col("_t"), 2), k).as("fingerprint"))
+    val outSchema = StructType(Seq(
+      df.schema(df.schema.fieldIndex(idCol)).copy(name = "doc_id"),
+      StructField("fingerprint", StringType, nullable = true)))
+    df.select(col(idCol), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val toks = TextOps.tokensJvm(r.getString(1))
+            if (toks.length < 2) Iterator.empty
+            else {
+              val hashes = TextOps.shinglesJvm(toks, 2).map(TextOps.md5HexJvm(md, _))
+              java.util.Arrays.sort(hashes, Ordering[String])
+              Iterator.single(Row(r.get(0), hashes.take(k).mkString(",")))
+            }
+          }
+        }
+      }(Encoders.row(outSchema))
       .orderBy("doc_id")
   }
 }

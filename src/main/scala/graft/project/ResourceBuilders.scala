@@ -242,6 +242,72 @@ object ResourceBuilders {
       to_json(resource).as("resource"))
   }
 
+  // --- ObservationDefinition / ActivityDefinition
+  // (ref: wlib/dd/wlib_dd_tables_and_vars.wstl:36-67,83-111) --------------
+
+  /** FHIR permittedDataType per DD type (ref: the per-type dispatch in
+   *  wlib_dd_tables_and_vars.wstl's wrapper). */
+  private def permittedDataType(ddType: String): String = ddType match {
+    case DdType.Integer | DdType.Number => "Quantity"
+    case DdType.Enumeration => "CodeableConcept"
+    case _ => "string"
+  }
+
+  /** One ObservationDefinition per DD variable plus one
+   *  ActivityDefinition per table referencing them — the DD-as-FHIR
+   *  metadata layer. Module `ddmeta`. */
+  def ddDefinitions(spark: SparkSession, study: StudyInfo, dd: DdStudy): DataFrame = {
+    import spark.implicits._
+    val prefix = lit(study.identifierPrefix)
+
+    val obsDefs = dd.tables.flatMap { table =>
+      table.variables.map { v =>
+        val termId = s"${study.id}.${table.tableName}.${v.varName}"
+        (table.tableName, v.varName, v.desc, permittedDataType(v.dataType),
+          table.url, v.values.size, termId)
+      }
+    }.toDF("table_name", "varname", "desc", "perm_type", "code_system", "n_values", "term_id")
+
+    val obsDefResource = struct(
+      lit("ObservationDefinition").as("resourceType"),
+      metaTag(study).as("meta"),
+      officialIdentifier(study, "ObservationDefinition", col("term_id")).as("identifier"),
+      array(col("perm_type")).as("permittedDataType"),
+      struct(
+        array(struct(col("varname").as("code"), col("desc").as("display"),
+          col("code_system").as("system"))).as("coding"),
+        col("desc").as("text")).as("code"),
+      when(col("n_values") > 1,
+        referenceKeyIdentifier(prefix, lit("ValueSet"), col("term_id")))
+        .as("validCodedValueSet"))
+    val obs = obsDefs.select(
+      lit("ddmeta").as("module"), lit("ObservationDefinition").as("resourceType"),
+      col("term_id").as("id"), to_json(obsDefResource).as("resource"))
+
+    val actDefs = dd.tables.map { t =>
+      (t.tableName, t.url, t.variables.map(v => s"${study.id}.${t.tableName}.${v.varName}"))
+    }.toDF("table_name", "url", "var_term_ids")
+    val actResource = struct(
+      lit("ActivityDefinition").as("resourceType"),
+      metaTag(study).as("meta"),
+      officialIdentifier(study, "ActivityDefinition", col("table_name")).as("identifier"),
+      concat(lit(study.id), lit("."), col("table_name"), lit("-vars")).as("name"),
+      concat(lit(s"Variables for table ${study.id}."), col("table_name")).as("title"),
+      col("url").as("url"),
+      array(struct(array(struct(
+        lit("C0035168").as("code"), lit("Research").as("display"),
+        lit("https://uts.nlm.nih.gov/uts/umls").as("system"))).as("coding"))).as("topic"),
+      transform(col("var_term_ids"), tid =>
+        referenceKeyIdentifier(prefix, lit("ObservationDefinition"), tid))
+        .as("observationResultRequirement"),
+      lit("active").as("status"))
+    val act = actDefs.select(
+      lit("ddmeta").as("module"), lit("ActivityDefinition").as("resourceType"),
+      col("table_name").as("id"), to_json(actResource).as("resource"))
+
+    obs.unionByName(act)
+  }
+
   // --- Questionnaire (ref: questionnaires.wstl:46-99) ---------------------
 
   /** One Questionnaire per DD table: an item per variable, categorical
@@ -275,6 +341,86 @@ object ResourceBuilders {
       lit("questionnaire").as("module"),
       lit("Questionnaire").as("resourceType"),
       idValue.as("id"),
+      to_json(resource).as("resource"))
+  }
+
+  // --- QuestionnaireResponse per data row
+  // (ref: questionnaires.wstl:99-124 + the per-type item helpers at
+  // questionnaires.wstl:13-43) --------------------------------------------
+
+  /**
+   * One QuestionnaireResponse per row: an item per DD variable, answers
+   * typed by the variable's DD type — categorical answers take the first
+   * study-prefixed harmonized coding (HarmonizeSelectByPrefix), numeric
+   * answers only materialize when the value parses (the reference drops
+   * non-numeric answers rather than recording them).
+   */
+  def questionnaireResponses(
+      data: DataFrame,
+      study: StudyInfo,
+      dd: DdTable,
+      harmonyLookup: Option[DataFrame] = None,
+      idCols: Seq[String] = Nil): DataFrame = {
+    val subjectCol = dd.subjectId.getOrElse(
+      throw new IllegalArgumentException(s"table ${dd.tableName} has no subject id"))
+    val keyCols = if (idCols.nonEmpty) idCols else Seq(subjectCol)
+
+    val enumVars = dd.variables.filter(v =>
+      v.dataType == DdType.Enumeration && data.columns.contains(v.fieldName))
+    val joined = harmonyLookup match {
+      case Some(lookup) => enumVars.foldLeft(data) { (df, v) =>
+        harmonize(df, lookup, v.fieldName, v.varName, s"_qh_${v.fieldName}")
+      }
+      case None => data
+    }
+
+    val answerType =
+      s"array<struct<valueString:string,valueInteger:bigint,valueCoding:struct<code:string,display:string,system:string>,valueQuantity:struct<value:double>>>"
+    def answer(valueString: Column = lit(null).cast("string"),
+        valueInteger: Column = lit(null).cast("bigint"),
+        valueCoding: Column = lit(null).cast("struct<code:string,display:string,system:string>"),
+        valueQuantity: Column = lit(null).cast("struct<value:double>")): Column =
+      array(struct(valueString.as("valueString"), valueInteger.as("valueInteger"),
+        valueCoding.as("valueCoding"), valueQuantity.as("valueQuantity")))
+
+    val items = dd.variables.filter(v => data.columns.contains(v.fieldName)).map { v =>
+      val value = col(v.fieldName)
+      val answers: Column = v.dataType match {
+        case DdType.Enumeration if harmonyLookup.isDefined =>
+          val coding = harmonizeFirst(
+            harmonizeSelection(col(s"_qh_${v.fieldName}"), study.identifierPrefix))
+          when(coding.isNotNull, answer(valueCoding = coding))
+        case DdType.Integer =>
+          when(parseInt(value).isNotNull, answer(valueInteger = parseInt(value)))
+        case DdType.Number =>
+          when(parseFloat(value).isNotNull,
+            answer(valueQuantity = struct(parseFloat(value).as("value"))))
+        case _ => answer(valueString = value).cast(answerType)
+      }
+      when(value.isNotNull, struct(
+        lit(v.varName).as("linkId"), lit(v.desc).as("text"), answers.as("answer")))
+    }
+
+    val rowId = concat_ws(".", keyCols.map(col): _*)
+    val qrId = concat_ws(".", lit(study.id), lit(dd.tableName), lit("source-data"), rowId)
+    val qUrl = concat_ws("/", lit(study.identifierPrefix),
+      lit("data-dictionary/rl-questionnaire"), lit(study.id), lower(lit(dd.tableName)))
+    val ki = keyIdentifier(lit(study.identifierPrefix), lit("QuestionnaireResponse"), qrId)
+    val resource = struct(
+      lit("QuestionnaireResponse").as("resourceType"),
+      metaTag(study).as("meta"),
+      struct(ki.getField("value").as("value"), ki.getField("system").as("system"),
+        lit("official").as("use")).as("identifier"),
+      lit("completed").as("status"),
+      qUrl.as("questionnaire"),
+      referenceKeyIdentifier(lit(study.identifierPrefix), lit("Patient"), col(subjectCol))
+        .as("subject"),
+      array_compact(array(items: _*)).as("item"))
+
+    joined.select(
+      lit("source_data").as("module"),
+      lit("QuestionnaireResponse").as("resourceType"),
+      qrId.as("id"),
       to_json(resource).as("resource"))
   }
 }
