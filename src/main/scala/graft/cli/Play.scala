@@ -1,0 +1,119 @@
+package graft.cli
+
+import graft.Extractor
+import graft.harmony.Harmony
+import graft.model.{DdStudy, StudyConfig}
+import graft.project.{Projection, ResourceBuilders}
+import graft.sink.WhistleInputWriter
+import graft.sources.{CsvSource, DdCsv}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.{Files, Paths}
+
+/**
+ * The `play`-equivalent orchestrator (ref: wstlr/play.py:152-497 — the
+ * extraction and harmony stages; the Whistle subprocess is replaced by
+ * the Catalyst projection layer in [[graft.project]], and the load stage
+ * by [[graft.sink.FhirLoadSink]] which callers wire to their server).
+ *
+ * Stage gating mirrors the reference: extraction output rebuilds only
+ * when inputs are newer ([[IncrementalRunner]], --force to override);
+ * harmony ConceptMaps are ALWAYS rebuilt (ref: conceptmap.py:545-550).
+ */
+object Play {
+
+  final case class RunResult(
+      extracted: Map[String, DataFrame],
+      ddStudy: DdStudy,
+      harmonyJsonPaths: Seq[String],
+      whistleInputPath: Option[String])
+
+  /** Parse the DD catalog declared by the config's dataset entries. */
+  def loadDdCatalog(spark: SparkSession, config: StudyConfig, dataDir: String): DdStudy = {
+    def resolve(f: String): String =
+      if (dataDir.isEmpty || f.startsWith("/")) f else s"$dataDir/$f"
+    val tables = config.dataset.toSeq.collect {
+      case (name, t) if t.dataDictionary.exists(d => CsvSource.fileList(d.filename).nonEmpty) =>
+        val ddCfg = t.dataDictionary.get
+        DdCsv.parse(spark, resolve(CsvSource.fileList(ddCfg.filename).head),
+          config.studyId, Some(name), ddCfg.colnames,
+          consentGroup = config.consentGroup)
+    }
+    DdStudy(config.studyId, tables)
+  }
+
+  /** buildConceptMap stage (ref: play.py:334-359): one ConceptMap JSON
+   *  per distinct harmony file set — always rebuilt. Returns the
+   *  written paths. */
+  def buildConceptMaps(
+      spark: SparkSession, config: StudyConfig, dataDir: String, outDir: String): Seq[String] = {
+    def resolve(f: String): String =
+      if (dataDir.isEmpty || f.startsWith("/")) f else s"$dataDir/$f"
+    Files.createDirectories(Paths.get(outDir))
+    val harmonyFiles = config.dataset.values.flatMap(_.codeHarmonization).toSeq.distinct
+    harmonyFiles.map { h =>
+      val paths = CsvSource.fileList(h).map(resolve)
+      val namePrefix = paths.head.split("/").last.split("\\.").head
+      val groups = Harmony.conceptMapGroups(Harmony.read(spark, paths), config.curies)
+      val json = Harmony.conceptMapJson(groups, namePrefix)
+      val out = s"$outDir/$namePrefix.json"
+      Files.write(Paths.get(out), json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out
+    }
+  }
+
+  /** extractjson stage (ref: extractor.py:376-399): extraction plans plus
+   *  the compatibility document, gated on input mtimes. */
+  def extractJson(
+      spark: SparkSession,
+      config: StudyConfig,
+      dd: DdStudy,
+      dataDir: String,
+      outPath: String,
+      force: Boolean = false): (Map[String, DataFrame], Option[String]) = {
+    val tables = Extractor.extract(spark, config, Some(dd), dataDir)
+    val written =
+      if (IncrementalRunner.needsRebuild(outPath, config, dataDir, force = force)) {
+        Files.createDirectories(Paths.get(outPath).getParent)
+        WhistleInputWriter.write(outPath, config, dd, tables)
+        Some(outPath)
+      } else None
+    (tables, written)
+  }
+
+  /** The DD-metadata projections every study gets
+   *  (ref: play.py runs the dd/terms projectors unconditionally):
+   *  CodeSystems/ValueSets, Observation/ActivityDefinitions, and the
+   *  harmony ConceptMap resource per harmony file. */
+  def ddMetaResources(
+      spark: SparkSession, config: StudyConfig, dd: DdStudy,
+      dataDir: String): DataFrame = {
+    def resolve(f: String): String =
+      if (dataDir.isEmpty || f.startsWith("/")) f else s"$dataDir/$f"
+    val study = Projection.StudyInfo(config.studyId, config.identifierPrefix, config.publisher)
+    val terminology = ResourceBuilders.ddTerminology(spark, study, dd)
+    val definitions = ResourceBuilders.ddDefinitions(spark, study, dd)
+    val harmonyFiles = config.dataset.values.flatMap(_.codeHarmonization).toSeq.distinct
+    val cms = harmonyFiles.map { h =>
+      val groups = Harmony.conceptMapGroups(
+        Harmony.read(spark, CsvSource.fileList(h).map(resolve)), config.curies)
+      ResourceBuilders.harmonyConceptMap(groups, study)
+    }
+    (Seq(terminology, definitions) ++ cms).reduce(_ unionByName _)
+  }
+
+  /** Full run: DD catalog -> ConceptMap JSONs -> extraction (+ gated
+   *  document write). Projections/sinks compose on the result. */
+  def run(
+      spark: SparkSession,
+      config: StudyConfig,
+      dataDir: String,
+      outDir: String,
+      force: Boolean = false): RunResult = {
+    val dd = loadDdCatalog(spark, config, dataDir)
+    val cmPaths = buildConceptMaps(spark, config, dataDir, s"$outDir/harmony")
+    val (tables, docPath) = extractJson(spark, config, dd, dataDir,
+      s"$outDir/whistle-input/${config.studyId}.json", force)
+    RunResult(tables, dd, cmPaths, docPath)
+  }
+}

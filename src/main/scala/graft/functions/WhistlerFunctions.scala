@@ -126,6 +126,22 @@ object WhistlerFunctions {
   def harmonizeSelection(codings: Column, prefix: String): Column =
     filter(codings, c => c.getField("system").startsWith(prefix))
 
+  /** HarmonizeMapped (ref: _harmonize_mapped.wstl:7-10): the non-self
+   *  external mappings of a harmonized coding array. */
+  def harmonizeMapped(codings: Column): Column = nonSelfOnly(codings)
+
+  /** HarmonizeAsCoding (ref: _harmonize_as_coding.wstl:7-9):
+   *  `{coding: [...]}` — the CodeableConcept shell around the mapped
+   *  codings. */
+  def harmonizeAsCoding(codings: Column): Column =
+    struct(nonSelfOnly(codings).as("coding"))
+
+  /** HarmonizedLocalDisplay (ref: _harmonized_local_display.wstl:7-11):
+   *  the self coding's display — the original question/description for a
+   *  substituted varname. */
+  def harmonizedLocalDisplay(codings: Column): Column =
+    harmonizeFirst(selfOnly(codings)).getField("display")
+
   /** First harmonized coding (HarmonizeMappedFirst usage in
    *  _race_extension.wstl:23) — null when no mapping. */
   def harmonizeFirst(codings: Column): Column =

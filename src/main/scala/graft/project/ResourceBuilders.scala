@@ -308,6 +308,44 @@ object ResourceBuilders {
     obs.unionByName(act)
   }
 
+  // --- Harmony ConceptMap resource
+  // (ref: wlib/dd/wlib_dd_conceptmap.wstl:71-86) --------------------------
+
+  /**
+   * The study's harmony ConceptMap as a FHIR resource: all
+   * [[graft.harmony.Harmony.conceptMapGroups]] rows aggregated into one
+   * `group` array (dimension-sized), with the study identifier, purpose,
+   * and the IG-style data-to-public URL. Module `harmony`.
+   */
+  def harmonyConceptMap(groups: DataFrame, study: StudyInfo,
+      urlBase: String = graft.model.Dd.SystemBase): DataFrame = {
+    val idValue = s"${study.id}.concept-map"
+    val one = groups
+      .agg(array_sort(collect_list(struct(col("_gord"),
+        struct(col("source"), col("target"), col("element")).as("g")))).as("_gs"))
+      .withColumn("group", expr("transform(_gs, x -> x.g)"))
+    val resource = struct(
+      lit("ConceptMap").as("resourceType"),
+      metaTag(study).as("meta"),
+      struct(
+        keyIdentifier(lit(study.identifierPrefix), lit("ConceptMap"), lit(idValue))
+          .getField("value").as("value"),
+        keyIdentifier(lit(study.identifierPrefix), lit("ConceptMap"), lit(idValue))
+          .getField("system").as("system"),
+        lit("official").as("use")).as("identifier"),
+      lit("active").as("status"),
+      lit("Represent transformations applied to the dataset").as("purpose"),
+      lit(s"$urlBase/data-dictionary/conceptmap/${study.id}/data-to-public").as("url"),
+      lit(s"$urlBase/data-dictionary/valueset/${study.id}/sources").as("sourceUri"),
+      lit(s"$urlBase/data-dictionary/valueset/${study.id}/targets").as("targetUri"),
+      col("group").as("group"))
+    one.select(
+      lit("harmony").as("module"),
+      lit("ConceptMap").as("resourceType"),
+      lit(idValue).as("id"),
+      to_json(resource).as("resource"))
+  }
+
   // --- Questionnaire (ref: questionnaires.wstl:46-99) ---------------------
 
   /** One Questionnaire per DD table: an item per variable, categorical
