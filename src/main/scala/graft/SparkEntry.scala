@@ -263,6 +263,13 @@ object SparkEntry {
         .groupBy(col("o_orderstatus").as("module"), col("_chunk").as("chunk"))
         .agg(count(lit(1)).as("n"))
         .orderBy("module", "chunk")
+    }),
+
+    // VQ-18: builddd profiling (dd_from_fhir.py:41-125) — per-variable
+    // try-float min/max, distinct count, <50-distinct value-list gate
+    "vq18_dd_profile" -> q((s, dir) => {
+      graft.inspect.DdProfiler.profile(
+        t(s, dir, "orders"), Seq("o_orderstatus", "o_orderpriority", "o_orderkey"))
     })
   ) ++ PipelineQueries.queries
 
@@ -414,6 +421,19 @@ object SparkEntry {
         |                  ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn
         |           FROM orders)
         |SELECT module, CAST((rn - 1) // 1000 AS INT) AS chunk, COUNT(*) AS n
-        |FROM r GROUP BY 1, 2 ORDER BY module, chunk""".stripMargin
+        |FROM r GROUP BY 1, 2 ORDER BY module, chunk""".stripMargin,
+
+    "vq18_dd_profile" ->
+      """WITH m AS (
+        |  SELECT 'o_orderstatus' AS varname, o_orderstatus::VARCHAR AS value FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_orderkey', o_orderkey::VARCHAR FROM orders)
+        |SELECT varname,
+        |       COALESCE(ROUND(MIN(TRY_CAST(value AS DOUBLE)), 2)::VARCHAR, '') AS vmin,
+        |       COALESCE(ROUND(MAX(TRY_CAST(value AS DOUBLE)), 2)::VARCHAR, '') AS vmax,
+        |       COUNT(DISTINCT value) AS n_distinct,
+        |       CASE WHEN COUNT(DISTINCT value) < 50
+        |            THEN array_to_string(list_sort(list_distinct(list(value))), ';') END AS values_list
+        |FROM m GROUP BY varname ORDER BY varname""".stripMargin
   ) ++ PipelineQueries.oracleSql
 }

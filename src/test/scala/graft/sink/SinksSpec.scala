@@ -98,6 +98,24 @@ class SinksSpec extends AnyFunSuite {
     assert(byKey(("condition", "Condition")) == ((1L, 100.0)))
   }
 
+  test("DdProfiler: histogram, try-float min/max, distinct-count value gate") {
+    import graft.inspect.DdProfiler
+    val in = df("status STRING, score STRING", Seq(
+      Row("open", "1.5"), Row("open", "n/a"), Row("closed", "3")))
+    val hist = DdProfiler.histogram(in, Seq("status")).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(hist == Map("open" -> 2L, "closed" -> 1L))
+    val prof = DdProfiler.profile(in, Seq("status", "score"), maxValues = 50).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof("score").getString(1) == "1.5")  // vmin
+    assert(prof("score").getString(2) == "3.0")  // vmax
+    assert(prof("status").getString(1) == "")    // non-numeric -> blank
+    assert(prof("status").getString(4) == "closed;open")
+    // gate: over the cutoff the list is withheld
+    val gated = DdProfiler.profile(in, Seq("score"), maxValues = 2).collect().head
+    assert(gated.isNullAt(4))
+  }
+
   test("module summary honors a resource-type restriction (test_module_summary.py)") {
     val in = df("module STRING, t STRING", Seq(
       Row("m1", "Patient"), Row("m1", "Observation")))
