@@ -72,6 +72,21 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprints typed stage matches the bottomKSketch Column form") {
+    val in = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "the quick brown fox jumps over the lazy dog"),
+      Row(2L, "one two"), Row(3L, "solo")))
+    val typed = TextAnalysis.fingerprints(in, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaExpr = in
+      .filter(size(TextOps.tokens(col("text"))) >= 2)
+      .select(col("doc_id"),
+        TextOps.bottomKSketch(TextOps.shingles(TextOps.tokens(col("text")), 2), 4))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(typed == viaExpr)
+    assert(!typed.contains(3L)) // < 2 tokens skipped in both forms
+  }
+
   test("pickLangJvm matches langIdExpr fold semantics including ties") {
     val texts = Seq(
       "the cat sat", "el la los", "der die das", "le les une",
