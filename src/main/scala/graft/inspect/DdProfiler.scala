@@ -32,21 +32,30 @@ object DdProfiler {
    * The per-variable profile row (dd_from_fhir.py:69-125): numeric
    * min/max (non-numeric values ignored), distinct count, and the
    * sorted distinct value list only when under `maxValues` distinct.
+   *
+   * Two aggregations over the (already-reduced) histogram: stats come
+   * from one pass, and value lists are collected ONLY for variables
+   * under the cutoff — a high-cardinality id column never funnels its
+   * distinct set into a single aggregation buffer.
    */
   def profile(df: DataFrame, columns: Seq[String], maxValues: Int = 50): DataFrame = {
+    val hist = histogram(df, columns)
     val numeric = expr("try_cast(value AS double)")
-    melt(df, columns)
+    val stats = hist
       .groupBy("varname")
       .agg(
         // stringified with the reference's empty-cell fallback
         // (dd_from_fhir.py:110-119 leaves MIN/MAX blank when non-numeric)
         coalesce(round(min(numeric), 2).cast("string"), lit("")).as("vmin"),
         coalesce(round(max(numeric), 2).cast("string"), lit("")).as("vmax"),
-        count_distinct(col("value")).as("n_distinct"),
-        sort_array(collect_set(col("value"))).as("_vals"))
-      .withColumn("values_list",
-        when(col("n_distinct") < maxValues, array_join(col("_vals"), ";")))
-      .drop("_vals")
+        count(lit(1)).as("n_distinct"))
+    val smallVars = stats.filter(col("n_distinct") < maxValues).select("varname")
+    val lists = hist
+      .join(broadcast(smallVars), Seq("varname"))
+      .groupBy("varname")
+      .agg(array_join(sort_array(collect_set(col("value"))), ";").as("values_list"))
+    stats.join(lists, Seq("varname"), "left")
+      .select(col("varname"), col("vmin"), col("vmax"), col("n_distinct"), col("values_list"))
       .orderBy("varname")
   }
 }
