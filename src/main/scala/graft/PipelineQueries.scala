@@ -82,6 +82,28 @@ object PipelineQueries {
     "pq10_multimodal_meta" -> q((s, dir) =>
       Multimodal.metaColumns(docs(s, dir), "doc_id", "text")),
 
+    // Embedding-cosine near-dup: the corpus plus deterministically
+    // perturbed copies of vec_id < 10 (scaled 1.01 in double — cosine
+    // ~1.0 survives quantization); the bucket join finds exactly those
+    // pairs at threshold 0.99
+    "pq12_embedding_neardup" -> q((s, dir) => {
+      val e = embs(s, dir).select("vec_id", "embedding")
+      val perturbed = e.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), x => (x.cast("double") * 1.01).cast("float"))
+          .as("embedding"))
+      Similarity.nearDupPairs(e.unionByName(perturbed), "vec_id", "embedding",
+        threshold = 0.99, bucketBits = 4)
+    }),
+
+    // BPE-ish token-class counts (letters / digits / punctuation)
+    "pq13_token_classes" -> q((s, dir) =>
+      TextAnalysis.tokenClassCounts(docs(s, dir), "doc_id", "text")),
+
+    // MOD-sampled (winnowing-style) rolling fingerprint over bigrams
+    "pq14_winnow_fingerprint" -> q((s, dir) =>
+      TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text")),
+
     // Multimodal decode path: text -> opaque binary payload -> batched
     // per-partition decode (the stub codec) -> typed metadata rows. This
     // executes asBinaryPayload + decodeBatch + decodeOne end-to-end; the
@@ -220,6 +242,38 @@ object PipelineQueries {
         |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / sqrt(na::DOUBLE * nb::DOUBLE) DESC, cid) AS rnk
         |           FROM pairs)
         |SELECT qid, rnk, cid, ROUND(cos, 4) AS cos FROM scored WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    "pq12_embedding_neardup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.01 AS FLOAT))
+        |  FROM embeddings WHERE vec_id < 10),
+        |qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v FROM corpus),
+        |nrm AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2,
+        |          array_to_string(list_transform([1, 2, 3, 4], i -> CASE WHEN v[i] > 0 THEN '1' ELSE '0' END), '') AS bkt
+        |        FROM qv),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) AS cos
+        |      FROM nrm a JOIN nrm b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM p WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    "pq13_token_classes" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+        |       len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+        |       len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n]')) AS n_punct,
+        |       len(regexp_extract_all(text, '[A-Za-z]+')) + len(regexp_extract_all(text, '[0-9]+'))
+        |         + len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n]')) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pq14_winnow_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS shingles
+        |       FROM t WHERE len(toks) >= 2)
+        |SELECT doc_id,
+        |       COALESCE(array_to_string(list_sort(list_filter(list_transform(shingles, s -> md5(s)), h -> h LIKE '0%')), ','), '') AS fingerprint
+        |FROM sh ORDER BY doc_id""".stripMargin,
 
     "pq10_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_tag,

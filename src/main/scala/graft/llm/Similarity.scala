@@ -131,6 +131,30 @@ object Similarity {
   }
 
   /**
+   * Embedding-cosine near-duplicate pairs: all corpus pairs sharing a
+   * sign bucket whose cosine clears the threshold — the embedding-space
+   * sibling of MinHash near-dup (same LSH-bucket join shape: candidate
+   * generation never goes all-pairs; recall grows with fewer bucket
+   * bits, cost with more). Output (id_a, id_b, cos) with id_a < id_b.
+   */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bucketBits: Int = 4): DataFrame = {
+    val prep = corpus.select(col(idCol).as("_id"), quantize(col(vecCol)).as("_v"))
+      .withColumn("_n2", norm2(col("_v")))
+      .withColumn("_bkt", signBucket(col("_v"), bucketBits))
+    val a = prep.select(col("_id").as("id_a"), col("_v").as("_va"),
+      col("_n2").as("_na"), col("_bkt"))
+    val b = prep.select(col("_id").as("id_b"), col("_v").as("_vb"),
+      col("_n2").as("_nb"), col("_bkt"))
+    a.join(b, Seq("_bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("_cos", cosine(dot(col("_va"), col("_vb")), col("_na"), col("_nb")))
+      .filter(col("_cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("_cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /**
    * Bucketed ANN: both sides keyed by [[signBucket]]; candidates are
    * bucket-mates only. Same output shape as [[cosineTopK]] (queries with
    * an empty bucket return < k rows — approximate by design).

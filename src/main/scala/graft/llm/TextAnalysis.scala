@@ -18,6 +18,57 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(TextOps.tokens(text)).cast("long")
 
   /**
+   * BPE-ish token-class counts: letter runs, digit runs, and punctuation
+   * singles — the pre-tokenizer split classes a byte-pair tokenizer sees
+   * (ASCII classes only, so the regexes behave identically across
+   * engines). One projection, three codegen'd regex scans per row.
+   */
+  def tokenClassCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def cnt(pattern: String): Column =
+      size(regexp_extract_all(col(textCol), lit(pattern), lit(0))).cast("long")
+    df.select(
+      col(idCol).as("doc_id"),
+      cnt("[A-Za-z]+").as("n_words"),
+      cnt("[0-9]+").as("n_numbers"),
+      cnt("[^A-Za-z0-9 \\t\\n]").as("n_punct"))
+      .withColumn("n_bpeish", col("n_words") + col("n_numbers") + col("n_punct"))
+      .orderBy("doc_id")
+  }
+
+  /**
+   * MOD-sampled rolling fingerprint: the sorted md5 hashes of word-bigram
+   * shingles whose hash falls in the sample class (first hex digit '0' —
+   * a deterministic 1/16 sample, the winnowing-by-mod scheme). Unlike
+   * [[fingerprints]]' bottom-k, the sample size scales with document
+   * length, so containment between fingerprints estimates overlap of
+   * long documents. Typed stage; empty sample -> empty string.
+   */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(df.schema.fieldIndex(idCol)).copy(name = "doc_id"),
+      StructField("fingerprint", StringType, nullable = true)))
+    df.select(col(idCol), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val toks = TextOps.tokensJvm(r.getString(1))
+            if (toks.length < 2) Iterator.empty
+            else {
+              val sampled = TextOps.shinglesJvm(toks, 2)
+                .map(TextOps.md5HexJvm(md, _))
+                .filter(_.charAt(0) == '0')
+              java.util.Arrays.sort(sampled, Ordering[String])
+              Iterator.single(Row(r.get(0), sampled.mkString(",")))
+            }
+          }
+        }
+      }(Encoders.row(outSchema))
+      .orderBy("doc_id")
+  }
+
+  /**
    * Per-language corpus statistics: doc count, total/avg chars, total/max
    * tokens. One hash aggregation on the language key.
    */
