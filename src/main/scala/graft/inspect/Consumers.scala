@@ -1,0 +1,45 @@
+package graft.inspect
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Resource consumer fan-out (ref: wstlr/bundle.py:30-56 ParseBundle +
+ * SURVEY.md §2.9 "one pass, multiple aggregations/side-effect sinks off
+ * a cached DataFrame"): the reference streams every resource through a
+ * list of consumer callbacks; the Spark shape caches the resource
+ * DataFrame once and runs each consumer as its own aggregation/action
+ * against the cache — one scan of the source, N cheap cache reads.
+ */
+object Consumers {
+
+  final case class InspectionReport(
+      moduleSummary: DataFrame,
+      duplicateIdentifiers: DataFrame,
+      missingResourceType: Long,
+      missingIdentifier: Long)
+
+  /**
+   * The standard inspection pass (ref: inspector.py:46-97 checks +
+   * module_summary.py counts) over the projection contract
+   * (module, resourceType, id, resource). Caller unpersists via the
+   * returned DataFrames' lineage or spark.catalog.clearCache.
+   */
+  def inspect(resources: DataFrame): InspectionReport = {
+    val cached = resources.persist(StorageLevel.MEMORY_AND_DISK)
+    val summary = ModuleSummary(cached, "module", "resourceType")
+    val idVal = concat_ws(":",
+      get_json_object(col("resource"), "$.identifier[0].system"),
+      get_json_object(col("resource"), "$.identifier[0].value"))
+    val dups = DuplicateIdentifiers(cached, "resourceType", idVal)
+    val noType = cached
+      .filter(get_json_object(col("resource"), "$.resourceType").isNull).count()
+    // ConceptMaps are exempt from the identifier requirement
+    // (inspector.py:71-74)
+    val noIdent = cached
+      .filter(col("resourceType") =!= "ConceptMap")
+      .filter(get_json_object(col("resource"), "$.identifier").isNull).count()
+    InspectionReport(summary, dups, noType, noIdent)
+  }
+}

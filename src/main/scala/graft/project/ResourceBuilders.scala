@@ -308,6 +308,35 @@ object ResourceBuilders {
     obs.unionByName(act)
   }
 
+  // --- TableType dispatch for per-row projections
+  // (ref: observation_w_components.wstl:103-124 ProcessSourceData-* —
+  // grouped tables project their content rows, embedded tables the rows
+  // of their array column) ------------------------------------------------
+
+  /**
+   * Flatten an extracted table back to projection-ready rows per its
+   * TableType: grouped tables explode `content` (group keys rejoin each
+   * row), embed children explode their array column on the parent. The
+   * result feeds [[observations]] / [[questionnaireResponses]] unchanged.
+   */
+  def flattenForProjection(
+      extracted: DataFrame,
+      tableType: graft.model.TableType,
+      embedColumn: String = ""): DataFrame = tableType match {
+    case graft.model.TableType.Grouped =>
+      val keys = extracted.columns.filterNot(_ == "content").toSeq
+      extracted
+        .select((keys.map(col) :+ explode(col("content")).as("_row")).toIndexedSeq: _*)
+        .select((keys.map(col) :+ col("_row.*")).toIndexedSeq: _*)
+    case graft.model.TableType.Embedded =>
+      require(embedColumn.nonEmpty, "embedded flatten requires the embed column name")
+      extracted
+        .select(explode(col(embedColumn)).as("_row"))
+        .select(col("_row.*"))
+        .drop("table_name")
+    case _ => extracted
+  }
+
   // --- Harmony ConceptMap resource
   // (ref: wlib/dd/wlib_dd_conceptmap.wstl:71-86) --------------------------
 

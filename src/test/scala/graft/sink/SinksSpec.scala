@@ -98,6 +98,40 @@ class SinksSpec extends AnyFunSuite {
     assert(byKey(("condition", "Condition")) == ((1L, 100.0)))
   }
 
+  test("flattenForProjection explodes grouped content and embedded arrays") {
+    import graft.model.TableType
+    import graft.project.ResourceBuilders
+    val grouped = df("subject_id STRING, content ARRAY<STRUCT<visit: STRING, value: STRING>>",
+      Seq(Row("S1", Seq(Row("v1", "10"), Row("v2", "20")))))
+    val flatG = ResourceBuilders.flattenForProjection(grouped, TableType.Grouped)
+    assert(flatG.columns.toSeq == Seq("subject_id", "visit", "value"))
+    assert(flatG.count() == 2)
+
+    val parent = df(
+      "subject_id STRING, labs ARRAY<STRUCT<table_name: STRING, subject_id: STRING, v: STRING>>",
+      Seq(Row("S1", Seq(Row("labs", "S1", "9")))))
+    val flatE = ResourceBuilders.flattenForProjection(parent, TableType.Embedded, "labs")
+    assert(flatE.columns.toSeq == Seq("subject_id", "v"))
+    assert(flatE.collect().head.getString(1) == "9")
+  }
+
+  test("Consumers.inspect fans one cached pass into summary + checks") {
+    import graft.inspect.Consumers
+    val r = df("module STRING, resourceType STRING, id STRING, resource STRING", Seq(
+      Row("patient", "Patient", "P1",
+        """{"resourceType":"Patient","identifier":[{"system":"s","value":"1"}]}"""),
+      Row("patient", "Patient", "P2",
+        """{"resourceType":"Patient","identifier":[{"system":"s","value":"1"}]}"""), // dup
+      Row("harmony", "ConceptMap", "CM", """{"resourceType":"ConceptMap"}"""),        // exempt
+      Row("odd", "Thing", "T1", """{"no_type":true}""")))
+    val report = Consumers.inspect(r)
+    assert(report.moduleSummary.count() == 3)
+    assert(report.duplicateIdentifiers.collect().map(_.getString(1)).toSeq == Seq("s:1"))
+    assert(report.missingResourceType == 1L)
+    assert(report.missingIdentifier == 1L) // Thing lacks one; ConceptMap exempt
+    TestSpark.spark.catalog.clearCache()
+  }
+
   test("DdProfiler: histogram, try-float min/max, distinct-count value gate") {
     import graft.inspect.DdProfiler
     val in = df("status STRING, score STRING", Seq(
