@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType}
 
 /**
  * Similarity search over an embedding column (`array<float>`).
@@ -146,11 +146,31 @@ object Similarity {
       col("_n2").as("_na"), col("_bkt"))
     val b = prep.select(col("_id").as("id_b"), col("_v").as("_vb"),
       col("_n2").as("_nb"), col("_bkt"))
-    a.join(b, Seq("_bkt"))
+    val joined = a.join(b, Seq("_bkt"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("_cos", cosine(dot(col("_va"), col("_vb")), col("_na"), col("_nb")))
-      .filter(col("_cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("_cos"), 4).as("cos"))
+      .select(col("id_a"), col("id_b"), col("_va"), col("_vb"), col("_na"), col("_nb"))
+    // pair scoring runs typed: the quadratic-in-bucket dot products are
+    // the hot loop, and higher-order aggregate/zip_with evaluate
+    // interpreted. Same integer dot / double cosine / HALF_UP rounding.
+    val outSchema = StructType(Seq(
+      joined.schema("id_a"), joined.schema("id_b"),
+      StructField("cos", DoubleType, nullable = true)))
+    joined.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val va = r.getSeq[Long](2)
+        val vb = r.getSeq[Long](3)
+        var dotV = 0L
+        var i = 0
+        val n = math.min(va.length, vb.length)
+        while (i < n) { dotV += va(i) * vb(i); i += 1 }
+        val cos = dotV.toDouble / math.sqrt(r.getLong(4).toDouble * r.getLong(5).toDouble)
+        if (cos >= threshold)
+          Iterator.single(Row(r.get(0), r.get(1),
+            java.math.BigDecimal.valueOf(cos)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue))
+        else Iterator.empty
+      }
+    }(Encoders.row(outSchema))
       .orderBy("id_a", "id_b")
   }
 
