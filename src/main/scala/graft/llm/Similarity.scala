@@ -48,6 +48,20 @@ object Similarity {
     concat((1 to bits).map(i =>
       when(element_at(qv, i) > 0, lit("1")).otherwise(lit("0"))): _*)
 
+  /**
+   * Bucket-bit sizing for a corpus of `n` vectors: enough sign bits that
+   * the expected bucket holds ~`targetBucketSize` vectors, so per-bucket
+   * pair work stays bounded as the corpus grows (the round-3 caveat:
+   * a fixed small bit count is quadratic-per-bucket at corpus scale).
+   * Capped by the embedding dimension — each bit consumes one.
+   */
+  def autoBucketBits(n: Long, targetBucketSize: Int = 1024, maxBits: Int = 32): Int = {
+    require(targetBucketSize > 0)
+    val needed = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize)) /
+      math.log(2.0)).toInt
+    math.min(maxBits, math.max(1, needed))
+  }
+
   /** Numeric key for (qid, cid) ordering inside the pre-reduce heap —
    *  must agree with the window's `cid` ASC tie-break, so the reduction
    *  only applies to numeric id types. */

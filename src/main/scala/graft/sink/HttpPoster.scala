@@ -1,0 +1,78 @@
+package graft.sink
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+/**
+ * A real HTTP poster for [[FhirLoadSink.load]] (ref: wstlr/load.py:378-409
+ * retry loop and the client at load.py:455+): bounded retries, 429
+ * backoff (the reference sleeps 35 s; configurable here so tests don't),
+ * a shorter pause on other non-2xx, PUT to `Type/id` for upserts and
+ * POST to `Type` for creates. One instance per partition — the
+ * connection pool lives exactly where `foreachPartition` scopes it.
+ *
+ * The server-assigned id is read from the JSON response's top-level
+ * `"id"` field (ref: load.py:412-415).
+ */
+class HttpPoster(
+    baseUrl: String,
+    maxRetries: Int = 3,
+    backoff429Millis: Long = 35000L,
+    backoffErrMillis: Long = 5000L,
+    headers: Map[String, String] = Map.empty) {
+
+  private val client = HttpClient.newHttpClient()
+  private val IdField = "\"id\"\\s*:\\s*\"([^\"]+)\"".r
+
+  /** The [[FhirLoadSink.Poster]] contract: returns the server id, throws
+   *  after retries are exhausted. */
+  def post(verb: String, resourceType: String, existingId: String, resourceJson: String): String = {
+    val url =
+      if (verb == "PUT" && existingId != null) s"$baseUrl/$resourceType/$existingId"
+      else s"$baseUrl/$resourceType"
+    var attempt = 0
+    var lastStatus = -1
+    while (attempt < maxRetries) {
+      attempt += 1
+      val builder = HttpRequest.newBuilder(URI.create(url))
+        .header("Content-Type", "application/fhir+json")
+      headers.foreach { case (k, v) => builder.header(k, v) }
+      val req = builder
+        .method(verb, HttpRequest.BodyPublishers.ofString(resourceJson, StandardCharsets.UTF_8))
+        .build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      lastStatus = resp.statusCode()
+      if (lastStatus < 300)
+        return IdField.findFirstMatchIn(resp.body()).map(_.group(1)).getOrElse(existingId)
+      else if (lastStatus == 429) {
+        // ref: load.py:398-406 — too many requests, long pause
+        if (attempt < maxRetries) Thread.sleep(backoff429Millis)
+      } else if (attempt < maxRetries) Thread.sleep(backoffErrMillis)
+    }
+    throw new RuntimeException(s"$verb $url failed after $maxRetries attempts (last: $lastStatus)")
+  }
+}
+
+/**
+ * Driver-side file/URL fetch (ref: wstlr/igload/file_source.py:10-26,
+ * dd/loader.py:51-65): DD and IG inputs may be http(s) URLs; they are
+ * fetched to local content before entering Spark's read path. Local
+ * paths and file:// URIs read directly.
+ */
+object FileSource {
+  def fetch(location: String): String =
+    if (location.startsWith("http://") || location.startsWith("https://")) {
+      val client = HttpClient.newHttpClient()
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(location)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() < 300, s"GET $location -> ${resp.statusCode()}")
+      resp.body()
+    } else {
+      val path =
+        if (location.startsWith("file://")) java.nio.file.Paths.get(URI.create(location))
+        else java.nio.file.Paths.get(location)
+      new String(java.nio.file.Files.readAllBytes(path), StandardCharsets.UTF_8)
+    }
+}
