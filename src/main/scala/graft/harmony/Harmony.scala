@@ -208,6 +208,61 @@ object Harmony {
   }
 
   /**
+   * The harmony ConceptMap's source-side code groups
+   * (ref: conceptmap.py:108-118 `vs_sources` + 145-168 emit): per
+   * (local code system, table, parent varname), the ordered distinct
+   * (code, display-text) pairs, with the group's system a constructed
+   * DD CodeSystem URL and curie prefixes applied per local system.
+   * Feeds the sources HarmonyValueSet.
+   */
+  def sourceCodeGroups(df: DataFrame, curies: Map[String, String] = Map.empty,
+      consentGroup: Option[String] = None,
+      urlBase: String = graft.model.Dd.SystemBase): DataFrame = {
+    val rows = df.filter(trim(col("table_name")) =!= "")
+    val fix = (c: Column) => graft.functions.WhistlerFunctions.fixFieldName(c)
+    val consentSeg = consentGroup.filter(_.trim.nonEmpty)
+      .map(cg => "/" + Naming.fixFieldName(cg)).getOrElse("")
+    val system = concat(lit(s"$urlBase/CodeSystem/data-dictionary$consentSeg/"),
+      fix(col("table_name")), lit("/"), fix(col("local code system")))
+    val code = concat(curiePrefix(curies, col("local code system")), col("local code"))
+    val w = Window.partitionBy(col("local code system"), col("table_name"),
+      col("parent_varname"), code, col("text")).orderBy(rid)
+    rows
+      .withColumn("_dup", row_number().over(w)).filter(col("_dup") === 1)
+      .groupBy(col("local code system"), col("table_name"), col("parent_varname"))
+      .agg(
+        min(rid).as("_gord"),
+        min_by(system, rid).as("system"),
+        sort_array(collect_list(struct(rid.as("_o"),
+          struct(code.as("code"), col("text").as("display")).as("c")))).as("_cs"))
+      .withColumn("codes", expr("transform(_cs, x -> x.c)"))
+      .select(col("system"), col("table_name"), col("parent_varname"),
+        col("codes"), col("_gord"))
+  }
+
+  /**
+   * The target-side code groups (ref: conceptmap.py:119-127 `targets`
+   * last-wins + 169-181 emit): per target system, the distinct target
+   * (curie-prefixed code, display) pairs, duplicates overwritten by the
+   * last row. Feeds the targets HarmonyValueSet.
+   */
+  def targetCodeGroups(df: DataFrame, curies: Map[String, String] = Map.empty): DataFrame = {
+    val rows = df.filter(trim(col("table_name")) =!= "" && trim(col("code system")) =!= "")
+    val code = concat(curiePrefix(curies, col("code system")), col("code"))
+    val w = Window.partitionBy(col("code system"), code).orderBy(desc(Restructure.RowId))
+    rows
+      .withColumn("_dup", row_number().over(w)).filter(col("_dup") === 1) // last wins
+      .groupBy(col("code system").as("system"))
+      .agg(
+        min(rid).as("_gord"),
+        sort_array(collect_list(struct(rid.as("_o"),
+          struct(code.as("code"), col("display").as("display")).as("c")))).as("_cs"))
+      .withColumn("codes", expr("transform(_cs, x -> x.c)"))
+      .select(col("system"), lit("").as("table_name"), lit("").as("parent_varname"),
+        col("codes"), col("_gord"))
+  }
+
+  /**
    * Duplicate-mapping report (ref: conceptmap.py:91-107,128-136): keys
    * whose (target system, target code) repeats, with counts — the
    * reference prints the first 10 then "And N more"; we return the

@@ -308,6 +308,41 @@ object ResourceBuilders {
     obs.unionByName(act)
   }
 
+  // --- Harmony ValueSets (ref: wlib/dd/wlib_dd_concept_valusets.wstl:10-52)
+
+  /**
+   * The ValueSet over one side of the harmony ConceptMap: one
+   * compose.include per code group (system + concepts). `vsName` is
+   * `sources` or `targets` (ref: wlib_dd_conceptmap.wstl:89-91
+   * ProcessDDHarmony emits both). Module `harmony`.
+   */
+  def harmonyValueSet(codeGroups: DataFrame, study: StudyInfo, vsName: String,
+      urlBase: String = graft.model.Dd.SystemBase): DataFrame = {
+    val idValue = s"${study.id}.cm-valueset.$vsName"
+    val one = codeGroups
+      .agg(array_sort(collect_list(struct(col("_gord"),
+        struct(col("system").as("system"),
+          expr("transform(codes, c -> struct(c.code as code, c.display as display))")
+            .as("concept")).as("i")))).as("_is"))
+      .withColumn("_include", expr("transform(_is, x -> x.i)"))
+    val resource = struct(
+      lit("ValueSet").as("resourceType"),
+      metaTag(study).as("meta"),
+      officialIdentifier(study, "ValueSet", lit(idValue)).as("identifier"),
+      buildVariableTerminologyId(lit(study.id), lit("concept-map-vs"), lit(vsName)).as("name"),
+      lit(s"ValueSet for values associated with $vsName codes in data harmonization " +
+        s"from study, ${study.id}.").as("title"),
+      lit(s"$urlBase/data-dictionary/valueset/${study.id}/$vsName").as("url"),
+      struct(col("_include").as("include")).as("compose"),
+      lit("active").as("status"),
+      lit(study.publisher).as("publisher"))
+    one.select(
+      lit("harmony").as("module"),
+      lit("ValueSet").as("resourceType"),
+      lit(idValue).as("id"),
+      to_json(resource).as("resource"))
+  }
+
   // --- TableType dispatch for per-row projections
   // (ref: observation_w_components.wstl:103-124 ProcessSourceData-* —
   // grouped tables project their content rows, embedded tables the rows

@@ -115,6 +115,40 @@ class HarmonySpec extends AnyFunSuite {
     assert(report.head.getLong(2) == 2L)
   }
 
+  test("source/target code groups feed the harmony ValueSets with curie + last-wins semantics") {
+    val dup = harmonyCsv(
+      "M,Male,demographics,sex,Sex,248153007,Male (first),http://snomed.info/sct",
+      "F,Female,demographics,sex,Sex,248152002,Female,http://snomed.info/sct",
+      // same target code again: LAST display wins on the target side
+      "M2,Male2,demographics,sex,Sex,248153007,Male (last),http://snomed.info/sct")
+    val df = Harmony.read(spark, Seq(dup))
+
+    val src = Harmony.sourceCodeGroups(df, curies = Map("Sex" -> "SX"),
+      urlBase = "http://base").collect()
+    assert(src.length == 1)
+    assert(src.head.getAs[String]("system")
+      == "http://base/CodeSystem/data-dictionary/demographics/sex")
+    val srcCodes = src.head.getAs[scala.collection.Seq[Row]]("codes")
+      .map(c => (c.getString(0), c.getString(1)))
+    assert(srcCodes == Seq(("SX:M", "Male"), ("SX:F", "Female"), ("SX:M2", "Male2")))
+
+    val tgt = Harmony.targetCodeGroups(df).collect()
+    assert(tgt.length == 1)
+    val tgtCodes = tgt.head.getAs[scala.collection.Seq[Row]]("codes")
+      .map(c => (c.getString(0), c.getString(1))).toMap
+    assert(tgtCodes("248153007") == "Male (last)") // last-wins overwrite
+    assert(tgtCodes("248152002") == "Female")
+
+    val vs = graft.project.ResourceBuilders.harmonyValueSet(
+      Harmony.sourceCodeGroups(df),
+      graft.project.Projection.StudyInfo("S1", "https://s1"), "sources").collect()
+    assert(vs.length == 1)
+    val j = vs.head.getString(3)
+    assert(vs.head.getString(2) == "S1.cm-valueset.sources")
+    assert(j.contains(""""compose":{"include":[{"system":"""))
+    assert(j.contains(""""code":"M","display":"Male""""))
+  }
+
   test("multi-file harmony reads as parts of one mapping with cross-file dedup") {
     val f1 = harmonyCsv("M,Male,t,v,Sex,male,Male,http://sys")
     val f2 = harmonyCsv(
