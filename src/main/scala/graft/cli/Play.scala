@@ -94,10 +94,17 @@ object Play {
     val terminology = ResourceBuilders.ddTerminology(spark, study, dd)
     val definitions = ResourceBuilders.ddDefinitions(spark, study, dd)
     val harmonyFiles = config.dataset.values.flatMap(_.codeHarmonization).toSeq.distinct
-    val cms = harmonyFiles.map { h =>
-      val groups = Harmony.conceptMapGroups(
-        Harmony.read(spark, CsvSource.fileList(h).map(resolve)), config.curies)
-      ResourceBuilders.harmonyConceptMap(groups, study)
+    // ProcessDDHarmony shape (ref: wlib_dd_conceptmap.wstl:89-92):
+    // sources VS + targets VS + the ConceptMap itself per harmony file
+    val cms = harmonyFiles.flatMap { h =>
+      val df = Harmony.read(spark, CsvSource.fileList(h).map(resolve))
+      Seq(
+        ResourceBuilders.harmonyValueSet(
+          Harmony.sourceCodeGroups(df, config.curies, config.consentGroup), study, "sources"),
+        ResourceBuilders.harmonyValueSet(
+          Harmony.targetCodeGroups(df, config.curies), study, "targets"),
+        ResourceBuilders.harmonyConceptMap(
+          Harmony.conceptMapGroups(df, config.curies), study))
     }
     (Seq(terminology, definitions) ++ cms).reduce(_ unionByName _)
   }

@@ -1,7 +1,7 @@
 package graft.inspect
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.storage.StorageLevel
 
 /**
@@ -29,10 +29,14 @@ object Consumers {
   def inspect(resources: DataFrame): InspectionReport = {
     val cached = resources.persist(StorageLevel.MEMORY_AND_DISK)
     val summary = ModuleSummary(cached, "module", "resourceType")
-    val idVal = concat_ws(":",
-      get_json_object(col("resource"), "$.identifier[0].system"),
-      get_json_object(col("resource"), "$.identifier[0].value"))
-    val dups = DuplicateIdentifiers(cached, "resourceType", idVal)
+    // identifier may be a list or a single object (ref: inspector.py:84-86
+    // normalizes both); resources without one are reported separately,
+    // not counted as colliding empties
+    def part(field: String): Column = coalesce(
+      get_json_object(col("resource"), s"$$.identifier[0].$field"),
+      get_json_object(col("resource"), s"$$.identifier.$field"))
+    val idVal = concat_ws(":", part("system"), part("value"))
+    val dups = DuplicateIdentifiers(cached.filter(idVal =!= ""), "resourceType", idVal)
     val noType = cached
       .filter(get_json_object(col("resource"), "$.resourceType").isNull).count()
     // ConceptMaps are exempt from the identifier requirement

@@ -77,6 +77,10 @@ class PlaySpec extends AnyFunSuite {
     val types = out.collect().map(_.getString(1)).toSet
     assert(types == Set("CodeSystem", "ValueSet", "ObservationDefinition",
       "ActivityDefinition", "ConceptMap"))
+    // harmony module carries sources VS + targets VS + the ConceptMap
+    val harmony = out.filter(out("module") === "harmony").collect().map(_.getString(2)).toSet
+    assert(harmony == Set("PFIX.cm-valueset.sources", "PFIX.cm-valueset.targets",
+      "PFIX.concept-map"))
   }
 
   test("harmonyConceptMap resource aggregates groups with study identity") {
