@@ -159,6 +159,21 @@ class RestructureSpec extends AnyFunSuite {
     assert(e.getMessage.contains("missing join column"))
   }
 
+  test("EmbedJoin supports compound comma-separated keys (project_config.md:79-96)") {
+    val parent = df("study STRING, subject_id STRING",
+      Seq(Row("A", "S1"), Row("A", "S2"), Row("B", "S1")))
+    val child = df("study STRING, subject_id STRING, v STRING",
+      Seq(Row("A", "S1", "x"), Row("B", "S1", "y")))
+    val out = EmbedJoin(parent, child, "kids", "Study, Subject Id")
+    val byKey = out.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getSeq[Row](2)).toMap
+    assert(byKey(("A", "S1")).map(_.getString(3)) == Seq("x"))
+    assert(byKey(("B", "S1")).map(_.getString(3)) == Seq("y"))
+    assert(byKey(("A", "S2")).isEmpty)
+    // row-count conservation: every child row lands in exactly one parent
+    assert(byKey.values.map(_.size).sum == 2)
+  }
+
   test("EmbedJoin handles column names needing backtick quoting in the nested struct") {
     val parent = df("`select` STRING", Seq(Row("S1")))
     val child = df("`select` STRING, `order` STRING", Seq(Row("S1", "x")))
