@@ -26,6 +26,12 @@ object BundleSink {
    * Assign each resource its bundle chunk: per-module row number (ordered
    * by `orderCol` for determinism) divided by `maxRecords` — the
    * "new file per module or per 15,000 records" rule (bundle.py:131-134).
+   *
+   * Scale note: sequential file numbering is inherently a per-module
+   * total order, so each module's rows pass through one window
+   * partition. Fine for the bundle-file contract (files are consumed
+   * sequentially anyway); for unbounded exports prefer
+   * `maxRecordsPerFile` on a plain partitioned write instead.
    */
   def assignChunks(resources: DataFrame, moduleCol: String, orderCol: String,
       maxRecords: Int = MaxRecords): DataFrame = {
@@ -117,7 +123,10 @@ object BundleSink {
 object StudyIdsSink {
 
   /** The aggregation: `sorted(list(set(ids)))` per resourceType
-   *  (studyids.py:103) — one shuffle on resourceType. */
+   *  (studyids.py:103) — one shuffle on resourceType. The output is the
+   *  study-ids JSON document's content: per-type id lists destined for
+   *  one driver-written file, so the per-type array is document-sized by
+   *  contract (the reference builds the same lists in RAM). */
   def sortedIdSets(resources: DataFrame, typeCol: String, idCol: String): DataFrame =
     resources
       .groupBy(col(typeCol).as("resource_type"))
