@@ -65,6 +65,11 @@ object PipelineQueries {
     "pq7_simhash" -> q((s, dir) =>
       SimHashSignatures(docs(s, dir), "doc_id", "text")),
 
+    // SimHash near-dup pairs: banded Hamming join over signature chunks
+    // (pigeonhole: distance <= 3 shares one of 4 exact 16-bit chunks)
+    "pq7b_simhash_neardup" -> q((s, dir) =>
+      SimHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+
     // Brute-force cosine top-5 for queries vec_id < 20 (broadcast queries)
     "pq8_cosine_topk" -> q((s, dir) => {
       val e = embs(s, dir)
@@ -216,6 +221,25 @@ object PipelineQueries {
         |nibs AS (SELECT doc_id, b // 4 AS nib, SUM(bit << (3 - (b % 4))) AS nv FROM bits GROUP BY doc_id, b // 4)
         |SELECT doc_id, string_agg(substr('0123456789abcdef', (nv + 1)::INT, 1), '' ORDER BY nib) AS simhash
         |FROM nibs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pq7b_simhash_neardup" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+        |h AS (SELECT doc_id, md5(w) AS hx FROM toks),
+        |wb AS (SELECT doc_id, b,
+        |        CASE WHEN ((strpos('0123456789abcdef', substr(hx, 1 + b // 4, 1)) - 1)
+        |                   >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END AS v
+        |       FROM h, unnest(range(0, 64)) AS u(b)),
+        |bits AS (SELECT doc_id, b, CASE WHEN SUM(v) > 0 THEN 1 ELSE 0 END AS bit FROM wb GROUP BY doc_id, b),
+        |nibs AS (SELECT doc_id, b // 4 AS nib, SUM(bit << (3 - (b % 4))) AS nv FROM bits GROUP BY doc_id, b // 4),
+        |sig AS (SELECT doc_id, string_agg(substr('0123456789abcdef', (nv + 1)::INT, 1), '' ORDER BY nib) AS s FROM nibs GROUP BY doc_id),
+        |bands AS (SELECT doc_id, i, substr(s, 1 + 4*i, 4) AS chunk, s FROM sig, unnest(range(0, 4)) AS u(i)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |         FROM bands a JOIN bands b ON a.i = b.i AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+        |ham AS (SELECT doc_a, doc_b, CAST(list_sum(list_transform(range(1, 17),
+        |          p -> bit_count(xor(strpos('0123456789abcdef', substr(sa, p, 1)) - 1,
+        |                             strpos('0123456789abcdef', substr(sb, p, 1)) - 1)))) AS BIGINT) AS hamming
+        |        FROM cand)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
 
     "pq8_cosine_topk" ->
       """WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v

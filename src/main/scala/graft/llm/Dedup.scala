@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
@@ -142,7 +142,12 @@ object SimHashSignatures {
    * evaluations per token. Tokenization and hashing replicate the Column
    * tier exactly ([[TextOps.tokensJvm]]), so results are unchanged.
    */
-  def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def apply(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    signatures(df, idCol, textCol).orderBy("doc_id")
+
+  /** The signature projection without the presentation sort (joins don't
+   *  want it). */
+  def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val outSchema = StructType(Seq(
       df.schema(df.schema.fieldIndex(idCol)).copy(name = "doc_id"),
       StructField("simhash", StringType, nullable = true)))
@@ -156,6 +161,50 @@ object SimHashSignatures {
           Row(r.get(0), sig)
         }
       }(Encoders.row(outSchema))
-      .orderBy("doc_id")
+  }
+}
+
+object SimHashNearDup {
+
+  /** Nibble value (0-15) of hex char at 1-based position p. */
+  private def nibble(s: Column, p: Int): Column =
+    conv(substring(s, p, 1), 16, 10).cast("int")
+
+  /** Hamming distance between two 16-hex-char signatures, as an
+   *  expression both engines evaluate identically (per-nibble xor +
+   *  popcount). */
+  def hammingExpr(a: Column, b: Column): Column =
+    (1 to 16).map(p => bit_count(nibble(a, p).bitwiseXOR(nibble(b, p))))
+      .reduce(_ + _).cast("bigint")
+
+  /**
+   * SimHash near-duplicate pairs by banded Hamming join: the 64-bit
+   * signature splits into 4 16-bit chunks; docs within Hamming distance
+   * d <= 3 must agree exactly on at least one chunk (pigeonhole), so
+   * candidate generation is a bucket-equality join on (chunk index,
+   * chunk value) — never all-pairs — and the exact Hamming filter runs
+   * on candidates only. Output (doc_a, doc_b, hamming), doc_a < doc_b.
+   */
+  def apply(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 bands guarantee recall only for distance <= 3, got $maxHamming")
+    val sigs = SimHashSignatures.signatures(df, idCol, textCol)
+      .filter(col("simhash").isNotNull)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        substring(col("simhash"), 1 + 4 * i, 4)): _*)).as(Seq("_i", "_chunk")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a._i") === col("b._i") && col("a._chunk") === col("b._chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("_sa"), col("b.simhash").as("_sb"))
+      .distinct()
+    cand
+      .withColumn("hamming", hammingExpr(col("_sa"), col("_sb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
   }
 }
