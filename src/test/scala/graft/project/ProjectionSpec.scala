@@ -53,6 +53,43 @@ class ProjectionSpec extends AnyFunSuite {
     assert(r.getSeq[Row](2).map(_.getString(0)) == Seq("male"))
   }
 
+  test("Whistle built-in aliases behave like their $-functions") {
+    val in = df("s STRING, n STRING", Seq(Row("Hello World", "3")))
+    val r = in.select(
+      strCat(col("s"), lit("!"), col("n")),                      // $StrCat
+      strJoin("-", strSplit(col("s"), " ")),                     // $StrSplit/$StrJoin
+      toLower(col("s")),                                         // $ToLower
+      matchesRegex(col("s"), "^Hello"),                          // $MatchesRegex
+      listLen(strSplit(col("s"), " ")),                          // $ListLen
+      isNotNil(col("s")),                                        // $IsNotNil
+      groupKey(col("s"), col("n"))).collect().head               // ":".join key
+    assert(r.getString(0) == "Hello World!3")
+    assert(r.getString(1) == "Hello-World")
+    assert(r.getString(2) == "hello world")
+    assert(r.getBoolean(3))
+    assert(r.getInt(4) == 2)
+    assert(r.getBoolean(5))
+    assert(r.getString(6) == "Hello World:3")
+    // strSplit is literal: a regex-special separator splits verbatim
+    val dots = df("s STRING", Seq(Row("a.b.c")))
+    assert(dots.select(strSplit(col("s"), ".")).collect().head.getSeq[String](0)
+      == Seq("a", "b", "c"))
+  }
+
+  test("HarmonizeMapped/AsCoding/LocalDisplay select within harmonized codings") {
+    val in = df("x STRING", Seq(Row("")))
+    val codings = array(
+      struct(lit("M").as("code"), lit("Local Male").as("display"), lit("self").as("system")),
+      struct(lit("male").as("code"), lit("Male").as("display"), lit("http://hl7").as("system")))
+    val r = in.select(
+      harmonizeMapped(codings),
+      to_json(harmonizeAsCoding(codings)),
+      harmonizedLocalDisplay(codings)).collect().head
+    assert(r.getSeq[Row](0).map(_.getString(0)) == Seq("male")) // self dropped
+    assert(r.getString(1) == """{"coding":[{"code":"male","display":"Male","system":"http://hl7"}]}""")
+    assert(r.getString(2) == "Local Male") // the self display
+  }
+
   test("stringReplace is literal (not regex) split+join") {
     val in = df("u STRING", Seq(Row("http://b/CodeSystem/t.v")))
     assert(in.select(convertForValueSetUrl(col("u"))).collect().head.getString(0)
