@@ -109,6 +109,14 @@ object PipelineQueries {
     "pq14_winnow_fingerprint" -> q((s, dir) =>
       TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text")),
 
+    // Multimodal frame sampling: one row per (doc, frame) with the
+    // frame's byte-slice md5 — the sampler plumbing over the binary
+    // payload (docs are pure ASCII, so the oracle slices the text)
+    "pq10b_frame_sample" -> q((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.asBinaryPayload(docs(s, dir), "doc_id", "text"),
+        "doc_id", "content")),
+
     // Multimodal decode path: text -> opaque binary payload -> batched
     // per-partition decode (the stub codec) -> typed metadata rows. This
     // executes asBinaryPayload + decodeBatch + decodeOne end-to-end; the
@@ -305,6 +313,16 @@ object PipelineQueries {
         |       16 + ((octet_length(encode(text)) // 64) % 64) AS fake_height,
         |       1 + (octet_length(encode(text)) % 7) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pq10b_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n_bytes FROM documents),
+        |m AS (SELECT doc_id, text, n_bytes, 1 + (n_bytes % 7) AS n_frames,
+        |             n_bytes // (1 + (n_bytes % 7)) AS frame_size
+        |      FROM d)
+        |SELECT doc_id, i AS frame_idx, i * frame_size AS frame_offset,
+        |       md5(substring(text, (i * frame_size + 1)::INT, frame_size::INT)) AS frame_tag
+        |FROM m, unnest(range(0, n_frames)) AS u(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "pq11_multimodal_decode" ->
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),

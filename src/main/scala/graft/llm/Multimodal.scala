@@ -76,6 +76,36 @@ object Multimodal {
   }
 
   /**
+   * Frame sampling over a payload column: one row per (doc, frame) with
+   * the frame's byte slice and a content tag — the shape a video/audio
+   * sampler feeds downstream (every frame row stays colocated with its
+   * partition; no shuffle). Frames follow the stub decoder's geometry
+   * (n_frames equal slices of floor(n_bytes / n_frames) bytes), so a
+   * real codec swaps in by replacing the offset/size arithmetic with
+   * container metadata.
+   */
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val nBytes = octet_length(col(payloadCol)).cast("long")
+    val nFrames = (lit(1) + nBytes % 7).cast("int")
+    val frameSize = (nBytes / nFrames).cast("long")
+    df.select(
+      col(idCol).as("doc_id"),
+      col(payloadCol).as("_payload"),
+      nFrames.as("n_frames"),
+      frameSize.as("frame_size"))
+      .select(col("doc_id"), col("_payload"), col("frame_size"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx") * col("frame_size")).cast("long").as("frame_offset"),
+        md5(col("_payload").substr(
+          (col("frame_idx") * col("frame_size") + 1).cast("int"),
+          col("frame_size").cast("int"))).as("frame_tag"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /**
    * Expression-only metadata over a payload column (no decode): byte
    * length, content tag, and the same deterministic fake dimensions as
    * [[decodeOne]] — lets metadata-driven pruning/filtering run without
