@@ -84,6 +84,11 @@ object FhirLoadSink {
         }
       }
     }(Encoders.row(outSchema))
+      // eager checkpoint: results feed several downstream consumers
+      // (cache growth, summaries, study-ids) and a lineage replay would
+      // re-POST every resource — materialize once. Task retry remains
+      // at-least-once; the identifier upsert keeps that effectively-once.
+      .localCheckpoint(true)
   }
 
   /** Successful loads as ID-cache rows (system, value, resource_type,

@@ -5,6 +5,20 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** JVM-singleton state shared by purge-test tasks (closures are
+ *  serialized per task; static state is the local-mode escape hatch). */
+object PurgeTestState {
+  val attempts = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val conflictsLeft = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(conflicts: Int): Unit = { attempts.clear(); conflictsLeft.set(conflicts) }
+  val deleter: PurgeSink.Deleter = (rt, id) => {
+    attempts.add(s"$rt/$id")
+    if (id == "p1" && conflictsLeft.getAndDecrement() > 0) false // 409
+    else if (id == "m1") throw new RuntimeException("410 gone")
+    else true
+  }
+}
+
 /** Reference resolution + deferred fixpoint + load sink
  *  (ref: wstlr/load.py:53-83,152-175,264-286; play.py:477-488). */
 class LoadSpec extends AnyFunSuite {
@@ -131,6 +145,31 @@ class LoadSpec extends AnyFunSuite {
       FhirLoadSink.loadTier(col("module"), col("resourceType")).as("t"))
       .collect().map(x => x.getString(0) -> x.getInt(1)).toMap
     assert(tiers == Map("CodeSystem" -> 0, "Patient" -> 1, "Condition" -> 2))
+  }
+
+  test("purge deletes in reverse dependency order and retries 409-deferred ids") {
+    val ids = df("resource_type STRING, id STRING", Seq(
+      Row("CodeSystem", "cs1"), Row("Patient", "p1"),
+      Row("Observation", "o1"), Row("Mystery", "m1")))
+    // task closures are serialized even in local mode, so shared state
+    // must live in a JVM singleton, not captured fields
+    PurgeTestState.reset(conflicts = 2)
+    val out = PurgeSink.purge(ids, () => PurgeTestState.deleter, maxRounds = 5, sleepMillis = 1)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(out == Map("cs1" -> "deleted", "o1" -> "deleted",
+      "p1" -> "deleted", "m1" -> "error"))
+    // first round order: unknown first, then reverse creation order
+    val firstRound = PurgeTestState.attempts.toArray(new Array[String](0)).take(4).toSeq
+    assert(firstRound == Seq("Mystery/m1", "Observation/o1", "Patient/p1", "CodeSystem/cs1"))
+    // p1 retried until the conflict cleared
+    assert(PurgeTestState.attempts.toArray.count(_ == "Patient/p1") == 3)
+  }
+
+  test("purge reports ids still deferred after maxRounds") {
+    val ids = df("resource_type STRING, id STRING", Seq(Row("Patient", "stuck")))
+    val out = PurgeSink.purge(ids, () => (_, _) => false, maxRounds = 2, sleepMillis = 1)
+      .collect()
+    assert(out.length == 1 && out.head.getString(2) == "deferred")
   }
 
   test("validationSample keeps at most N per resource type") {
