@@ -270,6 +270,17 @@ object SparkEntry {
     "vq18_dd_profile" -> q((s, dir) => {
       graft.inspect.DdProfiler.profile(
         t(s, dir, "orders"), Seq("o_orderstatus", "o_orderpriority", "o_orderkey"))
+    }),
+
+    // VQ-19: exclusion wildcard filter (igload/__init__.py:21-26) — drop
+    // rows whose name contains any exclusion substring
+    "vq19_exclusion_filter" -> q((s, dir) => {
+      val exclusions = array(lit("chocolate"), lit("burnished"))
+      t(s, dir, "part")
+        .filter(!exists(exclusions, s => contains(col("p_name"), s)))
+        .filter(col("p_partkey") <= 500)
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
     })
   ) ++ PipelineQueries.queries
 
@@ -434,6 +445,12 @@ object SparkEntry {
         |       COUNT(DISTINCT value) AS n_distinct,
         |       CASE WHEN COUNT(DISTINCT value) < 50
         |            THEN array_to_string(list_sort(list_distinct(list(value))), ';') END AS values_list
-        |FROM m GROUP BY varname ORDER BY varname""".stripMargin
+        |FROM m GROUP BY varname ORDER BY varname""".stripMargin,
+
+    "vq19_exclusion_filter" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT (p_name LIKE '%chocolate%' OR p_name LIKE '%burnished%')
+        |  AND p_partkey <= 500
+        |ORDER BY p_partkey""".stripMargin
   ) ++ PipelineQueries.oracleSql
 }
