@@ -20,4 +20,35 @@ class EntrySpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
+
+  test("Tables.registerAll exposes every testdata table as a view") {
+    graft.sources.Tables.registerAll(TestSpark.spark, "/root/testdata/sf0.001")
+    val n = TestSpark.spark.sql(
+      "SELECT COUNT(*) FROM nation JOIN region ON n_regionkey = r_regionkey")
+      .collect().head.getLong(0)
+    assert(n == 25L)
+  }
+
+  test("ConfigReader defaults and full-surface parse") {
+    import graft.sources.ConfigReader
+    val minimal = ConfigReader.fromJson("""{"study_id":"S"}""")
+    assert(minimal.studyId == "S")
+    assert(minimal.isActive("anything")) // default ALL -> true
+    assert(minimal.missingValues == graft.model.Naming.DefaultMissing)
+    assert(minimal.publisher == "NCPI FHIR Working Group")
+
+    val full = ConfigReader.fromJson(
+      """{"study_id":"S","curies":{"http://snomed.info/sct":"SCT"},
+        |"active_tables":{"a":true},"missing_values":["-","?"],
+        |"consent_group":"GRU",
+        |"dataset":{"a":{"filename":"a.csv","delimiter":";",
+        |  "aggregators":{"x":"^x_"},"aggregator-splitter":"_"}}}""".stripMargin)
+    assert(full.curies == Map("http://snomed.info/sct" -> "SCT"))
+    assert(full.isActive("a") && !full.isActive("b"))
+    assert(full.missingValues == Seq("-", "?"))
+    assert(full.consentGroup.contains("GRU"))
+    val ds = full.dataset("a")
+    assert(ds.delimiter == ";" && ds.aggregatorSplitter.contains("_"))
+    assert(ds.tableType == graft.model.TableType.Default)
+  }
 }
