@@ -211,6 +211,22 @@ class RestructureSpec extends AnyFunSuite {
       Row("M", "Male"), Row("F", "Female"), Row("X", null)))
   }
 
+  test("SkewJoin.saltedJoin returns exactly the plain join's rows") {
+    // a hot key (k=1) plus normal keys; salted result must be identical
+    val left = df("k INT, lv STRING",
+      (1 to 50).map(i => Row(1, s"hot$i")) ++ Seq(Row(2, "a"), Row(3, "b"), Row(9, "miss")))
+    val right = df("k INT, rv STRING", Seq(Row(1, "R1"), Row(2, "R2"), Row(3, "R3")))
+    def sortedRows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val plain = left.join(right, Seq("k"))
+    val salted = SkewJoin.saltedJoin(left, right, Seq("k"), saltBuckets = 4)
+    assert(sortedRows(salted) == sortedRows(plain))
+    // left joins preserve the unmatched row too
+    val plainLeft = left.join(right, Seq("k"), "left")
+    val saltedLeft = SkewJoin.saltedJoin(left, right, Seq("k"), "left", saltBuckets = 4)
+    assert(sortedRows(saltedLeft) == sortedRows(plainLeft))
+  }
+
   test("RunLengthGroup assigns a new run id whenever the code changes in order") {
     val in = df("pos INT, code STRING",
       Seq(Row(1, "a"), Row(2, "a"), Row(3, "b"), Row(4, "a"), Row(5, "a")))
