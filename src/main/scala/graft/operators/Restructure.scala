@@ -129,7 +129,10 @@ object AggregatorPivot {
           case Some(s) if v.contains(s) => v.split(Regex.quote(s), -1).drop(1).mkString(s)
           case _ => v
         }
-        val code = varnameLookup.getOrElse(s"$newcol:$codeVar", codeVar)
+        // the per-variable key uses the POST-substitution column name
+        // (ref: extractor.py:168-180: varidentifier = f"{newcol}:{varname}"
+        // after newcol itself was remapped) — DD lookups key on varnames
+        val code = varnameLookup.getOrElse(s"$outName:$codeVar", codeVar)
         // when any matched column carries a text detail, every entry gets
         // the field (null where absent) — array() requires a uniform
         // struct type, unlike the reference's heterogeneous JSON dicts

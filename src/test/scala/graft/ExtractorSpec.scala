@@ -48,6 +48,14 @@ class ExtractorSpec extends AnyFunSuite {
         |M,Male,demographics,sex,sex,male,Male,http://hl7.org/fhir/administrative-gender
         |F,Female,demographics,sex,sex,female,Female,http://hl7.org/fhir/administrative-gender
         |""".stripMargin)
+    // labs DD: the config's descriptive aggregator name substitutes to the
+    // DD varname (extractor.py:316 + dd/variable.py:63-72)
+    write(dir, "labs_dd.csv",
+      """variable_name,description,data_type,enumerations
+        |Subject Id,Participant,string,
+        |measurements,Lab Panel,string,
+        |Visit,Visit code,string,
+        |""".stripMargin)
     dir
   }
 
@@ -60,7 +68,8 @@ class ExtractorSpec extends AnyFunSuite {
       |                   "code_harmonization": "harmony.csv"},
       |  "labs": {"filename": "labs_part1.csv,labs_part2.csv",
       |           "group_by": "Subject Id",
-      |           "aggregators": {"measurements": "^lab_"},
+      |           "data_dictionary": {"filename": "labs_dd.csv"},
+      |           "aggregators": {"Lab Panel": "^lab_"},
       |           "aggregator-splitter": "_"},
       |  "conditions": {"filename": "conditions.csv",
       |                 "embed": {"dataset": "demographics", "colname": "Subject Id"}}
@@ -69,7 +78,8 @@ class ExtractorSpec extends AnyFunSuite {
   test("full extraction: pivot + multi-file group nest + embed + display columns") {
     val dir = fixtureDir()
     val config: StudyConfig = ConfigReader.fromJson(configJson)
-    val out = Extractor.extract(spark, config, dataDir = dir.toString)
+    val dd = graft.cli.Play.loadDdCatalog(spark, config, dir.toString)
+    val out = Extractor.extract(spark, config, Some(dd), dataDir = dir.toString)
 
     // conditions is embedded — not a top-level table
     assert(out.keySet == Set("demographics", "labs"))
@@ -88,7 +98,8 @@ class ExtractorSpec extends AnyFunSuite {
     assert(demo(2).getAs[scala.collection.Seq[Row]]("conditions").isEmpty) // S3: []
 
     // labs: multi-file union, LAB_ columns pivoted with splitter-stripped
-    // codes, grouped by subject with intra-group file order preserved
+    // codes; the descriptive aggregator name "Lab Panel" substituted to
+    // the DD varname "measurements"; grouped with file order preserved
     val labs = out("labs").orderBy("subject_id").collect()
     assert(out("labs").columns.toSeq == Seq("subject_id", "content"))
     val l1 = labs(0).getAs[scala.collection.Seq[Row]]("content")

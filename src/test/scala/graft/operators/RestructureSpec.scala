@@ -54,9 +54,11 @@ class RestructureSpec extends AnyFunSuite {
   }
 
   test("AggregatorPivot splitter strips the code prefix; varnameLookup remaps codes and the column") {
+    // the DD maps the config's descriptive aggregator name to a varname,
+    // and value keys use the POST-substitution name (extractor.py:168-180)
     val out = AggregatorPivot(labsDf, Map("labs" -> "^lab_"),
       aggSplitter = Some("_"),
-      varnameLookup = Map("labs" -> "measurements", "labs:glucose" -> "glu"))
+      varnameLookup = Map("labs" -> "measurements", "measurements:glucose" -> "glu"))
     assert(out.columns.toSeq == Seq("subject_id", "other", "measurements"))
     val s1 = out.filter(out("subject_id") === "S1").collect().head
     assert(s1.getSeq[Row](2) == Seq(Row("glu", "99"), Row("sodium", "140")))
