@@ -218,6 +218,10 @@ object Harmony {
   def sourceCodeGroups(df: DataFrame, curies: Map[String, String] = Map.empty,
       consentGroup: Option[String] = None,
       urlBase: String = graft.model.Dd.SystemBase): DataFrame = {
+    // ObjectifyHarmony-side columns (the ConceptMap path needs only the 6
+    // required ones; the ValueSet path also needs the accounting columns)
+    require(Seq("table_name", "parent_varname").forall(df.columns.contains),
+      s"source code groups need table_name/parent_varname columns; found: ${df.columns.mkString(", ")}")
     val rows = df.filter(trim(col("table_name")) =!= "")
     val fix = (c: Column) => graft.functions.WhistlerFunctions.fixFieldName(c)
     val consentSeg = consentGroup.filter(_.trim.nonEmpty)
