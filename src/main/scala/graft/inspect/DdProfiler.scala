@@ -58,4 +58,28 @@ object DdProfiler {
       .select(col("varname"), col("vmin"), col("vmax"), col("n_distinct"), col("values_list"))
       .orderBy("varname")
   }
+
+  /**
+   * The builddd output: the profile re-emitted as a DD CSV draft
+   * (ref: dd_from_fhir.py:56-67 header, 69-125 rows) that
+   * [[graft.sources.DdCsv]] parses straight back — numeric-looking
+   * variables drafted as `number`, enumerable value lists as bare
+   * enumerations, min/max noted for the curator.
+   */
+  def toDdCsv(profileRows: Seq[org.apache.spark.sql.Row]): String = {
+    val header = "variable_name,description,data_type,enumerations,notes"
+    val lines = profileRows.map { r =>
+      val (vmin, vmax) = (r.getString(1), r.getString(2))
+      val dataType = if (vmin.nonEmpty) "number" else "string"
+      val enums = Option(r.getString(4)).getOrElse("")
+      val notes = if (vmin.nonEmpty) s"observed range $vmin..$vmax" else ""
+      Seq(r.getString(0), "", dataType, enums, notes).map(cell).mkString(",")
+    }
+    (header +: lines).mkString("", "\n", "\n")
+  }
+
+  private def cell(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
 }

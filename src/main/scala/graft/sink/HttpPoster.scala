@@ -20,16 +20,21 @@ class HttpPoster(
     maxRetries: Int = 3,
     backoff429Millis: Long = 35000L,
     backoffErrMillis: Long = 5000L,
-    headers: Map[String, String] = Map.empty) {
+    headers: Map[String, String] = Map.empty,
+    validateOnly: Boolean = false) {
 
   private val client = HttpClient.newHttpClient()
   private val IdField = "\"id\"\\s*:\\s*\"([^\"]+)\"".r
 
   /** The [[FhirLoadSink.Poster]] contract: returns the server id, throws
-   *  after retries are exhausted. */
+   *  after retries are exhausted. In `validateOnly` mode every request
+   *  POSTs to the type's `$validate` operation instead of writing
+   *  (ref: load.py:288-310 validate_only path + the per-type cutoff in
+   *  [[FhirLoadSink.validationSample]]). */
   def post(verb: String, resourceType: String, existingId: String, resourceJson: String): String = {
     val url =
-      if (verb == "PUT" && existingId != null) s"$baseUrl/$resourceType/$existingId"
+      if (validateOnly) s"$baseUrl/$resourceType/" + "$validate"
+      else if (verb == "PUT" && existingId != null) s"$baseUrl/$resourceType/$existingId"
       else s"$baseUrl/$resourceType"
     var attempt = 0
     var lastStatus = -1
@@ -38,8 +43,10 @@ class HttpPoster(
       val builder = HttpRequest.newBuilder(URI.create(url))
         .header("Content-Type", "application/fhir+json")
       headers.foreach { case (k, v) => builder.header(k, v) }
+      val effectiveVerb = if (validateOnly) "POST" else verb // $validate is always a POST
       val req = builder
-        .method(verb, HttpRequest.BodyPublishers.ofString(resourceJson, StandardCharsets.UTF_8))
+        .method(effectiveVerb,
+          HttpRequest.BodyPublishers.ofString(resourceJson, StandardCharsets.UTF_8))
         .build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
       lastStatus = resp.statusCode()

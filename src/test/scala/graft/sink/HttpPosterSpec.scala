@@ -69,6 +69,20 @@ class HttpPosterSpec extends AnyFunSuite {
     }
   }
 
+  test("validateOnly mode POSTs every request to the type's $validate operation") {
+    val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+    withServer { ex =>
+      paths.synchronized { paths += ex.getRequestMethod + " " + ex.getRequestURI.getPath }
+      respond(ex, 200, """{"resourceType":"OperationOutcome"}""")
+    } { base =>
+      val poster = new HttpPoster(base, backoff429Millis = 1, backoffErrMillis = 1,
+        validateOnly = true)
+      poster.post("PUT", "Patient", "77", "{}")
+      poster.post("POST", "Observation", null, "{}")
+      assert(paths.toSeq == Seq("POST /Patient/$validate", "POST /Observation/$validate"))
+    }
+  }
+
   test("FileSource.fetch reads local paths, file:// URIs, and http URLs") {
     val p = java.nio.file.Files.createTempFile("graft-fs", ".json")
     java.nio.file.Files.write(p, """{"ok":true}""".getBytes(StandardCharsets.UTF_8))

@@ -150,6 +150,20 @@ class SinksSpec extends AnyFunSuite {
     assert(gated.isNullAt(4))
   }
 
+  test("DdProfiler.toDdCsv drafts a DD the CSV parser reads back") {
+    import graft.inspect.DdProfiler
+    val in = df("status STRING, score STRING", Seq(
+      Row("open", "1.5"), Row("closed", "3")))
+    val csv = DdProfiler.toDdCsv(
+      DdProfiler.profile(in, Seq("status", "score")).collect().toSeq)
+    val p = java.nio.file.Files.createTempDirectory("graft-builddd").resolve("draft.csv")
+    java.nio.file.Files.write(p, csv.getBytes("UTF-8"))
+    val table = graft.sources.DdCsv.parse(TestSpark.spark, p.toString, "S")
+    assert(table.variables.map(_.varName).toSet == Set("status", "score"))
+    assert(table.variable("score").get.dataType == graft.model.DdType.Number)
+    assert(table.variable("status").get.enumerations.keySet == Set("closed", "open"))
+  }
+
   test("module summary honors a resource-type restriction (test_module_summary.py)") {
     val in = df("module STRING, t STRING", Seq(
       Row("m1", "Patient"), Row("m1", "Observation")))
