@@ -117,6 +117,15 @@ object PipelineQueries {
         Multimodal.asBinaryPayload(docs(s, dir), "doc_id", "text"),
         "doc_id", "content")),
 
+    // Multimodal resize: deterministic stride downsample of the payload
+    // to a 16x16 budget, tagged for post-resize dedup (docs are ASCII so
+    // the oracle samples the text characters)
+    "pq10c_resize" -> q((s, dir) =>
+      Multimodal.resize(
+        Multimodal.asBinaryPayload(docs(s, dir), "doc_id", "text"),
+        "doc_id", "content", targetW = 16, targetH = 16)
+        .orderBy("doc_id")),
+
     // Multimodal decode path: text -> opaque binary payload -> batched
     // per-partition decode (the stub codec) -> typed metadata rows. This
     // executes asBinaryPayload + decodeBatch + decodeOne end-to-end; the
@@ -323,6 +332,15 @@ object PipelineQueries {
         |       md5(substring(text, (i * frame_size + 1)::INT, frame_size::INT)) AS frame_tag
         |FROM m, unnest(range(0, n_frames)) AS u(i)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "pq10c_resize" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n_bytes FROM documents),
+        |m AS (SELECT doc_id, text, n_bytes,
+        |             greatest(1, n_bytes // 256) AS stride FROM d)
+        |SELECT doc_id, n_bytes, stride,
+        |       md5(array_to_string(list_transform(range(0, (n_bytes + stride - 1) // stride),
+        |         i -> substr(text, (1 + i * stride)::INT, 1)), '')) AS resized_tag
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "pq11_multimodal_decode" ->
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -103,6 +103,45 @@ object Multimodal {
           (col("frame_idx") * col("frame_size") + 1).cast("int"),
           col("frame_size").cast("int"))).as("frame_tag"))
       .orderBy("doc_id", "frame_idx")
+  }
+
+  /**
+   * STUB resize: deterministic downsample of the payload to a target
+   * pixel budget — every stride-th byte survives, stride chosen so the
+   * sample fits `targetW * targetH`. A real implementation swaps the
+   * sampling for a codec's scaler; the Spark shape (typed per-partition
+   * pass, byte-budget-bounded output, content tag for dedup after
+   * resize) is the real contract. Output: (doc_id, n_bytes, stride,
+   * resized_tag).
+   */
+  def resize(df: DataFrame, idCol: String, payloadCol: String,
+      targetW: Int = 16, targetH: Int = 16): DataFrame = {
+    val budget = targetW * targetH
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(df.schema.fieldIndex(idCol)).copy(name = "doc_id"),
+      org.apache.spark.sql.types.StructField("n_bytes",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("stride",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("resized_tag",
+        org.apache.spark.sql.types.StringType)))
+    df.select(org.apache.spark.sql.functions.col(idCol),
+        org.apache.spark.sql.functions.col(payloadCol))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val n = bytes.length
+          val stride = math.max(1L, n.toLong / budget)
+          val sampled = new java.io.ByteArrayOutputStream()
+          var i = 0L
+          while (i < n) { sampled.write(bytes(i.toInt)); i += stride }
+          val digest = md.digest(sampled.toByteArray)
+          val hex = new java.lang.StringBuilder(32)
+          digest.foreach(b => hex.append(f"${b & 0xff}%02x"))
+          Row(r.get(0), n.toLong, stride, hex.toString)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /**
