@@ -21,13 +21,24 @@ object BundleScan {
    */
   def read(spark: SparkSession, path: String): DataFrame = {
     val doc = spark.read.option("multiLine", "true").json(path)
-    val parts = doc.columns.toSeq.map { module =>
-      doc.select(explode(col(s"`$module`")).as("_r"))
-        .select(
-          lit(module).as("module"),
-          col("_r.resourceType").cast("string").as("resourceType"),
-          col("_r.id").cast("string").as("id"),
-          to_json(col("_r")).as("resource"))
+    // only array-valued keys are modules — a whistle-input-style doc mixes
+    // in scalar/object metadata keys (config, study), which are not
+    // resource groups
+    val moduleCols = doc.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => f.name
+    }.toSeq
+    require(moduleCols.nonEmpty, s"no module arrays found in $path")
+    val parts = moduleCols.map { module =>
+      val exploded = doc.select(explode(col(s"`$module`")).as("_r"))
+      val fields = exploded.select("_r.*").columns.toSet
+      def strField(name: String) =
+        if (fields.contains(name)) col(s"_r.$name").cast("string")
+        else lit(null).cast("string")
+      exploded.select(
+        lit(module).as("module"),
+        strField("resourceType").as("resourceType"),
+        strField("id").as("id"),
+        to_json(col("_r")).as("resource"))
     }
     parts.reduce(_ unionByName (_, allowMissingColumns = true))
   }

@@ -36,6 +36,21 @@ class BundleScanSpec extends AnyFunSuite {
     assert(ranks == Map("patient" -> 0, "ddmeta" -> 1))
   }
 
+  test("BundleScan.read skips non-array metadata keys and tolerates missing id/resourceType") {
+    val doc =
+      """{"config":{"missing":["NA"]},
+        |"study":{"id":"S1"},
+        |"patient":[{"resourceType":"Patient","id":"P1"}],
+        |"odd":[{"noType":true}]}""".stripMargin.replaceAll("\n", "")
+    val p = Files.createTempDirectory("graft-bscan2").resolve("mixed.json")
+    Files.write(p, doc.getBytes("UTF-8"))
+    val out = BundleScan.read(spark, p.toString).collect()
+    assert(out.map(_.getString(0)).toSet == Set("patient", "odd"))
+    val odd = out.find(_.getString(0) == "odd").get
+    assert(odd.isNullAt(1) && odd.isNullAt(2))
+    assert(odd.getString(3).contains("noType"))
+  }
+
   test("loadFilter restricts by module and resourceType; empty lists pass all") {
     val r = df("module STRING, resourceType STRING", Seq(
       Row("patient", "Patient"), Row("cond", "Condition")))
