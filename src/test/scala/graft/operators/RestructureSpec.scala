@@ -213,6 +213,22 @@ class RestructureSpec extends AnyFunSuite {
       Row("M", "Male"), Row("F", "Female"), Row("X", null)))
   }
 
+  test("bucketed co-located join plans without a shuffle exchange") {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-buckets")
+    val left = spark.range(1000).selectExpr("id AS k", "id * 2 AS lv")
+    val right = spark.range(500).selectExpr("id AS k", "id * 3 AS rv")
+    Bucketing.writeBucketed(left, "bkt_left", s"$dir/left", Seq("k"), buckets = 8)
+    Bucketing.writeBucketed(right, "bkt_right", s"$dir/right", Seq("k"), buckets = 8)
+    val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should be exchange-free:\n$plan")
+    assert(joined.count() == 500)
+    spark.sql("DROP TABLE bkt_left")
+    spark.sql("DROP TABLE bkt_right")
+  }
+
   test("SkewJoin.saltedJoin returns exactly the plain join's rows") {
     // a hot key (k=1) plus normal keys; salted result must be identical
     val left = df("k INT, lv STRING",
