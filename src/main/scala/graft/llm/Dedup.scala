@@ -177,21 +177,86 @@ object SimHashNearDup {
     (1 to 16).map(p => bit_count(nibble(a, p).bitwiseXOR(nibble(b, p))))
       .reduce(_ + _).cast("bigint")
 
+  /** JVM twin of [[hammingExpr]]: per-nibble xor popcount over two
+   *  16-hex-char signatures. */
+  private[llm] def hammingJvm(a: String, b: String): Long = {
+    var h = 0
+    var p = 0
+    while (p < 16) {
+      h += java.lang.Integer.bitCount(
+        Character.digit(a.charAt(p), 16) ^ Character.digit(b.charAt(p), 16))
+      p += 1
+    }
+    h.toLong
+  }
+
   /**
-   * SimHash near-duplicate pairs by banded Hamming join: the 64-bit
+   * SimHash near-duplicate pairs by banded Hamming buckets: the 64-bit
    * signature splits into 4 16-bit chunks; docs within Hamming distance
    * d <= 3 must agree exactly on at least one chunk (pigeonhole), so
-   * candidate generation is a bucket-equality join on (chunk index,
-   * chunk value) — never all-pairs — and the exact Hamming filter runs
-   * on candidates only. Output (doc_a, doc_b, hamming), doc_a < doc_b.
+   * candidate generation never goes all-pairs. Output
+   * (doc_a, doc_b, hamming), doc_a < doc_b.
+   *
+   * Execution: the typed signature stage explodes to (chunk index, chunk
+   * value) keys, then ONE shuffle groups chunk-mates and the pairwise
+   * Hamming loop runs per bucket in plain JVM code, so the exact <= d
+   * filter applies BEFORE the cross-chunk distinct — the self-join shape
+   * this replaces deduplicated all candidate pairs (each carrying both
+   * full signatures) and only then filtered. A chunk bucket is
+   * materialized while scored: (id, 16-char hex) rows, quadratic in the
+   * size of a duplicate cluster — the same bound as the join's bucket
+   * expansion; adversarial corpora should pre-dedup exact copies
+   * ([[ExactDedup]]) first. Non-numeric/non-string ids fall back to the
+   * bucket-equality self-join.
    */
   def apply(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"4 bands guarantee recall only for distance <= 3, got $maxHamming")
     val sigs = SimHashSignatures.signatures(df, idCol, textCol)
-      .filter(col("simhash").isNotNull)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+      .filter(col("simhash").isNotNull && col("doc_id").isNotNull)
+    Similarity.idOrdering(sigs.schema("doc_id").dataType) match {
+      case Some(ord) =>
+        val idField = sigs.schema("doc_id")
+        val outSchema = StructType(Seq(
+          idField.copy(name = "doc_a"), idField.copy(name = "doc_b"),
+          StructField("hamming", org.apache.spark.sql.types.LongType, nullable = true)))
+        sigs.flatMap { r =>
+          val s = r.getString(1)
+          (0 until 4).iterator.map(i => (s"$i:${s.substring(4 * i, 4 * i + 4)}", r))
+        }(Encoders.tuple(Encoders.STRING, Encoders.row(sigs.schema)))
+          .groupByKey(_._1)(Encoders.STRING)
+          .flatMapGroups { (_, it) =>
+            val rows = it.map(_._2).toArray
+            scala.util.Sorting.stableSort(rows,
+              (x: Row, y: Row) => ord.lt(x.get(0), y.get(0)))
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var i = 0
+            while (i < rows.length) {
+              val sa = rows(i).getString(1)
+              var j = i + 1
+              while (j < rows.length) {
+                if (ord.compare(rows(i).get(0), rows(j).get(0)) != 0) {
+                  val h = hammingJvm(sa, rows(j).getString(1))
+                  if (h <= maxHamming) buf += Row(rows(i).get(0), rows(j).get(0), h)
+                }
+                j += 1
+              }
+              i += 1
+            }
+            buf.iterator
+          }(Encoders.row(outSchema))
+          .distinct() // a pair within distance d shares up to 4 - d chunks
+          .orderBy("doc_a", "doc_b")
+      case None => joined(sigs, maxHamming)
+    }
+  }
+
+  /** Fallback for exotic id types: bucket-equality self-join on
+   *  (chunk index, chunk value), distinct, then the Hamming expression. */
+  private def joined(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val cached = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = cached.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         substring(col("simhash"), 1 + 4 * i, 4)): _*)).as(Seq("_i", "_chunk")))
     val cand = banded.as("a")

@@ -3,7 +3,8 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Similarity search over an embedding column (`array<float>`).
@@ -15,24 +16,36 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType,
  * results are verifiable against an external oracle and reproducible
  * across cluster runs regardless of partitioning or summation order.
  *
+ * Execution shape: quantization/norms and the per-pair dot products run
+ * in typed `mapPartitions` stages (plain `while` loops over the long
+ * arrays). The declarative forms ([[quantize]]/[[dot]]/[[norm2]]) are
+ * higher-order Column expressions, which Catalyst evaluates interpreted —
+ * measured ~10x slower in the pair hot loop — so they are kept only as
+ * the executable spec the typed twins are pinned against in tests.
+ *
  * Two search shapes:
- *  - [[CosineTopK]]: brute force. The query set is broadcast; the corpus
- *    is scanned once, never shuffled. O(|Q| * N) dot products — the right
- *    baseline when |Q| is small or recall must be exact.
- *  - [[BucketedAnn]]: sign-prefix LSH buckets (IVF-style coarse
- *    quantization). Corpus and queries are bucketed by the sign pattern of
- *    the leading dimensions; the join is bucket-equality, so each query
- *    only scores its bucket's candidates — the scale path, trading recall
- *    for a 2^bits candidate reduction. More buckets, multi-probe, or a
- *    learned coarse quantizer slot into the same join shape.
+ *  - [[Similarity.cosineTopK]]: brute force. The query set is broadcast;
+ *    the corpus is scanned once, never shuffled. O(|Q| * N) dot products —
+ *    the right baseline when |Q| is small or recall must be exact.
+ *  - [[Similarity.bucketedTopK]]: sign-prefix LSH buckets (IVF-style
+ *    coarse quantization). Corpus and queries are bucketed by the sign
+ *    pattern of the leading dimensions; the join is bucket-equality, so
+ *    each query only scores its bucket's candidates — the scale path,
+ *    trading recall for a 2^bits candidate reduction. Bucket width
+ *    defaults to [[autoBucketBits]] of the corpus size, so per-bucket
+ *    pair work stays bounded as the corpus grows. More buckets,
+ *    multi-probe, or a learned coarse quantizer slot into the same join
+ *    shape.
  */
 object Similarity {
 
-  /** Quantize array<float> to exact integer milliunits: array<bigint>. */
+  /** Quantize array<float> to exact integer milliunits: array<bigint>.
+   *  Declarative twin of the typed prep stage — spec/tests only. */
   def quantize(vec: Column, scale: Int = 1000): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Exact BIGINT dot product of two quantized vectors. */
+  /** Exact BIGINT dot product of two quantized vectors.
+   *  Declarative twin of the typed pair scoring — spec/tests only. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
@@ -43,7 +56,9 @@ object Similarity {
   def cosine(dotCol: Column, n2a: Column, n2b: Column): Column =
     dotCol / sqrt(n2a.cast("double") * n2b.cast("double"))
 
-  /** Sign-pattern bucket key over the first `bits` dimensions ("0101..."). */
+  /** Sign-pattern bucket key over the first `bits` dimensions ("0101...").
+   *  Buckets are prefix-nested: agreement on b bits implies agreement on
+   *  any b' < b, so recall only grows as bits shrink. */
   def signBucket(qv: Column, bits: Int): Column =
     concat((1 to bits).map(i =>
       when(element_at(qv, i) > 0, lit("1")).otherwise(lit("0"))): _*)
@@ -62,6 +77,47 @@ object Similarity {
     math.min(maxBits, math.max(1, needed))
   }
 
+  /** JVM twin of [[quantize]] for one component: Spark `round(double)` is
+   *  BigDecimal.valueOf(d).setScale(0, HALF_UP). */
+  private[llm] def quantizeJvm(x: Double, scale: Int = 1000): Long =
+    java.math.BigDecimal.valueOf(x * scale)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  /**
+   * Typed prep stage: one `mapPartitions` pass computes the quantized
+   * vector and its squared norm — the per-row work that, as higher-order
+   * Column expressions, would evaluate interpreted. Output:
+   * (idAs, _v array<bigint>, _n2 bigint). A null input vector yields null
+   * _v/_n2 (matching the declarative forms, where transform/aggregate of
+   * null is null).
+   */
+  private def prepTyped(df: DataFrame, idCol: String, idAs: String,
+      vecCol: String): DataFrame = {
+    val in = df.select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as("_raw"))
+    val outSchema = StructType(Seq(
+      in.schema(idAs),
+      StructField("_v", ArrayType(LongType, containsNull = false), nullable = true),
+      StructField("_n2", LongType, nullable = true)))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(1)) Row(r.get(0), null, null)
+        else {
+          val raw = r.getSeq[Double](1)
+          val v = new Array[Long](raw.length)
+          var n2 = 0L
+          var i = 0
+          while (i < raw.length) {
+            val q = quantizeJvm(raw(i))
+            v(i) = q
+            n2 += q * q
+            i += 1
+          }
+          Row(r.get(0), v.toSeq, n2)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Numeric key for (qid, cid) ordering inside the pre-reduce heap —
    *  must agree with the window's `cid` ASC tie-break, so the reduction
    *  only applies to numeric id types. */
@@ -70,78 +126,180 @@ object Similarity {
     case _ => Double.NaN
   }
 
+  /** JVM ordering agreeing with Catalyst's `<` on the id column, for the
+   *  types ids actually take. None → callers fall back to a plan that
+   *  never compares ids JVM-side. (String caveat: Catalyst compares
+   *  UTF-8 bytes, Java UTF-16 code units — they differ only beyond the
+   *  BMP, which identifiers don't reach.) */
+  private[llm] def idOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some(Ordering.by((v: Any) => v.asInstanceOf[java.lang.Number].longValue))
+    case FloatType | DoubleType =>
+      Some(Ordering.by((v: Any) => v.asInstanceOf[java.lang.Number].doubleValue))
+    case org.apache.spark.sql.types.StringType =>
+      Some(Ordering.by((v: Any) => v.asInstanceOf[String]))
+    case _ => None
+  }
+
   /**
-   * Map-side top-k pre-reduction: per partition, keep only the k best
-   * (cosine desc, cid asc) candidates per query. The cosine here is the
-   * same double expression the final window recomputes (long dot /
+   * Typed pair scoring + map-side top-k pre-reduction. Input columns
+   * (qid, cid, _vq, _vc, _na, _nb); output (qid, cid, _dot, _na, _nb).
+   * The integer dot product runs in a plain `while` loop (the interpreted
+   * `aggregate()` fold here was 9.6x the oracle), and — when both ids are
+   * numeric, so the heap's tie-break can mirror the ranking window's
+   * `cid` ASC — each partition keeps only the k best (cosine desc, cid
+   * asc) candidates per query. The cosine used for selection is the same
+   * double expression the final window recomputes (long dot /
    * sqrt(long*long)), so selection agrees bit-for-bit with the window
-   * ranking. Only the surviving numPartitions * |Q| * k rows shuffle.
-   * Applied only when both ids are numeric (the heap's tie-break must
-   * match the window's `cid` ordering); non-numeric ids fall back to the
-   * direct window — correct, just shuffling all pairs.
+   * ranking, and only numPartitions * |Q| * k rows shuffle. Non-numeric
+   * ids skip the pre-reduce — correct, just shuffling all pairs.
    */
-  private def partitionTopK(pairs: DataFrame, k: Int): DataFrame = {
+  private def scorePairs(pairs: DataFrame, k: Int): DataFrame = {
     val schema = pairs.schema
+    val outSchema = StructType(Seq(schema("qid"), schema("cid"),
+      StructField("_dot", LongType, nullable = true),
+      StructField("_na", LongType, nullable = true),
+      StructField("_nb", LongType, nullable = true)))
     val idsNumeric = Seq("qid", "cid").forall { c =>
       schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
         case _ => false
       }
     }
-    if (!idsNumeric) return pairs
     pairs.mapPartitions { rows =>
-      // per-qid bounded heap, worst candidate on top (min-heap by rank order)
-      type Cand = (Double, Double, Row) // (cos, cidKey, row)
-      // rank key (-cos, cidKey): smaller = better. The queue dequeues its
-      // max, i.e. the current worst survivor.
-      val byRank = Ordering.by[Cand, (Double, Double)](c => (-c._1, c._2))
-      val heaps = new java.util.HashMap[Double, scala.collection.mutable.PriorityQueue[Cand]]()
-      rows.foreach { r =>
-        val cos = r.getLong(2).toDouble / math.sqrt(r.getLong(3).toDouble * r.getLong(4).toDouble)
-        val cand = (cos, numericKey(r.get(1)), r)
-        val heap = heaps.computeIfAbsent(numericKey(r.get(0)),
-          _ => scala.collection.mutable.PriorityQueue.empty[Cand](byRank))
-        if (heap.size < k) heap.enqueue(cand)
-        else if (byRank.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+      def score(r: Row): Row = {
+        val va = r.getSeq[Long](2)
+        val vb = r.getSeq[Long](3)
+        var d = 0L
+        var i = 0
+        val n = math.min(va.length, vb.length)
+        while (i < n) { d += va(i) * vb(i); i += 1 }
+        Row(r.get(0), r.get(1), d, r.getLong(4), r.getLong(5))
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values.asScala.iterator.flatMap(_.iterator.map(_._3))
-    }(Encoders.row(schema))
+      if (!idsNumeric) rows.map(score)
+      else {
+        // per-qid bounded heap, worst candidate on top (min-heap by rank
+        // order): rank key (-cos, cidKey), smaller = better; the queue
+        // dequeues its max, i.e. the current worst survivor.
+        type Cand = (Double, Double, Row) // (cos, cidKey, scored row)
+        val byRank = Ordering.by[Cand, (Double, Double)](c => (-c._1, c._2))
+        val heaps = new java.util.HashMap[Double, scala.collection.mutable.PriorityQueue[Cand]]()
+        rows.foreach { r =>
+          val s = score(r)
+          val cos = s.getLong(2).toDouble /
+            math.sqrt(s.getLong(3).toDouble * s.getLong(4).toDouble)
+          val cand = (cos, numericKey(s.get(1)), s)
+          val heap = heaps.computeIfAbsent(numericKey(s.get(0)),
+            _ => scala.collection.mutable.PriorityQueue.empty[Cand](byRank))
+          if (heap.size < k) heap.enqueue(cand)
+          else if (byRank.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+        }
+        import scala.jdk.CollectionConverters._
+        heaps.values.asScala.iterator.flatMap(_.iterator.map(_._3))
+      }
+    }(Encoders.row(outSchema))
   }
 
-  private def scored(pairs: DataFrame, k: Int): DataFrame = {
+  /** Final ranking window over the scored survivors. */
+  private def ranked(scoredPairs: DataFrame, k: Int): DataFrame = {
     val cos = cosine(col("_dot"), col("_na"), col("_nb"))
     val w = Window.partitionBy("qid").orderBy(cos.desc, col("cid"))
-    partitionTopK(pairs, k)
+    scoredPairs
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("cid"), round(cos, 4).as("cos"))
       .orderBy("qid", "rnk")
   }
 
+  /** Join sides with the prep columns renamed for an unambiguous join. */
+  private def prepSides(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
+    val c = prepTyped(corpus, idCol, "cid", vecCol)
+      .withColumnRenamed("_v", "_vc").withColumnRenamed("_n2", "_nb")
+    val q = prepTyped(queries, idCol, "qid", vecCol)
+      .withColumnRenamed("_v", "_vq").withColumnRenamed("_n2", "_na")
+    (c, q)
+  }
+
+  private val PairCols = Seq("qid", "cid", "_vq", "_vc", "_na", "_nb").map(col)
+
   /**
    * Brute-force cosine top-k: for each query vector, the k most similar
-   * corpus vectors (self excluded), ranked by cosine desc then id.
-   * Output: (qid, rnk, cid, cos). The query side is broadcast — the
-   * corpus partitioning is untouched during scoring — and a map-side
-   * per-partition top-k reduction runs before the ranking window, so the
-   * only shuffle carries numPartitions * |Q| * k candidate rows, not the
-   * full |Q| * N scored set.
+   * corpus vectors (self excluded, null embeddings skipped), ranked by
+   * cosine desc then id. Output: (qid, rnk, cid, cos).
+   *
+   * The query set is collected and broadcast as a plain array — brute
+   * force is the small-|Q| exact baseline by contract, and an explicit
+   * broadcast moves the same bytes a broadcast *join* would, without
+   * materializing |Q| * N pair rows through the row serde (the pair rows
+   * each carry two quantized vectors; at dim 64 the serde dominated the
+   * dot products ~10:1). Scoring is then ONE corpus scan — no join, no
+   * shuffle of scored pairs — with a per-query bounded heap per
+   * partition, so the only shuffled rows are the numPartitions * |Q| * k
+   * survivors entering the ranking window. Non-numeric, non-string ids
+   * (no JVM ordering agreeing with the window's cid tie-break) skip the
+   * pre-reduce and emit every scored pair — correct, just more shuffle.
    */
   def cosineTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val prep = (df: DataFrame, id: String, v: String) => {
-      val qv = quantize(col(vecCol))
-      df.select(col(idCol).as(id), qv.as(v)).withColumn(s"_n2$id", norm2(col(v)))
-    }
-    val c = prep(corpus, "cid", "_vc")
-    val q = prep(queries, "qid", "_vq")
-    val pairs = c
-      .join(broadcast(q), col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        dot(col("_vq"), col("_vc")).as("_dot"),
-        col("_n2qid").as("_na"), col("_n2cid").as("_nb"))
-    scored(pairs, k)
+    val qPrep = prepTyped(queries, idCol, "qid", vecCol).filter(col("_v").isNotNull)
+    val cPrep = prepTyped(corpus, idCol, "cid", vecCol).filter(col("_v").isNotNull)
+    val qs = qPrep.collect().map(r => (r.get(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val qB = corpus.sparkSession.sparkContext.broadcast(qs)
+    val cidOrd = idOrdering(cPrep.schema("cid").dataType)
+    val outSchema = StructType(Seq(qPrep.schema("qid"), cPrep.schema("cid"),
+      StructField("_dot", LongType, nullable = true),
+      StructField("_na", LongType, nullable = true),
+      StructField("_nb", LongType, nullable = true)))
+    val survivors = cPrep.mapPartitions { rows =>
+      val queries = qB.value
+      def dotOf(vq: Array[Long], vc: Seq[Long]): Long = {
+        var d = 0L
+        var i = 0
+        val n = math.min(vq.length, vc.length)
+        while (i < n) { d += vq(i) * vc(i); i += 1 }
+        d
+      }
+      cidOrd match {
+        case Some(ord) =>
+          type Cand = (Double, Any, Row) // (cos, cid, scored row)
+          // worst survivor on top: rank key (-cos, cid) ascending = better
+          val byRank = Ordering.by[Cand, Double](-_._1)
+            .orElse(Ordering.by[Cand, Any](_._2)(ord))
+          val heaps = Array.fill(queries.length)(
+            scala.collection.mutable.PriorityQueue.empty[Cand](byRank))
+          rows.foreach { r =>
+            val cid = r.get(0)
+            val vc = r.getSeq[Long](1)
+            val nb = r.getLong(2)
+            var qi = 0
+            while (qi < queries.length) {
+              val (qid, vq, na) = queries(qi)
+              if (qid != null && cid != null && qid != cid) {
+                val d = dotOf(vq, vc)
+                val cos = d.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+                val cand = (cos, cid, Row(qid, cid, d, na, nb))
+                val heap = heaps(qi)
+                if (heap.size < k) heap.enqueue(cand)
+                else if (byRank.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+              }
+              qi += 1
+            }
+          }
+          heaps.iterator.flatMap(_.iterator.map(_._3))
+        case None =>
+          rows.flatMap { r =>
+            val cid = r.get(0)
+            val vc = r.getSeq[Long](1)
+            val nb = r.getLong(2)
+            queries.iterator.collect {
+              case (qid, vq, na) if qid != null && cid != null && qid != cid =>
+                Row(qid, cid, dotOf(vq, vc), na, nb)
+            }
+          }
+      }
+    }(Encoders.row(outSchema))
+    ranked(survivors, k)
   }
 
   /**
@@ -149,23 +307,94 @@ object Similarity {
    * sign bucket whose cosine clears the threshold — the embedding-space
    * sibling of MinHash near-dup (same LSH-bucket join shape: candidate
    * generation never goes all-pairs; recall grows with fewer bucket
-   * bits, cost with more). Output (id_a, id_b, cos) with id_a < id_b.
+   * bits, cost with more). Output (id_a, id_b, cos) with id_a < id_b,
+   * null ids/embeddings excluded.
+   *
+   * `bucketBits <= 0` (the default) sizes buckets from the corpus count
+   * via [[autoBucketBits]]; pass an explicit width for deterministic
+   * bucketing (oracle queries, recall experiments). Execution is one
+   * shuffle on the bucket key with per-bucket JVM pair scoring — see
+   * [[groupedNearDup]].
    */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bucketBits: Int = 4): DataFrame = {
-    val prep = corpus.select(col(idCol).as("_id"), quantize(col(vecCol)).as("_v"))
-      .withColumn("_n2", norm2(col("_v")))
-      .withColumn("_bkt", signBucket(col("_v"), bucketBits))
-    val a = prep.select(col("_id").as("id_a"), col("_v").as("_va"),
+      threshold: Double, bucketBits: Int = -1): DataFrame = {
+    val prep0 = prepTyped(corpus, idCol, "_id", vecCol)
+      .filter(col("_v").isNotNull && col("_id").isNotNull)
+    // the sizing count reads prep a second time — persist in auto mode only
+    // (with explicit bits the plan below consumes prep exactly once)
+    val prep = if (bucketBits > 0) prep0 else prep0.persist(StorageLevel.MEMORY_AND_DISK)
+    val bits = if (bucketBits > 0) bucketBits else autoBucketBits(prep.count())
+    val withBkt = prep.withColumn("_bkt", signBucket(col("_v"), bits))
+    idOrdering(withBkt.schema("_id").dataType) match {
+      case Some(ord) => groupedNearDup(withBkt, threshold, ord)
+      case None => joinedNearDup(withBkt, threshold)
+    }
+  }
+
+  /**
+   * Bucket-grouped pair scoring: ONE shuffle keyed on the sign bucket,
+   * each row crossing the wire once; the quadratic pairwise loop runs
+   * per bucket in plain JVM code. The self-join shape this replaces
+   * shipped both quantized vectors once per candidate PAIR — O(pairs)
+   * row serde vs O(N) here, and the serde (not the dot products)
+   * dominated. A bucket is materialized in memory while scored, which
+   * [[autoBucketBits]] bounds at ~targetBucketSize rows (~0.5 MB at
+   * dim 64); adversarially skewed sign patterns should raise the bit
+   * count or pre-salt, same caveat as MinHash's banded buckets.
+   */
+  private def groupedNearDup(withBkt: DataFrame, threshold: Double,
+      ord: Ordering[Any]): DataFrame = {
+    val idField = withBkt.schema("_id")
+    val outSchema = StructType(Seq(
+      idField.copy(name = "id_a"), idField.copy(name = "id_b"),
+      StructField("cos", DoubleType, nullable = true)))
+    withBkt.groupByKey(_.getString(3))(Encoders.STRING)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        // sorted by id, so the (i, j>i) emission order is id_a < id_b
+        scala.util.Sorting.stableSort(rows,
+          (x: Row, y: Row) => ord.lt(x.get(0), y.get(0)))
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var i = 0
+        while (i < rows.length) {
+          val ri = rows(i)
+          val vi = ri.getSeq[Long](1)
+          val ni = ri.getLong(2)
+          var j = i + 1
+          while (j < rows.length) {
+            val rj = rows(j)
+            if (ord.compare(ri.get(0), rj.get(0)) != 0) { // strict <, as the join's id_a < id_b
+              val vj = rj.getSeq[Long](1)
+              var d = 0L
+              var p = 0
+              val n = math.min(vi.length, vj.length)
+              while (p < n) { d += vi(p) * vj(p); p += 1 }
+              val cos = d.toDouble / math.sqrt(ni.toDouble * rj.getLong(2).toDouble)
+              if (cos >= threshold)
+                buf += Row(ri.get(0), rj.get(0),
+                  java.math.BigDecimal.valueOf(cos)
+                    .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue)
+            }
+            j += 1
+          }
+          i += 1
+        }
+        buf.iterator
+      }(Encoders.row(outSchema))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Fallback for id types without a JVM ordering that mirrors
+   *  Catalyst's `<`: bucket-equality self-join + typed pair scoring.
+   *  Same integer dot / double cosine / HALF_UP rounding. */
+  private def joinedNearDup(withBkt: DataFrame, threshold: Double): DataFrame = {
+    val a = withBkt.select(col("_id").as("id_a"), col("_v").as("_va"),
       col("_n2").as("_na"), col("_bkt"))
-    val b = prep.select(col("_id").as("id_b"), col("_v").as("_vb"),
+    val b = withBkt.select(col("_id").as("id_b"), col("_v").as("_vb"),
       col("_n2").as("_nb"), col("_bkt"))
     val joined = a.join(b, Seq("_bkt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("_va"), col("_vb"), col("_na"), col("_nb"))
-    // pair scoring runs typed: the quadratic-in-bucket dot products are
-    // the hot loop, and higher-order aggregate/zip_with evaluate
-    // interpreted. Same integer dot / double cosine / HALF_UP rounding.
     val outSchema = StructType(Seq(
       joined.schema("id_a"), joined.schema("id_b"),
       StructField("cos", DoubleType, nullable = true)))
@@ -192,21 +421,20 @@ object Similarity {
    * Bucketed ANN: both sides keyed by [[signBucket]]; candidates are
    * bucket-mates only. Same output shape as [[cosineTopK]] (queries with
    * an empty bucket return < k rows — approximate by design).
+   * `bucketBits <= 0` (the default) sizes buckets from the corpus count —
+   * the corpus prep is persisted so the sizing count doesn't recompute
+   * the quantization pass the join then reads.
    */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, bucketBits: Int = 4): DataFrame = {
-    val prep = (df: DataFrame, id: String, v: String) => {
-      df.select(col(idCol).as(id), quantize(col(vecCol)).as(v))
-        .withColumn(s"_n2$id", norm2(col(v)))
-        .withColumn(s"_bkt$id", signBucket(col(v), bucketBits))
-    }
-    val c = prep(corpus, "cid", "_vc")
-    val q = prep(queries, "qid", "_vq")
+      idCol: String, vecCol: String, k: Int, bucketBits: Int = -1): DataFrame = {
+    val (c0, q0) = prepSides(corpus, queries, idCol, vecCol)
+    val c1 = if (bucketBits > 0) c0 else c0.persist(StorageLevel.MEMORY_AND_DISK)
+    val bits = if (bucketBits > 0) bucketBits else autoBucketBits(c1.count())
+    val c = c1.withColumn("_bktc", signBucket(col("_vc"), bits))
+    val q = q0.withColumn("_bktq", signBucket(col("_vq"), bits))
     val pairs = c
-      .join(q, col("_bktqid") === col("_bktcid") && col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        dot(col("_vq"), col("_vc")).as("_dot"),
-        col("_n2qid").as("_na"), col("_n2cid").as("_nb"))
-    scored(pairs, k)
+      .join(q, col("_bktq") === col("_bktc") && col("qid") =!= col("cid"))
+      .select(PairCols: _*)
+    ranked(scorePairs(pairs, k), k)
   }
 }

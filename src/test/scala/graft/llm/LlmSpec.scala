@@ -151,6 +151,48 @@ class LlmSpec extends AnyFunSuite {
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("hammingJvm matches the hammingExpr Column form") {
+    val pairs = Seq(
+      ("0000000000000000", "0000000000000000"),
+      ("0000000000000000", "ffffffffffffffff"),
+      ("0123456789abcdef", "0123456789abcdee"),
+      ("8000000000000001", "0000000000000000"),
+      ("a5a5a5a5a5a5a5a5", "5a5a5a5a5a5a5a5a"))
+    val in = df("a STRING, b STRING", pairs.map { case (a, b) => Row(a, b) })
+    val sparkH = in.select(SimHashNearDup.hammingExpr(col("a"), col("b")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(pairs.map { case (a, b) => SimHashNearDup.hammingJvm(a, b) } == sparkH)
+  }
+
+  test("quantizeJvm matches the quantize Column expression (HALF_UP at .5)") {
+    val vals = Seq(0.0f, 0.0005f, -0.0005f, 0.0015f, 1.2345f, -1.2345f,
+      0.9999f, -0.9999f, 123.456f, -0.5f, 0.5f)
+    val in = df("f FLOAT", vals.map(Row(_)))
+    val sparkQ = in.select(Similarity.quantize(array(col("f"))))
+      .collect().map(_.getSeq[Long](0).head).toSeq
+    val jvmQ = vals.map(f => Similarity.quantizeJvm(f.toDouble))
+    assert(jvmQ == sparkQ)
+  }
+
+  test("nearDupPairs auto bucket bits: coarser buckets find a superset of explicit 4-bit pairs") {
+    // sign buckets are prefix-nested, so a small corpus (auto -> 1 bit)
+    // must recover every pair the 4-bit bucketing finds
+    val rows = (0L until 30L).map { i =>
+      Row(i, Seq.tabulate(8)(d => (math.sin(i * 0.7 + d) * 0.9).toFloat))
+    } ++ (0L until 5L).map { i =>
+      Row(i + 100L, Seq.tabulate(8)(d => (math.sin(i * 0.7 + d) * 0.9 * 1.01).toFloat))
+    }
+    val e = df("vec_id BIGINT, embedding ARRAY<FLOAT>", rows)
+    def pairs(bits: Int) =
+      Similarity.nearDupPairs(e, "vec_id", "embedding", threshold = 0.99, bucketBits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit4 = pairs(4)
+    val auto = Similarity.nearDupPairs(e, "vec_id", "embedding", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(explicit4.nonEmpty)
+    assert(explicit4.subsetOf(auto))
+  }
+
   test("partitionTopK pre-reduction returns the same rows as the plain window") {
     // many candidates across partitions, with exact cosine ties (duplicate
     // vectors) to exercise the cid tie-break agreement
