@@ -59,6 +59,28 @@ class HttpPoster(
     }
     throw new RuntimeException(s"$verb $url failed after $maxRetries attempts (last: $lastStatus)")
   }
+
+  /** The [[PurgeSink.Deleter]] contract: DELETE `Type/id`; true = gone
+   *  (2xx, or 404 = already gone), false = 409 conflict (something still
+   *  references it — defer to a later round, ref: purge.py:130-157),
+   *  throw on anything else after retries. */
+  def delete(resourceType: String, id: String): Boolean = {
+    val url = s"$baseUrl/$resourceType/$id"
+    var attempt = 0
+    var lastStatus = -1
+    while (attempt < maxRetries) {
+      attempt += 1
+      val builder = HttpRequest.newBuilder(URI.create(url))
+      headers.foreach { case (k, v) => builder.header(k, v) }
+      val resp = client.send(builder.DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      lastStatus = resp.statusCode()
+      if (lastStatus < 300 || lastStatus == 404) return true
+      else if (lastStatus == 409) return false
+      else if (lastStatus == 429) { if (attempt < maxRetries) Thread.sleep(backoff429Millis) }
+      else if (attempt < maxRetries) Thread.sleep(backoffErrMillis)
+    }
+    throw new RuntimeException(s"DELETE $url failed after $maxRetries attempts (last: $lastStatus)")
+  }
 }
 
 /**

@@ -7,21 +7,42 @@ import scala.jdk.CollectionConverters._
 
 /**
  * Study-configuration reader (ref: wstlr/config.py:18-70 property surface,
- * docs/ref/project_config.md key names). The reference reads YAML; this
- * engine reads the isomorphic JSON form (zero-egress build — no YAML
- * parser dependency; Jackson ships with Spark). Key names match the
- * reference config verbatim (`study_id`, `identifier_prefix`,
- * `active_tables`, `dataset.<name>.{filename, group_by, embed,
- * code_harmonization, aggregators, aggregator-splitter, data_dictionary}`).
+ * docs/ref/project_config.md key names). The reference configs are YAML
+ * (`safe_load` at config.py:22); [[fromYaml]] parses the same files via
+ * Jackson's YAML dataformat (ships with Spark), and the isomorphic JSON
+ * form stays supported. Key names match the reference config verbatim
+ * (`study_id`, `identifier_prefix`, `active_tables`,
+ * `dataset.<name>.{filename, group_by, embed, code_harmonization,
+ * aggregators, aggregator-splitter, data_dictionary}`).
  */
 object ConfigReader {
 
-  def fromJsonFile(path: String): StudyConfig =
-    fromJson(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-      java.nio.charset.StandardCharsets.UTF_8))
+  private def readFile(path: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
 
-  def fromJson(json: String): StudyConfig = {
-    val root = new ObjectMapper().readTree(json)
+  /** Parse a config file, dispatching on extension: `.yaml`/`.yml` →
+   *  YAML (the reference's native format), anything else → JSON. */
+  def fromFile(path: String): StudyConfig = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".yaml") || lower.endsWith(".yml")) fromYaml(readFile(path))
+    else fromJson(readFile(path))
+  }
+
+  def fromJsonFile(path: String): StudyConfig = fromJson(readFile(path))
+
+  def fromYamlFile(path: String): StudyConfig = fromYaml(readFile(path))
+
+  /** YAML study config — the reference's actual on-disk format. Parsed
+   *  into the same node tree as JSON, so both forms share one walk. */
+  def fromYaml(yaml: String): StudyConfig =
+    fromTree(new ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory()).readTree(yaml))
+
+  def fromJson(json: String): StudyConfig =
+    fromTree(new ObjectMapper().readTree(json))
+
+  private def fromTree(root: JsonNode): StudyConfig = {
 
     def str(n: JsonNode, key: String, default: String = ""): String = {
       val v = n.get(key)

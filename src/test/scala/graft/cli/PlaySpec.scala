@@ -69,6 +69,44 @@ class PlaySpec extends AnyFunSuite {
     assert(forced.whistleInputPath.isDefined)
   }
 
+  test("Play.run from a reference-style YAML config (the reference's native format)") {
+    val (dir, _) = fixture()
+    val yaml =
+      """study_id: PFIX
+        |study_title: Fixture Study
+        |identifier_prefix: https://pfix
+        |consent_group: GRU
+        |curies:
+        |  HP: http://purl.obolibrary.org/obo/hp.owl
+        |active_tables:
+        |  demographics: true
+        |dataset:
+        |  demographics:
+        |    filename: demographics.csv
+        |    data_dictionary:
+        |      filename: demographics_dd.csv
+        |    code_harmonization: harmony.csv
+        |""".stripMargin
+    write(dir, "study.yaml", yaml)
+    val config = ConfigReader.fromFile(dir.resolve("study.yaml").toString)
+    assert(config.studyId == "PFIX")
+    assert(config.studyTitle == "Fixture Study")
+    assert(config.consentGroup.contains("GRU"))
+    assert(config.curies == Map("HP" -> "http://purl.obolibrary.org/obo/hp.owl"))
+    assert(config.activeTables == Map("demographics" -> true))
+    assert(config.dataset("demographics").codeHarmonization.contains("harmony.csv"))
+    // identical parse to the JSON mirror of the same fixture
+    assert(config.dataset == ConfigReader.fromJson(fixture()._2)
+      .copy(studyTitle = config.studyTitle).dataset)
+
+    val outDir = Files.createTempDirectory("graft-play-yaml-out").toString
+    val result = Play.run(spark, config, dir.toString, outDir)
+    assert(result.ddStudy.tables.map(_.tableName) == Seq("demographics"))
+    assert(result.whistleInputPath.isDefined)
+    val doc = new String(Files.readAllBytes(java.nio.file.Paths.get(result.whistleInputPath.get)))
+    assert(doc.contains(""""id":"PFIX""""))
+  }
+
   test("ddMetaResources unions terminology, definitions, and the ConceptMap resource") {
     val (dir, configJson) = fixture()
     val config = ConfigReader.fromJson(configJson)
