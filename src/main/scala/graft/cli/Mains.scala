@@ -296,6 +296,89 @@ object LoadFhirMain {
 }
 
 /**
+ * `igload` (ref: wstlr/igload/__init__.py:64-250): load IG definition
+ * resources into a FHIR server, with `--force-overwrite` deletes +
+ * settle pause, resource/exclusion filters, and the IG resource loaded
+ * last. `--generate-default` prints an example content file.
+ */
+object IgLoadMain {
+
+  val usage: String =
+    """igload --host NAME -c CONTENT.yaml [--hosts-file PATH] [-r TYPE]...
+      |       [-x WILDCARD]... [--force-overwrite] [--sleep-time SECONDS]
+      |       [--generate-default]""".stripMargin
+
+  /** Example content configuration (ref: igload/templates/ncpi.yaml
+   *  shape, pointing at the public NCPI IG). */
+  val defaultContent: String =
+    """# IG load content file: each root key is one IG/file-set to load.
+      |NCPI-FHIR-IG:
+      |  source_type: IG            # IG (publisher output) or FILES
+      |  url: https://nih-ncpi.github.io/ncpi-fhir-ig
+      |  # path: /local/ig          # local publisher build instead of url
+      |  resources:
+      |  - CodeSystem
+      |  - ValueSet
+      |  - StructureDefinition
+      |  - ImplementationGuide
+      |  exclude-wildcards:
+      |  - example
+      |""".stripMargin
+
+  def main(args: Array[String]): Unit = sys.exit(run(args, CliSession.create("graft-igload")))
+
+  def run(args: Array[String], spark: SparkSession,
+      makeClient: Option[graft.sink.Hosts.HostConfig => graft.sink.IgLoad.Client] = None): Int = {
+    CliArgs.parse(args,
+      flagAliases = Map("--force-overwrite" -> "force-overwrite",
+        "--generate-default" -> "generate-default"),
+      optionAliases = Map("--host" -> "host", "--hosts-file" -> "hosts-file",
+        "-c" -> "content", "--content" -> "content",
+        "-r" -> "resource", "--resource" -> "resource",
+        "-x" -> "exclude", "--exclude" -> "exclude",
+        "--sleep-time" -> "sleep-time")) match {
+      case Left(err) => Console.err.println(s"$err\nusage: $usage"); 1
+      case Right(p) if p.has("generate-default") => println(defaultContent); 0
+      case Right(p) if p.opt("host").isEmpty || p.opt("content").isEmpty =>
+        Console.err.println(s"usage: $usage"); 1
+      case Right(p) =>
+        try {
+          val hosts = CliSession.hosts(p)
+          val name = p.opt("host").get
+          val host = hosts.getOrElse(name, throw new IllegalArgumentException(
+            s"host '$name' not in hosts file (available: ${hosts.keys.toSeq.sorted.mkString(", ")})"))
+          println(s"Destination host: ${host.targetServiceUrl}")
+          val mk = makeClient.getOrElse((h: graft.sink.Hosts.HostConfig) =>
+            new graft.sink.HttpIgClient(h.targetServiceUrl, h.authHeaders))
+          val contents = graft.sink.IgLoad.parseContent(new String(
+            Files.readAllBytes(Paths.get(p.opt("content").get)), StandardCharsets.UTF_8))
+          val sleepSec = p.opt("sleep-time").map(_.toLong).getOrElse(5L)
+          contents.foreach { content =>
+            val (resources, contentTypes) = graft.sink.IgLoad.gather(spark, content)
+            val resourceList = if (p.all("resource").nonEmpty) p.all("resource") else contentTypes
+            val exclusions =
+              if (p.all("exclude").nonEmpty) p.all("exclude") else content.excludeWildcards
+            val results = graft.sink.IgLoad.run(resources, resourceList, exclusions,
+              forceOverwrite = p.has("force-overwrite"),
+              makeClient = () => mk(host),
+              settleBaseMillis = sleepSec * 1000L,
+              settleMillisPerItem = 1000L)
+            val byAction = results.groupBy("action").count()
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            println(s"${content.name}: loaded ${byAction.getOrElse("loaded", 0L)}, " +
+              s"deleted ${byAction.getOrElse("deleted", 0L)}, " +
+              s"excluded ${byAction.getOrElse("excluded", 0L)}")
+          }
+          0
+        } catch {
+          case e: Hosts.HostsFileMissing => Console.err.println(e.getMessage); 1
+          case e: IllegalArgumentException => Console.err.println(e.getMessage); 1
+        }
+    }
+  }
+}
+
+/**
  * `delfhir` (ref: wstlr/purge.py:200-280): purge a study's resources in
  * reverse dependency order from the study-ids file; without
  * `--study-name` it lists the studies available in that file and exits 1

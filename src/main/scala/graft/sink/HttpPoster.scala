@@ -104,4 +104,19 @@ object FileSource {
         else java.nio.file.Paths.get(location)
       new String(java.nio.file.Files.readAllBytes(path), StandardCharsets.UTF_8)
     }
+
+  /** Binary fetch (IG definition zips, ref: igload/ig_source.py:17-25)
+   *  to a local file; local paths copy through. */
+  def fetchBytes(location: String, dest: java.nio.file.Path): Unit =
+    if (location.startsWith("http://") || location.startsWith("https://")) {
+      val client = HttpClient.newHttpClient()
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(location)).GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      require(resp.statusCode() < 300, s"GET $location -> ${resp.statusCode()}")
+      java.nio.file.Files.write(dest, resp.body())
+    } else {
+      java.nio.file.Files.copy(java.nio.file.Paths.get(location), dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
 }
