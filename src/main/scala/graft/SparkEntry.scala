@@ -281,6 +281,74 @@ object SparkEntry {
         .filter(col("p_partkey") <= 500)
         .select("p_partkey", "p_name")
         .orderBy("p_partkey")
+    }),
+
+    // VQ-20: salted skew join (operators/SkewJoin.scala) — event_type has
+    // 5 values at ~20% each, the classic hot-key shape; the salted join
+    // must be result-identical to the plain join (vq20b times that twin).
+    "vq20_salted_join" -> q((s, dir) => {
+      val events = t(s, dir, "events")
+      val dim = events.groupBy("event_type")
+        .agg(round(avg("value"), 3).as("weight"))
+      SkewJoin.saltedJoin(events.select("event_type", "value"), dim,
+          Seq("event_type"), saltBuckets = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value") * col("weight")), 2).as("weighted"))
+        .orderBy("event_type")
+    }),
+
+    // VQ-20b: the plain-join twin of vq20 (same oracle) so BENCH times
+    // salted vs unsalted side by side.
+    "vq20b_plain_skew_join" -> q((s, dir) => {
+      val events = t(s, dir, "events")
+      val dim = events.groupBy("event_type")
+        .agg(round(avg("value"), 3).as("weight"))
+      events.select("event_type", "value")
+        .join(dim, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value") * col("weight")), 2).as("weighted"))
+        .orderBy("event_type")
+    }),
+
+    // VQ-21: bundle entry verb choice (bundle.py:135-147) — PUT keeps
+    // resources carrying an id, everything else POSTs to the type; the
+    // full entry JSON (fullUrl/verb/destination assembly + per-module
+    // fullUrl dedup) is the compared value. Resource content is a
+    // function of the dedup key so the first-wins row is deterministic.
+    "vq21_bundle_verb" -> q((s, dir) => {
+      val res = t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .select(
+          col("o_orderstatus").as("module"),
+          col("o_orderpriority").as("resourceType"),
+          when(col("o_orderkey") % 3 =!= 0,
+            col("o_orderkey").cast("string")).as("id"),
+          concat(lit("""{"t":""""), col("o_orderpriority"), lit("\"}"))
+            .as("resource"))
+      graft.sink.BundleSink.entries(res, "http://fhir.example/base")
+        .select(col("module"), col("resourceType").as("resource_type"),
+          col("fullUrl").as("full_url"), col("entry"))
+        .orderBy("module", "full_url", "resource_type")
+    }),
+
+    // VQ-21b: harmony target-group last-wins polarity
+    // (conceptmap.py:119-127 `targets`): duplicate (system, code) pairs
+    // keep the LAST row's display (firstWins dedup, by contrast, keeps
+    // the first) and groups list codes in surviving-row order.
+    "vq21b_harmony_lastwins" -> q((s, dir) => {
+      val m = t(s, dir, "customer").select(
+        lit("t").as("table_name"),
+        col("c_mktsegment").as("code system"),
+        col("c_nationkey").cast("string").as("code"),
+        concat(lit("d"), col("c_custkey")).as("display"),
+        col("c_custkey").as(Restructure.RowId))
+      graft.harmony.Harmony.targetCodeGroups(m)
+        .select(col("system"), posexplode(col("codes")).as(Seq("pos", "c")))
+        .select(col("system"), col("pos"),
+          col("c.code").as("code"), col("c.display").as("display"))
+        .orderBy("system", "pos")
     })
   ) ++ PipelineQueries.queries
 
@@ -451,6 +519,62 @@ object SparkEntry {
       """SELECT p_partkey, p_name FROM part
         |WHERE NOT (p_name LIKE '%chocolate%' OR p_name LIKE '%burnished%')
         |  AND p_partkey <= 500
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+
+    "vq20_salted_join" ->
+      """WITH dim AS (SELECT event_type, ROUND(AVG(value), 3) AS weight
+        |             FROM events GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |       ROUND(SUM(e.value * d.weight), 2) AS weighted
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "vq20b_plain_skew_join" ->
+      """WITH dim AS (SELECT event_type, ROUND(AVG(value), 3) AS weight
+        |             FROM events GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |       ROUND(SUM(e.value * d.weight), 2) AS weighted
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "vq21_bundle_verb" ->
+      """WITH res AS (
+        |  SELECT o_orderstatus AS module, o_orderpriority AS rt,
+        |         CASE WHEN o_orderkey % 3 <> 0
+        |              THEN CAST(o_orderkey AS VARCHAR) END AS id
+        |  FROM orders WHERE o_orderkey <= 2000),
+        |uniq AS (
+        |  SELECT module, rt, id,
+        |         concat_ws('/', 'http://fhir.example/base', rt, id) AS full_url,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY module,
+        |                        concat_ws('/', 'http://fhir.example/base', rt, id)
+        |           ORDER BY rt) AS rn
+        |  FROM res)
+        |SELECT module, rt AS resource_type, full_url,
+        |       '{"fullUrl":"' || full_url || '","resource":{"t":"' || rt ||
+        |       '"},"request":{"method":"' ||
+        |       CASE WHEN id IS NOT NULL THEN 'PUT' ELSE 'POST' END ||
+        |       '","url":"' ||
+        |       CASE WHEN id IS NOT NULL THEN rt || '/' || id ELSE rt END ||
+        |       '"}}' AS entry
+        |FROM uniq WHERE rn = 1
+        |ORDER BY module, full_url, resource_type""".stripMargin,
+
+    "vq21b_harmony_lastwins" ->
+      """WITH m AS (SELECT c_mktsegment AS system,
+        |                  CAST(c_nationkey AS VARCHAR) AS code,
+        |                  'd' || CAST(c_custkey AS VARCHAR) AS display,
+        |                  c_custkey AS rid
+        |           FROM customer),
+        |kept AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY system, code
+        |                                      ORDER BY rid DESC) AS dup
+        |         FROM m)
+        |SELECT system,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY system ORDER BY rid) - 1
+        |            AS INT) AS pos,
+        |       code, display
+        |FROM kept WHERE dup = 1
+        |ORDER BY system, pos""".stripMargin
   ) ++ PipelineQueries.oracleSql
 }

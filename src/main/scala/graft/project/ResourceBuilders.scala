@@ -29,6 +29,11 @@ object ResourceBuilders {
 
   private val CodingType = "array<struct<code:string,display:string,system:string>>"
 
+  /** Combined enumeration-space bound below which value codings inline
+   *  as literal CASE projections instead of per-variable broadcast
+   *  joins (see [[observations]]). */
+  private[graft] val MaxLiteralValueCodes = 1024
+
   /** Literal coding array from driver-side (code, display, system) rows. */
   private def codingsLit(codings: Seq[(String, String, String)]): Column =
     if (codings.isEmpty) lit(null).cast(CodingType)
@@ -156,7 +161,8 @@ object ResourceBuilders {
       study: StudyInfo,
       dd: DdTable,
       harmonyLookup: Option[DataFrame] = None,
-      idCols: Seq[String] = Nil): DataFrame = {
+      idCols: Seq[String] = Nil,
+      maxLiteralValueCodes: Int = MaxLiteralValueCodes): DataFrame = {
     val tableName = dd.tableName
     val subjectCol = dd.subjectId.getOrElse(
       throw new IllegalArgumentException(s"table $tableName has no subject id"))
@@ -179,16 +185,39 @@ object ResourceBuilders {
     val tableCodingSeq: Seq[(String, String, String)] =
       harmonyLookup.map(mappedCodings(_, "DataSet").getOrElse(tableName, Nil)).getOrElse(Nil)
 
-    // one broadcast join per enumeration variable for the value codings
+    // Value-level codings per enumeration variable. Like the
+    // varname-level codings above, these are DD-sized mapping metadata
+    // (value code -> non-self codings), so they resolve driver-side and
+    // attach as literal CASE projections — ZERO joins regardless of how
+    // many enumeration variables the table has (this used to be one
+    // broadcast join per enum variable: a 100-variable DD meant 100
+    // joins in the plan). Tables whose combined enumeration space
+    // exceeds `MaxLiteralValueCodes` (adversarially wide vocabularies
+    // where a literal CASE would bloat the plan) fall back to the
+    // per-variable broadcast-join path.
     val enumVars = dd.variables.filter(v =>
       v.dataType == DdType.Enumeration && data.columns.contains(v.fieldName))
+    val valueCodingMaps: Map[String, Map[String, Seq[(String, String, String)]]] =
+      harmonyLookup
+        .map(l => enumVars.map(v => v.fieldName -> mappedCodings(l, v.varName)).toMap)
+        .getOrElse(Map.empty)
+    val useLiteralValueCodings =
+      valueCodingMaps.values.map(_.size).sum <= maxLiteralValueCodes
     val joined = harmonyLookup match {
-      case Some(lookup) =>
+      case Some(lookup) if !useLiteralValueCodings =>
         enumVars.foldLeft(data) { (df, v) =>
           harmonize(df, lookup, v.fieldName, v.varName, s"_h_${v.fieldName}")
         }
-      case None => data
+      case _ => data
     }
+    // CASE value WHEN code1 THEN [codings1] ... ELSE [] — agrees with the
+    // join path's coalesce-to-[] miss behavior
+    def literalValueCodings(v: graft.model.DdVariable): Column =
+      valueCodingMaps.getOrElse(v.fieldName, Map.empty).toSeq.sortBy(_._1)
+        .filter(_._2.nonEmpty)
+        .foldLeft(array().cast(CodingType)) { case (acc, (code, cs)) =>
+          when(col(v.fieldName) === code, codingsLit(cs)).otherwise(acc)
+        }
 
     val components = dd.variables
       .filter(v => data.columns.contains(v.fieldName))
@@ -197,7 +226,9 @@ object ResourceBuilders {
         val codeStruct = struct(codingsLit(varCodings.getOrElse(v.varName, Nil)).as("coding"))
         val valueCodings =
           if (v.dataType == DdType.Enumeration && harmonyLookup.isDefined) {
-            val mapped = nonSelfOnly(col(s"_h_${v.fieldName}"))
+            val mapped =
+              if (useLiteralValueCodings) literalValueCodings(v)
+              else nonSelfOnly(col(s"_h_${v.fieldName}"))
             when(size(mapped) > 0, struct(mapped.as("coding")))
           } else lit(null).cast(s"struct<coding:$CodingType>")
         val numeric = v.dataType match {

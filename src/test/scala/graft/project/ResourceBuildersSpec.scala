@@ -93,6 +93,44 @@ class ResourceBuildersSpec extends AnyFunSuite {
     assert(j2.contains(""""valueQuantity":{"value":70.5}"""))
   }
 
+  test("observations: value codings inline as literal CASEs — zero joins for a 10-enum table") {
+    val enumNames = (1 to 10).map(i => s"var$i")
+    val vars = DdVariable("STUDY1", "wide", "participant_id", description = "Participant id") +:
+      enumNames.map(n => DdVariable("STUDY1", "wide", n, dataType = DdType.Enumeration,
+        enumerations = ListMap("A" -> "Alpha", "B" -> "Beta")))
+    val dd = DdTable("STUDY1", "wide", vars)
+    val dir = Files.createTempDirectory("graft-rb-wide")
+    val rows = enumNames.map(n =>
+      s"A,Alpha,wide,$n,$n,harm-$n-a,Harmonized A,https://loinc.org").mkString("\n")
+    val content =
+      s"""local code,text,table_name,parent_varname,local code system,code,display,code system
+         |$rows
+         |""".stripMargin
+    Files.write(dir.resolve("harmony.csv"), content.getBytes(StandardCharsets.UTF_8))
+    val lookup = Harmony.codingsLookup(
+      Harmony.read(spark, Seq(dir.resolve("harmony.csv").toString)))
+
+    val schema = ("participant_id STRING" +: enumNames.map(n => s"$n STRING")).mkString(", ")
+    val data = df(schema, Seq(
+      Row("S1" +: enumNames.map(_ => "A"): _*),
+      Row("S2" +: enumNames.map(_ => "B"): _*)))
+
+    val literal = ResourceBuilders.observations(data, study, dd, Some(lookup))
+    // 10 enum variables used to mean 10 broadcast joins; now the plan has none
+    assert(!literal.queryExecution.optimizedPlan.toString.toLowerCase.contains("join"))
+
+    // wide-vocabulary fallback (threshold exceeded) takes the join path...
+    val joined = ResourceBuilders.observations(data, study, dd, Some(lookup),
+      maxLiteralValueCodes = 0)
+    assert(joined.queryExecution.optimizedPlan.toString.toLowerCase.contains("join"))
+    // ...and produces byte-identical resources
+    val lit = literal.orderBy("id").collect().map(_.getString(3))
+    val jn = joined.orderBy("id").collect().map(_.getString(3))
+    assert(lit.sameElements(jn))
+    assert(lit.head.contains(""""code":"harm-var1-a""""))   // hit -> mapped coding
+    assert(jn(1).contains(""""valueCodeableConcept""") == lit(1).contains(""""valueCodeableConcept""""))
+  }
+
   test("questionnaire: item per variable, categorical -> choice with ValueSet url") {
     val out = ResourceBuilders.questionnaire(spark, study, mkDd).collect()
     assert(out.length == 1)
