@@ -10,7 +10,11 @@ import org.apache.spark.sql.SparkSession
  * — triggers codegen/JIT compilation of the same plan shapes), then timed at
  * the bench scale factor with a full-result noop write, which executes every
  * projected expression and the final ORDER BY (a bare `count()` would let
- * Catalyst prune both). Failures are recorded as failures, never as timings.
+ * Catalyst prune both). The reported time is the MIN of SPARK_GRAFT_BEST
+ * (default 2) timed executions — the standard estimator for the engine's
+ * cost on a multi-tenant host, where the max is dominated by neighbor noise
+ * (observed: identical code swinging 2-4x between runs). Failures are
+ * recorded as failures, never as timings.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,10 +33,12 @@ object Bench {
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
 
-    // Dev aid: SPARK_GRAFT_ONLY=pq8_cosine_topk,pq9_ann_bucketed runs a
-    // subset (and SPARK_GRAFT_REPS repeats the timed run) for profiling.
+    // Dev aids: SPARK_GRAFT_ONLY=pq8_cosine_topk,pq9_ann_bucketed runs a
+    // subset; SPARK_GRAFT_REPS>1 records every timed run individually
+    // (profiling); SPARK_GRAFT_BEST=N (default 2) controls the min-of-N.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val best = sys.env.getOrElse("SPARK_GRAFT_BEST", "2").toInt.max(1)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -41,12 +47,16 @@ object Bench {
       val fn = SparkEntry.queries(name)
       try {
         runOnce(fn, warmDir) // warmup, untimed
-        (1 to reps).foreach { rep =>
+        def timed(): Double = {
           val t0 = System.nanoTime()
           runOnce(fn, sfDir)
-          val dt = (System.nanoTime() - t0) / 1e9
-          timings(if (rep == 1) name else s"$name#$rep") = dt
+          (System.nanoTime() - t0) / 1e9
         }
+        if (reps > 1) // profiling mode: every run visible
+          (1 to reps).foreach { rep =>
+            timings(if (rep == 1) name else s"$name#$rep") = timed()
+          }
+        else timings(name) = (1 to best).map(_ => timed()).min
       } catch {
         case e: Throwable =>
           failed += name

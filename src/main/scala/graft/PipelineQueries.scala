@@ -109,6 +109,12 @@ object PipelineQueries {
     "pq14_winnow_fingerprint" -> q((s, dir) =>
       TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text")),
 
+    // Exact n-gram Jaccard near-dup via the rare-shingle inverted index
+    // (deterministic sibling of pq6's MinHash approximation)
+    "pq15_ngram_jaccard" -> q((s, dir) =>
+      NgramJaccard(docs(s, dir), "doc_id", "text",
+        shingleN = 3, threshold = 0.6, maxDf = 100)),
+
     // Multimodal frame sampling: one row per (doc, frame) with the
     // frame's byte-slice md5 — the sampler plumbing over the binary
     // payload (docs are pure ASCII, so the oracle slices the text)
@@ -315,6 +321,22 @@ object PipelineQueries {
         |SELECT doc_id,
         |       COALESCE(array_to_string(list_sort(list_filter(list_transform(shingles, s -> md5(s)), h -> h LIKE '0%')), ','), '') AS fingerprint
         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "pq15_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM toks WHERE len(t) >= 3),
+        |inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |dfc AS (SELECT s, COUNT(*) AS df FROM inv GROUP BY s),
+        |rare AS (SELECT doc_id, i.s FROM inv i JOIN dfc USING (s) WHERE df <= 100),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |          FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b, inter::DOUBLE / (sa.n + sb.n - inter) AS jac
+        |      FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+        |                 JOIN sizes sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, ROUND(jac, 3) AS jaccard FROM j WHERE jac >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
 
     "pq10_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_tag,

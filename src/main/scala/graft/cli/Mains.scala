@@ -254,7 +254,8 @@ object LoadFhirMain {
 
   val usage: String =
     """loadfhir --host NAME [--hosts-file PATH] [-m MODULE]... [-r TYPE]...
-      |         [-v] [--max-validations N] [--id-cache PATH] whistle-output.json""".stripMargin
+      |         [-v] [--max-validations N] [--id-cache PATH] [--out DIR]
+      |         whistle-output.json""".stripMargin
 
   def main(args: Array[String]): Unit = sys.exit(run(args, CliSession.create("graft-loadfhir")))
 
@@ -265,7 +266,8 @@ object LoadFhirMain {
         "-m" -> "module", "--module" -> "module",
         "-r" -> "resource", "--resource" -> "resource",
         "--max-validations" -> "max-validations", "--id-cache" -> "id-cache",
-        "--identifier-prefix" -> "identifier-prefix")) match {
+        "--identifier-prefix" -> "identifier-prefix",
+        "-o" -> "out", "--out" -> "out")) match {
       case Left(err) => Console.err.println(s"$err\nusage: $usage"); 1
       case Right(p) if p.positional.length != 1 || p.opt("host").isEmpty =>
         Console.err.println(s"usage: $usage"); 1
@@ -280,13 +282,14 @@ object LoadFhirMain {
             modules = p.all("module"), resourceTypes = p.all("resource"))
           val file = Paths.get(p.positional.head)
           val stem = file.getFileName.toString.stripSuffix(".json")
+          val outDir = p.opt("out").getOrElse("output")
           PlayMain.loadResources(spark, resources, host,
             identifierPrefix = p.opt("identifier-prefix").getOrElse(""),
             validateOnly = p.has("validate-only"),
             maxValidations = p.opt("max-validations").map(_.toInt).getOrElse(0),
-            idCachePath = p.opt("id-cache").getOrElse(s"output/idcache/$stem.parquet"),
-            invalidRefsPath = s"output/invalid-references.json",
-            studyIdsPath = s"output/study_ids.json", studyId = stem)
+            idCachePath = p.opt("id-cache").getOrElse(s"$outDir/idcache/$stem.parquet"),
+            invalidRefsPath = s"$outDir/invalid-references.json",
+            studyIdsPath = s"$outDir/study_ids.json", studyId = stem)
         } catch {
           case e: Hosts.HostsFileMissing => Console.err.println(e.getMessage); 1
           case e: IllegalArgumentException => Console.err.println(e.getMessage); 1

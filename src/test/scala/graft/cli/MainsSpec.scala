@@ -136,6 +136,7 @@ class MainsSpec extends AnyFunSuite {
       val rc = LoadFhirMain.run(Array(
         "--host", "dev", "--hosts-file", dir.resolve("fhir_hosts").toString,
         "-m", "patient", "--id-cache", cache,
+        "--out", dir.resolve("out").toString,
         "--identifier-prefix", "https://mains", wo.toString), spark)
       assert(rc == 0)
       assert(counts.get("POST").get == 2) // junk module filtered out

@@ -129,6 +129,22 @@ class LlmSpec extends AnyFunSuite {
     assert(out.head.getDouble(2) >= 0.8)
   }
 
+  test("NgramJaccard: exact jaccard via rare-shingle index; maxDf cut drops hot-shingle pairs") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val in = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, base),
+      Row(2L, base + " extra"),      // doc1's 28 shingles all shared; doc2 adds 1
+      Row(3L, (100 to 140).map(i => s"z$i").mkString(" ")),
+      Row(4L, "too short")))
+    val out = NgramJaccard(in, "doc_id", "text", threshold = 0.6).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    // exact: |A∩B|=28, |A∪B|=29
+    assert(out.head.getDouble(2) == TextOps.round3(28.0 / 29.0))
+    // every shared shingle appears in 2 docs; maxDf = 1 silences them all
+    assert(NgramJaccard(in, "doc_id", "text", threshold = 0.6, maxDf = 1).count() == 0)
+  }
+
   test("SimHashSignatures: identical docs share a signature; signature is stable hex") {
     val in = df("doc_id BIGINT, text STRING", Seq(
       Row(1L, "shared words in this document"),
