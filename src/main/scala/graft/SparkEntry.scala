@@ -286,26 +286,30 @@ object SparkEntry {
     // VQ-20: salted skew join (operators/SkewJoin.scala) — event_type has
     // 5 values at ~20% each, the classic hot-key shape; the salted join
     // must be result-identical to the plain join (vq20b times that twin).
+    // Both variants pin the SHUFFLE join strategy: a 5-row dim would
+    // otherwise broadcast under AQE and neither plan would exercise the
+    // skewed exchange that salting exists to fix.
     "vq20_salted_join" -> q((s, dir) => {
       val events = t(s, dir, "events")
       val dim = events.groupBy("event_type")
         .agg(round(avg("value"), 3).as("weight"))
-      SkewJoin.saltedJoin(events.select("event_type", "value"), dim,
-          Seq("event_type"), saltBuckets = 8)
+      SkewJoin.saltedJoin(events.select("event_type", "value"),
+          dim.hint("shuffle_hash"), Seq("event_type"), saltBuckets = 8)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           round(sum(col("value") * col("weight")), 2).as("weighted"))
         .orderBy("event_type")
     }),
 
-    // VQ-20b: the plain-join twin of vq20 (same oracle) so BENCH times
-    // salted vs unsalted side by side.
+    // VQ-20b: the plain shuffle-join twin of vq20 (same oracle) so BENCH
+    // times salted vs unsalted side by side: here the 5 keys land on at
+    // most 5 shuffle tasks; vq20 spreads them over 5 * saltBuckets.
     "vq20b_plain_skew_join" -> q((s, dir) => {
       val events = t(s, dir, "events")
       val dim = events.groupBy("event_type")
         .agg(round(avg("value"), 3).as("weight"))
       events.select("event_type", "value")
-        .join(dim, Seq("event_type"))
+        .join(dim.hint("shuffle_hash"), Seq("event_type"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           round(sum(col("value") * col("weight")), 2).as("weighted"))
