@@ -44,10 +44,15 @@ object Similarity {
   def quantize(vec: Column, scale: Int = 1000): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Exact BIGINT dot product of two quantized vectors.
-   *  Declarative twin of the typed pair scoring — spec/tests only. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact BIGINT dot product of two quantized vectors over their common
+   *  prefix — the native codegen'd [[graft.plans.LongArrayDot]] expression
+   *  (the equivalent `aggregate(zip_with(...))` fold evaluates interpreted,
+   *  ~10x slower; the fold form is pinned as its spec in tests). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.LongArrayDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** Squared L2 norm (exact BIGINT) of a quantized vector. */
   def norm2(v: Column): Column = dot(v, v)
@@ -385,35 +390,21 @@ object Similarity {
   }
 
   /** Fallback for id types without a JVM ordering that mirrors
-   *  Catalyst's `<`: bucket-equality self-join + typed pair scoring.
-   *  Same integer dot / double cosine / HALF_UP rounding. */
+   *  Catalyst's `<`: bucket-equality self-join, scored declaratively with
+   *  the native [[graft.plans.LongArrayDot]] expression — the whole
+   *  pair-scoring projection stays inside WholeStageCodegen (no row
+   *  serde). Same integer dot / double cosine / HALF_UP rounding as
+   *  [[groupedNearDup]]. */
   private def joinedNearDup(withBkt: DataFrame, threshold: Double): DataFrame = {
     val a = withBkt.select(col("_id").as("id_a"), col("_v").as("_va"),
       col("_n2").as("_na"), col("_bkt"))
     val b = withBkt.select(col("_id").as("id_b"), col("_v").as("_vb"),
       col("_n2").as("_nb"), col("_bkt"))
-    val joined = a.join(b, Seq("_bkt"))
+    val cos = cosine(dot(col("_va"), col("_vb")), col("_na"), col("_nb"))
+    a.join(b, Seq("_bkt"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("_va"), col("_vb"), col("_na"), col("_nb"))
-    val outSchema = StructType(Seq(
-      joined.schema("id_a"), joined.schema("id_b"),
-      StructField("cos", DoubleType, nullable = true)))
-    joined.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val va = r.getSeq[Long](2)
-        val vb = r.getSeq[Long](3)
-        var dotV = 0L
-        var i = 0
-        val n = math.min(va.length, vb.length)
-        while (i < n) { dotV += va(i) * vb(i); i += 1 }
-        val cos = dotV.toDouble / math.sqrt(r.getLong(4).toDouble * r.getLong(5).toDouble)
-        if (cos >= threshold)
-          Iterator.single(Row(r.get(0), r.get(1),
-            java.math.BigDecimal.valueOf(cos)
-              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue))
-        else Iterator.empty
-      }
-    }(Encoders.row(outSchema))
+      .filter(cos >= threshold)
+      .select(col("id_a"), col("id_b"), round(cos, 4).as("cos"))
       .orderBy("id_a", "id_b")
   }
 

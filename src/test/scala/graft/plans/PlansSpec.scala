@@ -1,0 +1,65 @@
+package graft.plans
+
+import graft.TestSpark
+import graft.llm.Similarity
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native Catalyst expression layer: LongArrayDot + SQL registration. */
+class PlansSpec extends AnyFunSuite {
+  import TestSpark.{df, spark}
+
+  private val schema = "id BIGINT, a ARRAY<BIGINT>, b ARRAY<BIGINT>"
+
+  /** The interpreted higher-order fold LongArrayDot replaces — kept here
+   *  as the executable spec (it pads the shorter array with null, so the
+   *  equivalence tests use equal lengths; prefix semantics are pinned
+   *  separately against the typed-twin behavior). */
+  private def foldDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  test("LongArrayDot matches the aggregate(zip_with) fold on equal-length arrays") {
+    val rows = (1 to 50).map { i =>
+      Row(i.toLong,
+        Seq.tabulate(8)(j => (i * 31 + j * 7 - 40).toLong),
+        Seq.tabulate(8)(j => (j * 13 - i * 3 + 5).toLong))
+    }
+    val in = df(schema, rows)
+    val out = in.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      foldDot(col("a"), col("b")).as("fold")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("LongArrayDot: common-prefix semantics, null array -> null, empty -> 0") {
+    val in = df(schema, Seq(
+      Row(1L, Seq(2L, 3L, 4L), Seq(10L, 100L)), // prefix: 2*10 + 3*100
+      Row(2L, null, Seq(1L, 2L)),
+      Row(3L, Seq(1L, 2L), null),
+      Row(4L, Seq.empty[Long], Seq(5L))))
+    val out = in.select(col("id"), Similarity.dot(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) == 320L)
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1))
+    assert(out(3).getLong(1) == 0L)
+  }
+
+  test("LongArrayDot executes inside WholeStageCodegen (not interpreted)") {
+    val in = df(schema, Seq(Row(1L, Seq(1L, 2L), Seq(3L, 4L))))
+    val q = in.select(Similarity.dot(col("a"), col("b")).as("d"))
+    val plan = q.queryExecution.executedPlan.toString
+    // "*(n)" marks a WholeStageCodegen span in the compact plan form
+    assert(plan.contains("*(1) Project [graft_dot("))
+    // the fold form would show as higher-order `aggregate(...)` in the plan
+    assert(!plan.contains("aggregate("))
+    assert(q.collect().head.getLong(0) == 11L)
+  }
+
+  test("graft_dot registers as a SQL function via GraftExtensions.register") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").collect()
+    assert(r.head.getLong(0) == 32L)
+  }
+}
