@@ -35,6 +35,39 @@ class StreamingExtractSpec extends AnyFunSuite {
     assert(collected.toMap == Map("S1" -> 2, "S2" -> 1))
   }
 
+  test("StreamingDedup: first content wins within and across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingDedup(input.toDF().toDF("id", "text"), "id", "text")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-dedup-chk").toString)
+      .start()
+    def emitted(): Map[String, String] =
+      spark.table("dedup_out").collect()
+        .map(r => r.getString(1) -> r.getString(0)).toMap
+
+    // batch 1: two copies of A (min id 1 wins) + B
+    input.addData((2L, "content A"), (1L, "content A"), (3L, "content B"))
+    q.processAllAvailable()
+    assert(emitted() == Map("1" -> md5hex("content A"), "3" -> md5hex("content B")))
+
+    // batch 2: A re-sent with a new id (dropped — state remembers), C new
+    input.addData((9L, "content A"), (4L, "content C"))
+    q.processAllAvailable()
+    assert(emitted() == Map("1" -> md5hex("content A"), "3" -> md5hex("content B"),
+      "4" -> md5hex("content C")))
+    q.stop()
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   test("windowed event counts aggregate a batch frame identically to streaming semantics") {
     // the aggregation expression is streaming-ready (watermark + window);
     // batch execution verifies the arithmetic
