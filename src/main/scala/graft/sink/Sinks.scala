@@ -61,9 +61,13 @@ object BundleSink {
     val destination = when(hasId, concat_ws("/", col("resourceType"), col(idCol)))
       .otherwise(col("resourceType"))
     val fullUrl = concat_ws("/", lit(targetServiceUrl), col("resourceType"), col(idCol))
+    // first-wins by orderCol, not dropDuplicates — the reference keeps the
+    // first duplicate in file order (bundle.py:106-108), and an arbitrary
+    // survivor would make bundle content nondeterministic across runs
+    val w = Window.partitionBy(col("module"), col("fullUrl")).orderBy(col(orderCol))
     resources
       .withColumn("fullUrl", fullUrl)
-      .dropDuplicates("module", "fullUrl")
+      .withColumn("_dup", row_number().over(w)).filter(col("_dup") === 1).drop("_dup")
       .withColumn("entry",
         // the resource column is pre-serialized JSON and splices in raw;
         // scalar strings are JSON-escaped
