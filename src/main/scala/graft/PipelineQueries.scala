@@ -115,6 +115,18 @@ object PipelineQueries {
       NgramJaccard(docs(s, dir), "doc_id", "text",
         shingleN = 3, threshold = 0.6, maxDf = 100)),
 
+    // Per-source length-distribution profiling: exact interpolated
+    // percentiles (one partial+final agg; at sketch scale swap
+    // percentile() for percentile_approx — same plan shape)
+    "pq16_percentiles" -> q((s, dir) =>
+      docs(s, dir).groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(percentile(col("n_chars"), lit(0.5)), 2).as("p50"),
+          round(percentile(col("n_chars"), lit(0.9)), 2).as("p90"),
+          round(percentile(col("n_chars"), lit(0.99)), 2).as("p99"))
+        .orderBy("source")),
+
     // Multimodal frame sampling: one row per (doc, frame) with the
     // frame's byte-slice md5 — the sampler plumbing over the binary
     // payload (docs are pure ASCII, so the oracle slices the text)
@@ -337,6 +349,13 @@ object PipelineQueries {
         |      FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
         |                 JOIN sizes sb ON sb.doc_id = doc_b)
         |SELECT doc_a, doc_b, ROUND(jac, 3) AS jaccard FROM j WHERE jac >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "pq16_percentiles" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |       ROUND(quantile_cont(n_chars, 0.5), 2) AS p50,
+        |       ROUND(quantile_cont(n_chars, 0.9), 2) AS p90,
+        |       ROUND(quantile_cont(n_chars, 0.99), 2) AS p99
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "pq10_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_tag,

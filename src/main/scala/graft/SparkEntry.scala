@@ -337,6 +337,25 @@ object SparkEntry {
         .orderBy("module", "full_url", "resource_type")
     }),
 
+    // VQ-22: sessionization over events — gap > 30 min starts a new
+    // session. Both windows partition by user_id (contrast RunLengthGroup,
+    // whose global order is documented small-input-only): at 100 TB each
+    // user's history is one partition's work, no total order anywhere.
+    "vq22_sessionize" -> q((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val prevTs = lag(col("ts"), 1).over(w)
+      val newSess = when(prevTs.isNull ||
+        unix_timestamp(col("ts")) - unix_timestamp(prevTs) > 1800, 1).otherwise(0)
+      t(s, dir, "events")
+        .withColumn("_new", newSess)
+        .withColumn("session_id",
+          sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("duration_sec"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // VQ-21b: harmony target-group last-wins polarity
     // (conceptmap.py:119-127 `targets`): duplicate (system, code) pairs
     // keep the LAST row's display (firstWins dedup, by contrast, keeps
@@ -564,6 +583,23 @@ object SparkEntry {
         |       '"}}' AS entry
         |FROM uniq WHERE rn = 1
         |ORDER BY module, full_url, resource_type""".stripMargin,
+
+    "vq22_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                OR date_diff('second',
+        |                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "vq21b_harmony_lastwins" ->
       """WITH m AS (SELECT c_mktsegment AS system,
