@@ -63,10 +63,39 @@ object Similarity {
 
   /** Sign-pattern bucket key over the first `bits` dimensions ("0101...").
    *  Buckets are prefix-nested: agreement on b bits implies agreement on
-   *  any b' < b, so recall only grows as bits shrink. */
+   *  any b' < b, so recall only grows as bits shrink. Weak when the
+   *  leading dimensions are biased (all-positive dim 1 contributes zero
+   *  split) — see [[srpBucket]] for the hyperplane fix. */
   def signBucket(qv: Column, bits: Int): Column =
     concat((1 to bits).map(i =>
       when(element_at(qv, i) > 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Deterministic signed-random-projection hyperplanes: md5-derived
+   *  integer weights in [-8, 7] per (plane, dimension) — reproducible
+   *  across JVMs and engines with no RNG state. */
+  private[llm] def srpWeights(bits: Int, dim: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(bits) { j =>
+      Array.tabulate(dim) { i =>
+        ((md.digest(s"$j:$i".getBytes("UTF-8"))(0) & 0xf) - 8).toLong
+      }
+    }
+  }
+
+  /**
+   * Signed-random-projection bucket key: bit j is the sign of the
+   * quantized vector's dot product with deterministic hyperplane j
+   * ([[srpWeights]]). Proper cosine-LSH — collision probability is
+   * 1 - angle/pi per bit regardless of how individual dimensions are
+   * distributed, where [[signBucket]] degenerates when leading dims are
+   * biased (an all-positive dim splits nothing). Each hyperplane dot is
+   * the native codegen'd [[graft.plans.LongArrayDot]] against a literal
+   * weight array, so the whole key stays in WholeStageCodegen.
+   */
+  def srpBucket(qv: Column, bits: Int, dim: Int): Column =
+    concat(srpWeights(bits, dim).toIndexedSeq.map { w =>
+      when(dot(qv, typedlit(w.toSeq)) > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
 
   /**
    * Bucket-bit sizing for a corpus of `n` vectors: enough sign bits that
@@ -322,19 +351,34 @@ object Similarity {
    * [[groupedNearDup]].
    */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bucketBits: Int = -1): DataFrame = {
+      threshold: Double, bucketBits: Int = -1, srp: Boolean = false): DataFrame = {
     val prep0 = prepTyped(corpus, idCol, "_id", vecCol)
       .filter(col("_v").isNotNull && col("_id").isNotNull)
-    // the sizing count reads prep a second time — persist in auto mode only
-    // (with explicit bits the plan below consumes prep exactly once)
-    val prep = if (bucketBits > 0) prep0 else prep0.persist(StorageLevel.MEMORY_AND_DISK)
+    // the sizing count / dim probe read prep again — persist unless the
+    // plan below consumes prep exactly once (explicit bits, no srp)
+    val prep = if (bucketBits > 0 && !srp) prep0
+      else prep0.persist(StorageLevel.MEMORY_AND_DISK)
     val bits = if (bucketBits > 0) bucketBits else autoBucketBits(prep.count())
-    val withBkt = prep.withColumn("_bkt", signBucket(col("_v"), bits))
+    val withBkt = prep.withColumn("_bkt", bucketKey(prep, srp, bits))
     idOrdering(withBkt.schema("_id").dataType) match {
       case Some(ord) => groupedNearDup(withBkt, threshold, ord)
       case None => joinedNearDup(withBkt, threshold)
     }
   }
+
+  /** Embedding dimension probed from the prepped corpus — one limit(1)
+   *  job against the (persisted) prep; only needed for SRP weights. */
+  private def probeDim(prep: DataFrame, vCol: String): Int = {
+    val head = prep.select(col(vCol)).limit(1).collect()
+    if (head.isEmpty) 1 else head.head.getSeq[Long](0).length
+  }
+
+  /** Bucket key column: sign-prefix by default, SRP hyperplanes when
+   *  `srp`. */
+  private def bucketKey(prep: DataFrame, srp: Boolean, bits: Int,
+      vCol: String = "_v"): Column =
+    if (!srp) signBucket(col(vCol), bits)
+    else srpBucket(col(vCol), bits, probeDim(prep, vCol))
 
   /**
    * Bucket-grouped pair scoring: ONE shuffle keyed on the sign bucket,
@@ -417,12 +461,16 @@ object Similarity {
    * the quantization pass the join then reads.
    */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, bucketBits: Int = -1): DataFrame = {
+      idCol: String, vecCol: String, k: Int, bucketBits: Int = -1,
+      srp: Boolean = false): DataFrame = {
     val (c0, q0) = prepSides(corpus, queries, idCol, vecCol)
-    val c1 = if (bucketBits > 0) c0 else c0.persist(StorageLevel.MEMORY_AND_DISK)
+    val c1 = if (bucketBits > 0 && !srp) c0 else c0.persist(StorageLevel.MEMORY_AND_DISK)
     val bits = if (bucketBits > 0) bucketBits else autoBucketBits(c1.count())
-    val c = c1.withColumn("_bktc", signBucket(col("_vc"), bits))
-    val q = q0.withColumn("_bktq", signBucket(col("_vq"), bits))
+    def key(vCol: String): Column =
+      if (!srp) signBucket(col(vCol), bits)
+      else srpBucket(col(vCol), bits, probeDim(c1, "_vc"))
+    val c = c1.withColumn("_bktc", key("_vc"))
+    val q = q0.withColumn("_bktq", key("_vq"))
     val pairs = c
       .join(q, col("_bktq") === col("_bktc") && col("qid") =!= col("cid"))
       .select(PairCols: _*)

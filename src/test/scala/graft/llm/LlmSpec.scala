@@ -209,6 +209,30 @@ class LlmSpec extends AnyFunSuite {
     assert(explicit4.subsetOf(auto))
   }
 
+  test("srpBucket splits a biased corpus that sign-prefix buckets cannot") {
+    // every vector has positive leading dims -> signBucket puts ALL rows
+    // in one bucket (quadratic); SRP hyperplanes still split, and the
+    // planted near-dup pairs survive bucketing (same key => found)
+    val rows = (0L until 40L).map { i =>
+      Row(i, Seq.tabulate(8)(d =>
+        (0.5 + 0.4 * math.sin(i * 1.3 + d * 2.1)).toFloat.max(0.01f)))
+    } ++ (0L until 6L).map { i =>
+      Row(i + 100L, Seq.tabulate(8)(d =>
+        ((0.5 + 0.4 * math.sin(i * 1.3 + d * 2.1)) * 1.01).toFloat.max(0.01f)))
+    }
+    val e = df("vec_id BIGINT, embedding ARRAY<FLOAT>", rows)
+    val prep = e.select(col("vec_id"),
+      Similarity.quantize(col("embedding").cast("array<double>")).as("v"))
+    def distinctBuckets(key: org.apache.spark.sql.Column): Long =
+      prep.select(key.as("b")).distinct().count()
+    assert(distinctBuckets(Similarity.signBucket(col("v"), 4)) == 1L)  // degenerate
+    assert(distinctBuckets(Similarity.srpBucket(col("v"), 4, 8)) > 1L) // still splits
+    val pairs = Similarity.nearDupPairs(e, "vec_id", "embedding",
+      threshold = 0.999, bucketBits = 4, srp = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 6L).map(i => (i, i + 100L)).toSet.subsetOf(pairs))
+  }
+
   test("nearDupPairs joined fallback (no JVM id ordering) matches the grouped path") {
     // decimal ids have no idOrdering -> declarative joinedNearDup (native
     // graft_dot scoring); long ids take groupedNearDup — results must agree
