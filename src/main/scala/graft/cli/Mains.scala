@@ -55,12 +55,16 @@ object CliArgs {
 }
 
 private[cli] object CliSession {
-  def create(appName: String): SparkSession = SparkSession.builder()
-    .appName(appName)
-    .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
-    .config("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    .getOrCreate()
+  def create(appName: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .getOrCreate()
+    graft.plans.GraftExtensions.register(spark) // SQL surface: graft_dot
+    spark
+  }
 
   def hosts(parsed: CliArgs.Parsed): Map[String, Hosts.HostConfig] =
     Hosts.load(parsed.opt("hosts-file").getOrElse(Hosts.DefaultHostsFile))

@@ -56,6 +56,28 @@ class PlansSpec extends AnyFunSuite {
     assert(q.collect().head.getLong(0) == 11L)
   }
 
+  test("LongArrayDot property: matches BigInt reference over the common prefix, symmetric") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def evalDot(a: Array[Long], b: Array[Long]): Long =
+      LongArrayDot(
+        Literal.create(a, ArrayType(LongType)),
+        Literal.create(b, ArrayType(LongType))).eval(null).asInstanceOf[Long]
+    // |x| <= 1e6, length <= 64: products <= 1e12, sums <= 64e12 — no overflow,
+    // so the BigInt reference must agree exactly
+    val arr: Gen[Array[Long]] =
+      Gen.choose(0, 64).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(-1000000L, 1000000L)).map(_.toArray))
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(arr, arr) { (a, b) =>
+        val n = math.min(a.length, b.length)
+        val ref = (0 until n).map(i => BigInt(a(i)) * BigInt(b(i))).sum
+        BigInt(evalDot(a, b)) == ref && evalDot(a, b) == evalDot(b, a)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("graft_dot registers as a SQL function via GraftExtensions.register") {
     GraftExtensions.register(spark)
     val r = spark.sql(
