@@ -5,6 +5,7 @@ import graft.model.StudyConfig
 import graft.project.{Projection, ResourceBuilders}
 import graft.sink._
 import graft.sources.{BundleScan, ConfigReader, CsvSource}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import java.nio.charset.StandardCharsets
@@ -104,6 +105,7 @@ object PlayMain {
             hosts.getOrElse(name, throw new IllegalArgumentException(
               s"host '$name' not in hosts file (available: ${hosts.keys.toSeq.sorted.mkString(", ")})"))
           }
+          var rc = 0 // worst loadResources exit across configs
           p.positional.foreach { cfgPath =>
             val config = ConfigReader.fromFile(cfgPath)
             val dataDir = p.opt("data-dir").getOrElse(
@@ -125,16 +127,16 @@ object PlayMain {
                 println(s"   bundles: $outDir/bundles")
               }
               if (!p.has("bundle-only")) host.foreach { h =>
-                loadResources(spark, resources, h, config.identifierPrefix,
+                rc = rc.max(loadResources(spark, resources, h, config.identifierPrefix,
                   validateOnly = p.has("validate-only"),
                   maxValidations = p.opt("max-validations").map(_.toInt).getOrElse(0),
                   idCachePath = s"$outDir/idcache/${config.studyId}.parquet",
                   invalidRefsPath = s"$outDir/invalid-references.json",
-                  studyIdsPath = s"$outDir/study_ids.json", studyId = config.studyId)
+                  studyIdsPath = s"$outDir/study_ids.json", studyId = config.studyId))
               }
             }
           }
-          0
+          rc
         } catch {
           case e: Hosts.HostsFileMissing => Console.err.println(e.getMessage); 1
           case e: IllegalArgumentException => Console.err.println(e.getMessage); 1
@@ -163,7 +165,12 @@ object PlayMain {
           ResourceBuilders.questionnaireResponses(df, study, ddTable, lookup))
       }
     }
-    (ddMeta +: sourceData).reduce(_ unionByName _)
+    // one minimal Patient per subject across all tables (dedup on id) —
+    // without these the subject references above can never resolve
+    val patients = result.extracted.toSeq.flatMap { case (table, df) =>
+      result.ddStudy.table(table).toSeq.map(ResourceBuilders.patients(df, study, _))
+    }.reduceOption(_ unionByName _).map(_.dropDuplicates("id")).toSeq
+    (ddMeta +: (patients ++ sourceData)).reduce(_ unionByName _)
   }
 
   /** Shared load stage: validate-only short-circuit, else the
@@ -186,9 +193,17 @@ object PlayMain {
       0
     } else {
       var cache = IdCacheStore.load(spark, idCachePath)
+      // study-ids must record the ids that exist ON THE SERVER (delfhir
+      // deletes Type/<id>) — i.e. each ok row's fhir_id from the load
+      // results, never the local projection ids (a POSTed resource gets a
+      // server-assigned id). load() localCheckpoints, so accumulating a
+      // second view of the results re-reads, never re-POSTs.
+      val loadedPerRound = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       val leftover = ReferenceResolution.resolveLoop(resources, cache, { resolved =>
         val prepared = FhirLoadSink.getOrCreate(resolved, cache, identifierPrefix)
         val results = FhirLoadSink.load(prepared, () => host.poster().post _)
+        loadedPerRound += results.filter(col("ok"))
+          .select(col("resourceType"), col("fhir_id"))
         val newRows = FhirLoadSink.asCacheRows(results)
         cache = IdCacheStore.merge(cache, newRows)
         newRows
@@ -197,8 +212,10 @@ object PlayMain {
       val existingIds = if (Files.exists(Paths.get(studyIdsPath)))
         Some(new String(Files.readAllBytes(Paths.get(studyIdsPath)), StandardCharsets.UTF_8))
       else None
+      val loadedIds = loadedPerRound.reduceOption(_ unionByName _).getOrElse(
+        resources.select(col("resourceType"), col("id").as("fhir_id")).limit(0))
       val idsJson = StudyIdsSink.toJson(
-        StudyIdsSink.sortedIdSets(resources, "resourceType", "id"),
+        StudyIdsSink.sortedIdSets(loadedIds, "resourceType", "fhir_id"),
         studyId, host.name, existingIds)
       Option(Paths.get(studyIdsPath).getParent).foreach(Files.createDirectories(_))
       Files.write(Paths.get(studyIdsPath), idsJson.getBytes(StandardCharsets.UTF_8))
@@ -209,8 +226,11 @@ object PlayMain {
         Files.write(Paths.get(invalidRefsPath),
           InvalidReferencesWriter.toJson(leftover, existing).getBytes(StandardCharsets.UTF_8))
         Console.err.println(s"   invalid references written to $invalidRefsPath")
-        1
-      } else 0
+      }
+      // reference parity: unresolved references warn and write the report
+      // but do NOT fail the run (play.py:493 / load.py:606 save_fails then
+      // exit 0) — the invalid-references file is the signal
+      0
     }
   }
 }
@@ -360,6 +380,7 @@ object IgLoadMain {
           val contents = graft.sink.IgLoad.parseContent(new String(
             Files.readAllBytes(Paths.get(p.opt("content").get)), StandardCharsets.UTF_8))
           val sleepSec = p.opt("sleep-time").map(_.toLong).getOrElse(5L)
+          var failures = 0L
           contents.foreach { content =>
             val (resources, contentTypes) = graft.sink.IgLoad.gather(spark, content)
             val resourceList = if (p.all("resource").nonEmpty) p.all("resource") else contentTypes
@@ -372,11 +393,14 @@ object IgLoadMain {
               settleMillisPerItem = 1000L)
             val byAction = results.groupBy("action").count()
               .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            val failed = byAction.getOrElse("load-failed", 0L) + byAction.getOrElse("invalid", 0L)
+            failures += failed
             println(s"${content.name}: loaded ${byAction.getOrElse("loaded", 0L)}, " +
               s"deleted ${byAction.getOrElse("deleted", 0L)}, " +
-              s"excluded ${byAction.getOrElse("excluded", 0L)}")
+              s"excluded ${byAction.getOrElse("excluded", 0L)}" +
+              (if (failed > 0) s", FAILED $failed" else ""))
           }
-          0
+          if (failures > 0) 1 else 0
         } catch {
           case e: Hosts.HostsFileMissing => Console.err.println(e.getMessage); 1
           case e: IllegalArgumentException => Console.err.println(e.getMessage); 1
@@ -419,7 +443,11 @@ object DelFhirMain {
             s"host '$name' not in hosts file (available: ${hosts.keys.toSeq.sorted.mkString(", ")})"))
           val idsJson = new String(
             Files.readAllBytes(Paths.get(p.opt("study-ids").get)), StandardCharsets.UTF_8)
+          // the file shape is {study: {host: {type: [ids]}}} — only this
+          // host's ids may be listed or deleted against this host
+          // (purge.py iterates content[study][env], never other hosts)
           val allIds = BundleScan.readStudyIds(spark, idsJson)
+            .filter(col("host") === name)
           p.opt("study-name") match {
             case None =>
               // ref: purge.py:267-270 — list the available studies, exit 1

@@ -79,6 +79,9 @@ object NgramJaccard {
     val invSchema = StructType(Seq(
       df.schema(df.schema.fieldIndex(idCol)).copy(name = "_id"),
       StructField("_sh", StringType, nullable = true)))
+    // persisted: inv appears twice in rare's own plan (join probe side +
+    // df-count agg side are DIFFERENT exchanges, so reuse never applies)
+    // — without the cache the tokenize/shingle scan runs twice
     val inv = df
       .select(col(idCol), col(textCol).cast("string"))
       .mapPartitions { rows =>
@@ -91,11 +94,12 @@ object NgramJaccard {
           }
         }
       }(Encoders.row(invSchema))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // rare-shingle index: df counts are one hash agg on the shingle key;
-    // the join back is co-partitioned on the same key. Persisted because
+    // the join back is co-partitioned on the same key. Also persisted —
     // it feeds three consumers (per-doc sizes + both pair-join sides);
-    // at extreme corpus scale checkpoint to parquet instead.
+    // at extreme corpus scale checkpoint both to parquet instead.
     val rare = inv.join(
         inv.groupBy("_sh").agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDf),
         Seq("_sh"))

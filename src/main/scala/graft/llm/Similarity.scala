@@ -121,9 +121,11 @@ object Similarity {
    * Typed prep stage: one `mapPartitions` pass computes the quantized
    * vector and its squared norm — the per-row work that, as higher-order
    * Column expressions, would evaluate interpreted. Output:
-   * (idAs, _v array<bigint>, _n2 bigint). A null input vector yields null
-   * _v/_n2 (matching the declarative forms, where transform/aggregate of
-   * null is null).
+   * (idAs, _v array<bigint>, _n2 bigint). A null input vector — or a
+   * vector containing a null ELEMENT — yields null _v/_n2, matching the
+   * declarative forms, where transform/aggregate propagate null (a naive
+   * `getSeq[Double]` would silently unbox a null element to 0.0 and
+   * produce a finite cosine the spec twin nulls out).
    */
   private def prepTyped(df: DataFrame, idCol: String, idAs: String,
       vecCol: String): DataFrame = {
@@ -134,14 +136,14 @@ object Similarity {
       StructField("_n2", LongType, nullable = true)))
     in.mapPartitions { rows =>
       rows.map { r =>
-        if (r.isNullAt(1)) Row(r.get(0), null, null)
+        val raw = if (r.isNullAt(1)) null else r.getSeq[Any](1)
+        if (raw == null || raw.contains(null)) Row(r.get(0), null, null)
         else {
-          val raw = r.getSeq[Double](1)
           val v = new Array[Long](raw.length)
           var n2 = 0L
           var i = 0
           while (i < raw.length) {
-            val q = quantizeJvm(raw(i))
+            val q = quantizeJvm(raw(i).asInstanceOf[Double])
             v(i) = q
             n2 += q * q
             i += 1
@@ -245,12 +247,15 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  /** Join sides with the prep columns renamed for an unambiguous join. */
+  /** Join sides with the prep columns renamed for an unambiguous join.
+   *  Null embeddings are dropped here (same contract as cosineTopK /
+   *  nearDupPairs) — a null _v would otherwise land in signBucket's
+   *  all-zeros bucket and NPE the typed pair scoring. */
   private def prepSides(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String): (DataFrame, DataFrame) = {
-    val c = prepTyped(corpus, idCol, "cid", vecCol)
+    val c = prepTyped(corpus, idCol, "cid", vecCol).filter(col("_v").isNotNull)
       .withColumnRenamed("_v", "_vc").withColumnRenamed("_n2", "_nb")
-    val q = prepTyped(queries, idCol, "qid", vecCol)
+    val q = prepTyped(queries, idCol, "qid", vecCol).filter(col("_v").isNotNull)
       .withColumnRenamed("_v", "_vq").withColumnRenamed("_n2", "_na")
     (c, q)
   }

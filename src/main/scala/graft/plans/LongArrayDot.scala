@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /**
  * Native Catalyst expression: exact BIGINT dot product of two
@@ -26,9 +26,23 @@ case class LongArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   // inputs must be array<bigint> (callers build them from quantize();
-  // ExpectsInputTypes is sql-private, so no analyzer-time coercion here)
+  // ExpectsInputTypes is sql-private, so no analyzer-time coercion — but
+  // the check below still fails analysis with a clear message instead of
+  // a runtime ClassCastException on, e.g., array<int>)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<bigint> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -60,6 +60,28 @@ object ResourceBuilders {
       lit("official").as("use")))
   }
 
+  /**
+   * Minimal Patient per distinct subject id (ref: pipeline_overview.md's
+   * participant example; study whistle code enriches this —
+   * [[graft.project.Projection.participant]] is the full demographic
+   * projection). Its official identifier goes through the same
+   * `keyIdentifier(prefix, "Patient", id)` as the subject references
+   * emitted by [[observations]]/[[questionnaireResponses]], so loading
+   * these guarantees those references resolve.
+   */
+  def patients(data: DataFrame, study: StudyInfo, dd: DdTable): DataFrame = {
+    val subjectCol = dd.subjectId.getOrElse(
+      throw new IllegalArgumentException(s"table ${dd.tableName} has no subject id"))
+    val resource = struct(
+      lit("Patient").as("resourceType"),
+      metaTag(study).as("meta"),
+      officialIdentifier(study, "Patient", col("id")).as("identifier"))
+    data.filter(col(subjectCol).isNotNull)
+      .select(col(subjectCol).as("id")).distinct()
+      .select(lit("patient").as("module"), lit("Patient").as("resourceType"),
+        col("id"), to_json(resource).as("resource"))
+  }
+
   // --- CodeSystem / ValueSet (ref: wlib_dd_terms_codesystem.wstl:30-72,
   // wlib_dd_terms_valueset.wstl:12-49) ------------------------------------
 

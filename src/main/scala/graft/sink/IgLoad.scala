@@ -76,6 +76,7 @@ object IgLoad {
         val zipPath = content.path.map(p => s"$p/output/definitions.json.zip")
           .orElse(content.url.map { u =>
             val tmp = java.nio.file.Files.createTempFile("graft-ig", ".zip")
+            tmp.toFile.deleteOnExit() // downloaded copy, not a deliverable
             FileSource.fetchBytes(s"$u/definitions.json.zip", tmp)
             tmp.toString
           })
@@ -144,9 +145,16 @@ object IgLoad {
       .select(col("filename"), col("resource_type"),
         lit("excluded").as("action"), lit(null).cast("int").as("status"))
 
-    val isIg = col("resource_type") === "ImplementationGuide"
+    // rows without a resourceType can be neither deleted nor loaded (the
+    // REST URL needs the type) — surface them as action="invalid" instead
+    // of silently vanishing from both phases (a bare `!isIg` filter would
+    // null them out of each side)
+    val invalidRows = scoped.filter(col("resource_type").isNull)
+      .select(col("filename"), col("resource_type"),
+        lit("invalid").as("action"), lit(null).cast("int").as("status"))
+    val isIg = coalesce(col("resource_type") === "ImplementationGuide", lit(false))
     val igRows = scoped.filter(isIg).collect() // <= 1 per IG by construction
-    val rest = scoped.filter(!isIg)
+    val rest = scoped.filter(!isIg && col("resource_type").isNotNull)
 
     def opt(r: Row, i: Int): Option[String] = Option(r.getString(i))
 
@@ -173,22 +181,27 @@ object IgLoad {
         Seq(restDeleted, spark.createDataFrame(igDeleted.asJava, resultSchema))
       }
 
-    // phase 2: loads, IG last (igload:225-243)
+    // phase 2: loads, IG last (igload:225-243). The HTTP status decides
+    // the action — a 4xx/5xx is a load-failed row, never a silent success
+    def loadAction(status: Int): String = if (status < 300) "loaded" else "load-failed"
     val restLoaded = rest.mapPartitions { rows =>
       val client = makeClient()
       rows.map { r =>
         val status = client.load(r.getString(1), opt(r, 3), r.getString(4), forceOverwrite)
-        Row(r.getString(0), r.getString(1), "loaded", status)
+        Row(r.getString(0), r.getString(1), loadAction(status), status)
       }
     }(Encoders.row(resultSchema)).localCheckpoint(true)
     val igLoaded = igRows.toSeq.map { r =>
       val status = makeClient().load(r.getString(1), opt(r, 3), r.getString(4), forceOverwrite)
-      Row(r.getString(0), r.getString(1), "loaded", status)
+      Row(r.getString(0), r.getString(1), loadAction(status), status)
     }
 
-    (deleteResults :+ restLoaded :+ spark.createDataFrame(igLoaded.asJava, resultSchema))
+    val out = (deleteResults :+ restLoaded :+ spark.createDataFrame(igLoaded.asJava, resultSchema))
       .reduce(_ unionByName _)
+      .unionByName(invalidRows.localCheckpoint(true))
       .unionByName(excludedRows)
+    scoped.unpersist() // both phases are checkpointed; nothing re-reads it
+    out
   }
 }
 

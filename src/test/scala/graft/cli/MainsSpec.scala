@@ -102,6 +102,12 @@ class MainsSpec extends AnyFunSuite {
       val ids = new String(Files.readAllBytes(dir.resolve("out/study_ids.json")))
       assert(ids.contains("\"MAINS\""))
       assert(ids.contains("\"Observation\""))
+      // study-ids records the SERVER-assigned ids (what delfhir deletes),
+      // never the local projection ids
+      assert(ids.contains("srv-"))
+      // every subject became a loadable Patient, so all references resolved
+      assert(ids.contains("\"Patient\""))
+      assert(!Files.exists(dir.resolve("out/invalid-references.json")))
       // id cache persisted for incremental loads
       assert(Files.exists(dir.resolve(s"out/idcache/MAINS.parquet")))
     }
