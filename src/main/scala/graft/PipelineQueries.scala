@@ -377,7 +377,7 @@ object PipelineQueries {
     "pq10c_resize" ->
       """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n_bytes FROM documents),
         |m AS (SELECT doc_id, text, n_bytes,
-        |             greatest(1, n_bytes // 256) AS stride FROM d)
+        |             greatest(1, (n_bytes + 255) // 256) AS stride FROM d)
         |SELECT doc_id, n_bytes, stride,
         |       md5(array_to_string(list_transform(range(0, (n_bytes + stride - 1) // stride),
         |         i -> substr(text, (1 + i * stride)::INT, 1)), '')) AS resized_tag

@@ -608,10 +608,11 @@ object SparkEntry {
         |                  c_custkey AS rid
         |           FROM customer),
         |kept AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY system, code
-        |                                      ORDER BY rid DESC) AS dup
+        |                                      ORDER BY rid DESC) AS dup,
+        |                  MIN(rid) OVER (PARTITION BY system, code) AS ord
         |         FROM m)
         |SELECT system,
-        |       CAST(ROW_NUMBER() OVER (PARTITION BY system ORDER BY rid) - 1
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY system ORDER BY ord) - 1
         |            AS INT) AS pos,
         |       code, display
         |FROM kept WHERE dup = 1

@@ -200,9 +200,16 @@ object Harmony {
         .otherwise(concat(curiePrefix(curies, col("_target_group")), col("code"))).as("code"),
       when(isSelf, col("text")).otherwise(col("display")).as("display"),
       when(isSelf, lit("self")).otherwise(col("_target_group")).as("system"))
+    // sort key: (source row, self-after-target). The self copy shares its
+    // source row's rid, so a bare rid sort would tie and fall back to
+    // lexicographic struct comparison — the reference's group flattening
+    // puts the row's target coding before its self coding
+    // (conceptmap.py:425-428: the target-group append precedes the
+    // ''-group append, and group insertion order is preserved).
     expanded
       .groupBy(col("local code").as("code"), col("local code system").as("system"))
-      .agg(sort_array(collect_list(struct(rid.as("_o"), coding.as("c")))).as("_cs"))
+      .agg(sort_array(collect_list(struct(rid.as("_o"),
+        when(isSelf, 1).otherwise(0).as("_s"), coding.as("c")))).as("_cs"))
       .withColumn("codings", expr("transform(_cs, x -> x.c)"))
       .select(col("code"), col("system"), col("codings"))
   }
@@ -253,13 +260,21 @@ object Harmony {
   def targetCodeGroups(df: DataFrame, curies: Map[String, String] = Map.empty): DataFrame = {
     val rows = df.filter(trim(col("table_name")) =!= "" && trim(col("code system")) =!= "")
     val code = concat(curiePrefix(curies, col("code system")), col("code"))
-    val w = Window.partitionBy(col("code system"), code).orderBy(desc(Restructure.RowId))
+    // Python dict overwrite semantics (conceptmap.py:121-127
+    // `targets[cs][code] = {...}`): the VALUE is the last row's, but the
+    // insertion ORDER is the first occurrence's — so codes sort by the
+    // key's MIN rid while the kept row is the max-rid one, and group
+    // order likewise uses the system's first occurrence.
+    val keyW = Window.partitionBy(col("code system"), code)
+    val w = keyW.orderBy(desc(Restructure.RowId))
     rows
+      .withColumn("_ord", min(rid).over(keyW))
+      .withColumn("_gmin", min(rid).over(Window.partitionBy(col("code system"))))
       .withColumn("_dup", row_number().over(w)).filter(col("_dup") === 1) // last wins
       .groupBy(col("code system").as("system"))
       .agg(
-        min(rid).as("_gord"),
-        sort_array(collect_list(struct(rid.as("_o"),
+        min("_gmin").as("_gord"),
+        sort_array(collect_list(struct(col("_ord").as("_o"),
           struct(code.as("code"), col("display").as("display")).as("c")))).as("_cs"))
       .withColumn("codes", expr("transform(_cs, x -> x.c)"))
       .select(col("system"), lit("").as("table_name"), lit("").as("parent_varname"),

@@ -70,8 +70,9 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { iter =>
-      // real impl: open codec / JNI context here, close in a final step
-      iter.map(m => decodeOne(m.doc_id, m.content))
+      // real impl: open codec / JNI context here, close in a final step.
+      // null payloads (null source text) are undecodable -> no row
+      iter.filter(_.content != null).map(m => decodeOne(m.doc_id, m.content))
     }
   }
 
@@ -111,8 +112,10 @@ object Multimodal {
    * sample fits `targetW * targetH`. A real implementation swaps the
    * sampling for a codec's scaler; the Spark shape (typed per-partition
    * pass, byte-budget-bounded output, content tag for dedup after
-   * resize) is the real contract. Output: (doc_id, n_bytes, stride,
-   * resized_tag).
+   * resize) is the real contract. Stride is the CEILING of n/budget so
+   * the sample never exceeds `targetW * targetH` bytes; null payloads
+   * produce no row (same contract as [[frameSample]]'s null
+   * propagation). Output: (doc_id, n_bytes, stride, resized_tag).
    */
   def resize(df: DataFrame, idCol: String, payloadCol: String,
       targetW: Int = 16, targetH: Int = 16): DataFrame = {
@@ -129,10 +132,10 @@ object Multimodal {
         org.apache.spark.sql.functions.col(payloadCol))
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        rows.map { r =>
-          val bytes = r.getAs[Array[Byte]](1)
+        rows.flatMap { r =>
+          Option(r.getAs[Array[Byte]](1)).map { bytes =>
           val n = bytes.length
-          val stride = math.max(1L, n.toLong / budget)
+          val stride = math.max(1L, (n.toLong + budget - 1) / budget)
           val sampled = new java.io.ByteArrayOutputStream()
           var i = 0L
           while (i < n) { sampled.write(bytes(i.toInt)); i += stride }
@@ -140,6 +143,7 @@ object Multimodal {
           val hex = new java.lang.StringBuilder(32)
           digest.foreach(b => hex.append(f"${b & 0xff}%02x"))
           Row(r.get(0), n.toLong, stride, hex.toString)
+          }
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }

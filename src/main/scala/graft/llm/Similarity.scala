@@ -15,6 +15,11 @@ import org.apache.spark.storage.StorageLevel
  * is a deterministic IEEE double — bit-identical across engines, so
  * results are verifiable against an external oracle and reproducible
  * across cluster runs regardless of partitioning or summation order.
+ * Null embeddings and ZERO-NORM vectors (every |component| < 0.0005,
+ * quantizing to all zeros) are excluded from every search path — their
+ * cosine is 0/0, and NaN ranks differently in a JVM heap (last) than in
+ * a Spark `desc` window (first), so admitting them would make results
+ * depend on the execution path taken.
  *
  * Execution shape: quantization/norms and the per-pair dot products run
  * in typed `mapPartitions` stages (plain `while` loops over the long
@@ -102,7 +107,11 @@ object Similarity {
    * the expected bucket holds ~`targetBucketSize` vectors, so per-bucket
    * pair work stays bounded as the corpus grows (the round-3 caveat:
    * a fixed small bit count is quadratic-per-bucket at corpus scale).
-   * Capped by the embedding dimension — each bit consumes one.
+   * Callers using [[signBucket]] must ALSO cap by the embedding
+   * dimension — each sign-prefix bit reads one dimension, and an
+   * out-of-range `element_at` THROWS under ANSI mode (the auto paths in
+   * [[nearDupPairs]]/[[bucketedTopK]] do this via the probed dim; SRP
+   * hyperplanes are sized to the dim and need no cap).
    */
   def autoBucketBits(n: Long, targetBucketSize: Int = 1024, maxBits: Int = 32): Int = {
     require(targetBucketSize > 0)
@@ -154,13 +163,6 @@ object Similarity {
     }(Encoders.row(outSchema))
   }
 
-  /** Numeric key for (qid, cid) ordering inside the pre-reduce heap —
-   *  must agree with the window's `cid` ASC tie-break, so the reduction
-   *  only applies to numeric id types. */
-  private def numericKey(v: Any): Double = v match {
-    case n: java.lang.Number => n.doubleValue
-    case _ => Double.NaN
-  }
 
   /** JVM ordering agreeing with Catalyst's `<` on the id column, for the
    *  types ids actually take. None → callers fall back to a plan that
@@ -181,14 +183,17 @@ object Similarity {
    * Typed pair scoring + map-side top-k pre-reduction. Input columns
    * (qid, cid, _vq, _vc, _na, _nb); output (qid, cid, _dot, _na, _nb).
    * The integer dot product runs in a plain `while` loop (the interpreted
-   * `aggregate()` fold here was 9.6x the oracle), and — when both ids are
-   * numeric, so the heap's tie-break can mirror the ranking window's
-   * `cid` ASC — each partition keeps only the k best (cosine desc, cid
-   * asc) candidates per query. The cosine used for selection is the same
-   * double expression the final window recomputes (long dot /
-   * sqrt(long*long)), so selection agrees bit-for-bit with the window
-   * ranking, and only numPartitions * |Q| * k rows shuffle. Non-numeric
-   * ids skip the pre-reduce — correct, just shuffling all pairs.
+   * `aggregate()` fold here was 9.6x the oracle), and — when the cid type
+   * has a JVM ordering agreeing with the ranking window's `cid` ASC
+   * ([[idOrdering]]) — each partition keeps only the k best (cosine desc,
+   * cid asc) candidates per query. Heaps are keyed by the RAW qid value
+   * (hash equality — a numeric projection would collide distinct longs
+   * above 2^53), and the cosine used for selection is the same double
+   * expression the final window recomputes (zero norms are excluded
+   * upstream, so it is never NaN), so selection agrees bit-for-bit with
+   * the window ranking and only numPartitions * |Q| * k rows shuffle.
+   * Unordered id types skip the pre-reduce — correct, just shuffling all
+   * pairs.
    */
   private def scorePairs(pairs: DataFrame, k: Int): DataFrame = {
     val schema = pairs.schema
@@ -196,12 +201,7 @@ object Similarity {
       StructField("_dot", LongType, nullable = true),
       StructField("_na", LongType, nullable = true),
       StructField("_nb", LongType, nullable = true)))
-    val idsNumeric = Seq("qid", "cid").forall { c =>
-      schema(c).dataType match {
-        case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
-        case _ => false
-      }
-    }
+    val cidOrd = idOrdering(schema("cid").dataType)
     pairs.mapPartitions { rows =>
       def score(r: Row): Row = {
         val va = r.getSeq[Long](2)
@@ -212,26 +212,28 @@ object Similarity {
         while (i < n) { d += va(i) * vb(i); i += 1 }
         Row(r.get(0), r.get(1), d, r.getLong(4), r.getLong(5))
       }
-      if (!idsNumeric) rows.map(score)
-      else {
-        // per-qid bounded heap, worst candidate on top (min-heap by rank
-        // order): rank key (-cos, cidKey), smaller = better; the queue
-        // dequeues its max, i.e. the current worst survivor.
-        type Cand = (Double, Double, Row) // (cos, cidKey, scored row)
-        val byRank = Ordering.by[Cand, (Double, Double)](c => (-c._1, c._2))
-        val heaps = new java.util.HashMap[Double, scala.collection.mutable.PriorityQueue[Cand]]()
-        rows.foreach { r =>
-          val s = score(r)
-          val cos = s.getLong(2).toDouble /
-            math.sqrt(s.getLong(3).toDouble * s.getLong(4).toDouble)
-          val cand = (cos, numericKey(s.get(1)), s)
-          val heap = heaps.computeIfAbsent(numericKey(s.get(0)),
-            _ => scala.collection.mutable.PriorityQueue.empty[Cand](byRank))
-          if (heap.size < k) heap.enqueue(cand)
-          else if (byRank.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
-        }
-        import scala.jdk.CollectionConverters._
-        heaps.values.asScala.iterator.flatMap(_.iterator.map(_._3))
+      cidOrd match {
+        case None => rows.map(score)
+        case Some(ord) =>
+          // per-qid bounded heap, worst candidate on top (min-heap by rank
+          // order): rank (cos desc, cid asc); the queue dequeues its max,
+          // i.e. the current worst survivor.
+          type Cand = (Double, Any, Row) // (cos, cid, scored row)
+          val byRank = Ordering.by[Cand, Double](-_._1)
+            .orElse(Ordering.by[Cand, Any](_._2)(ord))
+          val heaps = new java.util.HashMap[Any, scala.collection.mutable.PriorityQueue[Cand]]()
+          rows.foreach { r =>
+            val s = score(r)
+            val cos = s.getLong(2).toDouble /
+              math.sqrt(s.getLong(3).toDouble * s.getLong(4).toDouble)
+            val cand = (cos, s.get(1), s)
+            val heap = heaps.computeIfAbsent(s.get(0),
+              _ => scala.collection.mutable.PriorityQueue.empty[Cand](byRank))
+            if (heap.size < k) heap.enqueue(cand)
+            else if (byRank.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+          }
+          import scala.jdk.CollectionConverters._
+          heaps.values.asScala.iterator.flatMap(_.iterator.map(_._3))
       }
     }(Encoders.row(outSchema))
   }
@@ -253,9 +255,11 @@ object Similarity {
    *  all-zeros bucket and NPE the typed pair scoring. */
   private def prepSides(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String): (DataFrame, DataFrame) = {
-    val c = prepTyped(corpus, idCol, "cid", vecCol).filter(col("_v").isNotNull)
+    val c = prepTyped(corpus, idCol, "cid", vecCol)
+      .filter(col("_v").isNotNull && col("_n2") > 0)
       .withColumnRenamed("_v", "_vc").withColumnRenamed("_n2", "_nb")
-    val q = prepTyped(queries, idCol, "qid", vecCol).filter(col("_v").isNotNull)
+    val q = prepTyped(queries, idCol, "qid", vecCol)
+      .filter(col("_v").isNotNull && col("_n2") > 0)
       .withColumnRenamed("_v", "_vq").withColumnRenamed("_n2", "_na")
     (c, q)
   }
@@ -281,8 +285,10 @@ object Similarity {
    */
   def cosineTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val qPrep = prepTyped(queries, idCol, "qid", vecCol).filter(col("_v").isNotNull)
-    val cPrep = prepTyped(corpus, idCol, "cid", vecCol).filter(col("_v").isNotNull)
+    val qPrep = prepTyped(queries, idCol, "qid", vecCol)
+      .filter(col("_v").isNotNull && col("_n2") > 0)
+    val cPrep = prepTyped(corpus, idCol, "cid", vecCol)
+      .filter(col("_v").isNotNull && col("_n2") > 0)
     val qs = qPrep.collect().map(r => (r.get(0), r.getSeq[Long](1).toArray, r.getLong(2)))
     val qB = corpus.sparkSession.sparkContext.broadcast(qs)
     val cidOrd = idOrdering(cPrep.schema("cid").dataType)
@@ -358,12 +364,17 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bucketBits: Int = -1, srp: Boolean = false): DataFrame = {
     val prep0 = prepTyped(corpus, idCol, "_id", vecCol)
-      .filter(col("_v").isNotNull && col("_id").isNotNull)
+      .filter(col("_v").isNotNull && col("_id").isNotNull && col("_n2") > 0)
     // the sizing count / dim probe read prep again — persist unless the
     // plan below consumes prep exactly once (explicit bits, no srp)
     val prep = if (bucketBits > 0 && !srp) prep0
       else prep0.persist(StorageLevel.MEMORY_AND_DISK)
-    val bits = if (bucketBits > 0) bucketBits else autoBucketBits(prep.count())
+    // sign-prefix bits are capped by the embedding dimension — bit i
+    // reads dimension i and an out-of-range element_at throws (ANSI)
+    val bits =
+      if (bucketBits > 0) bucketBits
+      else math.min(autoBucketBits(prep.count()),
+        if (srp) Int.MaxValue else probeDim(prep, "_v"))
     val withBkt = prep.withColumn("_bkt", bucketKey(prep, srp, bits))
     idOrdering(withBkt.schema("_id").dataType) match {
       case Some(ord) => groupedNearDup(withBkt, threshold, ord)
@@ -470,7 +481,11 @@ object Similarity {
       srp: Boolean = false): DataFrame = {
     val (c0, q0) = prepSides(corpus, queries, idCol, vecCol)
     val c1 = if (bucketBits > 0 && !srp) c0 else c0.persist(StorageLevel.MEMORY_AND_DISK)
-    val bits = if (bucketBits > 0) bucketBits else autoBucketBits(c1.count())
+    // same dimension cap as nearDupPairs: sign-prefix bit i reads dim i
+    val bits =
+      if (bucketBits > 0) bucketBits
+      else math.min(autoBucketBits(c1.count()),
+        if (srp) Int.MaxValue else probeDim(c1, "_vc"))
     def key(vCol: String): Column =
       if (!srp) signBucket(col(vCol), bits)
       else srpBucket(col(vCol), bits, probeDim(c1, "_vc"))

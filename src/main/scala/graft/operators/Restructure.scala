@@ -71,9 +71,11 @@ object MissingValues {
   }
 }
 
-/** Value cleaning: `;\s+` -> `;`, trim (ref: wstlr/__init__.py:143-150). */
+/** Value cleaning: `;\s+` -> `;`, trim (ref: wstlr/__init__.py:143-150;
+ *  `\s+` as in the reference and `Naming.cleanValues` — not just spaces,
+ *  so a tab/newline after ';' collapses identically on every path). */
 object ValueCleaning {
-  def clean(c: Column): Column = regexp_replace(trim(c), "; +", ";")
+  def clean(c: Column): Column = regexp_replace(trim(c), ";\\s+", ";")
 
   def apply(df: DataFrame, columns: Seq[String]): DataFrame =
     columns.foldLeft(df)((d, c) => d.withColumn(c, clean(col(c))))

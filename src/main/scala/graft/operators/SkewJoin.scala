@@ -21,6 +21,12 @@ import org.apache.spark.sql.DataFrame
  */
 object SkewJoin {
 
+  /** Join types whose results are unchanged by replicating the right
+   *  side: inner/left/semi. Right/full outer would emit one null-padded
+   *  row PER SALT COPY for an unmatched right row. */
+  private val SupportedJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "semi")
+
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,
@@ -28,6 +34,9 @@ object SkewJoin {
       joinType: String = "inner",
       saltBuckets: Int = 8): DataFrame = {
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    require(SupportedJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/left_semi joins, got '$joinType' " +
+        "(the replicated right side would duplicate unmatched right rows)")
     val salted = left.withColumn("_salt", (rand(seed = 7) * saltBuckets).cast("int"))
     val replicated = right.withColumn("_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))

@@ -135,9 +135,10 @@ class HarmonySpec extends AnyFunSuite {
     val tgt = Harmony.targetCodeGroups(df).collect()
     assert(tgt.length == 1)
     val tgtCodes = tgt.head.getAs[scala.collection.Seq[Row]]("codes")
-      .map(c => (c.getString(0), c.getString(1))).toMap
-    assert(tgtCodes("248153007") == "Male (last)") // last-wins overwrite
-    assert(tgtCodes("248152002") == "Female")
+      .map(c => (c.getString(0), c.getString(1)))
+    // Python dict overwrite: last display wins, FIRST insertion order holds
+    // (248153007 was inserted first even though its kept row came last)
+    assert(tgtCodes == Seq(("248153007", "Male (last)"), ("248152002", "Female")))
 
     val vs = graft.project.ResourceBuilders.harmonyValueSet(
       Harmony.sourceCodeGroups(df),
