@@ -77,6 +77,8 @@ object DdVariable {
         val code = kv(0).trim
         if (!out.contains(code)) out += code -> kv(1).trim
       } else if (parts.length > 1 && entry.trim.nonEmpty) {
+        // reference quirk kept as-is (variable.py:113 `len(split_values) > 1`):
+        // a lone bare code without '=' parses to an EMPTY enumeration
         val v = entry.trim
         if (!out.contains(v)) out += v -> v
       }

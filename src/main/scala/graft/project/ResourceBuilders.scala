@@ -34,6 +34,26 @@ object ResourceBuilders {
    *  joins (see [[observations]]). */
   private[graft] val MaxLiteralValueCodes = 1024
 
+  /** One driver-side collect of a harmony codings lookup
+   *  (`Harmony.codingsLookup` shape): system -> code -> RAW codings
+   *  (self rows included — callers filter). The lookup is mapping-
+   *  dimension-sized by contract. */
+  private def collectLookup(
+      lookup: DataFrame): Map[String, Map[String, Seq[(String, String, String)]]] =
+    lookup.select(col("system"), col("code"), col("codings"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (sys, rows) =>
+        sys -> rows.map(r => r.getString(1) ->
+          r.getSeq[Row](2).map(c => (c.getString(0), c.getString(1), c.getString(2))).toSeq)
+          .toMap
+      }
+
+  /** Driver-side twin of `nonSelfOnly` (same filter as
+   *  wlib/core/_harmonize_mapped.wstl:7-10). */
+  private def nonSelfSeq(cs: Seq[(String, String, String)]): Seq[(String, String, String)] =
+    cs.filterNot(c => c._3 == "self" || c._3.contains("-unharmonized"))
+
   /** Literal coding array from driver-side (code, display, system) rows. */
   private def codingsLit(codings: Seq[(String, String, String)]): Column =
     if (codings.isEmpty) lit(null).cast(CodingType)
@@ -190,22 +210,21 @@ object ResourceBuilders {
       throw new IllegalArgumentException(s"table $tableName has no subject id"))
     val keyCols = if (idCols.nonEmpty) idCols else Seq(subjectCol)
 
-    // driver-side varname-level codings (DD-sized metadata); HarmonizeMapped
-    // semantics = NonSelfOnly (ref: wlib/core/_harmonize_mapped.wstl:7-10)
-    def mappedCodings(lookup: DataFrame, system: String): Map[String, Seq[(String, String, String)]] =
-      lookup.filter(col("system") === system)
-        .select(col("code"), col("codings"))
-        .collect()
-        .map(r => r.getString(0) ->
-          r.getSeq[Row](1).map(c => (c.getString(0), c.getString(1), c.getString(2)))
-            .filterNot(c => c._3 == "self" || c._3.contains("-unharmonized")).toSeq)
-        .toMap
-    val varCodings: Map[String, Seq[(String, String, String)]] =
-      harmonyLookup.map(mappedCodings(_, tableName)).getOrElse(Map.empty)
+    // ONE driver-side collect of the harmony lookup (DD-sized metadata),
+    // grouped by system — per-system filtering happens on the collected
+    // map, never as another Spark job (a 100-enum table used to fire
+    // 100+ separate filter+collect actions at plan-build time).
+    // HarmonizeMapped semantics = NonSelfOnly
+    // (ref: wlib/core/_harmonize_mapped.wstl:7-10).
+    val collected = harmonyLookup.map(collectLookup).getOrElse(Map.empty)
+    def mapped(system: String): Map[String, Seq[(String, String, String)]] =
+      collected.getOrElse(system, Map.empty)
+        .map { case (c, cs) => c -> nonSelfSeq(cs) }
+    val varCodings: Map[String, Seq[(String, String, String)]] = mapped(tableName)
     // table-level coding: HarmonizeMapped(table_name, "DataSet")
     // (ref: observation_w_components.wstl:82)
     val tableCodingSeq: Seq[(String, String, String)] =
-      harmonyLookup.map(mappedCodings(_, "DataSet").getOrElse(tableName, Nil)).getOrElse(Nil)
+      mapped("DataSet").getOrElse(tableName, Nil)
 
     // Value-level codings per enumeration variable. Like the
     // varname-level codings above, these are DD-sized mapping metadata
@@ -220,9 +239,8 @@ object ResourceBuilders {
     val enumVars = dd.variables.filter(v =>
       v.dataType == DdType.Enumeration && data.columns.contains(v.fieldName))
     val valueCodingMaps: Map[String, Map[String, Seq[(String, String, String)]]] =
-      harmonyLookup
-        .map(l => enumVars.map(v => v.fieldName -> mappedCodings(l, v.varName)).toMap)
-        .getOrElse(Map.empty)
+      if (harmonyLookup.isEmpty) Map.empty
+      else enumVars.map(v => v.fieldName -> mapped(v.varName)).toMap
     val useLiteralValueCodings =
       valueCodingMaps.values.map(_.size).sum <= maxLiteralValueCodes
     val joined = harmonyLookup match {
@@ -515,19 +533,36 @@ object ResourceBuilders {
       study: StudyInfo,
       dd: DdTable,
       harmonyLookup: Option[DataFrame] = None,
-      idCols: Seq[String] = Nil): DataFrame = {
+      idCols: Seq[String] = Nil,
+      maxLiteralValueCodes: Int = MaxLiteralValueCodes): DataFrame = {
     val subjectCol = dd.subjectId.getOrElse(
       throw new IllegalArgumentException(s"table ${dd.tableName} has no subject id"))
     val keyCols = if (idCols.nonEmpty) idCols else Seq(subjectCol)
 
     val enumVars = dd.variables.filter(v =>
       v.dataType == DdType.Enumeration && data.columns.contains(v.fieldName))
+    // same literal-CASE dispatch as [[observations]] — but with the RAW
+    // codings (self included), because HarmonizeSelectByPrefix filters by
+    // system prefix downstream, not NonSelfOnly
+    val collected = harmonyLookup.map(collectLookup).getOrElse(Map.empty)
+    val rawValueCodings: Map[String, Map[String, Seq[(String, String, String)]]] =
+      if (harmonyLookup.isEmpty) Map.empty
+      else enumVars.map(v => v.fieldName -> collected.getOrElse(v.varName, Map.empty)).toMap
+    val useLiteralValueCodings =
+      rawValueCodings.values.map(_.size).sum <= maxLiteralValueCodes
     val joined = harmonyLookup match {
-      case Some(lookup) => enumVars.foldLeft(data) { (df, v) =>
-        harmonize(df, lookup, v.fieldName, v.varName, s"_qh_${v.fieldName}")
-      }
-      case None => data
+      case Some(lookup) if !useLiteralValueCodings =>
+        enumVars.foldLeft(data) { (df, v) =>
+          harmonize(df, lookup, v.fieldName, v.varName, s"_qh_${v.fieldName}")
+        }
+      case _ => data
     }
+    def literalRawCodings(v: graft.model.DdVariable): Column =
+      rawValueCodings.getOrElse(v.fieldName, Map.empty).toSeq.sortBy(_._1)
+        .filter(_._2.nonEmpty)
+        .foldLeft(array().cast(CodingType)) { case (acc, (code, cs)) =>
+          when(col(v.fieldName) === code, codingsLit(cs)).otherwise(acc)
+        }
 
     val answerType =
       s"array<struct<valueString:string,valueInteger:bigint,valueCoding:struct<code:string,display:string,system:string>,valueQuantity:struct<value:double>>>"
@@ -542,8 +577,11 @@ object ResourceBuilders {
       val value = col(v.fieldName)
       val answers: Column = v.dataType match {
         case DdType.Enumeration if harmonyLookup.isDefined =>
+          val codings =
+            if (useLiteralValueCodings) literalRawCodings(v)
+            else col(s"_qh_${v.fieldName}")
           val coding = harmonizeFirst(
-            harmonizeSelection(col(s"_qh_${v.fieldName}"), study.identifierPrefix))
+            harmonizeSelection(codings, study.identifierPrefix))
           when(coding.isNotNull, answer(valueCoding = coding))
         case DdType.Integer =>
           when(parseInt(value).isNotNull, answer(valueInteger = parseInt(value)))

@@ -38,6 +38,7 @@ class HttpPoster(
       else s"$baseUrl/$resourceType"
     var attempt = 0
     var lastStatus = -1
+    var lastErr: String = null
     while (attempt < maxRetries) {
       attempt += 1
       val builder = HttpRequest.newBuilder(URI.create(url))
@@ -48,16 +49,46 @@ class HttpPoster(
         .method(effectiveVerb,
           HttpRequest.BodyPublishers.ofString(resourceJson, StandardCharsets.UTF_8))
         .build()
-      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-      lastStatus = resp.statusCode()
-      if (lastStatus < 300)
-        return IdField.findFirstMatchIn(resp.body()).map(_.group(1)).getOrElse(existingId)
-      else if (lastStatus == 429) {
-        // ref: load.py:398-406 — too many requests, long pause
-        if (attempt < maxRetries) Thread.sleep(backoff429Millis)
-      } else if (attempt < maxRetries) Thread.sleep(backoffErrMillis)
+      // connection resets / timeouts are the MOST transient failures —
+      // they get the same bounded retry as a 5xx, not an instant escape
+      val respOpt =
+        try Some(client.send(req, HttpResponse.BodyHandlers.ofString()))
+        catch { case e: java.io.IOException => lastErr = e.toString; None }
+      respOpt match {
+        case Some(resp) =>
+          lastStatus = resp.statusCode()
+          if (lastStatus < 300) {
+            val bodyId = IdField.findFirstMatchIn(resp.body()).map(_.group(1))
+            // a 2xx write MUST yield a known id: the body's, the PUT
+            // target's, or the Location header's. Recording a create
+            // (POST) with no id as ok would poison the ID cache with
+            // null fhir_ids and corrupt downstream references.
+            val locId: String = {
+              // e.g. Location: http://host/fhir/Patient/123/_history/1
+              val loc = resp.headers().firstValue("Location").orElse(null)
+              if (loc == null) null
+              else {
+                val segs = loc.split("/")
+                val i = segs.lastIndexOf(resourceType)
+                if (i >= 0 && i + 1 < segs.length) segs(i + 1) else null
+              }
+            }
+            val id = bodyId.getOrElse(if (existingId != null) existingId else locId)
+            if (id == null && !validateOnly)
+              throw new RuntimeException(
+                s"$verb $url returned $lastStatus but no resource id " +
+                  "(empty body and no Location header)")
+            return id
+          } else if (lastStatus == 429) {
+            // ref: load.py:398-406 — too many requests, long pause
+            if (attempt < maxRetries) Thread.sleep(backoff429Millis)
+          } else if (attempt < maxRetries) Thread.sleep(backoffErrMillis)
+        case None =>
+          if (attempt < maxRetries) Thread.sleep(backoffErrMillis)
+      }
     }
-    throw new RuntimeException(s"$verb $url failed after $maxRetries attempts (last: $lastStatus)")
+    throw new RuntimeException(s"$verb $url failed after $maxRetries attempts " +
+      s"(last: ${if (lastStatus >= 0) lastStatus else lastErr})")
   }
 
   /** The [[PurgeSink.Deleter]] contract: DELETE `Type/id`; true = gone
@@ -68,18 +99,27 @@ class HttpPoster(
     val url = s"$baseUrl/$resourceType/$id"
     var attempt = 0
     var lastStatus = -1
+    var lastErr: String = null
     while (attempt < maxRetries) {
       attempt += 1
       val builder = HttpRequest.newBuilder(URI.create(url))
       headers.foreach { case (k, v) => builder.header(k, v) }
-      val resp = client.send(builder.DELETE().build(), HttpResponse.BodyHandlers.ofString())
-      lastStatus = resp.statusCode()
-      if (lastStatus < 300 || lastStatus == 404) return true
-      else if (lastStatus == 409) return false
-      else if (lastStatus == 429) { if (attempt < maxRetries) Thread.sleep(backoff429Millis) }
-      else if (attempt < maxRetries) Thread.sleep(backoffErrMillis)
+      val respOpt =
+        try Some(client.send(builder.DELETE().build(), HttpResponse.BodyHandlers.ofString()))
+        catch { case e: java.io.IOException => lastErr = e.toString; None }
+      respOpt match {
+        case Some(resp) =>
+          lastStatus = resp.statusCode()
+          if (lastStatus < 300 || lastStatus == 404) return true
+          else if (lastStatus == 409) return false
+          else if (lastStatus == 429) { if (attempt < maxRetries) Thread.sleep(backoff429Millis) }
+          else if (attempt < maxRetries) Thread.sleep(backoffErrMillis)
+        case None =>
+          if (attempt < maxRetries) Thread.sleep(backoffErrMillis)
+      }
     }
-    throw new RuntimeException(s"DELETE $url failed after $maxRetries attempts (last: $lastStatus)")
+    throw new RuntimeException(s"DELETE $url failed after $maxRetries attempts " +
+      s"(last: ${if (lastStatus >= 0) lastStatus else lastErr})")
   }
 }
 

@@ -138,10 +138,15 @@ object IgLoad {
       if (resourceList.isEmpty) lit(true)
       else col("resource_type").isin(resourceList.map(lit): _*) ||
         col("filename").isin(resourceList.map(lit): _*)
-    val scoped = annotated.filter(inList && !excludedCond)
+    // null-safe scope predicate: a null resource_type makes `isin` NULL,
+    // and a bare filter(cond)/filter(!cond) pair would drop such rows
+    // from BOTH sides (three-valued logic) — every row must land in
+    // exactly one of scoped/excluded
+    val inScope = coalesce(inList && !excludedCond, lit(false))
+    val scoped = annotated.filter(inScope)
       // the explode below feeds two phases; tiny (IG-sized) either way
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val excludedRows = annotated.filter(!(inList && !excludedCond))
+    val excludedRows = annotated.filter(!inScope)
       .select(col("filename"), col("resource_type"),
         lit("excluded").as("action"), lit(null).cast("int").as("status"))
 

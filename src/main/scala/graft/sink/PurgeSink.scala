@@ -44,8 +44,11 @@ object PurgeSink {
     }(Encoders.row(resultSchema))
 
   /**
-   * Purge `ids` (resource_type, id). Returns the final per-id statuses;
-   * ids still `deferred` after `maxRounds` could not be deleted
+   * Purge `ids` (resource_type, id). Runs one initial delete pass plus up
+   * to `maxRounds` RETRY rounds, each preceded by a sleep — exactly the
+   * reference's shape (purge.py:112-119 initial pass, then `for i in
+   * range(0, 5)` with sleep(60) at :133-136). Returns the final per-id
+   * statuses; ids still `deferred` at the end could not be deleted
    * (purge.py:154-157 reports them).
    */
   def purge(

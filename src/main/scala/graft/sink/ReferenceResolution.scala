@@ -95,7 +95,12 @@ object ReferenceResolution {
     val keyed = resources.withColumn("_rkey",
       concat_ws("|", col("module"), col("resourceType"), col("id")))
 
-    val refs = extractRefs(resources)
+    // distinct: a resource referencing the same (system, value) twice
+    // (subject AND performer, say) would otherwise put duplicate keys
+    // into map_from_entries, which THROWS under the default
+    // spark.sql.mapKeyDedupPolicy=EXCEPTION; _missing likewise counts
+    // distinct unresolved identifiers, not occurrences
+    val refs = extractRefs(resources).distinct()
     val hits = refs.join(
         idCache.select(col("system").as("ref_system"), col("value").as("ref_value"),
           concat_ws("/", col("resource_type"), col("fhir_id")).as("_target")),

@@ -60,7 +60,13 @@ object BundleSink {
     val verb = when(hasId, lit("PUT")).otherwise(lit("POST"))
     val destination = when(hasId, concat_ws("/", col("resourceType"), col(idCol)))
       .otherwise(col("resourceType"))
-    val fullUrl = concat_ws("/", lit(targetServiceUrl), col("resourceType"), col(idCol))
+    // POST entries take the first identifier value as the logical id in
+    // fullUrl (bundle.py:139-147) — without it every id-less resource of
+    // a type would share one fullUrl and the dedup below would silently
+    // drop all but the first
+    val logicalId = when(hasId, col(idCol))
+      .otherwise(get_json_object(col("resource"), "$.identifier[0].value"))
+    val fullUrl = concat_ws("/", lit(targetServiceUrl), col("resourceType"), logicalId)
     // first-wins by orderCol, not dropDuplicates — the reference keeps the
     // first duplicate in file order (bundle.py:106-108), and an arbitrary
     // survivor would make bundle content nondeterministic across runs

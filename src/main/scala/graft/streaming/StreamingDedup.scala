@@ -28,6 +28,17 @@ object StreamingDedup {
   /** Emitted row: the content hash and the keeper's id. */
   case class Kept(content_hash: String, keep_id: String)
 
+  /** Keeper ordering on the stringified ids: numeric when both sides are
+   *  integers (so numeric-id streams agree with the batch operator's
+   *  `min(id)` — lexicographic would keep "10" over "9"), lexicographic
+   *  otherwise. */
+  private val IntLike = "-?\\d+".r
+  private[streaming] def idLt(a: String, b: String): Boolean =
+    (IntLike.matches(a), IntLike.matches(b)) match {
+      case (true, true) => BigInt(a) < BigInt(b)
+      case _ => a < b
+    }
+
   /**
    * @param docs     streaming (or batch) DataFrame
    * @param idCol    id column (cast to string in the output)
@@ -73,7 +84,7 @@ object StreamingDedup {
             var keep: String = null
             while (rows.hasNext) {
               val id = rows.next()._2
-              if (keep == null || (id != null && id < keep)) keep = id
+              if (keep == null || (id != null && idLt(id, keep))) keep = id
             }
             Iterator.single(Kept(hash, keep))
           }

@@ -129,6 +129,16 @@ class ResourceBuildersSpec extends AnyFunSuite {
     assert(lit.sameElements(jn))
     assert(lit.head.contains(""""code":"harm-var1-a""""))   // hit -> mapped coding
     assert(jn(1).contains(""""valueCodeableConcept""") == lit(1).contains(""""valueCodeableConcept""""))
+
+    // questionnaireResponses shares the dispatch: zero joins by default,
+    // join fallback byte-identical
+    val qrLit = ResourceBuilders.questionnaireResponses(data, study, dd, Some(lookup))
+    assert(!qrLit.queryExecution.optimizedPlan.toString.toLowerCase.contains("join"))
+    val qrJn = ResourceBuilders.questionnaireResponses(data, study, dd, Some(lookup),
+      maxLiteralValueCodes = 0)
+    assert(qrJn.queryExecution.optimizedPlan.toString.toLowerCase.contains("join"))
+    assert(qrLit.orderBy("id").collect().map(_.getString(3))
+      .sameElements(qrJn.orderBy("id").collect().map(_.getString(3))))
   }
 
   test("questionnaire: item per variable, categorical -> choice with ValueSet url") {
