@@ -38,7 +38,7 @@ object Extractor {
 
     def resolvePaths(filenames: String): Seq[String] =
       CsvSource.fileList(filenames).map { f =>
-        if (dataDir.isEmpty || f.startsWith("/")) f else s"$dataDir/$f"
+        CsvSource.resolveUnder(dataDir)(f)
       }
 
     // embedded tables keyed by their target dataset (extractor.py:255-266)

@@ -32,8 +32,7 @@ object IncrementalRunner {
       config: StudyConfig,
       dataDir: String = "",
       extraDeps: Seq[String] = Nil): Option[Long] = {
-    def resolve(f: String): String =
-      if (dataDir.isEmpty || f.startsWith("/")) f else s"$dataDir/$f"
+    val resolve = CsvSource.resolveUnder(dataDir) _
     val dataFiles = config.dataset.values.flatMap { t =>
       CsvSource.fileList(t.filename) ++
         t.dataDictionary.toSeq.flatMap(d => CsvSource.fileList(d.filename)) ++

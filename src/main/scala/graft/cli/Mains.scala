@@ -81,8 +81,9 @@ private[cli] object CliSession {
 object PlayMain {
 
   val usage: String =
-    """play [-f] [-v] [-b] [--host NAME] [--hosts-file PATH] [--data-dir DIR]
-      |     [-o OUTDIR] [--max-validations N] config.yaml...""".stripMargin
+    """play [-f] [-v] [-b] [-x] [--host NAME] [--hosts-file PATH] [--data-dir DIR]
+      |     [-o OUTDIR] [--max-validations N] config.yaml...
+      |  -v validate-only (requires --host); -b save bundles; -x bundles only""".stripMargin
 
   def main(args: Array[String]): Unit = sys.exit(run(args, CliSession.create("graft-play")))
 
@@ -98,6 +99,9 @@ object PlayMain {
       case Left(err) => Console.err.println(s"$err\nusage: $usage"); 1
       case Right(p) if p.positional.isEmpty =>
         Console.err.println(s"usage: $usage"); 1
+      case Right(p) if p.has("validate-only") && p.opt("host").isEmpty =>
+        // -v without a host would silently validate nothing and exit 0
+        Console.err.println(s"-v/--validate-only requires --host\nusage: $usage"); 1
       case Right(p) =>
         try {
           val host = p.opt("host").map { name =>
@@ -112,7 +116,11 @@ object PlayMain {
               Option(Paths.get(cfgPath).getParent).map(_.toString).getOrElse(""))
             val outDir = p.opt("output").getOrElse("output")
             println(s"*  Study: ${config.studyId}")
-            val result = Play.run(spark, config, dataDir, outDir, force = p.has("force"))
+            // the config file itself is a rebuild dependency: an edited
+            // study.yaml must refresh the whistle-input even when every
+            // data file is older than the output
+            val result = Play.run(spark, config, dataDir, outDir,
+              force = p.has("force"), extraDeps = Seq(cfgPath))
             println(s"   harmony: ${result.harmonyJsonPaths.mkString(", ")}")
             result.whistleInputPath.foreach(w => println(s"   whistle-input: $w"))
 
@@ -140,6 +148,8 @@ object PlayMain {
         } catch {
           case e: Hosts.HostsFileMissing => Console.err.println(e.getMessage); 1
           case e: IllegalArgumentException => Console.err.println(e.getMessage); 1
+          case e: java.nio.file.NoSuchFileException =>
+            Console.err.println(s"file not found: ${e.getFile}"); 1
         }
     }
   }
@@ -150,8 +160,7 @@ object PlayMain {
    *  — the buildsrcobs/buildsrcqr scripts `play` chains). */
   def studyResources(spark: SparkSession, config: StudyConfig,
       result: Play.RunResult, dataDir: String): DataFrame = {
-    def resolve(f: String): String =
-      if (dataDir.isEmpty || f.startsWith("/")) f else s"$dataDir/$f"
+    val resolve = CsvSource.resolveUnder(dataDir) _
     val study = Projection.StudyInfo(config.studyId, config.identifierPrefix, config.publisher)
     val harmonyFiles = config.dataset.values.flatMap(_.codeHarmonization).toSeq.distinct
     val lookup =
@@ -199,11 +208,14 @@ object PlayMain {
       // server-assigned id). load() localCheckpoints, so accumulating a
       // second view of the results re-reads, never re-POSTs.
       val loadedPerRound = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val failedPerRound = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       val leftover = ReferenceResolution.resolveLoop(resources, cache, { resolved =>
         val prepared = FhirLoadSink.getOrCreate(resolved, cache, identifierPrefix)
         val results = FhirLoadSink.load(prepared, () => host.poster().post _)
         loadedPerRound += results.filter(col("ok"))
           .select(col("resourceType"), col("fhir_id"))
+        failedPerRound += results.filter(!col("ok"))
+          .select(col("resourceType"), col("id"), col("error"))
         val newRows = FhirLoadSink.asCacheRows(results)
         cache = IdCacheStore.merge(cache, newRows)
         newRows
@@ -227,10 +239,18 @@ object PlayMain {
           InvalidReferencesWriter.toJson(leftover, existing).getBytes(StandardCharsets.UTF_8))
         Console.err.println(s"   invalid references written to $invalidRefsPath")
       }
-      // reference parity: unresolved references warn and write the report
-      // but do NOT fail the run (play.py:493 / load.py:606 save_fails then
-      // exit 0) — the invalid-references file is the signal
-      0
+      // HTTP-rejected loads: report the first 5 errors and fail the run
+      // (load.py:427-452 prints <=5 issues then sys.exit(1)). Unresolved
+      // REFERENCES, by contrast, only warn (play.py:493 save_fails then
+      // continue) — the invalid-references file is their signal.
+      val failed = failedPerRound.reduceOption(_ unionByName _)
+        .filter(!_.isEmpty)
+      failed.foreach { f =>
+        graft.sources.FirstKReport(f, 5, r =>
+          s"${r.getString(0)}/${r.getString(1)}: ${r.getString(2)}")
+          .foreach(Console.err.println)
+      }
+      if (failed.isDefined) 1 else 0
     }
   }
 }
@@ -260,7 +280,8 @@ object ExtractJsonMain {
             Option(Paths.get(cfgPath).getParent).map(_.toString).getOrElse(""))
           val dd = Play.loadDdCatalog(spark, config, dataDir)
           val (_, written) = Play.extractJson(spark, config, dd, dataDir,
-            s"$outRoot/${config.studyId}.json", force = p.has("force"))
+            s"$outRoot/${config.studyId}.json", force = p.has("force"),
+            extraDeps = Seq(cfgPath))
           println(written.map(w => s"wrote $w")
             .getOrElse(s"$outRoot/${config.studyId}.json is up to date"))
         }
@@ -279,7 +300,7 @@ object LoadFhirMain {
   val usage: String =
     """loadfhir --host NAME [--hosts-file PATH] [-m MODULE]... [-r TYPE]...
       |         [-v] [--max-validations N] [--id-cache PATH] [--out DIR]
-      |         whistle-output.json""".stripMargin
+      |         [--identifier-prefix URL] whistle-output.json""".stripMargin
 
   def main(args: Array[String]): Unit = sys.exit(run(args, CliSession.create("graft-loadfhir")))
 
@@ -317,6 +338,8 @@ object LoadFhirMain {
         } catch {
           case e: Hosts.HostsFileMissing => Console.err.println(e.getMessage); 1
           case e: IllegalArgumentException => Console.err.println(e.getMessage); 1
+          case e: java.nio.file.NoSuchFileException =>
+            Console.err.println(s"file not found: ${e.getFile}"); 1
         }
     }
   }
@@ -404,6 +427,8 @@ object IgLoadMain {
         } catch {
           case e: Hosts.HostsFileMissing => Console.err.println(e.getMessage); 1
           case e: IllegalArgumentException => Console.err.println(e.getMessage); 1
+          case e: java.nio.file.NoSuchFileException =>
+            Console.err.println(s"file not found: ${e.getFile}"); 1
         }
     }
   }
@@ -474,6 +499,8 @@ object DelFhirMain {
         } catch {
           case e: Hosts.HostsFileMissing => Console.err.println(e.getMessage); 1
           case e: IllegalArgumentException => Console.err.println(e.getMessage); 1
+          case e: java.nio.file.NoSuchFileException =>
+            Console.err.println(s"file not found: ${e.getFile}"); 1
         }
     }
   }

@@ -30,8 +30,7 @@ object Play {
 
   /** Parse the DD catalog declared by the config's dataset entries. */
   def loadDdCatalog(spark: SparkSession, config: StudyConfig, dataDir: String): DdStudy = {
-    def resolve(f: String): String =
-      if (dataDir.isEmpty || f.startsWith("/")) f else s"$dataDir/$f"
+    val resolve = CsvSource.resolveUnder(dataDir) _
     val tables = config.dataset.toSeq.collect {
       case (name, t) if t.dataDictionary.exists(d => CsvSource.fileList(d.filename).nonEmpty) =>
         val ddCfg = t.dataDictionary.get
@@ -47,8 +46,7 @@ object Play {
    *  written paths. */
   def buildConceptMaps(
       spark: SparkSession, config: StudyConfig, dataDir: String, outDir: String): Seq[String] = {
-    def resolve(f: String): String =
-      if (dataDir.isEmpty || f.startsWith("/")) f else s"$dataDir/$f"
+    val resolve = CsvSource.resolveUnder(dataDir) _
     Files.createDirectories(Paths.get(outDir))
     val harmonyFiles = config.dataset.values.flatMap(_.codeHarmonization).toSeq.distinct
     harmonyFiles.map { h =>
@@ -70,10 +68,12 @@ object Play {
       dd: DdStudy,
       dataDir: String,
       outPath: String,
-      force: Boolean = false): (Map[String, DataFrame], Option[String]) = {
+      force: Boolean = false,
+      extraDeps: Seq[String] = Nil): (Map[String, DataFrame], Option[String]) = {
     val tables = Extractor.extract(spark, config, Some(dd), dataDir)
     val written =
-      if (IncrementalRunner.needsRebuild(outPath, config, dataDir, force = force)) {
+      if (IncrementalRunner.needsRebuild(outPath, config, dataDir,
+          extraDeps = extraDeps, force = force)) {
         Files.createDirectories(Paths.get(outPath).getParent)
         WhistleInputWriter.write(outPath, config, dd, tables)
         Some(outPath)
@@ -88,8 +88,7 @@ object Play {
   def ddMetaResources(
       spark: SparkSession, config: StudyConfig, dd: DdStudy,
       dataDir: String): DataFrame = {
-    def resolve(f: String): String =
-      if (dataDir.isEmpty || f.startsWith("/")) f else s"$dataDir/$f"
+    val resolve = CsvSource.resolveUnder(dataDir) _
     val study = Projection.StudyInfo(config.studyId, config.identifierPrefix, config.publisher)
     val terminology = ResourceBuilders.ddTerminology(spark, study, dd)
     val definitions = ResourceBuilders.ddDefinitions(spark, study, dd)
@@ -116,11 +115,12 @@ object Play {
       config: StudyConfig,
       dataDir: String,
       outDir: String,
-      force: Boolean = false): RunResult = {
+      force: Boolean = false,
+      extraDeps: Seq[String] = Nil): RunResult = {
     val dd = loadDdCatalog(spark, config, dataDir)
     val cmPaths = buildConceptMaps(spark, config, dataDir, s"$outDir/harmony")
     val (tables, docPath) = extractJson(spark, config, dd, dataDir,
-      s"$outDir/whistle-input/${config.studyId}.json", force)
+      s"$outDir/whistle-input/${config.studyId}.json", force, extraDeps)
     RunResult(tables, dd, cmPaths, docPath)
   }
 }

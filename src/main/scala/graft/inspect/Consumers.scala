@@ -35,8 +35,14 @@ object Consumers {
     def part(field: String): Column = coalesce(
       get_json_object(col("resource"), s"$$.identifier[0].$field"),
       get_json_object(col("resource"), s"$$.identifier.$field"))
-    val idVal = concat_ws(":", part("system"), part("value"))
-    val dups = DuplicateIdentifiers(cached.filter(idVal =!= ""), "resourceType", idVal)
+    // keep the ':' even when one side is null (the reference formats
+    // f"{system}:{value}", so a system-only "X:" and a value-only ":X"
+    // stay distinct — concat_ws would collapse both to "X")
+    val idVal = concat(coalesce(part("system"), lit("")), lit(":"),
+      coalesce(part("value"), lit("")))
+    val dups = DuplicateIdentifiers(
+      cached.filter(part("system").isNotNull || part("value").isNotNull),
+      "resourceType", idVal)
     val noType = cached
       .filter(get_json_object(col("resource"), "$.resourceType").isNull).count()
     // ConceptMaps are exempt from the identifier requirement

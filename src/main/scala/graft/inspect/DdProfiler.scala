@@ -22,9 +22,12 @@ object DdProfiler {
   }
 
   /** The per-(variable, value) histogram (dd_from_fhir.py:54 values
-   *  counter). */
+   *  counter). Null cells are absent values, not a value: counting them
+   *  would make n_distinct disagree with both the emitted values_list
+   *  (collect_set drops nulls) and SQL COUNT(DISTINCT). */
   def histogram(df: DataFrame, columns: Seq[String]): DataFrame =
     melt(df, columns)
+      .filter(col("value").isNotNull)
       .groupBy("varname", "value")
       .agg(count(lit(1)).as("n"))
 

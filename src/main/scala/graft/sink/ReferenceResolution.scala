@@ -184,7 +184,11 @@ object ReferenceResolution {
         // load can produce — stop early, report as invalid references
         return deferred
       }
-      cache = cache.unionByName(load(resolved))
+      // merge, not raw union: a warm-cache rerun re-loads resources whose
+      // (system, value) keys are already cached, and duplicate keys crash
+      // resolve()'s map_from_entries in the NEXT round
+      // (mapKeyDedupPolicy=EXCEPTION); updates win
+      cache = IdCacheStore.merge(cache, load(resolved))
       pending = deferred.drop("_missing")
       round += 1
     }

@@ -41,6 +41,13 @@ object CsvSource {
   def fileList(filenames: String): Seq[String] =
     filenames.split(",").toSeq.map(_.trim).filter(f => f.nonEmpty && f.toLowerCase != "none")
 
+  /** Resolve a config-relative path under `dataDir` (absolute paths and
+   *  an empty dataDir pass through) — the ONE definition of how study
+   *  configs locate their files; extraction, freshness checks, and the
+   *  projection loaders must all agree. */
+  def resolveUnder(dataDir: String)(f: String): String =
+    if (dataDir.isEmpty || f.startsWith("/")) f else s"$dataDir/$f"
+
   def read(
       spark: SparkSession,
       paths: Seq[String],
