@@ -44,8 +44,16 @@ object Hosts {
 
     /** An [[HttpPoster]] aimed at this host (one per partition — see
      *  [[FhirLoadSink]]). */
-    def poster(maxRetries: Int = 3, backoff429Millis: Long = 35000L,
-        backoffErrMillis: Long = 5000L, validateOnly: Boolean = false): HttpPoster =
+    // system-property overrides: operational tuning (and fast tests of
+    // the failure path) without an API change
+    def poster(
+        maxRetries: Int =
+          sys.props.get("graft.http.maxRetries").map(_.toInt).getOrElse(3),
+        backoff429Millis: Long =
+          sys.props.get("graft.http.backoff429Millis").map(_.toLong).getOrElse(35000L),
+        backoffErrMillis: Long =
+          sys.props.get("graft.http.backoffErrMillis").map(_.toLong).getOrElse(5000L),
+        validateOnly: Boolean = false): HttpPoster =
       new HttpPoster(targetServiceUrl, maxRetries, backoff429Millis,
         backoffErrMillis, authHeaders, validateOnly)
   }

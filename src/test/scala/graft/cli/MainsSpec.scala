@@ -45,8 +45,10 @@ class MainsSpec extends AnyFunSuite {
   }
 
   /** Loopback FHIR stand-in: every write returns a server id; DELETE
-   *  returns 200. Counts requests by method. */
-  private def withServer[A](f: (String, java.util.Map[String, AtomicInteger]) => A): A = {
+   *  returns 200. Counts requests by method. `status` overrides the
+   *  response code (e.g. 422 = every load rejected). */
+  private def withServer[A](status: Int = 200)(
+      f: (String, java.util.Map[String, AtomicInteger]) => A): A = {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     val counts = new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
@@ -54,7 +56,7 @@ class MainsSpec extends AnyFunSuite {
     server.createContext("/fhir", { exchange =>
       counts.computeIfAbsent(exchange.getRequestMethod, _ => new AtomicInteger).incrementAndGet()
       val body = s"""{"id":"srv-${nextId.incrementAndGet()}"}""".getBytes(StandardCharsets.UTF_8)
-      exchange.sendResponseHeaders(200, body.length)
+      exchange.sendResponseHeaders(status, body.length)
       exchange.getResponseBody.write(body)
       exchange.close()
     })
@@ -91,7 +93,7 @@ class MainsSpec extends AnyFunSuite {
 
   test("play with --host loads the study into the server and writes study_ids") {
     val dir = fixture()
-    withServer { (url, counts) =>
+    withServer() { (url, counts) =>
       hostsFile(dir, url)
       val out = dir.resolve("out").toString
       val rc = PlayMain.run(Array(
@@ -118,7 +120,7 @@ class MainsSpec extends AnyFunSuite {
     val out = dir.resolve("out2").toString
     assert(PlayMain.run(Array("-o", out, dir.resolve("study.yaml").toString), spark) == 0)
     assert(Files.exists(dir.resolve("out2/whistle-input/MAINS.json")))
-    withServer { (url, _) =>
+    withServer() { (url, _) =>
       hostsFile(dir, url)
       assert(PlayMain.run(Array("--host", "nope",
         "--hosts-file", dir.resolve("fhir_hosts").toString,
@@ -136,7 +138,7 @@ class MainsSpec extends AnyFunSuite {
         |   "identifier":[{"system":"https://mains","value":"S2"}]}],
         |"junk":[{"resourceType":"Basic","id":"b1",
         |   "identifier":[{"system":"https://mains","value":"B1"}]}]}""".stripMargin)
-    withServer { (url, counts) =>
+    withServer() { (url, counts) =>
       hostsFile(dir, url)
       val cache = dir.resolve("cache.parquet").toString
       val rc = LoadFhirMain.run(Array(
@@ -149,11 +151,30 @@ class MainsSpec extends AnyFunSuite {
     }
   }
 
+  test("loadfhir exits 1 and reports errors when the server rejects every load") {
+    val dir = fixture()
+    val wo = write(dir, "whistle-output.json",
+      """{"patient":[{"resourceType":"Patient","id":"p1",
+        |   "identifier":[{"system":"https://mains","value":"S1"}]}]}""".stripMargin)
+    withServer(status = 422) { (url, _) =>
+      hostsFile(dir, url)
+      sys.props("graft.http.backoffErrMillis") = "0"
+      try {
+        val rc = LoadFhirMain.run(Array(
+          "--host", "dev", "--hosts-file", dir.resolve("fhir_hosts").toString,
+          "--id-cache", dir.resolve("cache.parquet").toString,
+          "--out", dir.resolve("outf").toString,
+          "--identifier-prefix", "https://mains", wo.toString), spark)
+        assert(rc == 1) // load.py:452 sys.exit(1) on rejected loads
+      } finally sys.props.remove("graft.http.backoffErrMillis")
+    }
+  }
+
   test("delfhir lists studies without -n, purges with -n") {
     val dir = fixture()
     val ids = write(dir, "study_ids.json",
       """{"MAINS":{"dev":{"Observation":["o1","o2"],"Patient":["p1"]}}}""")
-    withServer { (url, counts) =>
+    withServer() { (url, counts) =>
       hostsFile(dir, url)
       val common = Array("-e", "dev", "--hosts-file", dir.resolve("fhir_hosts").toString,
         "-s", ids.toString, "--sleep-millis", "0")
