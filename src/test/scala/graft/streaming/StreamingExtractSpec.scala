@@ -68,6 +68,49 @@ class StreamingExtractSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  test("StreamingSessionize: batch-closed sessions emit immediately, watermark closes the rest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = StreamingSessionize(input.toDF().toDF("user_id", "ts"),
+      "user_id", "ts", gapSeconds = 1800L, watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sess-chk").toString)
+      .start()
+    def emitted() = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getLong(3))).toSet
+
+    // batch 1: user 1 has two close events; user 2 one — all sessions open
+    input.addData((1L, ts("2026-01-01 10:00:00")), (1L, ts("2026-01-01 10:10:00")),
+      (2L, ts("2026-01-01 10:00:00")))
+    q.processAllAvailable()
+    assert(emitted().isEmpty)
+
+    // batch 2: user 1 reappears past the gap — the first session closes
+    // in-batch; the watermark (12:00 - 1h) then passes user 2's
+    // end + gap (10:30), so a further batch times user 2 out
+    input.addData((1L, ts("2026-01-01 12:00:00")))
+    q.processAllAvailable()
+    // user 1's first session closed in-batch; user 2's closes via the
+    // event-time timeout once the advanced watermark (11:00) is applied —
+    // processAllAvailable may already run that extra batch
+    assert(emitted().contains(
+      (1L, "2026-01-01 10:00:00.0", "2026-01-01 10:10:00.0", 2L)))
+
+    input.addData((3L, ts("2026-01-01 12:30:00")))
+    q.processAllAvailable()
+    assert(emitted().contains((2L, "2026-01-01 10:00:00.0", "2026-01-01 10:00:00.0", 1L)))
+    // user 1's open 12:00 session and user 3's are still open — not emitted
+    assert(!emitted().exists(s => s._2.startsWith("2026-01-01 12:")))
+    q.stop()
+  }
+
   test("windowed event counts aggregate a batch frame identically to streaming semantics") {
     // the aggregation expression is streaming-ready (watermark + window);
     // batch execution verifies the arithmetic
