@@ -11,10 +11,14 @@ import org.apache.spark.sql.SparkSession
  * the bench scale factor with a full-result noop write, which executes every
  * projected expression and the final ORDER BY (a bare `count()` would let
  * Catalyst prune both). The reported time is the MIN of SPARK_GRAFT_BEST
- * (default 2) timed executions — the standard estimator for the engine's
+ * (default 3) timed executions — the standard estimator for the engine's
  * cost on a multi-tenant host, where the max is dominated by neighbor noise
- * (observed: identical code swinging 2-4x between runs). Failures are
- * recorded as failures, never as timings.
+ * (observed: identical code swinging 2-4x between runs). The best-of passes
+ * are INTERLEAVED (full query sweep x N, min per query across sweeps) rather
+ * than back-to-back reps of each query, so a single noisy multi-second
+ * window cannot poison every sample of one query — it inflates at most one
+ * sweep, and the other sweeps land outside it. Failures are recorded as
+ * failures, never as timings.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,37 +40,55 @@ object Bench {
 
     // Dev aids: SPARK_GRAFT_ONLY=pq8_cosine_topk,pq9_ann_bucketed runs a
     // subset; SPARK_GRAFT_REPS>1 records every timed run individually
-    // (profiling); SPARK_GRAFT_BEST=N (default 2) controls the min-of-N.
+    // (profiling, back-to-back per query); SPARK_GRAFT_BEST=N (default 3)
+    // controls the number of interleaved min-of-N sweeps.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
-    val best = sys.env.getOrElse("SPARK_GRAFT_BEST", "2").toInt.max(1)
+    val best = sys.env.getOrElse("SPARK_GRAFT_BEST", "3").toInt.max(1)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    names.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      try {
-        runOnce(fn, warmDir) // warmup, untimed
-        def timed(): Double = {
-          val t0 = System.nanoTime()
-          runOnce(fn, sfDir)
-          (System.nanoTime() - t0) / 1e9
-        }
-        if (reps > 1) // profiling mode: every run visible
-          (1 to reps).foreach { rep =>
-            timings(if (rep == 1) name else s"$name#$rep") = timed()
-          }
-        else timings(name) = (1 to best).map(_ => timed()).min
-      } catch {
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      runOnce(fn, sfDir)
+      (System.nanoTime() - t0) / 1e9
+    }
+    def attempt(name: String)(body: => Unit): Unit =
+      try body catch {
         case e: Throwable =>
           failed += name
+          timings.remove(name)
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       } finally {
         // operators that persist intermediates (e.g. MinHash LSH's shingle
         // cache) would otherwise accumulate across queries and perturb
         // later timings via memory pressure
         spark.catalog.clearCache()
+      }
+    if (reps > 1) {
+      // profiling mode: every run visible, back-to-back per query
+      names.foreach { name =>
+        attempt(name) {
+          runOnce(SparkEntry.queries(name), warmDir) // warmup, untimed
+          (1 to reps).foreach { rep =>
+            timings(if (rep == 1) name else s"$name#$rep") =
+              timed(SparkEntry.queries(name))
+          }
+        }
+      }
+    } else {
+      // warmup sweep (untimed), then `best` interleaved timed sweeps
+      names.foreach { name =>
+        attempt(name)(runOnce(SparkEntry.queries(name), warmDir))
+      }
+      (1 to best).foreach { _ =>
+        names.foreach { name =>
+          if (!failed.contains(name)) attempt(name) {
+            val t = timed(SparkEntry.queries(name))
+            timings(name) = timings.get(name).fold(t)(math.min(_, t))
+          }
+        }
       }
     }
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and

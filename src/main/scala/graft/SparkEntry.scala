@@ -593,8 +593,8 @@ object SparkEntry {
         |              THEN 1 ELSE 0 END AS new_sess
         |  FROM events),
         |s AS (SELECT user_id, ts,
-        |             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        |             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |      FROM g)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |       date_diff('second', MIN(ts), MAX(ts)) AS duration_sec

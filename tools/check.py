@@ -36,6 +36,20 @@ def main():
                 print(f"FAIL {name}: cols oracle={ocols} spark={scols}")
                 n_fail += 1
                 continue
+            # dtype compatibility: the driver hashes string reprs, so an
+            # oracle float64 against a Spark int64 (e.g. DuckDB HUGEINT
+            # from a windowed SUM materialized by pandas as float) hashes
+            # "1.0" vs "1" even when the values compare equal in Python.
+            kind = lambda d: "num_f" if d.kind == "f" else (
+                "num_i" if d.kind in "iu" else d.kind)
+            bad_dt = [(c, odf[c].dtype, sdf[c].dtype) for c in ocols
+                      if {kind(odf[c].dtype), kind(sdf[c].dtype)} == {"num_f", "num_i"}]
+            if bad_dt:
+                c, od, sd = bad_dt[0]
+                print(f"FAIL {name}: dtype slip on {c!r}: oracle={od} spark={sd}"
+                      f" (driver hashes '1.0' != '1'; CAST the oracle column)")
+                n_fail += 1
+                continue
             # sort rows: tie groups under a non-total ORDER BY may legally
             # differ in order between engines (driver hashes sorted values)
             key = lambda t: tuple((v is None, str(v)) for v in t)
