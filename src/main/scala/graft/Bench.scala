@@ -58,7 +58,9 @@ object Bench {
       try body catch {
         case e: Throwable =>
           failed += name
-          timings.remove(name)
+          // drop every rep key too (`name#2`...), else a failure at rep k>1
+          // leaves earlier reps contributing timings for a failed query
+          timings.filterInPlace((k, _) => k != name && !k.startsWith(name + "#"))
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       } finally {
         // operators that persist intermediates (e.g. MinHash LSH's shingle

@@ -21,6 +21,10 @@ object PipelineQueries {
 
   private def q(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = fn
 
+  /** Unique memory-sink names so repeated runs (bench best-of-N sweeps,
+   *  verify + bench in one session) never collide on an active query. */
+  private val SinkId = new java.util.concurrent.atomic.AtomicLong(0)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content md5 (one shuffle on the hash)
     "pq1_exact_dedup" -> q((s, dir) =>
@@ -143,6 +147,31 @@ object PipelineQueries {
         Multimodal.asBinaryPayload(docs(s, dir), "doc_id", "text"),
         "doc_id", "content", targetW = 16, targetH = 16)
         .orderBy("doc_id")),
+
+    // Streaming exact dedup promoted to a driver-visible row: the
+    // documents table replayed through the file stream source, deduped
+    // with keyed state (flatMapGroupsWithState), drained into a memory
+    // sink, returned as a batch DataFrame. Semantics match batch
+    // ExactDedup by construction (min id per content hash, see
+    // StreamingDedup scaladoc); the single parquet file arrives in one
+    // micro-batch, so the oracle's global MIN(doc_id) applies.
+    "pq17_streaming_dedup" -> q((s, dir) => {
+      val schema = docs(s, dir).schema
+      val stream = s.readStream.schema(schema)
+        // partition-inference wants a directory basePath, and the file
+        // source force-overrides it with the path unless the path is a
+        // glob — so glob the single file and root inference at the dir
+        .option("basePath", dir)
+        .parquet(s"$dir/documents.parque[t]")
+      val sink = s"pq17_sink_${SinkId.incrementAndGet()}"
+      val query = graft.streaming.StreamingDedup(stream, "doc_id", "text")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      s.table(sink)
+        .select(col("content_hash"), col("keep_id").cast("bigint").as("keep_id"))
+        .orderBy("keep_id")
+    }),
 
     // Multimodal decode path: text -> opaque binary payload -> batched
     // per-partition decode (the stub codec) -> typed metadata rows. This
@@ -349,6 +378,10 @@ object PipelineQueries {
         |      FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
         |                 JOIN sizes sb ON sb.doc_id = doc_b)
         |SELECT doc_a, doc_b, ROUND(jac, 3) AS jaccard FROM j WHERE jac >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "pq17_streaming_dedup" ->
+      """SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     "pq16_percentiles" ->
       """SELECT source, COUNT(*) AS n_docs,
