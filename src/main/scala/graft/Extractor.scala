@@ -47,7 +47,7 @@ object Extractor {
         val emb = t.embed.get
         val child = NormalizeColumns(
           CsvSource.read(spark, resolvePaths(t.filename), t.delimiter, withRowId = true))
-        (emb.dataset, name, child, emb.joinColumn)
+        (emb.dataset, name, child, emb.joinColumn, emb.saltBuckets)
     }.toSeq
 
     config.activeDatasets.collect {
@@ -86,8 +86,8 @@ object Extractor {
 
         // probe embeds after structuring (extractor.py:353-366)
         val withEmbeds = embeds.filter(_._1 == name).foldLeft(structured) {
-          case (df, (_, childName, child, joinCol)) =>
-            EmbedJoin(df, child, childName, joinCol)
+          case (df, (_, childName, child, joinCol, saltBuckets)) =>
+            EmbedJoin(df, child, childName, joinCol, saltBuckets = saltBuckets)
         }
         name -> withEmbeds
     }

@@ -396,6 +396,46 @@ object Similarity {
     if (!srp) signBucket(col(vCol), bits)
     else srpBucket(col(vCol), bits, probeDim(prep, vCol))
 
+  /** Flip 1-based bucket-key character `j1` ("0" <-> "1"). */
+  private def flipBit(key: Column, j1: Column, bits: Int): Column =
+    concat(
+      key.substr(lit(1), j1 - 1),
+      when(key.substr(j1, lit(1)) === "1", lit("0")).otherwise(lit("1")),
+      key.substr(j1 + 1, lit(bits)))
+
+  /**
+   * Multi-probe key set for one query vector: its own bucket key plus
+   * `probes - 1` keys with single bits flipped, lowest projection
+   * margin first (multi-probe LSH: bit j's sign is least reliable when
+   * |dot_j| is smallest, so Hamming-1 neighbors are probed in margin
+   * order, not positional order). All keys are distinct (each flips a
+   * different bit of the same base key), so a corpus bucket-mate joins
+   * at most one probe — no pair dedup needed downstream. Entirely
+   * Column-composed: the per-plane dots reuse the codegen'd
+   * [[graft.plans.LongArrayDot]], the argsort is `array_sort` over
+   * (margin, bit) structs — no UDF, no shuffle; query volume grows
+   * `probes`x, the corpus side is untouched.
+   */
+  private[llm] def probeKeys(qv: Column, bits: Int, dim: Int, srp: Boolean,
+      probes: Int): Column = {
+    val dots: Seq[Column] =
+      if (srp) srpWeights(bits, dim).toIndexedSeq.map(w => dot(qv, typedlit(w.toSeq)))
+      else (1 to bits).map(i => element_at(qv, i))
+    // same sign convention as signBucket/srpBucket: probes=1 degenerates
+    // to exactly the single-bucket key
+    val own = concat(dots.map(d => when(d > 0, lit("1")).otherwise(lit("0"))): _*)
+    if (probes <= 1) array(own)
+    else {
+      val margins = array_sort(array(dots.zipWithIndex.map { case (d, i) =>
+        struct(abs(d).as("m"), lit(i + 1).as("j1"))
+      }: _*))
+      val flips = (0 until math.min(probes - 1, bits)).map { r =>
+        flipBit(own, element_at(margins, r + 1).getField("j1"), bits)
+      }
+      array(own +: flips: _*)
+    }
+  }
+
   /**
    * Bucket-grouped pair scoring: ONE shuffle keyed on the sign bucket,
    * each row crossing the wire once; the quadratic pairwise loop runs
@@ -475,10 +515,18 @@ object Similarity {
    * `bucketBits <= 0` (the default) sizes buckets from the corpus count —
    * the corpus prep is persisted so the sizing count doesn't recompute
    * the quantization pass the join then reads.
+   *
+   * `probes > 1` is the recall knob for high bit counts (recall falls
+   * as bits rise — the documented trade above): each query also probes
+   * `probes - 1` Hamming-1 neighbor buckets, lowest-margin bits first
+   * ([[probeKeys]]). Join shape is unchanged — the query side explodes
+   * `probes`x (the small side by contract), the corpus is still
+   * bucketed once and never replicated.
    */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, bucketBits: Int = -1,
-      srp: Boolean = false): DataFrame = {
+      srp: Boolean = false, probes: Int = 1): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
     val (c0, q0) = prepSides(corpus, queries, idCol, vecCol)
     val c1 = if (bucketBits > 0 && !srp) c0 else c0.persist(StorageLevel.MEMORY_AND_DISK)
     // same dimension cap as nearDupPairs: sign-prefix bit i reads dim i
@@ -486,11 +534,15 @@ object Similarity {
       if (bucketBits > 0) bucketBits
       else math.min(autoBucketBits(c1.count()),
         if (srp) Int.MaxValue else probeDim(c1, "_vc"))
+    val dim = if (srp) probeDim(c1, "_vc") else 0
     def key(vCol: String): Column =
       if (!srp) signBucket(col(vCol), bits)
-      else srpBucket(col(vCol), bits, probeDim(c1, "_vc"))
+      else srpBucket(col(vCol), bits, dim)
     val c = c1.withColumn("_bktc", key("_vc"))
-    val q = q0.withColumn("_bktq", key("_vq"))
+    val q =
+      if (probes <= 1) q0.withColumn("_bktq", key("_vq"))
+      else q0.withColumn("_bktq",
+        explode(probeKeys(col("_vq"), bits, dim, srp, probes)))
     val pairs = c
       .join(q, col("_bktq") === col("_bktc") && col("qid") =!= col("cid"))
       .select(PairCols: _*)

@@ -9,7 +9,11 @@ package graft.model
  */
 final case class EmbedConfig(
     dataset: String, // parent table to embed into
-    colname: String  // join column (pre-normalization name ok)
+    colname: String, // join column (pre-normalization name ok)
+    /** >1 salts the embed join over this many sub-keys — opt-in hot-key
+     *  guard for a skewed join column (see
+     *  [[graft.operators.SkewJoin]]); 1 = plain join (default). */
+    saltBuckets: Int = 1
 ) {
   def joinColumn: String = Naming.fixFieldName(colname)
 }

@@ -243,7 +243,12 @@ object EmbedJoin {
       childTableName: String,
       joinColname: String,
       hintBroadcast: Boolean = false,
-      preserveOrder: Boolean = true): DataFrame = {
+      preserveOrder: Boolean = true,
+      saltBuckets: Int = 1): DataFrame = {
+    // a broadcast join never shuffles the parent, so a hot key has no
+    // single-task funnel to salt away — requesting both is a confusion
+    require(saltBuckets == 1 || !hintBroadcast,
+      "saltBuckets applies to the shuffle join path; drop hintBroadcast to salt")
     val keys = joinColname.split(",").map(k => Naming.fixFieldName(k.trim)).toSeq
     keys.foreach { k =>
       require(child.columns.contains(k),
@@ -267,8 +272,13 @@ object EmbedJoin {
       .withColumn("_nested", expr(s"transform(_sorted, $shape)"))
       .select((keys.map(col) :+ col("_nested")).toIndexedSeq: _*)
     val right = if (hintBroadcast) broadcast(nested) else nested
-    parent
-      .join(right, keys, "left")
+    // salt opt-in (SURVEY.md §7 "salt skewed embed keys"): the nested
+    // child is one row per key, so replicating it `saltBuckets`x is
+    // cheap while a hot parent key spreads over that many tasks
+    val joined =
+      if (saltBuckets > 1) SkewJoin.saltedJoin(parent, nested, keys, "left", saltBuckets)
+      else parent.join(right, keys, "left")
+    joined
       .withColumn(childTableName, coalesce(col("_nested"), array()))
       .drop("_nested")
   }

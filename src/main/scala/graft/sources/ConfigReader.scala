@@ -59,7 +59,9 @@ object ConfigReader {
           DataDictionaryConfig(str(d, "filename"), strMap(d.get("colnames")))
         }
         val embed = Option(t.get("embed")).filterNot(_.isNull).map { em =>
-          EmbedConfig(str(em, "dataset"), str(em, "colname"))
+          EmbedConfig(str(em, "dataset"), str(em, "colname"),
+            saltBuckets = Option(em.get("salt_buckets")).filterNot(_.isNull)
+              .map(_.asInt(1)).getOrElse(1))
         }
         e.getKey -> DatasetConfig(
           filename = str(t, "filename"),

@@ -112,6 +112,22 @@ class ExtractorSpec extends AnyFunSuite {
     assert(labs(1).getAs[scala.collection.Seq[Row]]("content").length == 1)
   }
 
+  test("embed salt_buckets config drives the salted join and results are unchanged") {
+    val dir = fixtureDir()
+    val plainCfg = ConfigReader.fromJson(configJson)
+    val saltedCfg = ConfigReader.fromJson(configJson.replace(
+      """"colname": "Subject Id"}""",
+      """"colname": "Subject Id", "salt_buckets": 4}"""))
+    assert(saltedCfg.dataset("conditions").embed.get.saltBuckets == 4)
+    def conds(cfg: StudyConfig) =
+      Extractor.extract(spark, cfg, dataDir = dir.toString)("demographics")
+        .orderBy("subject_id").collect()
+        .map(r => r.getAs[String]("subject_id") ->
+          r.getAs[scala.collection.Seq[Row]]("conditions").map(_.getAs[String]("condition")))
+        .toSeq
+    assert(conds(saltedCfg) == conds(plainCfg))
+  }
+
   test("inactive tables are pruned from the plan") {
     val dir = fixtureDir()
     val config = ConfigReader.fromJson(configJson.replace(

@@ -209,6 +209,34 @@ class LlmSpec extends AnyFunSuite {
     assert(explicit4.subsetOf(auto))
   }
 
+  test("bucketedTopK multi-probe: recall is monotone in probes and beats single-probe") {
+    // deterministic corpus spread across many 6-bit SRP buckets; queries'
+    // true neighbors often land one hyperplane sign away, which is
+    // exactly what margin-ordered Hamming-1 probing recovers
+    val rows = (0L until 300L).map { i =>
+      Row(i, Seq.tabulate(8)(d => math.sin(i * 1.7 + d * 0.9).toFloat))
+    }
+    val e = df("vec_id BIGINT, embedding ARRAY<FLOAT>", rows)
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def approx(probes: Int) =
+      Similarity.bucketedTopK(e, q, "vec_id", "embedding", k = 5,
+        bucketBits = 6, srp = true, probes = probes)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(s: Set[(Long, Long)]) = (s intersect exact).size.toDouble / exact.size
+    val Seq(r1, r3, r7) = Seq(1, 3, 7).map(p => recall(approx(p)))
+    // candidate sets grow with probes and scoring is exact, so recall is
+    // monotone; on this corpus the extra probes recover real neighbors
+    assert(r1 <= r3 && r3 <= r7, s"recall not monotone: $r1, $r3, $r7")
+    assert(r7 > r1, s"multi-probe recovered nothing: $r1 -> $r7")
+    // probes = 1 degenerates to exactly the single-bucket result
+    assert(approx(1) ==
+      Similarity.bucketedTopK(e, q, "vec_id", "embedding", k = 5,
+        bucketBits = 6, srp = true)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+  }
+
   test("srpBucket splits a biased corpus that sign-prefix buckets cannot") {
     // every vector has positive leading dims -> signBucket puts ALL rows
     // in one bucket (quadratic); SRP hyperplanes still split, and the

@@ -184,6 +184,23 @@ class RestructureSpec extends AnyFunSuite {
       == Seq(Row("kids", "S1", "x")))
   }
 
+  test("EmbedJoin salted path is result-identical to the plain join; plan carries the salt") {
+    val plain = EmbedJoin(subjects, observations, "observations", "subject_id")
+    val salted = EmbedJoin(subjects, observations, "observations", "subject_id",
+      saltBuckets = 4)
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    def byKey(dfr: org.apache.spark.sql.DataFrame) =
+      dfr.collect().map(r => r.getString(0) -> r.getSeq[Row](2)).toMap
+    assert(byKey(salted) == byKey(plain))
+    // the salt key really participates in the join (then drops from output)
+    assert(salted.queryExecution.optimizedPlan.toString.contains("_salt"))
+    assert(!salted.columns.contains("_salt"))
+    // broadcast + salt is a contradiction: broadcast has no skew funnel
+    intercept[IllegalArgumentException](
+      EmbedJoin(subjects, observations, "observations", "subject_id",
+        hintBroadcast = true, saltBuckets = 4))
+  }
+
   // --- DisplayColumns / RunLengthGroup ----------------------------------
 
   test("DisplayJoin adds <col>_display via a broadcast dim join, null on miss") {
