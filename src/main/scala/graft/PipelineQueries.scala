@@ -173,6 +173,71 @@ object PipelineQueries {
         .orderBy("keep_id")
     }),
 
+    // Streaming sessionization promoted to a driver-visible row, paired
+    // with the batch vq22 oracle. The events table replays through the
+    // file stream source in TWO ordered micro-batches: the real events,
+    // then one far-future sentinel row whose event time pushes the
+    // watermark past every real session's `end + gap` timeout, so the
+    // engine's no-data batch flushes all open per-user state into the
+    // memory sink. ts is truncated to seconds at ingestion: the batch
+    // query compares `unix_timestamp` (floor-to-second) diffs, so the
+    // streaming millis arithmetic matches it exactly only on truncated
+    // times; same-second orderings can't shift session boundaries
+    // (diff 0 <= gap). Session ids are re-derived as the per-user rank
+    // by session start — the batch query's cumulative numbering.
+    "pq18_streaming_sessionize" -> q((s, dir) => {
+      val events = Tables(s, dir, "events") // also sets nanosAsLong for raw reads
+      val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+      val gapSec = 1800L
+      val sentinelNanos = (maxTs.getTime + (gapSec + 3600L) * 1000L) * 1000000L
+      // the stream reads the RAW file (ts = INT64 nanos, like the batch
+      // reader pre-conversion), so the sentinel file must carry the same
+      // long-typed ts for a uniform stream schema
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      // replay dir: the events file (mtime T) + a Spark-written sentinel
+      // file (mtime T+60s); maxFilesPerTrigger=1 + oldest-first ordering
+      // makes them two consecutive micro-batches
+      val replay = java.nio.file.Files.createTempDirectory("pq18_replay")
+      val eventsCopy = replay.resolve("0-events.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "events.parquet"), eventsCopy)
+      val sentDir = replay.resolve("_sentinel")
+      s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L, sentinelNanos, -1L, null, null, null)),
+        rawSchema).coalesce(1).write.parquet(sentDir.toString)
+      val sentPart = java.nio.file.Files.list(sentDir).filter(
+        p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val sentinelCopy = replay.resolve("1-sentinel.parquet")
+      java.nio.file.Files.move(sentPart, sentinelCopy)
+      val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
+      java.nio.file.Files.setLastModifiedTime(eventsCopy,
+        java.nio.file.attribute.FileTime.fromMillis(now.toMillis - 60000L))
+      java.nio.file.Files.setLastModifiedTime(sentinelCopy, now)
+      val stream = s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$replay/*.parquet")
+        // the batch reader's exact nanos->micros conversion (Tables:20),
+        // then second truncation — see the semantics note above
+        .select(col("user_id"), date_trunc("second",
+          timestamp_micros((col("ts") / 1000L).cast("long"))).as("ts"))
+      val sink = s"pq18_sink_${SinkId.incrementAndGet()}"
+      val query = graft.streaming.StreamingSessionize(stream, "user_id", "ts",
+        gapSeconds = gapSec, watermark = "0 seconds")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("session_start")
+      s.table(sink).filter(col("user_id") >= 0) // drop the sentinel user
+        .withColumn("session_id", row_number().over(w).cast("bigint"))
+        .select(col("user_id"), col("session_id"),
+          col("n_events"),
+          (unix_timestamp(col("session_end")) -
+            unix_timestamp(col("session_start"))).as("duration_sec"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // Multimodal decode path: text -> opaque binary payload -> batched
     // per-partition decode (the stub codec) -> typed metadata rows. This
     // executes asBinaryPayload + decodeBatch + decodeOne end-to-end; the
@@ -382,6 +447,26 @@ object PipelineQueries {
     "pq17_streaming_dedup" ->
       """SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    // the batch vq22 sessionization oracle, verbatim: the streaming path
+    // must produce the identical session set (date_diff('second')
+    // counts second boundaries = the second-truncated streaming input)
+    "pq18_streaming_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                OR date_diff('second',
+        |                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "pq16_percentiles" ->
       """SELECT source, COUNT(*) AS n_docs,
