@@ -87,6 +87,17 @@ object PipelineQueries {
         k = 3, bucketBits = 4)
     }),
 
+    // IVF (learned k-means coarse quantizer) ANN. nprobe == nlist probes
+    // every cell, which provably equals brute force — so the pq8-style
+    // exact oracle pins the ENTIRE train/assign/probe/join/rank path
+    // (any centroid or assignment drift loses candidates and breaks the
+    // hash). The recall-vs-nprobe trade is pinned in LlmSpec.
+    "pq19_ivf_topk" -> q((s, dir) => {
+      val e = embs(s, dir)
+      Ivf.topK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 16)
+    }),
+
     // Multimodal metadata path: binary payload size/tag + stub-decode dims
     "pq10_multimodal_meta" -> q((s, dir) =>
       Multimodal.metaColumns(docs(s, dir), "doc_id", "text")),
@@ -206,8 +217,10 @@ object PipelineQueries {
         java.util.Arrays.asList(
           org.apache.spark.sql.Row(-1L, sentinelNanos, -1L, null, null, null)),
         rawSchema).coalesce(1).write.parquet(sentDir.toString)
-      val sentPart = java.nio.file.Files.list(sentDir).filter(
+      val sentList = java.nio.file.Files.list(sentDir)
+      val sentPart = try sentList.filter(
         p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally sentList.close()
       val sentinelCopy = replay.resolve("1-sentinel.parquet")
       java.nio.file.Files.move(sentPart, sentinelCopy)
       val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
@@ -371,6 +384,20 @@ object PipelineQueries {
         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
 
     "pq8_cosine_topk" ->
+      """WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |            FROM embeddings),
+        |nrm AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM qv),
+        |pairs AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |            list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS dot, a.n2 AS na, b.n2 AS nb
+        |          FROM nrm a JOIN nrm b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+        |scored AS (SELECT qid, cid, dot / sqrt(na::DOUBLE * nb::DOUBLE) AS cos,
+        |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / sqrt(na::DOUBLE * nb::DOUBLE) DESC, cid) AS rnk
+        |           FROM pairs)
+        |SELECT qid, rnk, cid, ROUND(cos, 4) AS cos FROM scored WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // full-probe IVF == brute force, so the oracle is pq8's exact top-5
+    // over the same query set — see the pq19 entry comment
+    "pq19_ivf_topk" ->
       """WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
         |            FROM embeddings),
         |nrm AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM qv),

@@ -136,7 +136,7 @@ object Similarity {
    * `getSeq[Double]` would silently unbox a null element to 0.0 and
    * produce a finite cosine the spec twin nulls out).
    */
-  private def prepTyped(df: DataFrame, idCol: String, idAs: String,
+  private[llm] def prepTyped(df: DataFrame, idCol: String, idAs: String,
       vecCol: String): DataFrame = {
     val in = df.select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as("_raw"))
     val outSchema = StructType(Seq(
@@ -195,7 +195,7 @@ object Similarity {
    * Unordered id types skip the pre-reduce — correct, just shuffling all
    * pairs.
    */
-  private def scorePairs(pairs: DataFrame, k: Int): DataFrame = {
+  private[llm] def scorePairs(pairs: DataFrame, k: Int): DataFrame = {
     val schema = pairs.schema
     val outSchema = StructType(Seq(schema("qid"), schema("cid"),
       StructField("_dot", LongType, nullable = true),
@@ -239,7 +239,7 @@ object Similarity {
   }
 
   /** Final ranking window over the scored survivors. */
-  private def ranked(scoredPairs: DataFrame, k: Int): DataFrame = {
+  private[llm] def ranked(scoredPairs: DataFrame, k: Int): DataFrame = {
     val cos = cosine(col("_dot"), col("_na"), col("_nb"))
     val w = Window.partitionBy("qid").orderBy(cos.desc, col("cid"))
     scoredPairs
@@ -253,7 +253,7 @@ object Similarity {
    *  Null embeddings are dropped here (same contract as cosineTopK /
    *  nearDupPairs) — a null _v would otherwise land in signBucket's
    *  all-zeros bucket and NPE the typed pair scoring. */
-  private def prepSides(corpus: DataFrame, queries: DataFrame,
+  private[llm] def prepSides(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String): (DataFrame, DataFrame) = {
     val c = prepTyped(corpus, idCol, "cid", vecCol)
       .filter(col("_v").isNotNull && col("_n2") > 0)
@@ -264,7 +264,7 @@ object Similarity {
     (c, q)
   }
 
-  private val PairCols = Seq("qid", "cid", "_vq", "_vc", "_na", "_nb").map(col)
+  private[llm] val PairCols = Seq("qid", "cid", "_vq", "_vc", "_na", "_nb").map(col)
 
   /**
    * Brute-force cosine top-k: for each query vector, the k most similar

@@ -237,6 +237,48 @@ class LlmSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
   }
 
+  test("Ivf: full probe equals brute force; recall monotone in nprobe; deterministic") {
+    val rows = (0L until 300L).map { i =>
+      Row(i, Seq.tabulate(8)(d => math.sin(i * 1.7 + d * 0.9).toFloat))
+    }
+    val e = df("vec_id BIGINT, embedding ARRAY<FLOAT>", rows)
+    val q = e.filter(col("vec_id") < 20)
+    def rowsOf(dfr: org.apache.spark.sql.DataFrame) =
+      dfr.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val exact = rowsOf(Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 5))
+    // nprobe == nlist probes every cell -> provably identical to brute force
+    val full = rowsOf(Ivf.topK(e, q, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8))
+    assert(full == exact)
+    // recall rises with nprobe (candidate sets grow, scoring is exact)
+    def recall(nprobe: Int) = {
+      val got = rowsOf(Ivf.topK(e, q, "vec_id", "embedding", k = 5,
+        nlist = 8, nprobe = nprobe)).toSet
+      (got intersect exact.toSet).size.toDouble / exact.size
+    }
+    val Seq(r1, r3) = Seq(1, 3).map(recall)
+    assert(r1 <= r3 && r3 <= 1.0, s"recall not monotone: $r1, $r3")
+    assert(r1 > 0.3, s"single-probe recall implausibly low: $r1") // cells hold ~37 of 300
+    // deterministic end to end: identical result on a re-run
+    assert(full == rowsOf(Ivf.topK(e, q, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8)))
+  }
+
+  test("Ivf.kmeans/nearest: strided init, HALF_UP means, exact integer argmin") {
+    // two well-separated clusters; 0 iterations = pure strided init
+    val sample = Array(
+      Array(0L, 0L), Array(2L, 0L), // cluster A around (1, 0)
+      Array(100L, 100L), Array(102L, 100L)) // cluster B around (101, 100)
+    val init = Ivf.kmeans(sample, nlist = 2, iters = 0)
+    assert(init.toSeq.map(_.toSeq) == Seq(Seq(0L, 0L), Seq(100L, 100L))) // strides 0, 2
+    val trained = Ivf.kmeans(sample, nlist = 2, iters = 3)
+    assert(trained.toSeq.map(_.toSeq) == Seq(Seq(1L, 0L), Seq(101L, 100L))) // cluster means
+    assert(Ivf.nearest(Array(3L, 1L), trained) == 0)
+    assert(Ivf.nearest(Array(90L, 90L), trained) == 1)
+    // nearestN orders by ascending distance
+    assert(Ivf.nearestN(Array(90L, 90L), trained, 2).toSeq == Seq(1, 0))
+    // nlist > sample size degrades gracefully to one centroid per point
+    assert(Ivf.kmeans(sample.take(1), nlist = 4, iters = 2).length == 1)
+  }
+
   test("srpBucket splits a biased corpus that sign-prefix buckets cannot") {
     // every vector has positive leading dims -> signBucket puts ALL rows
     // in one bucket (quadratic); SRP hyperplanes still split, and the
