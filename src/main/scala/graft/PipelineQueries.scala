@@ -25,6 +25,30 @@ object PipelineQueries {
    *  verify + bench in one session) never collide on an active query. */
   private val SinkId = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Drop this query's memory-sink views from PRIOR invocations (bench
+   *  best-of-N reps, verify+bench sessions): each sink pins its full
+   *  result set in driver memory for the session lifetime otherwise.
+   *  Contract: a streaming row's result is consumed before the query
+   *  runs again (Verify/Bench both do), so stale views are dead. */
+  private def dropStaleSinks(s: SparkSession, prefix: String): Unit =
+    s.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix)).foreach(s.catalog.dropTempView(_))
+
+  /** Exact cosine top-5 for queries vec_id < 20 — the oracle for BOTH
+   *  pq8 (brute force) and pq19 (full-probe IVF): one string, so the
+   *  "IVF with nprobe == nlist equals brute force" pin cannot drift. */
+  private val ExactTop5OracleSql: String =
+    """WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |            FROM embeddings),
+      |nrm AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM qv),
+      |pairs AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+      |            list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS dot, a.n2 AS na, b.n2 AS nb
+      |          FROM nrm a JOIN nrm b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+      |scored AS (SELECT qid, cid, dot / sqrt(na::DOUBLE * nb::DOUBLE) AS cos,
+      |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / sqrt(na::DOUBLE * nb::DOUBLE) DESC, cid) AS rnk
+      |           FROM pairs)
+      |SELECT qid, rnk, cid, ROUND(cos, 4) AS cos FROM scored WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content md5 (one shuffle on the hash)
     "pq1_exact_dedup" -> q((s, dir) =>
@@ -174,6 +198,7 @@ object PipelineQueries {
         // glob — so glob the single file and root inference at the dir
         .option("basePath", dir)
         .parquet(s"$dir/documents.parque[t]")
+      dropStaleSinks(s, "pq17_sink_")
       val sink = s"pq17_sink_${SinkId.incrementAndGet()}"
       val query = graft.streaming.StreamingDedup(stream, "doc_id", "text")
         .writeStream.format("memory").queryName(sink)
@@ -213,10 +238,15 @@ object PipelineQueries {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(dir, "events.parquet"), eventsCopy)
       val sentDir = replay.resolve("_sentinel")
-      s.createDataFrame(
-        java.util.Arrays.asList(
-          org.apache.spark.sql.Row(-1L, sentinelNanos, -1L, null, null, null)),
-        rawSchema).coalesce(1).write.parquet(sentDir.toString)
+      // sentinel values matched by FIELD NAME — robust to testdata
+      // regeneration reordering the parquet columns
+      val sentinelRow = org.apache.spark.sql.Row.fromSeq(rawSchema.fields.map(_.name match {
+        case "ts" => sentinelNanos
+        case "user_id" | "event_id" => -1L
+        case _ => null
+      }).toSeq)
+      s.createDataFrame(java.util.Arrays.asList(sentinelRow), rawSchema)
+        .coalesce(1).write.parquet(sentDir.toString)
       val sentList = java.nio.file.Files.list(sentDir)
       val sentPart = try sentList.filter(
         p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
@@ -234,12 +264,19 @@ object PipelineQueries {
         // then second truncation — see the semantics note above
         .select(col("user_id"), date_trunc("second",
           timestamp_micros((col("ts") / 1000L).cast("long"))).as("ts"))
+      dropStaleSinks(s, "pq18_sink_")
       val sink = s"pq18_sink_${SinkId.incrementAndGet()}"
       val query = graft.streaming.StreamingSessionize(stream, "user_id", "ts",
         gapSeconds = gapSec, watermark = "0 seconds")
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try query.processAllAvailable() finally query.stop()
+      try query.processAllAvailable() finally {
+        query.stop()
+        // the memory sink holds the results; the replay copies are dead
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(replay).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("session_start")
       s.table(sink).filter(col("user_id") >= 0) // drop the sentinel user
@@ -383,31 +420,12 @@ object PipelineQueries {
         |        FROM cand)
         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
 
-    "pq8_cosine_topk" ->
-      """WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-        |            FROM embeddings),
-        |nrm AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM qv),
-        |pairs AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
-        |            list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS dot, a.n2 AS na, b.n2 AS nb
-        |          FROM nrm a JOIN nrm b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
-        |scored AS (SELECT qid, cid, dot / sqrt(na::DOUBLE * nb::DOUBLE) AS cos,
-        |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / sqrt(na::DOUBLE * nb::DOUBLE) DESC, cid) AS rnk
-        |           FROM pairs)
-        |SELECT qid, rnk, cid, ROUND(cos, 4) AS cos FROM scored WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "pq8_cosine_topk" -> ExactTop5OracleSql,
 
     // full-probe IVF == brute force, so the oracle is pq8's exact top-5
-    // over the same query set — see the pq19 entry comment
-    "pq19_ivf_topk" ->
-      """WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-        |            FROM embeddings),
-        |nrm AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM qv),
-        |pairs AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
-        |            list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS dot, a.n2 AS na, b.n2 AS nb
-        |          FROM nrm a JOIN nrm b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
-        |scored AS (SELECT qid, cid, dot / sqrt(na::DOUBLE * nb::DOUBLE) AS cos,
-        |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / sqrt(na::DOUBLE * nb::DOUBLE) DESC, cid) AS rnk
-        |           FROM pairs)
-        |SELECT qid, rnk, cid, ROUND(cos, 4) AS cos FROM scored WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // over the same query set, SHARED so the pin can't drift — see the
+    // pq19 entry comment
+    "pq19_ivf_topk" -> ExactTop5OracleSql,
 
     "pq9_ann_bucketed" ->
       """WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v

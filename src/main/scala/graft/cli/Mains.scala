@@ -160,13 +160,8 @@ object PlayMain {
    *  — the buildsrcobs/buildsrcqr scripts `play` chains). */
   def studyResources(spark: SparkSession, config: StudyConfig,
       result: Play.RunResult, dataDir: String): DataFrame = {
-    val resolve = CsvSource.resolveUnder(dataDir) _
     val study = Projection.StudyInfo(config.studyId, config.identifierPrefix, config.publisher)
-    val harmonyFiles = config.dataset.values.flatMap(_.codeHarmonization).toSeq.distinct
-    val lookup =
-      if (harmonyFiles.isEmpty) None
-      else Some(Harmony.codingsLookup(
-        Harmony.read(spark, harmonyFiles.flatMap(CsvSource.fileList).map(resolve))))
+    val lookup = Play.harmonyLookup(spark, config, dataDir)
     val ddMeta = Play.ddMetaResources(spark, config, result.ddStudy, dataDir)
     val sourceData = result.extracted.toSeq.flatMap { case (table, df) =>
       result.ddStudy.table(table).toSeq.flatMap { ddTable =>

@@ -81,6 +81,20 @@ object Play {
     (tables, written)
   }
 
+  /** The study-wide $HarmonizeCode lookup: one broadcastable coding
+   *  table over every distinct harmony file the config references —
+   *  None when the study harmonizes nothing. Shared by `play`'s
+   *  source-data stage and the buildsrcobs/buildsrcqr mains so both
+   *  project the same codings. */
+  def harmonyLookup(spark: SparkSession, config: StudyConfig,
+      dataDir: String): Option[DataFrame] = {
+    val resolve = CsvSource.resolveUnder(dataDir) _
+    val harmonyFiles = config.dataset.values.flatMap(_.codeHarmonization).toSeq.distinct
+    if (harmonyFiles.isEmpty) None
+    else Some(Harmony.codingsLookup(
+      Harmony.read(spark, harmonyFiles.flatMap(CsvSource.fileList).map(resolve))))
+  }
+
   /** The DD-metadata projections every study gets
    *  (ref: play.py runs the dd/terms projectors unconditionally):
    *  CodeSystems/ValueSets, Observation/ActivityDefinitions, and the

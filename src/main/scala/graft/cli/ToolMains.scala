@@ -86,6 +86,8 @@ object BundleUpMain {
       case Right(p) =>
         try {
           val hosts = CliSession.hosts(p)
+          // default env = first of the SORTED names, exactly the
+          // reference: `sorted(host_config.keys())[0]` (bundle.py:198-205)
           val name = p.opt("env").getOrElse(hosts.keys.toSeq.sorted.head)
           val host = hosts.getOrElse(name, throw new IllegalArgumentException(
             s"host '$name' not in hosts file (available: ${hosts.keys.toSeq.sorted.mkString(", ")})"))
@@ -162,7 +164,9 @@ object InspectJsonMain {
           report.moduleSummary.collect().foreach { r =>
             println(f"  ${r.getString(0)}%-20s ${r.getString(1)}%-24s ${r.getLong(2)}%6d  ${r.getDouble(3)}%6.2f%%")
           }
-          spark.catalog.clearCache()
+          // release only THIS inspection's cache — an in-process caller's
+          // other persisted frames must survive
+          report.source.unpersist()
           0
         } catch {
           case e: java.nio.file.NoSuchFileException =>
@@ -261,16 +265,11 @@ object BuildSrcMains {
             val config = ConfigReader.fromFile(cfgPath)
             val dataDir = p.opt("data-dir").getOrElse(
               Option(Paths.get(cfgPath).getParent).map(_.toString).getOrElse(""))
-            val resolve = CsvSource.resolveUnder(dataDir) _
             val dd = Play.loadDdCatalog(spark, config, dataDir)
             val tables = Extractor.extract(spark, config, Some(dd), dataDir)
             val study = graft.project.Projection.StudyInfo(
               config.studyId, config.identifierPrefix, config.publisher)
-            val harmonyFiles = config.dataset.values.flatMap(_.codeHarmonization).toSeq.distinct
-            val lookup =
-              if (harmonyFiles.isEmpty) None
-              else Some(Harmony.codingsLookup(
-                Harmony.read(spark, harmonyFiles.flatMap(CsvSource.fileList).map(resolve))))
+            val lookup = Play.harmonyLookup(spark, config, dataDir)
             val parts = tables.toSeq.flatMap { case (table, df) =>
               dd.table(table).toSeq.map { ddTable =>
                 if (qr) graft.project.ResourceBuilders.questionnaireResponses(df, study, ddTable, lookup)
@@ -290,6 +289,8 @@ object BuildSrcMains {
           case e: java.nio.file.NoSuchFileException =>
             Console.err.println(s"file not found: ${e.getFile}"); 1
           case e: IllegalArgumentException => Console.err.println(e.getMessage); 1
+          case e: org.apache.spark.sql.AnalysisException =>
+            Console.err.println(e.getMessage); 1
         }
     }
   }

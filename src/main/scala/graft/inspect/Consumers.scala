@@ -18,7 +18,10 @@ object Consumers {
       moduleSummary: DataFrame,
       duplicateIdentifiers: DataFrame,
       missingResourceType: Long,
-      missingIdentifier: Long)
+      missingIdentifier: Long,
+      /** The persisted scan every aggregate reads — callers unpersist
+       *  THIS when done rather than clearing the whole session cache. */
+      source: DataFrame)
 
   /**
    * The standard inspection pass (ref: inspector.py:46-97 checks +
@@ -50,6 +53,6 @@ object Consumers {
     val noIdent = cached
       .filter(col("resourceType") =!= "ConceptMap")
       .filter(get_json_object(col("resource"), "$.identifier").isNull).count()
-    InspectionReport(summary, dups, noType, noIdent)
+    InspectionReport(summary, dups, noType, noIdent, cached)
   }
 }

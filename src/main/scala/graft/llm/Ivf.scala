@@ -43,7 +43,9 @@ object Ivf {
    * [[Similarity.quantize]].
    */
   private[llm] def kmeans(sample: Array[Array[Long]], nlist: Int, iters: Int): Array[Array[Long]] = {
-    require(sample.nonEmpty, "IVF training sample is empty")
+    // empty corpus -> no centroids -> no assignments -> empty result,
+    // matching cosineTopK on the same (fully filtered) input
+    if (sample.isEmpty) return Array.empty
     val k = math.min(nlist, sample.length)
     val dim = sample.head.length
     var centroids = Array.tabulate(k)(i => sample((i.toLong * sample.length / k).toInt).clone())
@@ -116,7 +118,8 @@ object Ivf {
       StructField(listCol, IntegerType, nullable = false))
     prepped.mapPartitions { rows =>
       val cents = bc.value
-      rows.flatMap { r =>
+      if (cents.isEmpty) Iterator.empty // untrained: empty corpus upstream
+      else rows.flatMap { r =>
         val v = r.getSeq[Long](1).toArray
         if (nprobe <= 1) Iterator.single(Row.fromSeq(r.toSeq :+ nearest(v, cents)))
         else nearestN(v, cents, nprobe).iterator.map(c => Row.fromSeq(r.toSeq :+ c))

@@ -111,7 +111,9 @@ object Hosts {
     }
     val root = new ObjectMapper(new YAMLFactory()).readTree(
       new String(java.nio.file.Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
-    root.properties().asScala.map { e =>
+    // insertion-ordered: "the first host in the file" is a meaningful
+    // default downstream (bundle.py:198-205 defaults to the first env)
+    scala.collection.immutable.ListMap(root.properties().asScala.map { e =>
       val n = e.getValue
       val settings = n.properties().asScala
         .map(f => f.getKey -> f.getValue.asText()).toMap
@@ -121,6 +123,6 @@ object Hosts {
         targetServiceUrl = settings.getOrElse("target_service_url", ""),
         authType = settings.getOrElse("auth_type", "none"),
         settings = settings)
-    }.toMap
+    }.toSeq: _*)
   }
 }

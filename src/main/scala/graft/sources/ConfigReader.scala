@@ -61,7 +61,14 @@ object ConfigReader {
         val embed = Option(t.get("embed")).filterNot(_.isNull).map { em =>
           EmbedConfig(str(em, "dataset"), str(em, "colname"),
             saltBuckets = Option(em.get("salt_buckets")).filterNot(_.isNull)
-              .map(_.asInt(1)).getOrElse(1))
+              .map { n =>
+                // a silently-ignored knob would leave the skewed join
+                // un-salted with no diagnostic — reject junk loudly
+                val ok = (n.isIntegralNumber && n.canConvertToInt) ||
+                  (n.isTextual && n.asText().matches("-?\\d+"))
+                require(ok, s"embed.salt_buckets must be an integer, got: ${n.asText()}")
+                if (n.isTextual) n.asText().toInt else n.asInt()
+              }.getOrElse(1))
         }
         e.getKey -> DatasetConfig(
           filename = str(t, "filename"),

@@ -126,6 +126,11 @@ class ExtractorSpec extends AnyFunSuite {
           r.getAs[scala.collection.Seq[Row]]("conditions").map(_.getAs[String]("condition")))
         .toSeq
     assert(conds(saltedCfg) == conds(plainCfg))
+    // junk salt_buckets is a loud config error, never a silent no-salt
+    val e = intercept[IllegalArgumentException](ConfigReader.fromJson(configJson.replace(
+      """"colname": "Subject Id"}""",
+      """"colname": "Subject Id", "salt_buckets": "eight"}""")))
+    assert(e.getMessage.contains("salt_buckets"))
   }
 
   test("inactive tables are pruned from the plan") {

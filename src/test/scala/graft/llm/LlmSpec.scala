@@ -279,6 +279,14 @@ class LlmSpec extends AnyFunSuite {
     assert(Ivf.kmeans(sample.take(1), nlist = 4, iters = 2).length == 1)
   }
 
+  test("Ivf.topK on an all-invalid corpus returns empty like cosineTopK") {
+    val e = df("vec_id BIGINT, embedding ARRAY<FLOAT>", Seq(
+      Row(1L, null), Row(2L, Seq(0.0f, 0.0f)))) // null + zero-norm: both filtered
+    val q = df("vec_id BIGINT, embedding ARRAY<FLOAT>", Seq(Row(9L, Seq(1.0f, 0.0f))))
+    assert(Ivf.topK(e, q, "vec_id", "embedding", k = 3, nlist = 4, nprobe = 4).count() == 0)
+    assert(Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 3).count() == 0)
+  }
+
   test("srpBucket splits a biased corpus that sign-prefix buckets cannot") {
     // every vector has positive leading dims -> signBucket puts ALL rows
     // in one bucket (quadratic); SRP hyperplanes still split, and the
