@@ -25,14 +25,21 @@ object PipelineQueries {
    *  verify + bench in one session) never collide on an active query. */
   private val SinkId = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Drop this query's memory-sink views from PRIOR invocations (bench
-   *  best-of-N reps, verify+bench sessions): each sink pins its full
-   *  result set in driver memory for the session lifetime otherwise.
-   *  Contract: a streaming row's result is consumed before the query
-   *  runs again (Verify/Bench both do), so stale views are dead. */
-  private def dropStaleSinks(s: SparkSession, prefix: String): Unit =
-    s.catalog.listTables().collect().map(_.name)
-      .filter(_.startsWith(prefix)).foreach(s.catalog.dropTempView(_))
+  /** A sibling session whose shuffle-partition count right-sizes the
+   *  STATE sharding for a keyed streaming query: state partitions are
+   *  fixed at query start from `spark.sql.shuffle.partitions`, and each
+   *  partition pays per-micro-batch store overhead whether or not it
+   *  holds keys — for a stream with a bounded key set (150 users, one
+   *  distinct-hash set) 32 shards are mostly empty overhead. Sizing
+   *  state shards to key cardinality is the production norm; the batch
+   *  queries keep the session default. newSession shares the
+   *  SparkContext but owns its catalog, so the memory sink also dies
+   *  with the throwaway session instead of accreting in the main one. */
+  private def streamSession(s: SparkSession, statePartitions: Int): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    s2
+  }
 
   /** Exact cosine top-5 for queries vec_id < 20 — the oracle for BOTH
    *  pq8 (brute force) and pq19 (full-probe IVF): one string, so the
@@ -192,19 +199,19 @@ object PipelineQueries {
     // micro-batch, so the oracle's global MIN(doc_id) applies.
     "pq17_streaming_dedup" -> q((s, dir) => {
       val schema = docs(s, dir).schema
-      val stream = s.readStream.schema(schema)
+      val s2 = streamSession(s, statePartitions = 8)
+      val stream = s2.readStream.schema(schema)
         // partition-inference wants a directory basePath, and the file
         // source force-overrides it with the path unless the path is a
         // glob — so glob the single file and root inference at the dir
         .option("basePath", dir)
         .parquet(s"$dir/documents.parque[t]")
-      dropStaleSinks(s, "pq17_sink_")
       val sink = s"pq17_sink_${SinkId.incrementAndGet()}"
       val query = graft.streaming.StreamingDedup(stream, "doc_id", "text")
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try query.processAllAvailable() finally query.stop()
-      s.table(sink)
+      s2.table(sink)
         .select(col("content_hash"), col("keep_id").cast("bigint").as("keep_id"))
         .orderBy("keep_id")
     }),
@@ -257,14 +264,17 @@ object PipelineQueries {
       java.nio.file.Files.setLastModifiedTime(eventsCopy,
         java.nio.file.attribute.FileTime.fromMillis(now.toMillis - 60000L))
       java.nio.file.Files.setLastModifiedTime(sentinelCopy, now)
-      val stream = s.readStream.schema(rawSchema)
+      val s2 = streamSession(s, statePartitions = 8) // ~150 active users
+      // runtime confs don't carry into newSession — the raw file needs
+      // the same nanos-as-long read the batch path uses
+      s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val stream = s2.readStream.schema(rawSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$replay/*.parquet")
         // the batch reader's exact nanos->micros conversion (Tables:20),
         // then second truncation — see the semantics note above
         .select(col("user_id"), date_trunc("second",
           timestamp_micros((col("ts") / 1000L).cast("long"))).as("ts"))
-      dropStaleSinks(s, "pq18_sink_")
       val sink = s"pq18_sink_${SinkId.incrementAndGet()}"
       val query = graft.streaming.StreamingSessionize(stream, "user_id", "ts",
         gapSeconds = gapSec, watermark = "0 seconds")
@@ -279,7 +289,7 @@ object PipelineQueries {
       }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("session_start")
-      s.table(sink).filter(col("user_id") >= 0) // drop the sentinel user
+      s2.table(sink).filter(col("user_id") >= 0) // drop the sentinel user
         .withColumn("session_id", row_number().over(w).cast("bigint"))
         .select(col("user_id"), col("session_id"),
           col("n_events"),
