@@ -42,4 +42,24 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("ANN candidate joins are equi-joins, never cartesian; multi-probe explodes only the query side") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val multi = graft.llm.Similarity.bucketedTopK(e, q, "vec_id", "embedding",
+      k = 3, bucketBits = 6, srp = true, probes = 4)
+    val mp = multi.queryExecution.optimizedPlan.toString
+    // bucket-equality join (hash-partitionable); a cartesian/BNL product
+    // here would be the 100 TB scale-killer
+    assert(!mp.contains("Cartesian") && !mp.contains("BroadcastNestedLoop"))
+    // the probe expansion is a Generate (explode) of the probe-key array
+    assert(mp.contains("Generate"))
+    // and no row-level Scala UDF anywhere in the probe-key computation
+    assert(!mp.toLowerCase.contains("scalaudf"))
+
+    val ivf = graft.llm.Ivf.topK(e, q, "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 2)
+    val ip = ivf.queryExecution.optimizedPlan.toString
+    assert(!ip.contains("Cartesian") && !ip.contains("BroadcastNestedLoop"))
+  }
 }
