@@ -41,6 +41,64 @@ object PipelineQueries {
     s2
   }
 
+  /**
+   * Two-micro-batch replay of the events table for the streaming rows:
+   * the real events file, then one far-future sentinel row `horizonSec`
+   * past max(ts) (mtime-ordered files + maxFilesPerTrigger=1 make them
+   * consecutive batches), so the event-time watermark provably passes
+   * every real row's horizon and the engine's no-data batch flushes all
+   * keyed state / closes all windows. The sentinel carries user_id =
+   * event_id = -1 and nulls elsewhere, matched to the raw schema BY
+   * FIELD NAME. Returns the stream with `ts` already converted
+   * nanos -> timestamp (the batch reader's exact conversion, Tables:20)
+   * and a cleanup thunk for the replay copies (call after query.stop();
+   * the memory sink holds the results by then).
+   */
+  private def eventReplay(s: SparkSession, s2: SparkSession, dir: String,
+      horizonSec: Long): (DataFrame, () => Unit) = {
+    val events = Tables(s, dir, "events") // sets nanosAsLong for raw reads
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinelNanos = (maxTs.getTime + horizonSec * 1000L) * 1000000L
+    // the stream reads the RAW file (ts = INT64 nanos, like the batch
+    // reader pre-conversion), so the sentinel file must carry the same
+    // long-typed ts for a uniform stream schema
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val replay = java.nio.file.Files.createTempDirectory("graft_replay")
+    val eventsCopy = replay.resolve("0-events.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"), eventsCopy)
+    val sentinelRow = org.apache.spark.sql.Row.fromSeq(rawSchema.fields.map(_.name match {
+      case "ts" => sentinelNanos
+      case "user_id" | "event_id" => -1L
+      case _ => null
+    }).toSeq)
+    val sentDir = replay.resolve("_sentinel")
+    s.createDataFrame(java.util.Arrays.asList(sentinelRow), rawSchema)
+      .coalesce(1).write.parquet(sentDir.toString)
+    val sentList = java.nio.file.Files.list(sentDir)
+    val sentPart = try sentList.filter(
+      p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      finally sentList.close()
+    val sentinelCopy = replay.resolve("1-sentinel.parquet")
+    java.nio.file.Files.move(sentPart, sentinelCopy)
+    val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
+    java.nio.file.Files.setLastModifiedTime(eventsCopy,
+      java.nio.file.attribute.FileTime.fromMillis(now.toMillis - 60000L))
+    java.nio.file.Files.setLastModifiedTime(sentinelCopy, now)
+    // runtime confs don't carry into newSession — the raw file needs the
+    // same nanos-as-long read the batch path uses
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s2.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$replay/*.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val cleanup = () => {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(replay).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    (stream, cleanup)
+  }
+
   /** Exact cosine top-5 for queries vec_id < 20 — the oracle for BOTH
    *  pq8 (brute force) and pq19 (full-probe IVF): one string, so the
    *  "IVF with nprobe == nlist equals brute force" pin cannot drift. */
@@ -229,64 +287,18 @@ object PipelineQueries {
     // (diff 0 <= gap). Session ids are re-derived as the per-user rank
     // by session start — the batch query's cumulative numbering.
     "pq18_streaming_sessionize" -> q((s, dir) => {
-      val events = Tables(s, dir, "events") // also sets nanosAsLong for raw reads
-      val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
       val gapSec = 1800L
-      val sentinelNanos = (maxTs.getTime + (gapSec + 3600L) * 1000L) * 1000000L
-      // the stream reads the RAW file (ts = INT64 nanos, like the batch
-      // reader pre-conversion), so the sentinel file must carry the same
-      // long-typed ts for a uniform stream schema
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      // replay dir: the events file (mtime T) + a Spark-written sentinel
-      // file (mtime T+60s); maxFilesPerTrigger=1 + oldest-first ordering
-      // makes them two consecutive micro-batches
-      val replay = java.nio.file.Files.createTempDirectory("pq18_replay")
-      val eventsCopy = replay.resolve("0-events.parquet")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(dir, "events.parquet"), eventsCopy)
-      val sentDir = replay.resolve("_sentinel")
-      // sentinel values matched by FIELD NAME — robust to testdata
-      // regeneration reordering the parquet columns
-      val sentinelRow = org.apache.spark.sql.Row.fromSeq(rawSchema.fields.map(_.name match {
-        case "ts" => sentinelNanos
-        case "user_id" | "event_id" => -1L
-        case _ => null
-      }).toSeq)
-      s.createDataFrame(java.util.Arrays.asList(sentinelRow), rawSchema)
-        .coalesce(1).write.parquet(sentDir.toString)
-      val sentList = java.nio.file.Files.list(sentDir)
-      val sentPart = try sentList.filter(
-        p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-        finally sentList.close()
-      val sentinelCopy = replay.resolve("1-sentinel.parquet")
-      java.nio.file.Files.move(sentPart, sentinelCopy)
-      val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
-      java.nio.file.Files.setLastModifiedTime(eventsCopy,
-        java.nio.file.attribute.FileTime.fromMillis(now.toMillis - 60000L))
-      java.nio.file.Files.setLastModifiedTime(sentinelCopy, now)
       val s2 = streamSession(s, statePartitions = 8) // ~150 active users
-      // runtime confs don't carry into newSession — the raw file needs
-      // the same nanos-as-long read the batch path uses
-      s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val stream = s2.readStream.schema(rawSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(s"$replay/*.parquet")
-        // the batch reader's exact nanos->micros conversion (Tables:20),
-        // then second truncation — see the semantics note above
-        .select(col("user_id"), date_trunc("second",
-          timestamp_micros((col("ts") / 1000L).cast("long"))).as("ts"))
+      val (replayStream, cleanup) = eventReplay(s, s2, dir, horizonSec = gapSec + 3600L)
+      // second truncation — see the semantics note above
+      val stream = replayStream.select(
+        col("user_id"), date_trunc("second", col("ts")).as("ts"))
       val sink = s"pq18_sink_${SinkId.incrementAndGet()}"
       val query = graft.streaming.StreamingSessionize(stream, "user_id", "ts",
         gapSeconds = gapSec, watermark = "0 seconds")
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try query.processAllAvailable() finally {
-        query.stop()
-        // the memory sink holds the results; the replay copies are dead
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(replay).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      try query.processAllAvailable() finally { query.stop(); cleanup() }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("session_start")
       s2.table(sink).filter(col("user_id") >= 0) // drop the sentinel user
@@ -296,6 +308,27 @@ object PipelineQueries {
           (unix_timestamp(col("session_end")) -
             unix_timestamp(col("session_start"))).as("duration_sec"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // The third streaming member driver-visible: watermarked tumbling-
+    // window counts (StreamingExtract.windowedEventCounts) over the
+    // same two-batch replay. Append mode emits a window only when the
+    // watermark passes its end; the sentinel pushes the watermark past
+    // every real window, and its own (far-future, null-typed) window
+    // never closes, so exactly the batch GROUP BY comes out. Spark's
+    // epoch-aligned 1-hour windows equal date_trunc('hour') buckets.
+    "pq20_streaming_window" -> q((s, dir) => {
+      val s2 = streamSession(s, statePartitions = 8) // bounded window-key state
+      val (replayStream, cleanup) = eventReplay(s, s2, dir, horizonSec = 7200L)
+      val sink = s"pq20_sink_${SinkId.incrementAndGet()}"
+      val query = graft.streaming.StreamingExtract.windowedEventCounts(
+        replayStream.select("ts", "event_type", "value"),
+        "ts", "event_type", "value",
+        windowLength = "1 hour", watermark = "0 seconds")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally { query.stop(); cleanup() }
+      s2.table(sink).orderBy("window_start", "event_type")
     }),
 
     // Multimodal decode path: text -> opaque binary payload -> batched
@@ -502,6 +535,16 @@ object PipelineQueries {
     "pq17_streaming_dedup" ->
       """SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    // tumbling 1-hour windows are epoch-aligned in Spark, which for
+    // whole hours is exactly date_trunc('hour')
+    "pq20_streaming_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin,
 
     // the batch vq22 sessionization oracle, verbatim: the streaming path
     // must produce the identical session set (date_diff('second')
