@@ -100,8 +100,17 @@ object Bench {
       .mkString("{", ",", "}")
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = num(timings.values.sum)
+    // mode split: streaming-replay rows measure micro-batch + state-store
+    // machinery whose oracles are instantaneous batch SQL — report both
+    // subtotals so the artifact carries comparable denominators
+    val streamingTotal = num(timings.collect {
+      case (k, v) if PipelineQueries.StreamingQueryNames.contains(k.takeWhile(_ != '#')) => v
+    }.sum)
+    val batchTotal = num(timings.collect {
+      case (k, v) if !PipelineQueries.StreamingQueryNames.contains(k.takeWhile(_ != '#')) => v
+    }.sum)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","batch_total":$batchTotal,"streaming_total":$streamingTotal,"queries":$qs,"failed":$fails,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

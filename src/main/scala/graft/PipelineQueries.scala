@@ -25,6 +25,13 @@ object PipelineQueries {
    *  verify + bench in one session) never collide on an active query. */
   private val SinkId = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** The rows that measure Structured Streaming replay (micro-batch
+   *  machinery + state store), not batch query execution. Bench splits
+   *  the total by this set so the artifact carries comparable
+   *  denominators — their oracles are instantaneous batch SQL. */
+  val StreamingQueryNames: Set[String] = Set(
+    "pq17_streaming_dedup", "pq18_streaming_sessionize", "pq20_streaming_window")
+
   /** A sibling session whose shuffle-partition count right-sizes the
    *  STATE sharding for a keyed streaming query: state partitions are
    *  fixed at query start from `spark.sql.shuffle.partitions`, and each
