@@ -548,7 +548,8 @@ object PipelineQueries {
     "pq20_streaming_window" ->
       """SELECT date_trunc('hour', ts) AS window_start,
         |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
-        |       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+        |       event_type, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2) AS total
         |FROM events
         |GROUP BY 1, 2, 3
         |ORDER BY window_start, event_type""".stripMargin,

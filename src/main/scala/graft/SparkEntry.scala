@@ -226,7 +226,9 @@ object SparkEntry {
     "vq13_events_date" -> q((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("ts").cast("date").as("d"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          // decimal-exact sum: order-independent across engines/partitions
+          round(sum(col("value").cast("decimal(20,6)")).cast("double"), 2).as("total"))
         .orderBy("d", "event_type", "n")
     }),
 
@@ -291,13 +293,19 @@ object SparkEntry {
     // skewed exchange that salting exists to fix.
     "vq20_salted_join" -> q((s, dir) => {
       val events = t(s, dir, "events")
+      // decimal-exact numerator: a double sum over ~N/5 rows per key is
+      // order-dependent, and at scale the rounding boundary WILL be hit
       val dim = events.groupBy("event_type")
-        .agg(round(avg("value"), 3).as("weight"))
+        .agg(round(sum(col("value").cast("decimal(20,6)")).cast("double") /
+          count(lit(1)), 3).as("weight"))
       SkewJoin.saltedJoin(events.select("event_type", "value"),
           dim.hint("shuffle_hash"), Seq("event_type"), saltBuckets = 8)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value") * col("weight")), 2).as("weighted"))
+          // per-term double product (IEEE-identical across engines) cast
+          // to decimal: the SUM is then exact and order-independent
+          round(sum((col("value") * col("weight")).cast("decimal(20,6)"))
+            .cast("double"), 2).as("weighted"))
         .orderBy("event_type")
     }),
 
@@ -306,13 +314,19 @@ object SparkEntry {
     // most 5 shuffle tasks; vq20 spreads them over 5 * saltBuckets.
     "vq20b_plain_skew_join" -> q((s, dir) => {
       val events = t(s, dir, "events")
+      // decimal-exact numerator: a double sum over ~N/5 rows per key is
+      // order-dependent, and at scale the rounding boundary WILL be hit
       val dim = events.groupBy("event_type")
-        .agg(round(avg("value"), 3).as("weight"))
+        .agg(round(sum(col("value").cast("decimal(20,6)")).cast("double") /
+          count(lit(1)), 3).as("weight"))
       events.select("event_type", "value")
         .join(dim.hint("shuffle_hash"), Seq("event_type"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value") * col("weight")), 2).as("weighted"))
+          // per-term double product (IEEE-identical across engines) cast
+          // to decimal: the SUM is then exact and order-independent
+          round(sum((col("value") * col("weight")).cast("decimal(20,6)"))
+            .cast("double"), 2).as("weighted"))
         .orderBy("event_type")
     }),
 
@@ -492,7 +506,7 @@ object SparkEntry {
 
     "vq13_events_date" ->
       """SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n,
-        |       ROUND(SUM(value), 2) AS total
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2) AS total
         |FROM events GROUP BY CAST(ts AS DATE), event_type
         |ORDER BY d, event_type, n""".stripMargin,
 
@@ -545,18 +559,20 @@ object SparkEntry {
         |ORDER BY p_partkey""".stripMargin,
 
     "vq20_salted_join" ->
-      """WITH dim AS (SELECT event_type, ROUND(AVG(value), 3) AS weight
+      """WITH dim AS (SELECT event_type,
+        |             ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 3) AS weight
         |             FROM events GROUP BY event_type)
         |SELECT e.event_type, COUNT(*) AS n,
-        |       ROUND(SUM(e.value * d.weight), 2) AS weighted
+        |       ROUND(CAST(SUM(CAST(e.value * d.weight AS DECIMAL(20,6))) AS DOUBLE), 2) AS weighted
         |FROM events e JOIN dim d USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "vq20b_plain_skew_join" ->
-      """WITH dim AS (SELECT event_type, ROUND(AVG(value), 3) AS weight
+      """WITH dim AS (SELECT event_type,
+        |             ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 3) AS weight
         |             FROM events GROUP BY event_type)
         |SELECT e.event_type, COUNT(*) AS n,
-        |       ROUND(SUM(e.value * d.weight), 2) AS weighted
+        |       ROUND(CAST(SUM(CAST(e.value * d.weight AS DECIMAL(20,6))) AS DOUBLE), 2) AS weighted
         |FROM events e JOIN dim d USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 

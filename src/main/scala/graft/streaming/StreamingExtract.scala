@@ -68,7 +68,9 @@ object StreamingExtract {
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLength), col(typeCol).as("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(valueCol), 2).as("total"))
+      // decimal-exact sum: order-independent across partitions/engines
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(valueCol).cast("decimal(20,6)")).cast("double"), 2).as("total"))
       .select(
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
