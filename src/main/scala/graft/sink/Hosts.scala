@@ -111,9 +111,9 @@ object Hosts {
     }
     val root = new ObjectMapper(new YAMLFactory()).readTree(
       new String(java.nio.file.Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
-    // insertion-ordered: "the first host in the file" is a meaningful
-    // default downstream (bundle.py:198-205 defaults to the first env)
-    scala.collection.immutable.ListMap(root.properties().asScala.map { e =>
+    // insertion-ordered: properties() is a LinkedHashSet, but mapping it
+    // as a scala Set re-hashes — go through an ordered Seq first
+    scala.collection.immutable.ListMap(root.properties().asScala.toSeq.map { e =>
       val n = e.getValue
       val settings = n.properties().asScala
         .map(f => f.getKey -> f.getValue.asText()).toMap

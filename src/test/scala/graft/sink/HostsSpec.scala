@@ -25,6 +25,19 @@ class HostsSpec extends AnyFunSuite {
     assert(dev.authType == "auth_basic")
   }
 
+  test("host entries keep the file's declaration order") {
+    val dir = Files.createTempDirectory("graft-hosts")
+    val f = dir.resolve("fhir_hosts")
+    // deliberately anti-alphabetical: insertion order must survive
+    Files.write(f,
+      ("zeta:\n  target_service_url: http://z\n  auth_type: none\n" +
+        "alpha:\n  target_service_url: http://a\n  auth_type: none\n" +
+        "mid:\n  target_service_url: http://m\n  auth_type: none\n")
+        .getBytes(StandardCharsets.UTF_8))
+    val config = Hosts.load(f.toString, exampleOut = _ => ())
+    assert(config.keys.toSeq == Seq("zeta", "alpha", "mid"))
+  }
+
   test("missing file writes example config and hard-errors") {
     val missing = Files.createTempDirectory("graft-hosts").resolve("does-not-exist")
     val out = new StringBuilder
