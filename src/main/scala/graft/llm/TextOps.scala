@@ -94,6 +94,24 @@ object TextOps {
     new String(out)
   }
 
+  /** FNV-1a 64-bit over the string's chars — a stable, allocation-free
+    * key-compression hash for shuffle keys whose downstream use is pure
+    * equality counting (e.g. [[graft.llm.NgramJaccard]]'s inverted index:
+    * a long key shuffles/aggregates several times cheaper than a ~25-char
+    * shingle string, and a collision among ~2^20 distinct shingles has
+    * probability ~2^-24 — the standard production dedup trade). NOT for
+    * anything an oracle compares by value (those stay md5 strings). */
+  def fnv64Jvm(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
   /** JVM twin of [[shingles]]: distinct word n-grams in first-seen order. */
   def shinglesJvm(toks: Array[String], n: Int): Array[String] = {
     val set = new java.util.LinkedHashSet[String]()
