@@ -179,10 +179,34 @@ object PlayMain {
 
   /** Shared load stage: validate-only short-circuit, else the
    *  reference-resolution fixpoint with id-cache persistence and the
-   *  study-ids / invalid-references reports. */
+   *  study-ids / invalid-references reports. The id cache backs onto
+   *  parquet ([[IdCacheStore]]) for a plain path, or onto the
+   *  reference-shaped JDBC store ([[JdbcIdCache]]) when `idCachePath`
+   *  is a JDBC URL or `*.sqlite3` file — the latter persists each
+   *  round's new ids as upserts, exactly like the reference's per-id
+   *  `store_id` writes (wstlr/idcache.py:89-113). */
   def loadResources(spark: SparkSession, resources: DataFrame,
       host: Hosts.HostConfig, identifierPrefix: String,
       validateOnly: Boolean, maxValidations: Int,
+      idCachePath: String, invalidRefsPath: String,
+      studyIdsPath: String, studyId: String): Int = {
+    val jdbcCache =
+      if (JdbcIdCache.isJdbcPath(idCachePath))
+        Some(new JdbcIdCache(JdbcIdCache.normalizeUrl(idCachePath),
+          studyId, host.targetServiceUrl))
+      else None
+    def loadCache(): DataFrame = jdbcCache.map(_.loadAll(spark))
+      .getOrElse(IdCacheStore.load(spark, idCachePath))
+    try loadResourcesWith(spark, resources, host, identifierPrefix,
+      validateOnly, maxValidations, jdbcCache, loadCache _, idCachePath,
+      invalidRefsPath, studyIdsPath, studyId)
+    finally jdbcCache.foreach(_.close())
+  }
+
+  private def loadResourcesWith(spark: SparkSession, resources: DataFrame,
+      host: Hosts.HostConfig, identifierPrefix: String,
+      validateOnly: Boolean, maxValidations: Int,
+      jdbcCache: Option[JdbcIdCache], loadCache: () => DataFrame,
       idCachePath: String, invalidRefsPath: String,
       studyIdsPath: String, studyId: String): Int = {
     if (validateOnly) {
@@ -191,12 +215,12 @@ object PlayMain {
         else resources
       val results = FhirLoadSink.load(
         FhirLoadSink.getOrCreate(sample,
-          IdCacheStore.load(spark, idCachePath), identifierPrefix),
+          loadCache(), identifierPrefix),
         () => host.poster(validateOnly = true).post _)
       println(s"   validated: ${results.count()} resources against ${host.targetServiceUrl}")
       0
     } else {
-      var cache = IdCacheStore.load(spark, idCachePath)
+      var cache = loadCache()
       // study-ids must record the ids that exist ON THE SERVER (delfhir
       // deletes Type/<id>) — i.e. each ok row's fhir_id from the load
       // results, never the local projection ids (a POSTed resource gets a
@@ -213,9 +237,12 @@ object PlayMain {
           .select(col("resourceType"), col("id"), col("error"))
         val newRows = FhirLoadSink.asCacheRows(results)
         cache = IdCacheStore.merge(cache, newRows)
+        // JDBC backing persists as it goes (per-round upserts), matching
+        // the reference's write-frequency; parquet saves once at the end
+        jdbcCache.foreach(_.storeAll(newRows))
         newRows
       })
-      IdCacheStore.save(cache, idCachePath)
+      if (jdbcCache.isEmpty) IdCacheStore.save(cache, idCachePath)
       val existingIds = if (Files.exists(Paths.get(studyIdsPath)))
         Some(new String(Files.readAllBytes(Paths.get(studyIdsPath)), StandardCharsets.UTF_8))
       else None

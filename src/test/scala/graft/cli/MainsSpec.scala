@@ -151,6 +151,35 @@ class MainsSpec extends AnyFunSuite {
     }
   }
 
+  test("loadfhir with a JDBC id cache: run 1 POSTs, run 2 primes and PUTs") {
+    val dir = fixture()
+    val wo = write(dir, "whistle-output.json",
+      """{"patient":[
+        |  {"resourceType":"Patient","id":"p1",
+        |   "identifier":[{"system":"https://mains","value":"S1"}]},
+        |  {"resourceType":"Patient","id":"p2",
+        |   "identifier":[{"system":"https://mains","value":"S2"}]}]}""".stripMargin)
+    withServer() { (url, counts) =>
+      hostsFile(dir, url)
+      // a real on-disk JDBC database (embedded Derby), not parquet
+      val cache = s"jdbc:derby:${dir.resolve("dbcache")};create=true"
+      def run() = LoadFhirMain.run(Array(
+        "--host", "dev", "--hosts-file", dir.resolve("fhir_hosts").toString,
+        "--id-cache", cache,
+        "--out", dir.resolve("out").toString,
+        "--identifier-prefix", "https://mains", wo.toString), spark)
+      assert(run() == 0)
+      assert(counts.get("POST").get == 2) // cold cache: everything new
+      assert(counts.get("PUT") == null)
+      // second run, fresh JVM-state-free path: the cache written by run 1
+      // primes run 2 from the database file, so both loads become PUTs
+      // against the server-assigned ids (get-or-create upsert join)
+      assert(run() == 0)
+      assert(counts.get("POST").get == 2) // no new POSTs
+      assert(counts.get("PUT").get == 2)
+    }
+  }
+
   test("loadfhir exits 1 and reports errors when the server rejects every load") {
     val dir = fixture()
     val wo = write(dir, "whistle-output.json",
