@@ -62,4 +62,51 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val ip = ivf.queryExecution.optimizedPlan.toString
     assert(!ip.contains("Cartesian") && !ip.contains("BroadcastNestedLoop"))
   }
+
+  test("AQE skew-join splits the same hot-key shuffle the manual salt targets, with identical results") {
+    // The vq20 shape: 5 event_type keys at ~20% each joined to a tiny
+    // dim, shuffle join forced. At real scale AQE's skew handling
+    // (spark.sql.adaptive.skewJoin, on by default) splits oversized
+    // sort-merge partitions at runtime — the thresholds here are scaled
+    // down from their cluster-sized defaults (256 MB) so the ~100 KB
+    // test shuffle qualifies. The manual SkewJoin.saltedJoin remains for
+    // the cases AQE can't cover: broadcast-ineligible nested-embed
+    // builds, and extreme skew known in advance (salting prevents the
+    // oversized map output; AQE only splits it after it exists).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // raw events ts
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8k")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+    // One hot key with 80% of 200k rows, emitted by a 4-task range scan:
+    // skewed reduce partitions split at MAPPER granularity, so the map
+    // side must have several tasks (a single-row-group parquet scan is
+    // one indivisible map output no matter what maxPartitionBytes says).
+    val events = s2.range(0, 200000).select(
+      when(col("id") % 10 < 8, lit("hot"))
+        .otherwise(concat(lit("k"), col("id") % 50)).as("event_type"),
+      (col("id") % 1000).cast("double").as("value"))
+    // the dim must be a plain scan: OptimizeSkewedJoin matches only
+    // SMJ(Sort(Shuffle), Sort(Shuffle)) — an aggregate between sort and
+    // shuffle (the vq20 shape) defeats it, which is precisely one of the
+    // cases the manual salt stays for. Materialize the dim first.
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_skew").resolve("dim")
+    events.groupBy("event_type").agg(round(avg("value"), 3).as("weight"))
+      .write.parquet(dimPath.toString)
+    val dim = s2.read.parquet(dimPath.toString)
+    val plain = events.join(dim, Seq("event_type"))
+    val rows = plain.collect() // executes; finalizes the adaptive plan
+    val plan = plain.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE did not mark the shuffle join skewed:\n$plan")
+    // identical results to the manual salt on the same input
+    val salted = graft.operators.SkewJoin.saltedJoin(
+      events, dim, Seq("event_type"), saltBuckets = 4)
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sorted
+    assert(key(rows) === key(salted.collect()))
+  }
 }
