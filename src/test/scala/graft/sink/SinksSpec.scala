@@ -55,6 +55,55 @@ class SinksSpec extends AnyFunSuite {
     assert(files.toSeq == Seq("module=condition", "module=patient"))
   }
 
+  test("bundle write at scale: >15k resources split into <=15,000-record files (bundle.py:84)") {
+    // real written files at the reference's actual chunk size: 34k
+    // resources over two modules -> ceil(17k/15k) = 2 chunk dirs each,
+    // every bundle document carrying <= 15,000 entries
+    val dir = java.nio.file.Files.createTempDirectory("graft-bundles-15k").toString
+    val many = spark.range(34000).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN 'patient' ELSE 'specimen' END AS module",
+      "'Patient' AS resourceType",
+      "concat('P', lpad(cast(id as string), 6, '0')) AS id",
+      """concat('{"id":"', id, '"}') AS resource""")
+    val e = BundleSink.entries(many, "http://svc")
+    BundleSink.write(BundleSink.bundles(e, "bid"), dir) // default MaxRecords = 15000
+    val chunks = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .flatMap(m => m.listFiles.filter(_.isDirectory).map(c => (m.getName, c.getName)))
+      .sorted.toSeq
+    assert(chunks == Seq(
+      ("module=patient", "chunk=0"), ("module=patient", "chunk=1"),
+      ("module=specimen", "chunk=0"), ("module=specimen", "chunk=1")))
+    // per-file record bound, counted from the written bytes (one
+    // "fullUrl" per entry), and totals intact: 17k = 15,000 + 2,000
+    val perChunk = chunks.map { case (m, c) =>
+      val text = new java.io.File(s"$dir/$m/$c").listFiles
+        .filter(_.getName.endsWith(".txt"))
+        .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath))).mkString
+      (m, c, "\"fullUrl\"".r.findAllIn(text).length)
+    }
+    perChunk.foreach { case (m, c, n) =>
+      assert(n <= BundleSink.MaxRecords, s"$m/$c has $n records")
+    }
+    assert(perChunk.map(_._3).sum == 34000)
+    assert(perChunk.collect { case (_, "chunk=0", n) => n }.toSeq == Seq(15000, 15000))
+  }
+
+  test("maxRecordsPerFile is the unbounded-export sibling: no window, same bound") {
+    // the documented scale path for exports where a per-module total
+    // order (assignChunks' window) is unnecessary: Spark's own
+    // maxRecordsPerFile bounds file size with zero shuffle
+    val dir = java.nio.file.Files.createTempDirectory("graft-mrpf").toString
+    spark.range(34000).selectExpr("cast(id as string) AS id")
+      .repartition(2)
+      .write.option("maxRecordsPerFile", BundleSink.MaxRecords)
+      .mode("overwrite").parquet(dir)
+    val counts = spark.read.parquet(dir)
+      .select(input_file_name().as("f")).groupBy("f").count()
+      .collect().map(_.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_ <= BundleSink.MaxRecords))
+    assert(counts.sum == 34000)
+  }
+
   test("study-ids aggregation dedups and sorts per resourceType") {
     val in = df("t STRING, id STRING", Seq(
       Row("Patient", "B"), Row("Patient", "A"), Row("Patient", "B"),
