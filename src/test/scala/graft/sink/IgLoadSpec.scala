@@ -157,6 +157,36 @@ class IgLoadSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("settle pause is base + perItem x deleted, and only after force-overwrite deletes") {
+    // ref igload/__init__.py:220: sleep(args.sleep_time + len(deleted_items))
+    // — the CLI maps --sleep-time N to base N s with 1 s per deleted
+    // resource; pinned here at ms scale via wall time: 3 deletes at
+    // base 600 + 150/item must settle >= 1050 ms
+    val dir = Files.createTempDirectory("graft-igload4")
+    igZip(dir)
+    val resources = graft.sources.BundleScan.readIgZip(
+      spark, dir.resolve("ig/output/definitions.json.zip").toString)
+    def timedRun(base: Long, perItem: Long, overwrite: Boolean): Long = {
+      IgLoadRecorder.clear()
+      val t0 = System.nanoTime()
+      IgLoad.run(resources,
+        resourceList = Seq("CodeSystem", "ValueSet", "ImplementationGuide"),
+        exclusions = Seq("example"), forceOverwrite = overwrite,
+        makeClient = () => new RecordingIgClient(deleteHits = overwrite),
+        settleBaseMillis = base, settleMillisPerItem = perItem)
+        .collect()
+      (System.nanoTime() - t0) / 1000000L
+    }
+    val unsettled = timedRun(base = 600, perItem = 150, overwrite = false)
+    val settled = timedRun(base = 600, perItem = 150, overwrite = true) // 3 deletes
+    // no deletes -> no settle at all (the sleep is inside the
+    // force-overwrite phase); with deletes -> at least base + 3*perItem
+    assert(settled - unsettled >= 700,
+      s"settle too short: overwrite=$settled ms vs plain=$unsettled ms")
+    assert(timedRun(base = 0, perItem = 0, overwrite = true) < unsettled + 600,
+      "zeroed knobs must not pause")
+  }
+
   test("igload main: generate-default prints content, full run via injected client") {
     assert(graft.cli.IgLoadMain.run(Array("--generate-default"), spark) == 0)
     val dir = Files.createTempDirectory("graft-igload3")
