@@ -45,6 +45,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // NOT tuned: parallelismFirst=false + a small advisory partition
+      // size (right-sizing reduce partitions to data volume) measured
+      // within noise of the defaults across interleaved A/B sweeps —
+      // the sub-second floor is job/stage scheduling, not task count
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -36,30 +36,57 @@ object DdProfiler {
    * min/max (non-numeric values ignored), distinct count, and the
    * sorted distinct value list only when under `maxValues` distinct.
    *
-   * Two aggregations over the (already-reduced) histogram: stats come
-   * from one pass, and value lists are collected ONLY for variables
-   * under the cutoff — a high-cardinality id column never funnels its
-   * distinct set into a single aggregation buffer.
+   * Two aggregations over the (already-reduced, cached) histogram:
+   * stats come from one pass, and value lists are aggregated ONLY for
+   * variables under the cutoff — a high-cardinality id column never
+   * funnels its distinct set into a single aggregation buffer.
+   *
+   * The OUTPUT is one row per profiled column — driver-sized by
+   * construction (`columns` is a driver-side argument), so the stats
+   * pass is collected and the result assembled as a local relation: the
+   * distributed work is exactly the melt + the two histogram-level
+   * aggregations, with no joins, no second histogram computation, and
+   * no final shuffle. (This makes profile() eager — the reference's
+   * builddd is a terminal command, never a subquery.)
    */
   def profile(df: DataFrame, columns: Seq[String], maxValues: Int = 50): DataFrame = {
-    val hist = histogram(df, columns)
-    val numeric = expr("try_cast(value AS double)")
-    val stats = hist
-      .groupBy("varname")
-      .agg(
-        // stringified with the reference's empty-cell fallback
-        // (dd_from_fhir.py:110-119 leaves MIN/MAX blank when non-numeric)
-        coalesce(round(min(numeric), 2).cast("string"), lit("")).as("vmin"),
-        coalesce(round(max(numeric), 2).cast("string"), lit("")).as("vmax"),
-        count(lit(1)).as("n_distinct"))
-    val smallVars = stats.filter(col("n_distinct") < maxValues).select("varname")
-    val lists = hist
-      .join(broadcast(smallVars), Seq("varname"))
-      .groupBy("varname")
-      .agg(array_join(sort_array(collect_set(col("value"))), ";").as("values_list"))
-    stats.join(lists, Seq("varname"), "left")
-      .select(col("varname"), col("vmin"), col("vmax"), col("n_distinct"), col("values_list"))
-      .orderBy("varname")
+    import org.apache.spark.storage.StorageLevel
+    val spark = df.sparkSession
+    val hist = histogram(df, columns).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val numeric = expr("try_cast(value AS double)")
+      // one row per profiled column
+      val stats = hist
+        .groupBy("varname")
+        .agg(
+          // stringified with the reference's empty-cell fallback
+          // (dd_from_fhir.py:110-119 leaves MIN/MAX blank when non-numeric)
+          coalesce(round(min(numeric), 2).cast("string"), lit("")).as("vmin"),
+          coalesce(round(max(numeric), 2).cast("string"), lit("")).as("vmax"),
+          count(lit(1)).as("n_distinct"))
+        .collect()
+        .map(r => r.getString(0) -> r).toMap
+      val small = stats.collect {
+        case (v, r) if r.getLong(3) < maxValues => v
+      }.toSeq
+      val lists: Map[String, String] =
+        if (small.isEmpty) Map.empty
+        else hist
+          .filter(col("varname").isin(small: _*))
+          .groupBy("varname")
+          .agg(array_join(sort_array(collect_set(col("value"))), ";").as("values_list"))
+          .collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+      val out = stats.keys.toSeq.sorted.map { v =>
+        val s = stats(v)
+        org.apache.spark.sql.Row(v, s.getString(1), s.getString(2), s.getLong(3),
+          lists.get(v).orNull)
+      }
+      spark.createDataFrame(
+        java.util.Arrays.asList(out: _*),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "varname STRING, vmin STRING, vmax STRING, n_distinct BIGINT, values_list STRING"))
+    } finally hist.unpersist()
   }
 
   /**
