@@ -3,7 +3,6 @@ package graft.llm
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.storage.StorageLevel
 
 /**
  * IVF (inverted-file) approximate nearest neighbor: a LEARNED coarse
@@ -137,12 +136,16 @@ object Ivf {
       k: Int, nlist: Int, nprobe: Int, iters: Int = 5, sampleN: Int = 4096): DataFrame = {
     require(nlist >= 1 && nprobe >= 1 && iters >= 0 && sampleN >= 1)
     val (c0, q0) = Similarity.prepSides(corpus, queries, idCol, vecCol)
-    // prep is consumed by the sample collect AND the assignment scan
-    val c1 = c0.persist(StorageLevel.MEMORY_AND_DISK)
-    val sample = c1.orderBy("cid").limit(sampleN)
+    // prep is consumed by the sample collect AND the assignment scan —
+    // deliberately NOT cached: the sample is a TakeOrdered top-N (per-
+    // partition heads, no shuffle) and the assignment re-scans the
+    // pruned columnar source, which at corpus scale is far cheaper than
+    // materializing the whole projected corpus into the block store
+    // (and measurably faster at bench scale too)
+    val sample = c0.orderBy("cid").limit(sampleN)
       .select("_vc").collect().map(_.getSeq[Long](0).toArray)
     val centroids = kmeans(sample, nlist, iters)
-    val c = withLists(c1, centroids, nprobe = 1, "_list")
+    val c = withLists(c0, centroids, nprobe = 1, "_list")
     val q = withLists(q0, centroids, nprobe = nprobe, "_probe")
     val pairs = c
       .join(q, col("_probe") === col("_list") && col("qid") =!= col("cid"))
