@@ -104,8 +104,8 @@ object NgramJaccard {
           else {
             val toks = TextOps.tokensJvm(r.getString(1))
             if (toks.length < shingleN) Iterator.empty
-            else TextOps.shinglesJvm(toks, shingleN).iterator
-              .map(s => Row(r.get(0), TextOps.fnv64Jvm(s)))
+            else TextOps.shingleHashesJvm(toks, shingleN).iterator
+              .map(h => Row(r.get(0), h))
           }
         }
       }(Encoders.row(invSchema))

@@ -112,6 +112,36 @@ object TextOps {
     h
   }
 
+  /** Distinct word-n-gram fnv64 hashes in first-seen order, computed by
+    * streaming each window's chars (with the joining space) through the
+    * FNV state — bit-identical to `fnv64Jvm(shinglesJvm(toks, n)(i))`
+    * without materializing any shingle string. The allocation-free form
+    * of the [[fnv64Jvm]] key-compression trade for the inverted-index
+    * operators; distinctness is on the hash (a within-doc collision
+    * collapses two shingles — the same ~2^-24 trade). */
+  def shingleHashesJvm(toks: Array[String], n: Int): Array[Long] = {
+    val set = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= toks.length) {
+      var h = 0xcbf29ce484222325L
+      var o = 0
+      while (o < n) {
+        if (o > 0) { h ^= ' '; h *= 0x100000001b3L }
+        val t = toks(i + o)
+        var j = 0
+        while (j < t.length) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }
+        o += 1
+      }
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
   /** JVM twin of [[shingles]]: distinct word n-grams in first-seen order. */
   def shinglesJvm(toks: Array[String], n: Int): Array[String] = {
     val set = new java.util.LinkedHashSet[String]()
