@@ -360,6 +360,43 @@ object PipelineQueries {
       s2.table(sink).orderBy("window_start", "event_type")
     }),
 
+    // Incremental exact dedup: a new batch classified against the
+    // persisted content-hash index of the full corpus — history is never
+    // rescanned. The batch synthesizes all three classes: re-tagged
+    // copies of doc_id < 30 (dup_of_history), fresh contents from
+    // doc_id 30-39 (new), and a second copy of each fresh content
+    // (dup_in_batch). dup_of uses -1 for `new` rows — a null bigint
+    // round-trips as NaN-typed float through both engines' pandas
+    // bridges and defeats the row compare.
+    "pq21_incremental_dedup" -> q((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val index = IncrementalDedup.buildIndex(d, "doc_id", "text")
+      val fresh = d.filter(col("doc_id") >= 30 && col("doc_id") < 40)
+      val batch = d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(fresh.select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text")))
+        .unionByName(fresh.select((col("doc_id") + 30000).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text")))
+      IncrementalDedup.classify(batch, index, "doc_id", "text")
+        .withColumn("dup_of", coalesce(col("dup_of"), lit(-1L)))
+        .orderBy("doc_id")
+    }),
+
+    // Normalized-exact dedup: ExactDedup over the dedup-normalized text
+    // (lowercase, punctuation stripped, whitespace collapsed), so
+    // case/punct/spacing variants — synthesized for doc_id < 25 —
+    // collapse onto their originals.
+    "pq22_normalized_dedup" -> q((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val variants = d.filter(col("doc_id") < 25).select(
+        (col("doc_id") + 5000).as("doc_id"),
+        concat(upper(col("text")), lit("  !!")).as("text"))
+      val corpus = d.unionByName(variants)
+        .select(col("doc_id"), TextAnalysis.normalizeForDedup(col("text")).as("norm_text"))
+      ExactDedup(corpus, "doc_id", "norm_text").orderBy("keep_id")
+    }),
+
     // Multimodal decode path: text -> opaque binary payload -> batched
     // per-partition decode (the stub codec) -> typed metadata rows. This
     // executes asBinaryPayload + decodeBatch + decodeOne end-to-end; the
@@ -564,6 +601,34 @@ object PipelineQueries {
     "pq17_streaming_dedup" ->
       """SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "pq21_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |hist AS (SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id FROM d GROUP BY 1),
+        |batch AS (
+        |  SELECT doc_id + 10000 AS doc_id, text FROM d WHERE doc_id < 30
+        |  UNION ALL SELECT doc_id + 20000, text || ' fresh' FROM d WHERE doc_id >= 30 AND doc_id < 40
+        |  UNION ALL SELECT doc_id + 30000, text || ' fresh' FROM d WHERE doc_id >= 30 AND doc_id < 40),
+        |h AS (SELECT doc_id, md5(text) AS content_hash,
+        |             MIN(doc_id) OVER (PARTITION BY md5(text)) AS batch_keep FROM batch),
+        |j AS (SELECT h.doc_id, h.content_hash, h.batch_keep, hist.keep_id AS hist_keep
+        |      FROM h LEFT JOIN hist USING (content_hash))
+        |SELECT doc_id, content_hash,
+        |       CASE WHEN hist_keep IS NOT NULL THEN 'dup_of_history'
+        |            WHEN doc_id <> batch_keep THEN 'dup_in_batch' ELSE 'new' END AS status,
+        |       CAST(CASE WHEN hist_keep IS NOT NULL THEN hist_keep
+        |                 WHEN doc_id <> batch_keep THEN batch_keep ELSE -1 END AS BIGINT) AS dup_of
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    "pq22_normalized_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |corpus AS (SELECT doc_id, text FROM d
+        |           UNION ALL SELECT doc_id + 5000, upper(text) || '  !!' FROM d WHERE doc_id < 25),
+        |n AS (SELECT doc_id,
+        |             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |      FROM corpus)
+        |SELECT md5(norm) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM n GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     // tumbling 1-hour windows are epoch-aligned in Spark, which for
     // whole hours is exactly date_trunc('hour')

@@ -85,6 +85,20 @@ object TextAnalysis {
       .orderBy("lang")
 
   /**
+   * Dedup-normalization projection: lowercase, strip every char outside
+   * [a-z0-9 space], collapse whitespace runs, trim — the canonical form
+   * under which case/punctuation/spacing variants of the same text
+   * become exact duplicates. Pure Column composition (codegen'd); feed
+   * the result to [[ExactDedup]]/[[IncrementalDedup]] for
+   * normalized-exact dedup, the standard first tier before fuzzy
+   * matching.
+   */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 \\t\\n]", ""),
+      "\\s+", " "))
+
+  /**
    * Per-document quality metrics: token count, distinct-token count,
    * type-token ratio, stopword ratio, mean word length. Pure projection.
    * Low TTR flags boilerplate/repetition; abnormal stopword ratio or word

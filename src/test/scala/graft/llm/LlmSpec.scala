@@ -397,4 +397,62 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 0.5)          // stop_ratio (the x2)
     assert(r.getDouble(5) == 3.0)          // mean_wlen (3+3+3+3)/4
   }
+
+  test("shingleHashesJvm equals fnv64 over the materialized shingle strings") {
+    val texts = Seq("a b c d e", "x x x x", "p q r", "one two")
+    texts.foreach { t =>
+      val toks = TextOps.tokensJvm(t)
+      if (toks.length >= 3) {
+        val viaStrings = TextOps.shinglesJvm(toks, 3).map(TextOps.fnv64Jvm).toList
+        assert(TextOps.shingleHashesJvm(toks, 3).toList == viaStrings, s"text: $t")
+      }
+    }
+  }
+
+  test("IncrementalDedup.classify: history beats batch, batch min wins, new is keeper") {
+    val history = df("doc_id BIGINT, text STRING",
+      Seq(Row(1L, "alpha"), Row(2L, "beta")))
+    val index = IncrementalDedup.buildIndex(history, "doc_id", "text")
+    val batch = df("doc_id BIGINT, text STRING", Seq(
+      Row(10L, "alpha"),  // dup_of_history -> 1 (even though 10 is batch min)
+      Row(11L, "gamma"),  // new
+      Row(12L, "gamma"),  // dup_in_batch -> 11
+      Row(13L, "delta"))) // new
+    val out = IncrementalDedup.classify(batch, index, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      (10L, "dup_of_history", Some(1L)),
+      (11L, "new", None),
+      (12L, "dup_in_batch", Some(11L)),
+      (13L, "new", None)))
+  }
+
+  test("IncrementalDedup.mergeIndex folds only the accepted keepers in") {
+    val history = df("doc_id BIGINT, text STRING", Seq(Row(1L, "alpha")))
+    val index = IncrementalDedup.buildIndex(history, "doc_id", "text")
+    val batch = df("doc_id BIGINT, text STRING", Seq(
+      Row(10L, "alpha"), Row(11L, "gamma"), Row(12L, "gamma")))
+    val merged = IncrementalDedup.mergeIndex(index,
+      IncrementalDedup.classify(batch, index, "doc_id", "text"))
+    val byHash = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byHash.size == 2)
+    assert(byHash.values.toSet == Set(1L, 11L)) // alpha keeps 1, gamma enters as 11
+    // a second run of the same batch is now all duplicates
+    val again = IncrementalDedup.classify(batch, merged, "doc_id", "text")
+    assert(again.filter(col("status") === "new").isEmpty)
+  }
+
+  test("normalizeForDedup collapses case/punct/space variants and is idempotent") {
+    val in = df("t STRING", Seq(
+      Row("Hello,  World!"), Row("hello world"), Row("  HELLO   world  "),
+      Row("a-b c"), Row("ab c")))
+    val norm = in.select(TextAnalysis.normalizeForDedup(col("t")).as("n"))
+    val vals = norm.collect().map(_.getString(0)).toSeq
+    assert(vals.take(3).toSet == Set("hello world")) // variants collapse
+    assert(vals(3) == "ab c" && vals(4) == "ab c")   // punctuation stripped
+    val twice = norm.select(TextAnalysis.normalizeForDedup(col("n"))).collect()
+      .map(_.getString(0)).toSeq
+    assert(twice == vals) // idempotent
+  }
 }
