@@ -63,6 +63,30 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!ip.contains("Cartesian") && !ip.contains("BroadcastNestedLoop"))
   }
 
+  test("bucketed tables join with ZERO exchanges — the co-located repeated-join shape") {
+    // SURVEY §4: for joins repeated across runs on the same key (the
+    // embed/reference-resolution shape at warehouse scale), pre-bucketing
+    // both sides on the join key removes the shuffle entirely. Broadcast
+    // is disabled so the join must be sort-merge — the assert then proves
+    // the bucketing, not a small-table special case.
+    val s2 = spark.newSession() // shares the catalog + warehouse
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val df = s2.range(0, 10000).select(col("id").as("k"), (col("id") % 7).as("v"))
+    try {
+      Seq("graft_bucket_a", "graft_bucket_b").foreach(t =>
+        df.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable(t))
+      val j = s2.table("graft_bucket_a").join(s2.table("graft_bucket_b"), "k")
+      j.write.format("noop").mode("overwrite").save()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), // neither shuffle nor broadcast
+        s"bucketed join still exchanges:\n$plan")
+      assert(j.count() === 10000)
+    } finally Seq("graft_bucket_a", "graft_bucket_b").foreach(t =>
+      s2.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("AQE skew-join splits the same hot-key shuffle the manual salt targets, with identical results") {
     // The vq20 shape: 5 event_type keys at ~20% each joined to a tiny
     // dim, shuffle join forced. At real scale AQE's skew handling
