@@ -120,9 +120,11 @@ object Bench {
       }
       (1 to best).foreach(_ => sweep())
       // divergence retry: if no two sweeps agree within 2x, every sample
-      // may sit inside one saturated window — buy more spaced samples
+      // may sit inside one saturated window — buy more spaced samples.
+      // Skipped when any query failed: a mid-sweep failure changes the
+      // query set between sweeps, so total divergence stops meaning noise
       var extra = 0
-      while (extra < 2 && sweepTotals.nonEmpty &&
+      while (extra < 2 && failed.isEmpty && sweepTotals.nonEmpty &&
           sweepTotals.max / sweepTotals.min.max(1e-9) > 2.0) {
         System.err.println(
           s"[bench] sweep totals diverge >2x (${sweepTotals.map(t => f"$t%.1f").mkString(", ")}) — extra sweep")
@@ -151,7 +153,17 @@ object Bench {
       else timeOracle(timings.keySet.map(_.takeWhile(_ != '#')).toSet, sfDir)
     val oracleFields = oracle.fold("") { o =>
       val (oTotal, oBatch, oStreaming) = split(o)
-      val ratio = if (oBatch > 0) batchTotal / oBatch else 0.0
+      // the ratio divides matched pairs only: a query whose oracle SQL
+      // failed (dropped from o) — or, in reps mode, rep keys with no
+      // 1:1 oracle entry — must not leave Spark time in the numerator
+      // with nothing in the denominator
+      val matched = timings.collect {
+        case (k, v) if !k.contains('#') && o.contains(k) && !isStreaming(k) => v
+      }.sum
+      val oMatched = o.collect {
+        case (k, v) if timings.contains(k) && !isStreaming(k) => v
+      }.sum
+      val ratio = if (oMatched > 0) matched / oMatched else 0.0
       s""","oracle_total":${num(oTotal)},"oracle_batch_total":${num(oBatch)},"oracle_streaming_total":${num(oStreaming)},"batch_vs_oracle":${num(ratio)},"oracle_queries":${obj(o)}"""
     }
     val sweeps = sweepTotals.map(num).mkString("[", ",", "]")
@@ -175,14 +187,20 @@ object Bench {
       val json = sqls.map { case (k, v) => s"${JsonStr.quote(k)}: ${JsonStr.quote(v)}" }
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(tmp, json)
+      // stdout goes to a file so waitFor's timeout governs a stuck child
+      // — reading the pipe to EOF first would block forever and make the
+      // destroyForcibly path unreachable
+      val outFile = java.nio.file.Files.createTempFile("graft_oracle_out", ".json")
       val pb = new ProcessBuilder("python3", script.get.getPath, sfDir, tmp.toString, "2")
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.redirectOutput(outFile.toFile)
       val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
       val done = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) proc.destroyForcibly()
+      val out = java.nio.file.Files.readString(outFile)
       java.nio.file.Files.deleteIfExists(tmp)
-      if (!done) { proc.destroyForcibly(); System.err.println("[bench] oracle timing timed out"); return None }
+      java.nio.file.Files.deleteIfExists(outFile)
+      if (!done) { System.err.println("[bench] oracle timing timed out"); return None }
       if (proc.exitValue() != 0) { System.err.println(s"[bench] oracle timing rc=${proc.exitValue()}"); return None }
       val parsed = JsonStr.parseFlatNumberMap(out)
       if (parsed.isEmpty) None else Some(parsed)

@@ -40,17 +40,36 @@ final class JdbcIdCache(jdbcUrl: String, studyId: String, fhirEndpoint: String)
   private val ram = scala.collection.mutable.Map
     .empty[String, scala.collection.mutable.Map[String, (String, String)]]
 
-  /** CREATE TABLE tolerant of pre-existing tables (SQLite spells it
-    * IF NOT EXISTS; Derby has no such clause, so the "already exists"
-    * SQLState X0Y32 is swallowed instead). */
-  private def createTable(ddl: String): Unit =
-    try { val st = conn.createStatement(); try st.executeUpdate(ddl) finally st.close() }
-    catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+  /** True when `table` exists, via portable JDBC metadata — works on any
+    * backend, unlike dialect-specific IF NOT EXISTS / SQLState checks. */
+  private def tableExists(table: String): Boolean = {
+    val meta = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+    try {
+      var found = false
+      while (meta.next() && !found)
+        found = meta.getString("TABLE_NAME").equalsIgnoreCase(table)
+      found
+    } finally meta.close()
+  }
+
+  /** CREATE TABLE tolerant of pre-existing tables: a portable metadata
+    * existence check first (SQLState vocabularies differ per backend),
+    * with Derby's X0Y32 "already exists" swallowed as the race backstop. */
+  private def createTable(table: String, ddl: String): Unit =
+    if (!tableExists(table))
+      try { val st = conn.createStatement(); try st.executeUpdate(ddl) finally st.close() }
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
 
   private def ensureSystemTable(targetSystem: String): String = {
     val t = fixTargetSystem(targetSystem)
+    // the normalized name is spliced into a quoted SQL identifier; the
+    // reference transform doesn't sanitize quotes and most backends cap
+    // identifier length (Derby: 128) — fail loudly instead of emitting
+    // broken DDL
+    require(!t.contains("\"") && (sqlite || t.length <= 128),
+      s"target system '$targetSystem' normalizes to an unusable table name '$t'")
     if (sqlite)
-      createTable(
+      createTable(t,
         s"""CREATE TABLE IF NOT EXISTS "$t"
            |    (unique_id TEXT PRIMARY KEY,
            |    study_id TEXT NOT NULL,
@@ -58,7 +77,7 @@ final class JdbcIdCache(jdbcUrl: String, studyId: String, fhirEndpoint: String)
            |    fhir_endpoint TEXT NOT NULL,
            |    target_id TEXT NOT NULL)""".stripMargin)
     else
-      createTable(
+      createTable(t,
         s"""CREATE TABLE "$t"
            |    (unique_id VARCHAR(1024) NOT NULL PRIMARY KEY,
            |    study_id VARCHAR(256) NOT NULL,
@@ -71,15 +90,28 @@ final class JdbcIdCache(jdbcUrl: String, studyId: String, fhirEndpoint: String)
 
   private def registerSystem(table: String, original: String): Unit = {
     if (sqlite)
-      createTable(s"""CREATE TABLE IF NOT EXISTS "$SystemsTable" (table_name TEXT PRIMARY KEY, target_system TEXT NOT NULL)""")
+      createTable(SystemsTable, s"""CREATE TABLE IF NOT EXISTS "$SystemsTable" (table_name TEXT PRIMARY KEY, target_system TEXT NOT NULL)""")
     else
-      createTable(s"""CREATE TABLE "$SystemsTable" (table_name VARCHAR(256) NOT NULL PRIMARY KEY, target_system VARCHAR(1024) NOT NULL)""")
-    val check = conn.prepareStatement(s"""SELECT 1 FROM "$SystemsTable" WHERE table_name = ?""")
-    val exists = try { check.setString(1, table); val rs = check.executeQuery(); try rs.next() finally rs.close() }
-      finally check.close()
-    if (!exists) {
-      val ins = conn.prepareStatement(s"""INSERT INTO "$SystemsTable" (table_name, target_system) VALUES (?, ?)""")
-      try { ins.setString(1, table); ins.setString(2, original); ins.executeUpdate() } finally ins.close()
+      createTable(SystemsTable, s"""CREATE TABLE "$SystemsTable" (table_name VARCHAR(256) NOT NULL PRIMARY KEY, target_system VARCHAR(1024) NOT NULL)""")
+    val check = conn.prepareStatement(s"""SELECT target_system FROM "$SystemsTable" WHERE table_name = ?""")
+    val existing = try {
+      check.setString(1, table)
+      val rs = check.executeQuery()
+      try { if (rs.next()) Some(rs.getString(1)) else None } finally rs.close()
+    } finally check.close()
+    existing match {
+      case Some(prev) if prev != original =>
+        // the reference's lossy name transform CAN collide two distinct
+        // systems onto one table (it then silently mixes their ids —
+        // idcache.py:50). Mixing under a wrong label corrupts the
+        // get-or-create join, so fail loudly instead.
+        throw new IllegalStateException(
+          s"target systems '$prev' and '$original' both normalize to table '$table' — " +
+            "rename one identifier system or use separate cache databases")
+      case Some(_) => ()
+      case None =>
+        val ins = conn.prepareStatement(s"""INSERT INTO "$SystemsTable" (table_name, target_system) VALUES (?, ?)""")
+        try { ins.setString(1, table); ins.setString(2, original); ins.executeUpdate() } finally ins.close()
     }
   }
 
@@ -192,14 +224,7 @@ final class JdbcIdCache(jdbcUrl: String, studyId: String, fhirEndpoint: String)
   }
 
   private def registeredSystems(): Seq[(String, String)] = {
-    val meta = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
-    val hasRegistry = try {
-      var found = false
-      while (meta.next() && !found)
-        found = meta.getString("TABLE_NAME").equalsIgnoreCase(SystemsTable)
-      found
-    } finally meta.close()
-    if (!hasRegistry) return Nil
+    if (!tableExists(SystemsTable)) return Nil
     val st = conn.createStatement()
     try {
       val rs = st.executeQuery(s"""SELECT table_name, target_system FROM "$SystemsTable"""")

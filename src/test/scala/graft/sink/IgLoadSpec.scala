@@ -183,8 +183,11 @@ class IgLoadSpec extends AnyFunSuite {
     // force-overwrite phase); with deletes -> at least base + 3*perItem
     assert(settled - unsettled >= 700,
       s"settle too short: overwrite=$settled ms vs plain=$unsettled ms")
-    assert(timedRun(base = 0, perItem = 0, overwrite = true) < unsettled + 600,
-      "zeroed knobs must not pause")
+    // zeroed knobs: compare against the SETTLED overwrite run — same
+    // work, only the knobs differ — so delete-phase cost can't flake it
+    val zeroed = timedRun(base = 0, perItem = 0, overwrite = true)
+    assert(settled - zeroed >= 700,
+      s"zeroed knobs still paused: zeroed=$zeroed ms vs settled=$settled ms")
   }
 
   test("igload main: generate-default prints content, full run via injected client") {

@@ -122,6 +122,17 @@ class JdbcIdCacheSpec extends AnyFunSuite {
     c.close()
   }
 
+  test("two systems colliding on the normalized table name fail loudly") {
+    // the reference's lossy transform maps both onto one table and
+    // silently mixes their ids; the bridge refuses instead
+    val url = derbyUrl()
+    val c = new JdbcIdCache(url, "ST1", "http://fhir.test")
+    c.storeId("Patient", "https://x/a-b", "k1", "s1")
+    val e = intercept[IllegalStateException](c.getId("https://x/a.b", "k1"))
+    assert(e.getMessage.contains("normalize to table"))
+    c.close()
+  }
+
   test("isJdbcPath/normalizeUrl route jdbc: URLs and .sqlite3 shorthand") {
     assert(JdbcIdCache.isJdbcPath("jdbc:derby:/tmp/x;create=true"))
     assert(JdbcIdCache.isJdbcPath("/some/dir/.dbcache.sqlite3"))
