@@ -443,6 +443,61 @@ class LlmSpec extends AnyFunSuite {
     assert(again.filter(col("status") === "new").isEmpty)
   }
 
+  test("shingleHashesJvm law: equals fnv64 over shinglesJvm for arbitrary token arrays") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val tok: Gen[String] = Gen.nonEmptyListOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 1 -> Gen.oneOf('ü', 'ß', '!', '.'))).map(_.mkString)
+    val p = Prop.forAll(Gen.listOf(tok), Gen.choose(1, 4)) { (toks, n) =>
+      val arr = toks.toArray
+      TextOps.shingleHashesJvm(arr, n).toList ==
+        TextOps.shinglesJvm(arr, n).map(TextOps.fnv64Jvm).toList
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("normalizeForDedup laws over random strings: idempotent, case/pad-invariant") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abc XYZ09.,;!-\t\n\"'éü  "
+    val strs = Seq.fill(300)(
+      (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val in = df("t STRING", strs.map(Row(_)))
+    val once = in.select(TextAnalysis.normalizeForDedup(col("t")).as("n"))
+    val vals = once.collect().map(_.getString(0))
+    // idempotent
+    val twice = once.select(TextAnalysis.normalizeForDedup(col("n"))).collect().map(_.getString(0))
+    assert(twice.toSeq == vals.toSeq)
+    // case- and padding-invariant
+    val upperPadded = in.select(TextAnalysis.normalizeForDedup(
+      concat(lit("  "), upper(col("t")), lit("\t"))).as("n")).collect().map(_.getString(0))
+    assert(upperPadded.toSeq == vals.toSeq)
+    // output alphabet is the canonical one
+    assert(vals.forall(_.forall(c => c.isDigit || (c >= 'a' && c <= 'z') || c == ' ')))
+  }
+
+  test("IncrementalDedup invariants on a random batch: total classification, keeper laws") {
+    val rnd = new scala.util.Random(11)
+    val contents = (0 until 40).map(i => s"content ${i % 25}") // forced collisions
+    val history = df("doc_id BIGINT, text STRING",
+      (0 until 15).map(i => Row(i.toLong, contents(rnd.nextInt(25)))))
+    val batch = df("doc_id BIGINT, text STRING",
+      (100 until 140).map(i => Row(i.toLong, contents(rnd.nextInt(40)))))
+    val index = IncrementalDedup.buildIndex(history, "doc_id", "text")
+    val out = IncrementalDedup.classify(batch, index, "doc_id", "text").collect()
+    assert(out.length == 40) // every batch row classified exactly once
+    val histHashes = index.collect().map(_.getString(0)).toSet
+    val byStatus = out.groupBy(_.getString(2))
+    byStatus.getOrElse("dup_of_history", Array.empty).foreach { r =>
+      assert(histHashes.contains(r.getString(1)) && r.getLong(3) < 100) }
+    byStatus.getOrElse("new", Array.empty).foreach { r =>
+      assert(!histHashes.contains(r.getString(1)) && r.isNullAt(3)) }
+    byStatus.getOrElse("dup_in_batch", Array.empty).foreach { r =>
+      assert(!histHashes.contains(r.getString(1)) && r.getLong(3) < r.getLong(0)) }
+    // exactly one keeper per unseen content
+    val newKeepers = byStatus.getOrElse("new", Array.empty).map(_.getString(1))
+    assert(newKeepers.distinct.length == newKeepers.length)
+  }
+
   test("normalizeForDedup collapses case/punct/space variants and is idempotent") {
     val in = df("t STRING", Seq(
       Row("Hello,  World!"), Row("hello world"), Row("  HELLO   world  "),
