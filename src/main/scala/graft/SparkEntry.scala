@@ -235,9 +235,12 @@ object SparkEntry {
     // VQ-14: duplicate-identifier detection (inspector.py:57-97) — the
     // system:value composite repeated within a resource type
     "vq14_dup_identifiers" -> q((s, dir) => {
+      // component-keyed form: system/value are separate fields in the
+      // reference too — the shuffle carries the raw ints, the composite
+      // renders only for surviving duplicates
       graft.inspect.DuplicateIdentifiers(
         t(s, dir, "lineitem"), "l_returnflag",
-        concat_ws(":", col("l_partkey"), col("l_suppkey")))
+        Seq(col("l_partkey"), col("l_suppkey")), sep = ":")
         .orderBy("resource_type", "idval")
     }),
 

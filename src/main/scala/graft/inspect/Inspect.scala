@@ -35,6 +35,26 @@ object DuplicateIdentifiers {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
+  /**
+   * Component-keyed form: the reference's composite is DERIVED from
+   * separate fields (`system` + ':' + `value`, inspector.py:90), so
+   * grouping on the raw parts is semantically identical — and the
+   * shuffle then carries native column values instead of per-row
+   * composite strings, which are rendered only for the (rare)
+   * surviving duplicate rows.
+   */
+  def apply(resources: DataFrame, typeCol: String, idParts: Seq[Column],
+      sep: String): DataFrame = {
+    val parts = idParts.zipWithIndex.map { case (c, i) => c.as(s"_p$i") }
+    val partNames = idParts.indices.map(i => col(s"_p$i"))
+    resources
+      .groupBy((col(typeCol).as("resource_type") +: parts): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("resource_type"),
+        concat_ws(sep, partNames: _*).as("idval"), col("n"))
+  }
+
   /** True in every row iff no duplicates exist — the reference's
    *  hard-error gate as a checkable predicate. */
   def isClean(resources: DataFrame, typeCol: String, idVal: Column): Boolean =
