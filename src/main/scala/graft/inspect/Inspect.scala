@@ -38,9 +38,14 @@ object DuplicateIdentifiers {
   /**
    * Component-keyed form: the reference's composite is DERIVED from
    * separate fields (`system` + ':' + `value`, inspector.py:90), so
-   * grouping on the raw parts is semantically identical — and the
-   * shuffle then carries native column values instead of per-row
-   * composite strings, which are rendered only for the (rare)
+   * grouping on the raw parts matches the composite form — PROVIDED the
+   * parts are non-null and separator-free. Grouping by components is
+   * strictly finer otherwise: ('a:b','c') and ('a','b:c') merge under
+   * the composite but split here, and concat_ws drops nulls, so
+   * ('x',NULL) and (NULL,'x') both rendered 'x' under the composite.
+   * Callers with free-text parts should use the composite overload.
+   * The win: the shuffle carries native column values instead of
+   * per-row composite strings, which are rendered only for the (rare)
    * surviving duplicate rows.
    */
   def apply(resources: DataFrame, typeCol: String, idParts: Seq[Column],

@@ -124,7 +124,10 @@ object IgLoad {
       forceOverwrite: Boolean,
       makeClient: () => Client,
       settleBaseMillis: Long = 5000L,
-      settleMillisPerItem: Long = 1000L): DataFrame = {
+      settleMillisPerItem: Long = 1000L,
+      // injectable so tests pin the COMPUTED pause (base + perItem * n)
+      // instead of differencing two noisy end-to-end wall-clock runs
+      sleeper: Long => Unit = Thread.sleep(_)): DataFrame = {
     val spark = resources.sparkSession
     val annotated = resources.select(
       col("filename"),
@@ -182,7 +185,7 @@ object IgLoad {
         val nDeleted = restDeleted.filter(col("action") === "deleted").count() +
           igDeleted.count(_.getString(2) == "deleted")
         if (nDeleted > 0) // ref: igload:216-219
-          Thread.sleep(settleBaseMillis + settleMillisPerItem * nDeleted)
+          sleeper(settleBaseMillis + settleMillisPerItem * nDeleted)
         Seq(restDeleted, spark.createDataFrame(igDeleted.asJava, resultSchema))
       }
 

@@ -39,26 +39,35 @@ final class JdbcIdCache(jdbcUrl: String, studyId: String, fhirEndpoint: String)
   private val sqlite = jdbcUrl.startsWith("jdbc:sqlite:")
   private val ram = scala.collection.mutable.Map
     .empty[String, scala.collection.mutable.Map[String, (String, String)]]
+  // tables confirmed present on THIS connection (lowercased) — spares a
+  // full catalog scan per createTable/loadAll call. Absence is never
+  // cached, so an external writer creating a table later is still seen.
+  private val knownTables = scala.collection.mutable.Set.empty[String]
 
   /** True when `table` exists, via portable JDBC metadata — works on any
     * backend, unlike dialect-specific IF NOT EXISTS / SQLState checks. */
-  private def tableExists(table: String): Boolean = {
-    val meta = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
-    try {
-      var found = false
-      while (meta.next() && !found)
-        found = meta.getString("TABLE_NAME").equalsIgnoreCase(table)
+  private def tableExists(table: String): Boolean =
+    knownTables.contains(table.toLowerCase) || {
+      val meta = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      val found = try {
+        var f = false
+        while (meta.next() && !f)
+          f = meta.getString("TABLE_NAME").equalsIgnoreCase(table)
+        f
+      } finally meta.close()
+      if (found) knownTables += table.toLowerCase
       found
-    } finally meta.close()
-  }
+    }
 
   /** CREATE TABLE tolerant of pre-existing tables: a portable metadata
     * existence check first (SQLState vocabularies differ per backend),
     * with Derby's X0Y32 "already exists" swallowed as the race backstop. */
   private def createTable(table: String, ddl: String): Unit =
-    if (!tableExists(table))
+    if (!tableExists(table)) {
       try { val st = conn.createStatement(); try st.executeUpdate(ddl) finally st.close() }
       catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+      knownTables += table.toLowerCase
+    }
 
   private def ensureSystemTable(targetSystem: String): String = {
     val t = fixTargetSystem(targetSystem)
@@ -135,11 +144,14 @@ final class JdbcIdCache(jdbcUrl: String, studyId: String, fhirEndpoint: String)
   }
 
   /** (entity_type, target_id) for a source unique key, or None
-    * (ref: idcache.py:77-87). */
-  def getId(targetSystem: String, entityKey: String): Option[(String, String)] = {
-    primeCache(targetSystem)
-    ram(targetSystem).get(entityKey)
-  }
+    * (ref: idcache.py:77-87). Synchronized like every other ram access:
+    * an unlocked read racing a storeId mutation from another driver
+    * thread (e.g. parallel load rounds) is a data race on mutable.Map. */
+  def getId(targetSystem: String, entityKey: String): Option[(String, String)] =
+    synchronized {
+      primeCache(targetSystem)
+      ram(targetSystem).get(entityKey)
+    }
 
   /** Cache a (unique key -> server id) mapping; writes the DB upsert only
     * when the mapping changed, and skips the DB entirely when noDb

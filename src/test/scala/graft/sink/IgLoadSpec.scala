@@ -160,34 +160,30 @@ class IgLoadSpec extends AnyFunSuite {
   test("settle pause is base + perItem x deleted, and only after force-overwrite deletes") {
     // ref igload/__init__.py:220: sleep(args.sleep_time + len(deleted_items))
     // — the CLI maps --sleep-time N to base N s with 1 s per deleted
-    // resource; pinned here at ms scale via wall time: 3 deletes at
-    // base 600 + 150/item must settle >= 1050 ms
+    // resource. Pinned deterministically via the injected sleeper: the
+    // assertion checks the COMPUTED pause millis, not wall time (the
+    // wall-clock differencing form of this test was flaky on a noisy host)
     val dir = Files.createTempDirectory("graft-igload4")
     igZip(dir)
     val resources = graft.sources.BundleScan.readIgZip(
       spark, dir.resolve("ig/output/definitions.json.zip").toString)
-    def timedRun(base: Long, perItem: Long, overwrite: Boolean): Long = {
+    def sleeps(base: Long, perItem: Long, overwrite: Boolean): Seq[Long] = {
       IgLoadRecorder.clear()
-      val t0 = System.nanoTime()
+      val requested = scala.collection.mutable.ArrayBuffer.empty[Long]
       IgLoad.run(resources,
         resourceList = Seq("CodeSystem", "ValueSet", "ImplementationGuide"),
         exclusions = Seq("example"), forceOverwrite = overwrite,
         makeClient = () => new RecordingIgClient(deleteHits = overwrite),
-        settleBaseMillis = base, settleMillisPerItem = perItem)
+        settleBaseMillis = base, settleMillisPerItem = perItem,
+        sleeper = requested += _)
         .collect()
-      (System.nanoTime() - t0) / 1000000L
+      requested.toSeq
     }
-    val unsettled = timedRun(base = 600, perItem = 150, overwrite = false)
-    val settled = timedRun(base = 600, perItem = 150, overwrite = true) // 3 deletes
     // no deletes -> no settle at all (the sleep is inside the
-    // force-overwrite phase); with deletes -> at least base + 3*perItem
-    assert(settled - unsettled >= 700,
-      s"settle too short: overwrite=$settled ms vs plain=$unsettled ms")
-    // zeroed knobs: compare against the SETTLED overwrite run — same
-    // work, only the knobs differ — so delete-phase cost can't flake it
-    val zeroed = timedRun(base = 0, perItem = 0, overwrite = true)
-    assert(settled - zeroed >= 700,
-      s"zeroed knobs still paused: zeroed=$zeroed ms vs settled=$settled ms")
+    // force-overwrite phase); with 3 deletes -> exactly base + 3*perItem
+    assert(sleeps(base = 600, perItem = 150, overwrite = false) == Seq.empty)
+    assert(sleeps(base = 600, perItem = 150, overwrite = true) == Seq(600L + 150L * 3))
+    assert(sleeps(base = 0, perItem = 0, overwrite = true) == Seq(0L))
   }
 
   test("igload main: generate-default prints content, full run via injected client") {
