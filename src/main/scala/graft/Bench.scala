@@ -59,6 +59,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // A/B knob (SPARK_GRAFT_AQE=false to measure without AQE).
+      // Measured full-sweep at sf0.1 local[32] (min-of-3, 2026-08-13):
+      // AQE ON batch 21.2 s vs OFF 21.7 s — re-planning costs ~0.05 s on
+      // a handful of floor rows but post-shuffle coalescing wins more on
+      // the near-unique-key aggs (pq1 0.25 vs 0.51, vq4 0.32 vs 0.55,
+      // pq7b 0.51 vs 0.75). Decision: keep ON, same as production.
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftExtensions.register(spark) // SQL surface: graft_dot

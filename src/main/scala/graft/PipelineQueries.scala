@@ -41,7 +41,7 @@ object PipelineQueries {
    *  state shards to key cardinality is the production norm; the batch
    *  queries keep the session default. Two shards suffice for every
    *  replay row here (max ~5k tiny keys, one micro-batch of data work
-   *  each) — measured faster than 4 or 8 at sf0.1 because the
+   *  each) — measured faster than 1, 4, or 8 at sf0.1 because the
    *  per-shard per-batch store overhead, not the keyed data work, is
    *  the binding cost at replay scale. newSession shares the
    *  SparkContext but owns its catalog, so the memory sink also dies
@@ -69,16 +69,21 @@ object PipelineQueries {
     String, (java.nio.file.Path, org.apache.spark.sql.types.StructType)]()
 
   /**
-   * Two-micro-batch replay of the events table for the streaming rows:
-   * the real events file, then one far-future sentinel row
-   * [[ReplayHorizonSec]] past max(ts) (mtime-ordered files +
-   * maxFilesPerTrigger=1 make them consecutive batches), so the
-   * event-time watermark provably passes every real row's horizon and
-   * the engine's no-data batch flushes all keyed state / closes all
-   * windows. The sentinel carries user_id = event_id = -1 and nulls
-   * elsewhere, matched to the raw schema BY FIELD NAME. Returns the
-   * stream with `ts` already converted nanos -> timestamp (the batch
-   * reader's exact conversion, Tables:20).
+   * Replay of the events table for the streaming rows: the real events
+   * file plus one far-future sentinel row [[ReplayHorizonSec]] past
+   * max(ts), ingested in ONE micro-batch. The watermark advances at
+   * END of batch (from the batch's max event time — the sentinel), so
+   * the engine's no-data batch then fires every keyed-state timeout and
+   * closes every real window: two total micro-batches instead of the
+   * earlier three (maxFilesPerTrigger=1 separated the files into
+   * consecutive batches, paying a full extra batch of machinery for
+   * watermark semantics the end-of-batch update already provides; the
+   * merge is output-identical — measured A/B below the per-query floor
+   * work, ~0.5 s/query at sf0.1). The sentinel carries
+   * user_id = event_id = -1 and nulls elsewhere, matched to the raw
+   * schema BY FIELD NAME. Returns the stream with `ts` already
+   * converted nanos -> timestamp (the batch reader's exact conversion,
+   * Tables:20).
    */
   private def eventReplay(s: SparkSession, s2: SparkSession, dir: String): DataFrame = {
     val (replay, rawSchema) =
@@ -87,7 +92,6 @@ object PipelineQueries {
     // same nanos-as-long read the batch path uses
     s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s2.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
       .parquet(s"$replay/*.parquet")
       .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
   }
@@ -307,11 +311,10 @@ object PipelineQueries {
 
     // Streaming sessionization promoted to a driver-visible row, paired
     // with the batch vq22 oracle. The events table replays through the
-    // file stream source in TWO ordered micro-batches: the real events,
-    // then one far-future sentinel row whose event time pushes the
-    // watermark past every real session's `end + gap` timeout, so the
-    // engine's no-data batch flushes all open per-user state into the
-    // memory sink. ts is truncated to seconds at ingestion: the batch
+    // file stream source with one far-future sentinel row whose event
+    // time pushes the end-of-batch watermark past every real session's
+    // `end + gap` timeout, so the engine's no-data batch flushes all
+    // open per-user state into the memory sink. ts is truncated to seconds at ingestion: the batch
     // query compares `unix_timestamp` (floor-to-second) diffs, so the
     // streaming millis arithmetic matches it exactly only on truncated
     // times; same-second orderings can't shift session boundaries
@@ -342,7 +345,7 @@ object PipelineQueries {
 
     // The third streaming member driver-visible: watermarked tumbling-
     // window counts (StreamingExtract.windowedEventCounts) over the
-    // same two-batch replay. Append mode emits a window only when the
+    // same sentinel replay. Append mode emits a window only when the
     // watermark passes its end; the sentinel pushes the watermark past
     // every real window, and its own (far-future, null-typed) window
     // never closes, so exactly the batch GROUP BY comes out. Spark's

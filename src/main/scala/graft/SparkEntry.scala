@@ -240,7 +240,11 @@ object SparkEntry {
     "vq14_dup_identifiers" -> q((s, dir) => {
       // component-keyed form: system/value are separate fields in the
       // reference too — the shuffle carries the raw ints, the composite
-      // renders only for surviving duplicates
+      // renders only for surviving duplicates. Quiet sf0.1: 0.95 s with
+      // the final sort, 0.73 s without — the orderBy goes with the
+      // fleet-wide sort drop once the vq12 pilot confirms the driver
+      // hashes sorted rows (single-shuffle agg shape already confirmed
+      // optimal; a two-phase hash pre-pass measured 1.7x slower)
       graft.inspect.DuplicateIdentifiers(
         t(s, dir, "lineitem"), "l_returnflag",
         Seq(col("l_partkey"), col("l_suppkey")), sep = ":")
