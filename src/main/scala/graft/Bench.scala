@@ -153,33 +153,66 @@ object Bench {
         extra += 1
       }
     }
-    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
-    // a comma-decimal locale would emit invalid JSON
-    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    def obj(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
-    val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def isStreaming(k: String): Boolean =
-      PipelineQueries.StreamingQueryNames.contains(k.takeWhile(_ != '#'))
-    def split(m: scala.collection.Map[String, Double]): (Double, Double, Double) = {
-      val total = m.values.sum
-      val streaming = m.collect { case (k, v) if isStreaming(k) => v }.sum
-      (total, total - streaming, streaming)
-    }
-    val (total, batchTotal, streamingTotal) = split(timings)
-
     // Oracle denominator pass 2 of 2: AFTER the sweeps, for the exact
     // query set actually timed; per-query min of the two passes.
     val oracleAfter: Option[Map[String, Double]] =
       if (oracleEnabled) timeOracle(timings.keySet.map(_.takeWhile(_ != '#')).toSet, sfDir)
       else None
-    val oracle: Option[Map[String, Double]] = (oracleBefore, oracleAfter) match {
-      case (Some(a), Some(b)) =>
-        Some((a.keySet ++ b.keySet).iterator.map { k =>
-          k -> math.min(a.getOrElse(k, Double.MaxValue), b.getOrElse(k, Double.MaxValue))
-        }.toMap)
-      case (a, b) => a.orElse(b)
-    }
+    val oracle = mergeOracle(oracleBefore, oracleAfter)
+    // The per-query and per-oracle-query maps made the round-8 line long
+    // enough that the driver's bounded tail capture cut its HEAD off
+    // (losing the gate metric). They now go to a side file; stdout gets
+    // ONE compact line — totals, ratio, sweeps, failures — short enough
+    // that any tail window keeps it whole.
+    val detailsPath = sys.env.getOrElse("SPARK_GRAFT_DETAILS",
+      sys.props.getOrElse("user.dir", ".") + "/bench_details.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailsPath),
+      detailsJson(timings, oracle, sweepTotals.toSeq, failed.toSeq, sfDir) + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] details write failed: ${e.getMessage}") }
+    println(compactLine(timings, oracle, sweepTotals.toSeq, failed.toSeq, sfDir))
+    spark.stop()
+  }
+
+  // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+  // a comma-decimal locale would emit invalid JSON
+  private def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+  private def obj(m: scala.collection.Map[String, Double]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
+  private def arr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+  private def isStreaming(k: String): Boolean =
+    PipelineQueries.StreamingQueryNames.contains(k.takeWhile(_ != '#'))
+  private def split(m: scala.collection.Map[String, Double]): (Double, Double, Double) = {
+    val total = m.values.sum
+    val streaming = m.collect { case (k, v) if isStreaming(k) => v }.sum
+    (total, total - streaming, streaming)
+  }
+
+  /** Per-query min across the two oracle passes (either may be absent). */
+  private[graft] def mergeOracle(
+      a: Option[Map[String, Double]],
+      b: Option[Map[String, Double]]): Option[Map[String, Double]] = (a, b) match {
+    case (Some(x), Some(y)) =>
+      Some((x.keySet ++ y.keySet).iterator.map { k =>
+        k -> math.min(x.getOrElse(k, Double.MaxValue), y.getOrElse(k, Double.MaxValue))
+      }.toMap)
+    case _ => a.orElse(b)
+  }
+
+  /** The ONE stdout line: gate metric + totals + ratio + sweep totals +
+    * failures — and NEVER a per-query map, so a bounded tail capture
+    * always keeps the whole line (round 8 lost the gate header this
+    * way). The gate metric stays "batch_total" per the round-8
+    * verdict's explicit Done criterion (the judge sanctioned the
+    * batch/streaming split: the streaming rows measure replay machinery
+    * against instantaneous batch oracles, a structural mismatch); the
+    * full total remains in "total". */
+  private[graft] def compactLine(
+      timings: scala.collection.Map[String, Double],
+      oracle: Option[Map[String, Double]],
+      sweepTotals: Seq[Double],
+      failed: Seq[String],
+      sfDir: String): String = {
+    val (total, batchTotal, streamingTotal) = split(timings)
     val oracleFields = oracle.fold("") { o =>
       val (oTotal, oBatch, oStreaming) = split(o)
       // the ratio divides matched pairs only: a query whose oracle SQL
@@ -196,24 +229,20 @@ object Bench {
       s""","oracle_total":${num(oTotal)},"oracle_batch_total":${num(oBatch)},"oracle_streaming_total":${num(oStreaming)},"batch_vs_oracle":${num(ratio)}"""
     }
     val sweeps = sweepTotals.map(num).mkString("[", ",", "]")
-    // The per-query and per-oracle-query maps made the round-8 line long
-    // enough that the driver's bounded tail capture cut its HEAD off
-    // (losing the gate metric). They now go to a side file; stdout gets
-    // ONE compact line — totals, ratio, sweeps, failures — short enough
-    // that any tail window keeps it whole. The gate metric stays
-    // "batch_total" per the round-8 verdict's explicit Done criterion
-    // (the judge sanctioned the batch/streaming split: the streaming rows
-    // measure replay machinery against instantaneous batch oracles, a
-    // structural mismatch); the full total remains in "total".
-    val detailsPath = sys.env.getOrElse("SPARK_GRAFT_DETAILS",
-      sys.props.getOrElse("user.dir", ".") + "/bench_details.json")
+    s"""{"metric":"batch_total","value":${num(batchTotal)},"unit":"sec","total":${num(total)},"batch_total":${num(batchTotal)},"streaming_total":${num(streamingTotal)},"sweep_totals":$sweeps$oracleFields,"failed":${arr(failed)},"sf":"$sfDir","details":"bench_details.json"}"""
+  }
+
+  /** The side-file JSON carrying what the compact line deliberately
+    * omits: per-query Spark and oracle timings. */
+  private[graft] def detailsJson(
+      timings: scala.collection.Map[String, Double],
+      oracle: Option[Map[String, Double]],
+      sweepTotals: Seq[Double],
+      failed: Seq[String],
+      sfDir: String): String = {
     val detailsOracle = oracle.fold("")(o => s""","oracle_queries":${obj(o)}""")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailsPath),
-      s"""{"queries":${obj(timings)}$detailsOracle,"sweep_totals":$sweeps,"failed":$fails,"sf":"$sfDir"}""" + "\n")
-    catch { case e: Exception => System.err.println(s"[bench] details write failed: ${e.getMessage}") }
-    println(
-      s"""{"metric":"batch_total","value":${num(batchTotal)},"unit":"sec","total":${num(total)},"batch_total":${num(batchTotal)},"streaming_total":${num(streamingTotal)},"sweep_totals":$sweeps$oracleFields,"failed":$fails,"sf":"$sfDir","details":"bench_details.json"}""")
-    spark.stop()
+    val sweeps = sweepTotals.map(num).mkString("[", ",", "]")
+    s"""{"queries":${obj(timings)}$detailsOracle,"sweep_totals":$sweeps,"failed":${arr(failed)},"sf":"$sfDir"}"""
   }
 
   /** Runs tools/oracle_bench.py (DuckDB, min-of-2) over the oracle SQL for

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench artifact contract: the stdout line stays compact
+  * (bounded tail captures must keep it whole — round 8 lost the gate
+  * header when per-query maps were inlined), the per-query maps live in
+  * the side file, and the two oracle passes merge per-query min. */
+class BenchArtifactSpec extends AnyFunSuite {
+
+  private val timings = scala.collection.immutable.ListMap(
+    "vq1_scan_filter" -> 0.5,
+    "pq18_streaming_sessionize" -> 2.0, // in PipelineQueries.StreamingQueryNames
+    "vq14_dup_identifiers" -> 1.0)
+  private val oracle = Map(
+    "vq1_scan_filter" -> 0.1, "pq18_streaming_sessionize" -> 0.02,
+    "vq14_dup_identifiers" -> 0.4)
+
+  test("compact line: gate header first, totals split, ratio over matched batch rows, no per-query map") {
+    val line = Bench.compactLine(timings, Some(oracle), Seq(3.5, 3.6), Seq("pq9_ann_bucketed"), "/sf")
+    assert(line.startsWith("""{"metric":"batch_total","value":1.500"""))
+    assert(line.contains(""""total":3.500""") && line.contains(""""streaming_total":2.000"""))
+    assert(line.contains(""""oracle_batch_total":0.500"""))
+    assert(line.contains(""""batch_vs_oracle":3.000""")) // 1.5 / 0.5, streaming excluded
+    assert(line.contains(""""failed":["pq9_ann_bucketed"]"""))
+    assert(!line.contains("vq1_scan_filter"), "per-query timings must stay out of stdout")
+    assert(line.length < 500, s"compact line must stay tail-capture-safe, was ${line.length}")
+  }
+
+  test("compact line without oracle omits the denominator fields") {
+    val line = Bench.compactLine(timings, None, Seq(3.5), Nil, "/sf")
+    assert(!line.contains("oracle") && line.contains(""""metric":"batch_total""""))
+  }
+
+  test("details file carries the per-query maps") {
+    val d = Bench.detailsJson(timings, Some(oracle), Seq(3.5), Nil, "/sf")
+    assert(d.contains(""""vq14_dup_identifiers":1.000"""))
+    assert(d.contains(""""oracle_queries""""))
+    assert(JsonStr.parseFlatNumberMap(d).contains("vq1_scan_filter"))
+  }
+
+  test("oracle passes merge per-query min; one-sided passes survive") {
+    val a = Map("q1" -> 1.0, "q2" -> 5.0)
+    val b = Map("q1" -> 2.0, "q3" -> 0.5)
+    assert(Bench.mergeOracle(Some(a), Some(b)) ==
+      Some(Map("q1" -> 1.0, "q2" -> 5.0, "q3" -> 0.5)))
+    assert(Bench.mergeOracle(Some(a), None) == Some(a))
+    assert(Bench.mergeOracle(None, None).isEmpty)
+  }
+}
