@@ -65,7 +65,11 @@ object Bench {
       // a handful of floor rows but post-shuffle coalescing wins more on
       // the near-unique-key aggs (pq1 0.25 vs 0.51, vq4 0.32 vs 0.55,
       // pq7b 0.51 vs 0.75). Decision: keep ON, same as production.
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // normalized so natural spellings (0/off/no) don't crash the
+      // builder's strict boolean parse
+      .config("spark.sql.adaptive.enabled",
+        (!Set("false", "0", "off", "no").contains(
+          sys.env.getOrElse("SPARK_GRAFT_AQE", "true").toLowerCase)).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftExtensions.register(spark) // SQL surface: graft_dot
@@ -154,11 +158,16 @@ object Bench {
       }
     }
     // Oracle denominator pass 2 of 2: AFTER the sweeps, for the exact
-    // query set actually timed; per-query min of the two passes.
+    // query set actually timed; per-query min of the two passes. The
+    // merged map is then restricted to the timed set: pass 1 ran before
+    // the sweeps and may carry entries for queries that later FAILED in
+    // Spark — leaving them in would deflate the ratio (oracle denominator
+    // covering a larger query set than the Spark numerator).
+    val timedNames = timings.keySet.map(_.takeWhile(_ != '#')).toSet
     val oracleAfter: Option[Map[String, Double]] =
-      if (oracleEnabled) timeOracle(timings.keySet.map(_.takeWhile(_ != '#')).toSet, sfDir)
-      else None
+      if (oracleEnabled) timeOracle(timedNames, sfDir) else None
     val oracle = mergeOracle(oracleBefore, oracleAfter)
+      .map(_.filter { case (k, _) => timedNames.contains(k) })
     // The per-query and per-oracle-query maps made the round-8 line long
     // enough that the driver's bounded tail capture cut its HEAD off
     // (losing the gate metric). They now go to a side file; stdout gets
@@ -166,10 +175,17 @@ object Bench {
     // that any tail window keeps it whole.
     val detailsPath = sys.env.getOrElse("SPARK_GRAFT_DETAILS",
       sys.props.getOrElse("user.dir", ".") + "/bench_details.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailsPath),
-      detailsJson(timings, oracle, sweepTotals.toSeq, failed.toSeq, sfDir) + "\n")
-    catch { case e: Exception => System.err.println(s"[bench] details write failed: ${e.getMessage}") }
-    println(compactLine(timings, oracle, sweepTotals.toSeq, failed.toSeq, sfDir))
+    val detailsWritten =
+      try {
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(detailsPath),
+          detailsJson(timings, oracle, sweepTotals.toSeq, failed.toSeq, sfDir) + "\n")
+        true
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] details write failed: ${e.getMessage}"); false
+      }
+    println(compactLine(timings, oracle, sweepTotals.toSeq, failed.toSeq, sfDir,
+      details = if (detailsWritten) detailsPath else ""))
     spark.stop()
   }
 
@@ -211,7 +227,8 @@ object Bench {
       oracle: Option[Map[String, Double]],
       sweepTotals: Seq[Double],
       failed: Seq[String],
-      sfDir: String): String = {
+      sfDir: String,
+      details: String = "bench_details.json"): String = {
     val (total, batchTotal, streamingTotal) = split(timings)
     val oracleFields = oracle.fold("") { o =>
       val (oTotal, oBatch, oStreaming) = split(o)
@@ -229,7 +246,7 @@ object Bench {
       s""","oracle_total":${num(oTotal)},"oracle_batch_total":${num(oBatch)},"oracle_streaming_total":${num(oStreaming)},"batch_vs_oracle":${num(ratio)}"""
     }
     val sweeps = sweepTotals.map(num).mkString("[", ",", "]")
-    s"""{"metric":"batch_total","value":${num(batchTotal)},"unit":"sec","total":${num(total)},"batch_total":${num(batchTotal)},"streaming_total":${num(streamingTotal)},"sweep_totals":$sweeps$oracleFields,"failed":${arr(failed)},"sf":"$sfDir","details":"bench_details.json"}"""
+    s"""{"metric":"batch_total","value":${num(batchTotal)},"unit":"sec","total":${num(total)},"batch_total":${num(batchTotal)},"streaming_total":${num(streamingTotal)},"sweep_totals":$sweeps$oracleFields,"failed":${arr(failed)},"sf":"$sfDir","details":${JsonStr.quote(details)}}"""
   }
 
   /** The side-file JSON carrying what the compact line deliberately

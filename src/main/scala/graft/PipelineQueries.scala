@@ -122,10 +122,8 @@ object PipelineQueries {
       finally sentList.close()
     val sentinelCopy = replay.resolve("1-sentinel.parquet")
     java.nio.file.Files.move(sentPart, sentinelCopy)
-    val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
-    java.nio.file.Files.setLastModifiedTime(eventsCopy,
-      java.nio.file.attribute.FileTime.fromMillis(now.toMillis - 60000L))
-    java.nio.file.Files.setLastModifiedTime(sentinelCopy, now)
+    // no mtime staging: both files deliberately land in the same initial
+    // micro-batch (see eventReplay) — file order carries no semantics
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(replay).iterator().asScala.toSeq.reverse

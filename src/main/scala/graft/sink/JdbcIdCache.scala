@@ -204,7 +204,9 @@ final class JdbcIdCache(jdbcUrl: String, studyId: String, fhirEndpoint: String)
     * target systems, as an [[IdCacheStore.schema]] DataFrame —
     * (system, value, resource_type, fhir_id). Metadata-scale by the
     * reference's own design, so a driver-side read is the honest shape. */
-  def loadAll(spark: SparkSession): DataFrame = {
+  def loadAll(spark: SparkSession): DataFrame = synchronized {
+    // same lock as getId/storeId: registeredSystems -> tableExists
+    // touches the knownTables cache
     val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
     registeredSystems().foreach { case (table, system) =>
       val ps = conn.prepareStatement(
