@@ -132,6 +132,28 @@ object PipelineQueries {
     (replay, rawSchema)
   }
 
+  /** The SimHash signature->banded-candidates->Hamming CTE chain — the
+   *  oracle for BOTH pq7b (near-dup pairs) and pq23 (pair clustering):
+   *  one string, so the cluster oracle provably builds on the exact
+   *  pair set the pair oracle pins. */
+  private val SimHashPairCtes: String =
+    """toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+      |h AS (SELECT doc_id, md5(w) AS hx FROM toks),
+      |wb AS (SELECT doc_id, b,
+      |        CASE WHEN ((strpos('0123456789abcdef', substr(hx, 1 + b // 4, 1)) - 1)
+      |                   >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END AS v
+      |       FROM h, unnest(range(0, 64)) AS u(b)),
+      |bits AS (SELECT doc_id, b, CASE WHEN SUM(v) > 0 THEN 1 ELSE 0 END AS bit FROM wb GROUP BY doc_id, b),
+      |nibs AS (SELECT doc_id, b // 4 AS nib, SUM(bit << (3 - (b % 4))) AS nv FROM bits GROUP BY doc_id, b // 4),
+      |sig AS (SELECT doc_id, string_agg(substr('0123456789abcdef', (nv + 1)::INT, 1), '' ORDER BY nib) AS s FROM nibs GROUP BY doc_id),
+      |bands AS (SELECT doc_id, i, substr(s, 1 + 4*i, 4) AS chunk, s FROM sig, unnest(range(0, 4)) AS u(i)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+      |         FROM bands a JOIN bands b ON a.i = b.i AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      |ham AS (SELECT doc_a, doc_b, CAST(list_sum(list_transform(range(1, 17),
+      |          p -> bit_count(xor(strpos('0123456789abcdef', substr(sa, p, 1)) - 1,
+      |                             strpos('0123456789abcdef', substr(sb, p, 1)) - 1)))) AS BIGINT) AS hamming
+      |        FROM cand)""".stripMargin
+
   /** Exact cosine top-5 for queries vec_id < 20 — the oracle for BOTH
    *  pq8 (brute force) and pq19 (full-probe IVF): one string, so the
    *  "IVF with nprobe == nlist equals brute force" pin cannot drift. */
@@ -195,6 +217,14 @@ object PipelineQueries {
     // (pigeonhole: distance <= 3 shares one of 4 exact 16-bit chunks)
     "pq7b_simhash_neardup" -> q((s, dir) =>
       SimHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+
+    // Pair -> cluster resolution over the pq7b pair set: connected
+    // components by min-label propagation, canonical keeper = min id
+    // (the oracle computes the same closure with a recursive CTE over
+    // the identical pair CTEs)
+    "pq23_dup_clusters" -> q((s, dir) =>
+      DupClusters(SimHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3),
+        "doc_a", "doc_b").orderBy("doc_id")),
 
     // Brute-force cosine top-5 for queries vec_id < 20 (broadcast queries)
     "pq8_cosine_topk" -> q((s, dir) => {
@@ -512,23 +542,15 @@ object PipelineQueries {
         |FROM nibs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "pq7b_simhash_neardup" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
-        |h AS (SELECT doc_id, md5(w) AS hx FROM toks),
-        |wb AS (SELECT doc_id, b,
-        |        CASE WHEN ((strpos('0123456789abcdef', substr(hx, 1 + b // 4, 1)) - 1)
-        |                   >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END AS v
-        |       FROM h, unnest(range(0, 64)) AS u(b)),
-        |bits AS (SELECT doc_id, b, CASE WHEN SUM(v) > 0 THEN 1 ELSE 0 END AS bit FROM wb GROUP BY doc_id, b),
-        |nibs AS (SELECT doc_id, b // 4 AS nib, SUM(bit << (3 - (b % 4))) AS nv FROM bits GROUP BY doc_id, b // 4),
-        |sig AS (SELECT doc_id, string_agg(substr('0123456789abcdef', (nv + 1)::INT, 1), '' ORDER BY nib) AS s FROM nibs GROUP BY doc_id),
-        |bands AS (SELECT doc_id, i, substr(s, 1 + 4*i, 4) AS chunk, s FROM sig, unnest(range(0, 4)) AS u(i)),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
-        |         FROM bands a JOIN bands b ON a.i = b.i AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
-        |ham AS (SELECT doc_a, doc_b, CAST(list_sum(list_transform(range(1, 17),
-        |          p -> bit_count(xor(strpos('0123456789abcdef', substr(sa, p, 1)) - 1,
-        |                             strpos('0123456789abcdef', substr(sb, p, 1)) - 1)))) AS BIGINT) AS hamming
-        |        FROM cand)
-        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $SimHashPairCtes
+         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "pq23_dup_clusters" ->
+      s"""WITH RECURSIVE $SimHashPairCtes,
+         |p AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+         |e AS (SELECT doc_a AS s, doc_b AS t FROM p UNION SELECT doc_b, doc_a FROM p),
+         |reach AS (SELECT s, t FROM e UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
+         |SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
 
     "pq8_cosine_topk" -> ExactTop5OracleSql,
 

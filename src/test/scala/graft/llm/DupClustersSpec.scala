@@ -1,0 +1,44 @@
+package graft.llm
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class DupClustersSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def clusters(pairs: Seq[(Long, Long)],
+      maxRounds: Int = 20): Map[Long, Long] =
+    DupClusters(pairs.toDF("a", "b"), "a", "b", maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("transitive chain merges into one cluster; disjoint pair stays apart") {
+    // a~b, b~c must drop TWO docs behind one keeper — pairwise handling
+    // alone would keep b once and drop it once
+    val got = clusters(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("min label wins regardless of pair orientation and discovery order") {
+    // the smallest id sits at the END of a reversed chain: propagation
+    // must walk the full diameter, not just one hop
+    val got = clusters(Seq((9L, 8L), (8L, 7L), (7L, 6L), (6L, 5L), (5L, 4L)))
+    assert(got == (4L to 9L).map(_ -> 4L).toMap)
+  }
+
+  test("star and cycle shapes converge to the component min") {
+    val star = clusters(Seq((100L, 7L), (100L, 8L), (100L, 9L)))
+    assert(star == Map(100L -> 7L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+    val cycle = clusters(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    assert(cycle == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("round cap bounds work even when convergence needs more rounds") {
+    // a 6-node path with maxRounds = 1: labels move at most one hop +
+    // one min-fold, so the far end cannot reach the global min — the
+    // cap must bound the loop, not loop forever
+    val got = clusters(Seq((2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L)), maxRounds = 1)
+    assert(got(2L) == 2L) // global min 1 is five hops away — not yet propagated
+    assert(got.size == 6)
+  }
+}
