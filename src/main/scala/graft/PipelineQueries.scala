@@ -545,9 +545,13 @@ object PipelineQueries {
       s"""WITH $SimHashPairCtes
          |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
 
+    // MATERIALIZED pins the pair set to ONE evaluation: DuckDB inlines
+    // CTEs referenced from a recursive term, which re-ran the whole
+    // SimHash chain every iteration (13.4 s vs 2.0 s measured at sf0.1)
+    // — an artificially slow oracle would flatter the Spark ratio
     "pq23_dup_clusters" ->
       s"""WITH RECURSIVE $SimHashPairCtes,
-         |p AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+         |p AS MATERIALIZED (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
          |e AS (SELECT doc_a AS s, doc_b AS t FROM p UNION SELECT doc_b, doc_a FROM p),
          |reach AS (SELECT s, t FROM e UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
          |SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
