@@ -68,3 +68,146 @@ object IncrementalDedup {
       .groupBy("content_hash")
       .agg(min(col("keep_id")).as("keep_id"))
 }
+
+/**
+ * Incremental FUZZY dedup: classify a new batch against a persisted
+ * MinHash band/signature index of everything already accepted — the
+ * fuzzy sibling of [[IncrementalDedup]], closing the incremental tier
+ * of the dedup ladder (exact -> normalized -> fuzzy, each batch vs
+ * index). History is never rescanned: the index carries, per accepted
+ * doc, its LSH band keys (candidate generation) and its `numHashes`
+ * minhash components (verification) — a few hundred bytes per doc
+ * regardless of document size, exactly what production near-dup
+ * pipelines persist (shingle sets would be corpus-sized; signatures
+ * are the sketch).
+ *
+ * Candidates come from band-key equality (same banding construction as
+ * [[MinHashNearDup]]); verification is the standard MinHash ESTIMATE —
+ * the count of equal signature components (E[matches/numHashes] =
+ * Jaccard), compared against `minMatch`. Exact-Jaccard verification is
+ * impossible against an index by design (no shingle sets), which is
+ * the honest production trade: the estimate's variance is the price of
+ * an O(sketch)-sized history.
+ *
+ * Statuses and precedence mirror [[IncrementalDedup.classify]]:
+ * `dup_of_history` (min matching indexed id), else `dup_in_batch`
+ * (min matching smaller batch id), else `new`; `dup_of` = -1 for new
+ * rows. Batch docs too short to shingle are `new` by construction.
+ *
+ * Scale shape: one typed signature pass over the BATCH only; band
+ * explode joins are bucket-equality on (band index, band key) — the
+ * index side shuffles its band rows, not history text; estimate
+ * verification joins signatures for candidate pairs only. One persist
+ * of the batch sketch feeds the four plan branches (same discipline as
+ * MinHashNearDup's shingle cache).
+ */
+object IncrementalMinHash {
+
+  /** Typed sketch pass: (_id, _sig, _bands) for rows with >= shingleN
+    * tokens; ids cast to long. */
+  private def sketch(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("_sig",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = true), nullable = true),
+      org.apache.spark.sql.types.StructField("_bands",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = true), nullable = true)))
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+          else {
+            val toks = TextOps.tokensJvm(r.getString(1))
+            if (toks.length < shingleN) Iterator.empty
+            else {
+              val shingles = TextOps.shinglesJvm(toks, shingleN)
+              val sig = TextOps.minhashSignatureJvm(md, shingles, numHashes)
+              org.apache.spark.sql.Row(r.getLong(0), sig,
+                TextOps.bandKeysJvm(md, sig, bands, rowsPerBand)) :: Nil
+            }
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** The persisted index: (keep_id, sig, bands) per accepted doc. */
+  def buildIndex(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 9, bands: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes ($numHashes) must divide into bands ($bands)")
+    sketch(df, idCol, textCol, shingleN, numHashes, bands)
+      .select(col("_id").as("keep_id"), col("_sig").as("sig"), col("_bands").as("bands"))
+  }
+
+  /** Count of equal signature components — the MinHash Jaccard
+    * estimator's numerator. */
+  private def matchCount(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+
+  /**
+   * Classify `batch` against `index`. Output (doc_id, status, dup_of),
+   * dup_of = -1 for `new` rows.
+   *
+   * @param minMatch minimum equal signature components out of
+   *                 `numHashes` (estimated Jaccard >= minMatch/numHashes)
+   */
+  def classify(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, numHashes: Int = 9,
+      bands: Int = 3, minMatch: Int = 5): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes ($numHashes) must divide into bands ($bands)")
+    val spine = batch.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val bs = sketch(batch, idCol, textCol, shingleN, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBand = bs.select(col("_id"), posexplode(col("_bands")).as(Seq("_b", "_bk")))
+    val hBand = index.select(col("keep_id"),
+      posexplode(col("bands")).as(Seq("_b", "_bk")))
+
+    val histDup = bBand.join(hBand, Seq("_b", "_bk"))
+      .select(col("_id"), col("keep_id")).distinct()
+      .join(bs.select(col("_id"), col("_sig")), Seq("_id"))
+      .join(index.select(col("keep_id"), col("sig")), Seq("keep_id"))
+      .filter(matchCount(col("_sig"), col("sig")) >= minMatch)
+      .groupBy(col("_id")).agg(min(col("keep_id")).as("_hist"))
+
+    val batchDup = bBand.as("a")
+      .join(bBand.as("b"),
+        col("a._bk") === col("b._bk") && col("a._b") === col("b._b") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("_aid"), col("b._id").as("_bid")).distinct()
+      .join(bs.select(col("_id").as("_aid"), col("_sig").as("_siga")), Seq("_aid"))
+      .join(bs.select(col("_id").as("_bid"), col("_sig").as("_sigb")), Seq("_bid"))
+      .filter(matchCount(col("_siga"), col("_sigb")) >= minMatch)
+      .groupBy(col("_bid")).agg(min(col("_aid")).as("_prev"))
+
+    spine
+      .join(histDup, spine("doc_id") === histDup("_id"), "left")
+      .join(batchDup, spine("doc_id") === batchDup("_bid"), "left")
+      .select(
+        spine("doc_id"),
+        when(col("_hist").isNotNull, lit("dup_of_history"))
+          .when(col("_prev").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("_hist"), col("_prev"), lit(-1L)).as("dup_of"))
+  }
+
+  /** The next run's index: history plus the sketches of the batch's
+    * accepted `new` rows (recomputed on that small subset — the full
+    * batch sketch cache is released by then). */
+  def mergeIndex(index: DataFrame, batch: DataFrame, classified: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, numHashes: Int = 9,
+      bands: Int = 3): DataFrame = {
+    // fresh alias for the id: `classified.doc_id` would collide with a
+    // batch whose idCol is already named doc_id
+    val accepted = batch.join(
+      classified.filter(col("status") === "new")
+        .select(col("doc_id").as("_accepted_id")),
+      batch(idCol).cast("long") === col("_accepted_id")).drop("_accepted_id")
+    index.unionByName(buildIndex(accepted, idCol, textCol, shingleN, numHashes, bands))
+  }
+}

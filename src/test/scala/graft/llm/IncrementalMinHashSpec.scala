@@ -1,0 +1,66 @@
+package graft.llm
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+class IncrementalMinHashSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val history: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "pack my box with five dozen liquor jugs for the long trip"),
+    (3L, "completely unrelated text about spark catalyst optimizer rules")
+  ).toDF("doc_id", "text")
+
+  private def classified(batch: Seq[(Long, String)]): Map[Long, (String, Long)] = {
+    val index = IncrementalMinHash.buildIndex(history, "doc_id", "text")
+    IncrementalMinHash.classify(batch.toDF("doc_id", "text"), index, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+  }
+
+  test("near-copy of history is dup_of_history; disjoint text is new; its copy is dup_in_batch") {
+    val got = classified(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again extra"),
+      (11L, "entirely fresh words nothing shared with the indexed corpus here"),
+      (12L, "entirely fresh words nothing shared with the indexed corpus here")))
+    assert(got(10L) == ("dup_of_history", 1L))
+    assert(got(11L) == ("new", -1L))
+    assert(got(12L) == ("dup_in_batch", 11L))
+  }
+
+  test("exact copy of history matches its keeper; short docs are new by construction") {
+    val got = classified(Seq(
+      (20L, "pack my box with five dozen liquor jugs for the long trip"),
+      (21L, "too short"))) // < shingleN tokens: no sketch, cannot be a dup
+    assert(got(20L) == ("dup_of_history", 2L))
+    assert(got(21L) == ("new", -1L))
+  }
+
+  test("history precedence beats in-batch: a copy of history with a smaller batch twin") {
+    // both rows near-match history doc 1 AND each other; dup_of_history
+    // must win for both (precedence), pointing at the indexed keeper
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val got = classified(Seq((30L, t), (31L, t)))
+    assert(got(30L) == ("dup_of_history", 1L))
+    assert(got(31L) == ("dup_of_history", 1L))
+  }
+
+  test("mergeIndex folds accepted new rows in: re-running the batch flips new to dup_of_history") {
+    val index = IncrementalMinHash.buildIndex(history, "doc_id", "text")
+    val batch = Seq(
+      (40L, "entirely fresh words nothing shared with the indexed corpus here"),
+      (41L, "the quick brown fox jumps over the lazy dog again and again extra"))
+      .toDF("doc_id", "text")
+    val first = IncrementalMinHash.classify(batch, index, "doc_id", "text")
+    val merged = IncrementalMinHash.mergeIndex(index, batch, first, "doc_id", "text")
+    // only the accepted `new` row joined the index (the history near-dup
+    // must not: its content is already represented by keeper 1)
+    assert(merged.count() == history.count() + 1)
+    val again = IncrementalMinHash.classify(batch, index = merged, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(again(40L) == ("dup_of_history", 40L)) // its own prior acceptance
+    assert(again(41L) == ("dup_of_history", 1L))
+  }
+}
