@@ -156,6 +156,51 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("10x growth: incremental-minhash batch and dup-cluster edge set cost near-linear time") {
+    // IncrementalMinHash: the scale axis is the BATCH against a FIXED
+    // index — the production shape (history summarized once, batches
+    // stream through). Copies share no shingles (docCorpus marker), so
+    // candidate volume grows with batch size, not cluster size.
+    val d1 = materialize(docCorpus(1), "im1")
+    val d10 = materialize(docCorpus(10), "im10")
+    val index = materialize(
+      IncrementalMinHash.buildIndex(d1, "doc_id", "text"), "imidx")
+    def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+    val n1 = IncrementalMinHash.classify(d1, index, "doc_id", "text").count()
+    val n10 = IncrementalMinHash.classify(d10, index, "doc_id", "text").count()
+    spark.catalog.clearCache()
+    assert(n1 == d1.count() && n10 == d10.count(),
+      s"classify must emit one row per batch doc: $n1/$n10")
+    val t1 = timeMinOf2(() => {
+      noop(IncrementalMinHash.classify(d1, index, "doc_id", "text"))
+      spark.catalog.clearCache()
+    })
+    val t10 = timeMinOf2(() => {
+      noop(IncrementalMinHash.classify(d10, index, "doc_id", "text"))
+      spark.catalog.clearCache()
+    })
+    val ratio = t10 / math.max(t1, 0.3)
+    info(f"incr_minhash 1x=$t1%.2fs 10x=$t10%.2fs ratio=$ratio%.1f")
+    assert(ratio < 15.0, s"incremental minhash grew superlinearly: $t1 s -> $t10 s")
+
+    // DupClusters: the scale axis is the EDGE set; disjoint pair
+    // components keep the round count constant (2), so 10x edges must
+    // cost ~10x per-round work — a quadratic closure would blow past it.
+    // (DupClusters runs jobs during construction by design — it is an
+    // iterative algorithm driver like Ivf's sampler, so the zero-job
+    // construction pin deliberately does not apply.)
+    def edges(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("a"), (col("id") + 10000000L).as("b"))
+    val e1 = materialize(edges(20000), "ce1")
+    val e10 = materialize(edges(200000), "ce10")
+    assert(DupClusters(e1, "a", "b").count() == 40000L)
+    val c1 = timeMinOf2(() => DupClusters(e1, "a", "b").count())
+    val c10 = timeMinOf2(() => DupClusters(e10, "a", "b").count())
+    val cRatio = c10 / math.max(c1, 0.3)
+    info(f"dup_clusters 1x=$c1%.2fs 10x=$c10%.2fs ratio=$cRatio%.1f")
+    assert(cRatio < 15.0, s"dup clustering grew superlinearly: $c1 s -> $c10 s")
+  }
+
   test("with size-based broadcast off, dedup plans contain no broadcast of anything") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
