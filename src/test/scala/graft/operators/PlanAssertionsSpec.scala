@@ -63,6 +63,25 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!ip.contains("Cartesian") && !ip.contains("BroadcastNestedLoop"))
   }
 
+  test("incremental-minhash classify and dup-cluster rounds are equi-joins, never cartesian") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val idx = graft.llm.IncrementalMinHash.buildIndex(d, "doc_id", "text")
+    val cls = graft.llm.IncrementalMinHash.classify(
+      d.select((col("doc_id") + 10000).as("doc_id"), col("text")), idx, "doc_id", "text")
+    val cp = cls.queryExecution.optimizedPlan.toString
+    // both the band-key candidate joins and the signature re-joins must
+    // be equi-joins — a nested-loop against the index is the scale-killer
+    assert(!cp.contains("Cartesian") && !cp.contains("BroadcastNestedLoop"))
+
+    // one propagation round of DupClusters: the edge-label join is an
+    // equi-join on the node id (the loop repeats this plan shape)
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val labels = graft.llm.DupClusters(pairs, "a", "b", maxRounds = 1)
+    val lp = labels.queryExecution.optimizedPlan.toString
+    assert(!lp.contains("Cartesian") && !lp.contains("BroadcastNestedLoop"))
+  }
+
   test("bucketed tables join with ZERO exchanges — the co-located repeated-join shape") {
     // SURVEY §4: for joins repeated across runs on the same key (the
     // embed/reference-resolution shape at warehouse scale), pre-bucketing
