@@ -43,11 +43,13 @@ object DupClusters {
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
     // decimal sum: overflow-safe convergence witness for 64-bit ids
+    // (null on an empty graph — an empty pair set converges immediately)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prev = labelSum(labels)
     var rounds = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (!converged && rounds < maxRounds) {
       val nbr = edges.join(labels, edges("dst") === labels("doc_id"))
         .select(edges("src").as("doc_id"), labels("cluster_id"))

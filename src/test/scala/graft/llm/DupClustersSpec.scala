@@ -33,6 +33,12 @@ class DupClustersSpec extends AnyFunSuite {
     assert(cycle == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("empty pair set yields an empty result, no iteration") {
+    // a corpus with no near-dups must flow through (the fuzzy stages
+    // legitimately emit zero pairs at small scale factors)
+    assert(clusters(Seq.empty) == Map.empty)
+  }
+
   test("round cap bounds work even when convergence needs more rounds") {
     // a 6-node path with maxRounds = 1: labels move at most one hop +
     // one min-fold, so the far end cannot reach the global min — the
