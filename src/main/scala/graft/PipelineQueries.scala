@@ -167,24 +167,26 @@ object PipelineQueries {
       |scored AS (SELECT qid, cid, dot / sqrt(na::DOUBLE * nb::DOUBLE) AS cos,
       |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / sqrt(na::DOUBLE * nb::DOUBLE) DESC, cid) AS rnk
       |           FROM pairs)
-      |SELECT qid, rnk, cid, ROUND(cos, 4) AS cos FROM scored WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+      |SELECT qid, rnk, cid, ROUND(cos, 4) AS cos FROM scored WHERE rnk <= 5""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content md5 (one shuffle on the hash)
     "pq1_exact_dedup" -> q((s, dir) =>
-      ExactDedup(docs(s, dir), "doc_id", "text").orderBy("keep_id")),
+      ExactDedup(docs(s, dir), "doc_id", "text")),
 
     // Corpus stats per language: one hash aggregation
     "pq2_text_stats" -> q((s, dir) =>
-      TextAnalysis.corpusStats(docs(s, dir), "lang", "n_chars", "text")),
+      TextAnalysis.corpusStats(docs(s, dir), "lang", "n_chars", "text",
+        ordered = false)),
 
     // Per-doc quality metrics: projection only
     "pq3_quality" -> q((s, dir) =>
-      TextAnalysis.qualityMetrics(docs(s, dir), "doc_id", "text")),
+      TextAnalysis.qualityMetrics(docs(s, dir), "doc_id", "text",
+        ordered = false)),
 
     // Stopword-profile language ID + distribution
     "pq4_langid" -> q((s, dir) =>
-      TextAnalysis.langDistribution(docs(s, dir), "text")),
+      TextAnalysis.langDistribution(docs(s, dir), "text", ordered = false)),
 
     // Language ID over a corpus with synthetic multi-language rows so the
     // es/de/fr branches and the >=-tie-break are all oracle-exercised
@@ -196,47 +198,52 @@ object PipelineQueries {
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType, nullable = true))))
       TextAnalysis.langDistribution(
-        docs(s, dir).select("text").unionByName(synth), "text")
+        docs(s, dir).select("text").unionByName(synth), "text", ordered = false)
     }),
 
     // Bottom-4 minwise fingerprint over word bigrams
     "pq5_fingerprint" -> q((s, dir) =>
-      TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")),
+      TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text",
+        ordered = false)),
 
     // Near-dup pairs: 3-gram shingles -> 9 minhashes -> 3 bands -> bucket
     // join -> exact-Jaccard >= 0.8. Never all-pairs.
     "pq6_minhash_lsh" -> q((s, dir) =>
       MinHashNearDup(docs(s, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 9, bands = 3, threshold = 0.8)),
+        shingleN = 3, numHashes = 9, bands = 3, threshold = 0.8,
+        ordered = false)),
 
     // 64-bit SimHash signature per document (projection)
     "pq7_simhash" -> q((s, dir) =>
-      SimHashSignatures(docs(s, dir), "doc_id", "text")),
+      SimHashSignatures(docs(s, dir), "doc_id", "text", ordered = false)),
 
     // SimHash near-dup pairs: banded Hamming join over signature chunks
     // (pigeonhole: distance <= 3 shares one of 4 exact 16-bit chunks)
     "pq7b_simhash_neardup" -> q((s, dir) =>
-      SimHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+      SimHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3,
+        ordered = false)),
 
     // Pair -> cluster resolution over the pq7b pair set: connected
     // components by min-label propagation, canonical keeper = min id
     // (the oracle computes the same closure with a recursive CTE over
     // the identical pair CTEs)
     "pq23_dup_clusters" -> q((s, dir) =>
-      DupClusters(SimHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3),
-        "doc_a", "doc_b").orderBy("doc_id")),
+      DupClusters(SimHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3,
+          ordered = false),
+        "doc_a", "doc_b")),
 
     // Brute-force cosine top-5 for queries vec_id < 20 (broadcast queries)
     "pq8_cosine_topk" -> q((s, dir) => {
       val e = embs(s, dir)
-      Similarity.cosineTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+      Similarity.cosineTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, ordered = false)
     }),
 
     // Sign-bucketed ANN top-3 for queries vec_id < 50 (bucket-equality join)
     "pq9_ann_bucketed" -> q((s, dir) => {
       val e = embs(s, dir)
       Similarity.bucketedTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
-        k = 3, bucketBits = 4)
+        k = 3, bucketBits = 4, ordered = false)
     }),
 
     // IVF (learned k-means coarse quantizer) ANN. nprobe == nlist probes
@@ -247,12 +254,12 @@ object PipelineQueries {
     "pq19_ivf_topk" -> q((s, dir) => {
       val e = embs(s, dir)
       Ivf.topK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 16)
+        k = 5, nlist = 16, nprobe = 16, ordered = false)
     }),
 
     // Multimodal metadata path: binary payload size/tag + stub-decode dims
     "pq10_multimodal_meta" -> q((s, dir) =>
-      Multimodal.metaColumns(docs(s, dir), "doc_id", "text")),
+      Multimodal.metaColumns(docs(s, dir), "doc_id", "text", ordered = false)),
 
     // Embedding-cosine near-dup: the corpus plus deterministically
     // perturbed copies of vec_id < 10 (scaled 1.01 in double — cosine
@@ -265,22 +272,24 @@ object PipelineQueries {
         transform(col("embedding"), x => (x.cast("double") * 1.01).cast("float"))
           .as("embedding"))
       Similarity.nearDupPairs(e.unionByName(perturbed), "vec_id", "embedding",
-        threshold = 0.99, bucketBits = 4)
+        threshold = 0.99, bucketBits = 4, ordered = false)
     }),
 
     // BPE-ish token-class counts (letters / digits / punctuation)
     "pq13_token_classes" -> q((s, dir) =>
-      TextAnalysis.tokenClassCounts(docs(s, dir), "doc_id", "text")),
+      TextAnalysis.tokenClassCounts(docs(s, dir), "doc_id", "text",
+        ordered = false)),
 
     // MOD-sampled (winnowing-style) rolling fingerprint over bigrams
     "pq14_winnow_fingerprint" -> q((s, dir) =>
-      TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text")),
+      TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text",
+        ordered = false)),
 
     // Exact n-gram Jaccard near-dup via the rare-shingle inverted index
     // (deterministic sibling of pq6's MinHash approximation)
     "pq15_ngram_jaccard" -> q((s, dir) =>
       NgramJaccard(docs(s, dir), "doc_id", "text",
-        shingleN = 3, threshold = 0.6, maxDf = 100)),
+        shingleN = 3, threshold = 0.6, maxDf = 100, ordered = false)),
 
     // Per-source length-distribution profiling: exact interpolated
     // percentiles (one partial+final agg; at sketch scale swap
@@ -291,8 +300,7 @@ object PipelineQueries {
           count(lit(1)).as("n_docs"),
           round(percentile(col("n_chars"), lit(0.5)), 2).as("p50"),
           round(percentile(col("n_chars"), lit(0.9)), 2).as("p90"),
-          round(percentile(col("n_chars"), lit(0.99)), 2).as("p99"))
-        .orderBy("source")),
+          round(percentile(col("n_chars"), lit(0.99)), 2).as("p99"))),
 
     // Multimodal frame sampling: one row per (doc, frame) with the
     // frame's byte-slice md5 — the sampler plumbing over the binary
@@ -300,7 +308,7 @@ object PipelineQueries {
     "pq10b_frame_sample" -> q((s, dir) =>
       Multimodal.frameSample(
         Multimodal.asBinaryPayload(docs(s, dir), "doc_id", "text"),
-        "doc_id", "content")),
+        "doc_id", "content", ordered = false)),
 
     // Multimodal resize: deterministic stride downsample of the payload
     // to a 16x16 budget, tagged for post-resize dedup (docs are ASCII so
@@ -308,8 +316,7 @@ object PipelineQueries {
     "pq10c_resize" -> q((s, dir) =>
       Multimodal.resize(
         Multimodal.asBinaryPayload(docs(s, dir), "doc_id", "text"),
-        "doc_id", "content", targetW = 16, targetH = 16)
-        .orderBy("doc_id")),
+        "doc_id", "content", targetW = 16, targetH = 16)),
 
     // Streaming exact dedup promoted to a driver-visible row: the
     // documents table replayed through the file stream source, deduped
@@ -334,7 +341,6 @@ object PipelineQueries {
       try query.processAllAvailable() finally query.stop()
       s2.table(sink)
         .select(col("content_hash"), col("keep_id").cast("bigint").as("keep_id"))
-        .orderBy("keep_id")
     }),
 
     // Streaming sessionization promoted to a driver-visible row, paired
@@ -368,7 +374,6 @@ object PipelineQueries {
           col("n_events"),
           (unix_timestamp(col("session_end")) -
             unix_timestamp(col("session_start"))).as("duration_sec"))
-        .orderBy("user_id", "session_id")
     }),
 
     // The third streaming member driver-visible: watermarked tumbling-
@@ -388,7 +393,7 @@ object PipelineQueries {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try query.processAllAvailable() finally query.stop()
-      s2.table(sink).orderBy("window_start", "event_type")
+      s2.table(sink)
     }),
 
     // Incremental exact dedup: a new batch classified against the
@@ -411,7 +416,6 @@ object PipelineQueries {
           concat(col("text"), lit(" fresh")).as("text")))
       IncrementalDedup.classify(batch, index, "doc_id", "text")
         .withColumn("dup_of", coalesce(col("dup_of"), lit(-1L)))
-        .orderBy("doc_id")
     }),
 
     // Incremental FUZZY dedup: a new batch classified against the
@@ -436,7 +440,6 @@ object PipelineQueries {
         .unionByName(fresh.select((col("doc_id") + 30000).as("doc_id"),
           freshText.as("text")))
       IncrementalMinHash.classify(batch, index, "doc_id", "text")
-        .orderBy("doc_id")
     }),
 
     // Normalized-exact dedup: ExactDedup over the dedup-normalized text
@@ -450,7 +453,7 @@ object PipelineQueries {
         concat(upper(col("text")), lit("  !!")).as("text"))
       val corpus = d.unionByName(variants)
         .select(col("doc_id"), TextAnalysis.normalizeForDedup(col("text")).as("norm_text"))
-      ExactDedup(corpus, "doc_id", "norm_text").orderBy("keep_id")
+      ExactDedup(corpus, "doc_id", "norm_text")
     }),
 
     // Multimodal decode path: text -> opaque binary payload -> batched
@@ -468,7 +471,6 @@ object PipelineQueries {
           col("height").cast("long").as("height"),
           col("n_frames").cast("long").as("n_frames"),
           concat_ws(",", col("frame_offsets").cast("array<string>")).as("frame_offsets"))
-        .orderBy("doc_id")
     })
   )
 
@@ -485,14 +487,14 @@ object PipelineQueries {
   def oracleSql: Map[String, String] = Map(
     "pq1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+        |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "pq2_text_stats" ->
       """WITH t AS (SELECT lang, n_chars, len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents)
         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |       ROUND(AVG(n_chars), 2) AS avg_chars, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
         |       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
-        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM t GROUP BY lang""".stripMargin,
 
     "pq3_quality" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
@@ -500,7 +502,7 @@ object PipelineQueries {
         |       ROUND(len(list_distinct(toks))::DOUBLE / len(toks), 3) AS ttr,
         |       ROUND(len(list_filter(toks, w -> w IN ('the', 'a', 'of', 'and', 'in')))::DOUBLE / len(toks), 3) AS stop_ratio,
         |       ROUND(list_sum(list_transform(toks, w -> len(w)))::DOUBLE / len(toks), 3) AS mean_wlen
-        |FROM t ORDER BY doc_id""".stripMargin,
+        |FROM t""".stripMargin,
 
     "pq4_langid" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -513,7 +515,7 @@ object PipelineQueries {
         |SELECT CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
         |            WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
         |            WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted_lang,
-        |       COUNT(*) AS n FROM s GROUP BY 1 ORDER BY predicted_lang""".stripMargin,
+        |       COUNT(*) AS n FROM s GROUP BY 1""".stripMargin,
 
     "pq4b_langid_multi" -> {
       val values = SynthLangRows.map(t => s"('${t}')").mkString(", ")
@@ -528,7 +530,7 @@ object PipelineQueries {
          |SELECT CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
          |            WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
          |            WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted_lang,
-         |       COUNT(*) AS n FROM s GROUP BY 1 ORDER BY predicted_lang""".stripMargin
+         |       COUNT(*) AS n FROM s GROUP BY 1""".stripMargin
     },
 
     "pq5_fingerprint" ->
@@ -536,7 +538,7 @@ object PipelineQueries {
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS shingles
         |       FROM t WHERE len(toks) >= 2)
         |SELECT doc_id, array_to_string(list_sort(list_transform(shingles, s -> md5(s)))[1:4], ',') AS fingerprint
-        |FROM sh ORDER BY doc_id""".stripMargin,
+        |FROM sh""".stripMargin,
 
     "pq6_minhash_lsh" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
@@ -552,7 +554,7 @@ object PipelineQueries {
         |        len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
         |        (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jac
         |      FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
-        |SELECT doc_a, doc_b, ROUND(jac, 3) AS jaccard FROM j WHERE jac >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+        |SELECT doc_a, doc_b, ROUND(jac, 3) AS jaccard FROM j WHERE jac >= 0.8""".stripMargin,
 
     "pq7_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
@@ -564,11 +566,11 @@ object PipelineQueries {
         |bits AS (SELECT doc_id, b, CASE WHEN SUM(v) > 0 THEN 1 ELSE 0 END AS bit FROM wb GROUP BY doc_id, b),
         |nibs AS (SELECT doc_id, b // 4 AS nib, SUM(bit << (3 - (b % 4))) AS nv FROM bits GROUP BY doc_id, b // 4)
         |SELECT doc_id, string_agg(substr('0123456789abcdef', (nv + 1)::INT, 1), '' ORDER BY nib) AS simhash
-        |FROM nibs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM nibs GROUP BY doc_id""".stripMargin,
 
     "pq7b_simhash_neardup" ->
       s"""WITH $SimHashPairCtes
-         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
 
     // MATERIALIZED pins the pair set to ONE evaluation: DuckDB inlines
     // CTEs referenced from a recursive term, which re-ran the whole
@@ -579,7 +581,7 @@ object PipelineQueries {
          |p AS MATERIALIZED (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
          |e AS (SELECT doc_a AS s, doc_b AS t FROM p UNION SELECT doc_b, doc_a FROM p),
          |reach AS (SELECT s, t FROM e UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
-         |SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+         |SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id FROM reach GROUP BY s""".stripMargin,
 
     "pq8_cosine_topk" -> ExactTop5OracleSql,
 
@@ -600,7 +602,7 @@ object PipelineQueries {
         |scored AS (SELECT qid, cid, dot / sqrt(na::DOUBLE * nb::DOUBLE) AS cos,
         |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / sqrt(na::DOUBLE * nb::DOUBLE) DESC, cid) AS rnk
         |           FROM pairs)
-        |SELECT qid, rnk, cid, ROUND(cos, 4) AS cos FROM scored WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+        |SELECT qid, rnk, cid, ROUND(cos, 4) AS cos FROM scored WHERE rnk <= 3""".stripMargin,
 
     "pq12_embedding_neardup" ->
       """WITH corpus AS (
@@ -615,7 +617,7 @@ object PipelineQueries {
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |        list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) AS cos
         |      FROM nrm a JOIN nrm b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM p WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+        |SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM p WHERE cos >= 0.99""".stripMargin,
 
     "pq13_token_classes" ->
       """SELECT doc_id,
@@ -624,7 +626,7 @@ object PipelineQueries {
         |       len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n]')) AS n_punct,
         |       len(regexp_extract_all(text, '[A-Za-z]+')) + len(regexp_extract_all(text, '[0-9]+'))
         |         + len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n]')) AS n_bpeish
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents""".stripMargin,
 
     "pq14_winnow_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -632,7 +634,7 @@ object PipelineQueries {
         |       FROM t WHERE len(toks) >= 2)
         |SELECT doc_id,
         |       COALESCE(array_to_string(list_sort(list_filter(list_transform(shingles, s -> md5(s)), h -> h LIKE '0%')), ','), '') AS fingerprint
-        |FROM sh ORDER BY doc_id""".stripMargin,
+        |FROM sh""".stripMargin,
 
     "pq15_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
@@ -648,11 +650,11 @@ object PipelineQueries {
         |j AS (SELECT doc_a, doc_b, inter::DOUBLE / (sa.n + sb.n - inter) AS jac
         |      FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
         |                 JOIN sizes sb ON sb.doc_id = doc_b)
-        |SELECT doc_a, doc_b, ROUND(jac, 3) AS jaccard FROM j WHERE jac >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+        |SELECT doc_a, doc_b, ROUND(jac, 3) AS jaccard FROM j WHERE jac >= 0.6""".stripMargin,
 
     "pq17_streaming_dedup" ->
       """SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id
-        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+        |FROM documents GROUP BY md5(text)""".stripMargin,
 
     // the MinHash sketch CTEs mirror pq6's (same md5 minhash + banding);
     // verification is the component-match ESTIMATE, as the operator's
@@ -691,8 +693,7 @@ object PipelineQueries {
         |       CASE WHEN hv.hist_dup IS NOT NULL THEN 'dup_of_history'
         |            WHEN bv.batch_dup IS NOT NULL THEN 'dup_in_batch' ELSE 'new' END AS status,
         |       CAST(COALESCE(hv.hist_dup, bv.batch_dup, -1) AS BIGINT) AS dup_of
-        |FROM batch LEFT JOIN hv ON hv.bid = batch.doc_id LEFT JOIN bv ON bv.bid = batch.doc_id
-        |ORDER BY doc_id""".stripMargin,
+        |FROM batch LEFT JOIN hv ON hv.bid = batch.doc_id LEFT JOIN bv ON bv.bid = batch.doc_id""".stripMargin,
 
     "pq21_incremental_dedup" ->
       """WITH d AS (SELECT doc_id, text FROM documents),
@@ -710,7 +711,7 @@ object PipelineQueries {
         |            WHEN doc_id <> batch_keep THEN 'dup_in_batch' ELSE 'new' END AS status,
         |       CAST(CASE WHEN hist_keep IS NOT NULL THEN hist_keep
         |                 WHEN doc_id <> batch_keep THEN batch_keep ELSE -1 END AS BIGINT) AS dup_of
-        |FROM j ORDER BY doc_id""".stripMargin,
+        |FROM j""".stripMargin,
 
     "pq22_normalized_dedup" ->
       """WITH d AS (SELECT doc_id, text FROM documents),
@@ -720,7 +721,7 @@ object PipelineQueries {
         |             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n]', '', 'g'), '\s+', ' ', 'g')) AS norm
         |      FROM corpus)
         |SELECT md5(norm) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-        |FROM n GROUP BY 1 ORDER BY keep_id""".stripMargin,
+        |FROM n GROUP BY 1""".stripMargin,
 
     // tumbling 1-hour windows are epoch-aligned in Spark, which for
     // whole hours is exactly date_trunc('hour')
@@ -730,8 +731,7 @@ object PipelineQueries {
         |       event_type, COUNT(*) AS n,
         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2) AS total
         |FROM events
-        |GROUP BY 1, 2, 3
-        |ORDER BY window_start, event_type""".stripMargin,
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // the batch vq22 sessionization oracle, verbatim: the streaming path
     // must produce the identical session set (date_diff('second')
@@ -750,22 +750,21 @@ object PipelineQueries {
         |      FROM g)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |       date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
-        |FROM s GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "pq16_percentiles" ->
       """SELECT source, COUNT(*) AS n_docs,
         |       ROUND(quantile_cont(n_chars, 0.5), 2) AS p50,
         |       ROUND(quantile_cont(n_chars, 0.9), 2) AS p90,
         |       ROUND(quantile_cont(n_chars, 0.99), 2) AS p99
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+        |FROM documents GROUP BY source""".stripMargin,
 
     "pq10_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_tag,
         |       16 + (octet_length(encode(text)) % 64) AS fake_width,
         |       16 + ((octet_length(encode(text)) // 64) % 64) AS fake_height,
         |       1 + (octet_length(encode(text)) % 7) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents""".stripMargin,
 
     "pq10b_frame_sample" ->
       """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n_bytes FROM documents),
@@ -774,8 +773,7 @@ object PipelineQueries {
         |      FROM d)
         |SELECT doc_id, i AS frame_idx, i * frame_size AS frame_offset,
         |       md5(substring(text, (i * frame_size + 1)::INT, frame_size::INT)) AS frame_tag
-        |FROM m, unnest(range(0, n_frames)) AS u(i)
-        |ORDER BY doc_id, frame_idx""".stripMargin,
+        |FROM m, unnest(range(0, n_frames)) AS u(i)""".stripMargin,
 
     "pq10c_resize" ->
       """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n_bytes FROM documents),
@@ -784,7 +782,7 @@ object PipelineQueries {
         |SELECT doc_id, n_bytes, stride,
         |       md5(array_to_string(list_transform(range(0, (n_bytes + stride - 1) // stride),
         |         i -> substr(text, (1 + i * stride)::INT, 1)), '')) AS resized_tag
-        |FROM m ORDER BY doc_id""".stripMargin,
+        |FROM m""".stripMargin,
 
     "pq11_multimodal_decode" ->
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
@@ -795,6 +793,6 @@ object PipelineQueries {
         |      FROM d)
         |SELECT doc_id, n_bytes, width, height, n_frames,
         |       array_to_string(list_transform(range(0, n_frames), i -> (i * (n_bytes // n_frames))::VARCHAR), ',') AS frame_offsets
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m""".stripMargin
   )
 }

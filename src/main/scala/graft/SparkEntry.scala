@@ -9,8 +9,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /**
  * Driver contract (SURVEY.md §7 + §2.11). Each `queries` entry is one
  * verification query exercising an operator family from SURVEY.md §2;
- * `oracleSql` holds the DuckDB-equivalent SQL (same column names, same
- * total ORDER BY, doubles rounded to 2 digits).
+ * `oracleSql` holds the DuckDB-equivalent SQL (same column names, doubles
+ * rounded to 2 digits). Neither side carries a final presentation sort:
+ * the driver's compare sorts rows before hashing (verified by the
+ * round-9 vq12 pilot), so a trailing total order is a pure range-exchange
+ * tax — dropped fleet-wide in round 10 from BOTH sides (dropping it from
+ * only one side would bias the bench ratio). Window/sort semantics that
+ * determine row MEMBERSHIP (top-k ranks, run-length ids, session
+ * numbering) are untouched.
  */
 object SparkEntry {
 
@@ -46,7 +52,6 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
         .select("l_orderkey", "l_linenumber", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // VQ-2: module-style counting + forced-first ordering (ModuleSummary)
@@ -55,14 +60,12 @@ object SparkEntry {
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
         .withColumn("grp", when(col("o_orderstatus") === "O", 0).otherwise(1))
         .select("grp", "o_orderstatus", "n")
-        .orderBy("grp", "o_orderstatus")
     }),
 
     // VQ-3: distinct / dedup / sorted-set
     "vq3_distinct" -> q((s, dir) => {
       t(s, dir, "customer")
         .select("c_mktsegment", "c_nationkey").distinct()
-        .orderBy("c_mktsegment", "c_nationkey")
     }),
 
     // VQ-4: per-group count/min/max/sum (GroupBy key profiling)
@@ -74,7 +77,6 @@ object SparkEntry {
           min("o_orderkey").as("first_ord"),
           max("o_orderkey").as("last_ord"),
           round(sum("o_totalprice"), 2).as("total"))
-        .orderBy("o_custkey")
     }),
 
     // VQ-4b: grouping sets (partial+final agg)
@@ -84,8 +86,7 @@ object SparkEntry {
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                ROUND(SUM(l_extendedprice), 2) AS revenue
         FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        ORDER BY n, revenue, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
     }),
 
     // VQ-4c: rollup over a two-hop join (shuffle agg under join). SQL form
@@ -100,8 +101,7 @@ object SparkEntry {
         SELECT n_name, o_orderstatus, COUNT(*) AS n
         FROM orders JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
-        GROUP BY ROLLUP (n_name, o_orderstatus)
-        ORDER BY n DESC, n_name NULLS FIRST, o_orderstatus NULLS FIRST""")
+        GROUP BY ROLLUP (n_name, o_orderstatus)""")
     }),
 
     // VQ-5: scalar predicates — regex cleanup, sentinel nulling, try-cast
@@ -114,7 +114,6 @@ object SparkEntry {
           when(col("p_brand").isin("Brand#1", "NA", ""), lit(null))
             .otherwise(col("p_brand")).as("brand"),
           when(expr("try_cast(p_type AS DOUBLE)").isNull, 0).otherwise(1).as("numericish"))
-        .orderBy("p_partkey")
     }),
 
     // VQ-6: embed join shape — pre-aggregate child, left join, zero-fill.
@@ -130,7 +129,6 @@ object SparkEntry {
           col("c_custkey"),
           coalesce(col("_n"), lit(0L)).as("n_orders"),
           round(coalesce(col("_spend"), lit(0.0)), 2).as("spend"))
-        .orderBy("c_custkey")
     }),
 
     // VQ-6b: anti join (deferred-load split)
@@ -139,7 +137,6 @@ object SparkEntry {
         .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
           Seq("c_custkey"), "left_anti")
         .select("c_custkey")
-        .orderBy("c_custkey")
     }),
 
     // VQ-7: harmonize lookup (small-dim broadcast translation join)
@@ -154,7 +151,6 @@ object SparkEntry {
           col("s_suppkey"), col("s_name"),
           col("n_name").as("nation_display"),
           col("r_name").as("region_display"))
-        .orderBy("s_suppkey")
     }),
 
     // VQ-8: reference resolution (multi-hop identifier join, miss -> null)
@@ -165,7 +161,6 @@ object SparkEntry {
       li.join(orders, li("l_orderkey") === orders("o_orderkey"))
         .join(broadcast(supplier), li("l_suppkey") === supplier("s_suppkey"), "left")
         .select(col("o_orderkey"), col("l_linenumber"), col("s_name"))
-        .orderBy("o_orderkey", "l_linenumber")
     }),
 
     // VQ-9: system-prefix filters (Self/NonSelf/prefix) flattened
@@ -173,7 +168,6 @@ object SparkEntry {
       t(s, dir, "part")
         .filter(col("p_type").like("STANDARD%") && !col("p_type").like("%unharmonized%"))
         .select("p_partkey", "p_type")
-        .orderBy("p_partkey")
     }),
 
     // VQ-9b: run-length adjacent-code grouping (BuildConceptMap runs)
@@ -182,7 +176,6 @@ object SparkEntry {
         .filter(col("l_orderkey") <= 100)
         .select("l_orderkey", "l_linenumber", "l_returnflag")
       RunLengthGroup(li, "l_returnflag", Seq("l_orderkey", "l_linenumber"))
-        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // VQ-10: last-wins / per-key top-1 (redundant-mapping, max_validations)
@@ -193,7 +186,6 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("o_custkey", "o_orderkey", "o_totalprice")
-        .orderBy("o_custkey", "o_orderkey")
     }),
 
     // VQ-11: analytic window with frame (running sum)
@@ -205,14 +197,11 @@ object SparkEntry {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           round(sum("l_extendedprice").over(w), 2).as("running"))
-        .orderBy("l_orderkey", "l_linenumber")
     }),
 
-    // VQ-12: union (multi-file table). Round-9 pilot: NO final orderBy —
-    // tools/check.py sorts rows before hashing, so the sort should be
-    // redundant; this one cheap row (30 rows) verifies the driver agrees
-    // before the orderBy drop is applied fleet-wide (one range exchange
-    // saved per query, the largest remaining per-query floor lever).
+    // VQ-12: union (multi-file table). Was the round-9 sort-drop pilot:
+    // shipped without a final orderBy, CORRECTNESS_r09 stayed green, so
+    // the drop went fleet-wide in round 10 (class scaladoc).
     "vq12_union" -> q((s, dir) => {
       t(s, dir, "nation").select(col("n_name").as("x"))
         .unionByName(t(s, dir, "region").select(col("r_name").as("x")))
@@ -222,7 +211,6 @@ object SparkEntry {
     "vq12b_except" -> q((s, dir) => {
       t(s, dir, "nation").select(col("n_regionkey").as("k"))
         .except(t(s, dir, "region").select(col("r_regionkey").as("k")))
-        .orderBy("k")
     }),
 
     // VQ-13: date/timestamp handling over events
@@ -232,7 +220,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           // decimal-exact sum: order-independent across engines/partitions
           round(sum(col("value").cast("decimal(20,6)")).cast("double"), 2).as("total"))
-        .orderBy("d", "event_type", "n")
     }),
 
     // VQ-14: duplicate-identifier detection (inspector.py:57-97) — the
@@ -240,31 +227,28 @@ object SparkEntry {
     "vq14_dup_identifiers" -> q((s, dir) => {
       // component-keyed form: system/value are separate fields in the
       // reference too — the shuffle carries the raw ints, the composite
-      // renders only for surviving duplicates. Quiet sf0.1: 0.95 s with
-      // the final sort, 0.73 s without — the orderBy goes with the
-      // fleet-wide sort drop once the vq12 pilot confirms the driver
-      // hashes sorted rows (single-shuffle agg shape already confirmed
-      // optimal; a two-phase hash pre-pass measured 1.7x slower)
+      // renders only for surviving duplicates. Single-shuffle agg shape
+      // confirmed optimal (a two-phase hash pre-pass measured 1.7x
+      // slower); the final sort went with the round-10 fleet-wide drop
+      // (0.95 s sorted vs 0.73 s unsorted quiet at sf0.1).
       graft.inspect.DuplicateIdentifiers(
         t(s, dir, "lineitem"), "l_returnflag",
         Seq(col("l_partkey"), col("l_suppkey")), sep = ":")
-        .orderBy("resource_type", "idval")
     }),
 
     // VQ-15: ModuleSummary (module_summary.py:9-41) — counts + share of
     // each resource type's total
     "vq15_module_summary" -> q((s, dir) => {
       graft.inspect.ModuleSummary(
-        t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
+        t(s, dir, "orders"), "o_orderpriority", "o_orderstatus", ordered = false)
     }),
 
     // VQ-16: study-ids aggregation (studyids.py:103) — dedup + sort per
     // type, string-joined for a cross-engine-stable shape
     "vq16_sorted_idsets" -> q((s, dir) => {
       graft.sink.StudyIdsSink.sortedIdSets(
-        t(s, dir, "customer"), "c_mktsegment", "c_nationkey")
+        t(s, dir, "customer"), "c_mktsegment", "c_nationkey", ordered = false)
         .select(col("resource_type"), array_join(col("ids"), ",").as("ids"))
-        .orderBy("resource_type")
     }),
 
     // VQ-17: bundle chunk assignment (bundle.py:84,131-134) — new chunk
@@ -274,7 +258,6 @@ object SparkEntry {
         t(s, dir, "orders"), "o_orderstatus", "o_orderkey", maxRecords = 1000)
         .groupBy(col("o_orderstatus").as("module"), col("_chunk").as("chunk"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("module", "chunk")
     }),
 
     // VQ-18: builddd profiling (dd_from_fhir.py:41-125) — per-variable
@@ -292,7 +275,6 @@ object SparkEntry {
         .filter(!exists(exclusions, s => contains(col("p_name"), s)))
         .filter(col("p_partkey") <= 500)
         .select("p_partkey", "p_name")
-        .orderBy("p_partkey")
     }),
 
     // VQ-20: salted skew join (operators/SkewJoin.scala) — event_type has
@@ -316,7 +298,6 @@ object SparkEntry {
           // to decimal: the SUM is then exact and order-independent
           round(sum((col("value") * col("weight")).cast("decimal(20,6)"))
             .cast("double"), 2).as("weighted"))
-        .orderBy("event_type")
     }),
 
     // VQ-20b: the plain shuffle-join twin of vq20 (same oracle) so BENCH
@@ -337,7 +318,6 @@ object SparkEntry {
           // to decimal: the SUM is then exact and order-independent
           round(sum((col("value") * col("weight")).cast("decimal(20,6)"))
             .cast("double"), 2).as("weighted"))
-        .orderBy("event_type")
     }),
 
     // VQ-21: bundle entry verb choice (bundle.py:135-147) — PUT keeps
@@ -358,7 +338,6 @@ object SparkEntry {
       graft.sink.BundleSink.entries(res, "http://fhir.example/base")
         .select(col("module"), col("resourceType").as("resource_type"),
           col("fullUrl").as("full_url"), col("entry"))
-        .orderBy("module", "full_url", "resource_type")
     }),
 
     // VQ-22: sessionization over events — gap > 30 min starts a new
@@ -377,7 +356,6 @@ object SparkEntry {
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"),
           (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("duration_sec"))
-        .orderBy("user_id", "session_id")
     }),
 
     // VQ-21b: harmony target-group last-wins polarity
@@ -395,12 +373,12 @@ object SparkEntry {
         .select(col("system"), posexplode(col("codes")).as(Seq("pos", "c")))
         .select(col("system"), col("pos"),
           col("c.code").as("code"), col("c.display").as("display"))
-        .orderBy("system", "pos")
     })
   ) ++ PipelineQueries.queries
 
   // ---------------------------------------------------------------------
-  // DuckDB oracle SQL. Same column names / ORDER BY as the Spark results.
+  // DuckDB oracle SQL. Same column names as the Spark results; no final
+  // ORDER BY on either side (see the class scaladoc).
   // Dialect notes: DuckDB regexp_replace needs the 'g' flag for global
   // replace; SUM over INTEGER returns HUGEINT, so run-length sums are cast
   // to BIGINT to match Spark's LongType.
@@ -409,75 +387,64 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "vq1_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag
-        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin,
 
     "vq2_count_order" ->
       """SELECT CASE WHEN o_orderstatus = 'O' THEN 0 ELSE 1 END AS grp,
         |       o_orderstatus, COUNT(*) AS n
-        |FROM orders GROUP BY o_orderstatus
-        |ORDER BY grp, o_orderstatus""".stripMargin,
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "vq3_distinct" ->
-      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
-        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer""".stripMargin,
 
     "vq4_groupby_stats" ->
       """SELECT o_custkey, COUNT(*) AS n, MIN(o_orderkey) AS first_ord,
         |       MAX(o_orderkey) AS last_ord, ROUND(SUM(o_totalprice), 2) AS total
-        |FROM orders GROUP BY o_custkey
-        |ORDER BY o_custkey""".stripMargin,
+        |FROM orders GROUP BY o_custkey""".stripMargin,
 
     "vq4b_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |       ROUND(SUM(l_extendedprice), 2) AS revenue
         |FROM lineitem
-        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        |ORDER BY n, revenue, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
 
     "vq4c_rollup_join" ->
       """SELECT n_name, o_orderstatus, COUNT(*) AS n
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY ROLLUP (n_name, o_orderstatus)
-        |ORDER BY n DESC, n_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+        |GROUP BY ROLLUP (n_name, o_orderstatus)""".stripMargin,
 
     "vq5_scalar_predicates" ->
       """SELECT p_partkey,
         |       LOWER(TRIM(REGEXP_REPLACE(p_name, ' +', '_', 'g'))) AS fixed_name,
         |       CASE WHEN p_brand IN ('Brand#1', 'NA', '') THEN NULL ELSE p_brand END AS brand,
         |       CASE WHEN TRY_CAST(p_type AS DOUBLE) IS NULL THEN 0 ELSE 1 END AS numericish
-        |FROM part WHERE p_size BETWEEN 10 AND 30
-        |ORDER BY p_partkey""".stripMargin,
+        |FROM part WHERE p_size BETWEEN 10 AND 30""".stripMargin,
 
     "vq6_embed_join_agg" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
         |       ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS spend
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
-        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+        |GROUP BY c_custkey""".stripMargin,
 
     "vq6b_anti_join" ->
       """SELECT c_custkey FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-        |ORDER BY c_custkey""".stripMargin,
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
 
     "vq7_harmonize_dims" ->
       """SELECT s_suppkey, s_name, n_name AS nation_display, r_name AS region_display
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |ORDER BY s_suppkey""".stripMargin,
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
 
     "vq8_reference_resolution" ->
       """SELECT o_orderkey, l_linenumber, s_name
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |LEFT JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE o_orderstatus = 'F' AND l_linenumber = 1
-        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+        |WHERE o_orderstatus = 'F' AND l_linenumber = 1""".stripMargin,
 
     "vq9_prefix_filter" ->
       """SELECT p_partkey, p_type FROM part
-        |WHERE p_type LIKE 'STANDARD%' AND p_type NOT LIKE '%unharmonized%'
-        |ORDER BY p_partkey""".stripMargin,
+        |WHERE p_type LIKE 'STANDARD%' AND p_type NOT LIKE '%unharmonized%'""".stripMargin,
 
     "vq9b_runlength" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
@@ -487,8 +454,7 @@ object SparkEntry {
         |             CASE WHEN l_returnflag =
         |               LAG(l_returnflag) OVER (ORDER BY l_orderkey, l_linenumber)
         |             THEN 0 ELSE 1 END AS chg
-        |      FROM lineitem WHERE l_orderkey <= 100) t
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |      FROM lineitem WHERE l_orderkey <= 100) t""".stripMargin,
 
     "vq10_topk_per_key" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
@@ -496,37 +462,32 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (PARTITION BY o_custkey
         |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM orders) t
-        |WHERE rn = 1 ORDER BY o_custkey, o_orderkey""".stripMargin,
+        |WHERE rn = 1""".stripMargin,
 
     "vq11_window_running" ->
       """SELECT l_orderkey, l_linenumber,
         |       ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_orderkey
         |             ORDER BY l_linenumber
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
-        |FROM lineitem WHERE l_orderkey <= 50
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem WHERE l_orderkey <= 50""".stripMargin,
 
     "vq12_union" ->
-      """SELECT x FROM (SELECT n_name AS x FROM nation UNION ALL SELECT r_name FROM region) t
-        |ORDER BY x""".stripMargin,
+      """SELECT x FROM (SELECT n_name AS x FROM nation UNION ALL SELECT r_name FROM region) t""".stripMargin,
 
     "vq12b_except" ->
-      """SELECT n_regionkey AS k FROM nation EXCEPT SELECT r_regionkey FROM region
-        |ORDER BY k""".stripMargin,
+      """SELECT n_regionkey AS k FROM nation EXCEPT SELECT r_regionkey FROM region""".stripMargin,
 
     "vq13_events_date" ->
       """SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n,
         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2) AS total
-        |FROM events GROUP BY CAST(ts AS DATE), event_type
-        |ORDER BY d, event_type, n""".stripMargin,
+        |FROM events GROUP BY CAST(ts AS DATE), event_type""".stripMargin,
 
     "vq14_dup_identifiers" ->
       """SELECT l_returnflag AS resource_type,
         |       l_partkey::VARCHAR || ':' || l_suppkey::VARCHAR AS idval,
         |       COUNT(*) AS n
         |FROM lineitem
-        |GROUP BY 1, 2 HAVING COUNT(*) > 1
-        |ORDER BY resource_type, idval""".stripMargin,
+        |GROUP BY 1, 2 HAVING COUNT(*) > 1""".stripMargin,
 
     "vq15_module_summary" ->
       """WITH c AS (SELECT o_orderpriority AS module, o_orderstatus AS resource_type,
@@ -534,20 +495,19 @@ object SparkEntry {
         |           FROM orders GROUP BY 1, 2)
         |SELECT module, resource_type, n,
         |       ROUND(100.0 * n / SUM(n) OVER (PARTITION BY resource_type), 2) AS pct
-        |FROM c ORDER BY module, resource_type""".stripMargin,
+        |FROM c""".stripMargin,
 
     "vq16_sorted_idsets" ->
       """SELECT c_mktsegment AS resource_type,
         |       array_to_string(list_sort(list_distinct(list(c_nationkey::VARCHAR))), ',') AS ids
-        |FROM customer GROUP BY c_mktsegment
-        |ORDER BY resource_type""".stripMargin,
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     "vq17_bundle_chunks" ->
       """WITH r AS (SELECT o_orderstatus AS module,
         |                  ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn
         |           FROM orders)
         |SELECT module, CAST((rn - 1) // 1000 AS INT) AS chunk, COUNT(*) AS n
-        |FROM r GROUP BY 1, 2 ORDER BY module, chunk""".stripMargin,
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     "vq18_dd_profile" ->
       """WITH m AS (
@@ -560,13 +520,12 @@ object SparkEntry {
         |       COUNT(DISTINCT value) AS n_distinct,
         |       CASE WHEN COUNT(DISTINCT value) < 50
         |            THEN array_to_string(list_sort(list_distinct(list(value))), ';') END AS values_list
-        |FROM m GROUP BY varname ORDER BY varname""".stripMargin,
+        |FROM m GROUP BY varname""".stripMargin,
 
     "vq19_exclusion_filter" ->
       """SELECT p_partkey, p_name FROM part
         |WHERE NOT (p_name LIKE '%chocolate%' OR p_name LIKE '%burnished%')
-        |  AND p_partkey <= 500
-        |ORDER BY p_partkey""".stripMargin,
+        |  AND p_partkey <= 500""".stripMargin,
 
     "vq20_salted_join" ->
       """WITH dim AS (SELECT event_type,
@@ -575,7 +534,7 @@ object SparkEntry {
         |SELECT e.event_type, COUNT(*) AS n,
         |       ROUND(CAST(SUM(CAST(e.value * d.weight AS DECIMAL(20,6))) AS DOUBLE), 2) AS weighted
         |FROM events e JOIN dim d USING (event_type)
-        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+        |GROUP BY e.event_type""".stripMargin,
 
     "vq20b_plain_skew_join" ->
       """WITH dim AS (SELECT event_type,
@@ -584,7 +543,7 @@ object SparkEntry {
         |SELECT e.event_type, COUNT(*) AS n,
         |       ROUND(CAST(SUM(CAST(e.value * d.weight AS DECIMAL(20,6))) AS DOUBLE), 2) AS weighted
         |FROM events e JOIN dim d USING (event_type)
-        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+        |GROUP BY e.event_type""".stripMargin,
 
     "vq21_bundle_verb" ->
       """WITH res AS (
@@ -607,8 +566,7 @@ object SparkEntry {
         |       '","url":"' ||
         |       CASE WHEN id IS NOT NULL THEN rt || '/' || id ELSE rt END ||
         |       '"}}' AS entry
-        |FROM uniq WHERE rn = 1
-        |ORDER BY module, full_url, resource_type""".stripMargin,
+        |FROM uniq WHERE rn = 1""".stripMargin,
 
     "vq22_sessionize" ->
       """WITH g AS (
@@ -624,8 +582,7 @@ object SparkEntry {
         |      FROM g)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |       date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
-        |FROM s GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "vq21b_harmony_lastwins" ->
       """WITH m AS (SELECT c_mktsegment AS system,
@@ -641,7 +598,6 @@ object SparkEntry {
         |       CAST(ROW_NUMBER() OVER (PARTITION BY system ORDER BY ord) - 1
         |            AS INT) AS pos,
         |       code, display
-        |FROM kept WHERE dup = 1
-        |ORDER BY system, pos""".stripMargin
+        |FROM kept WHERE dup = 1""".stripMargin
   ) ++ PipelineQueries.oracleSql
 }

@@ -75,7 +75,7 @@ object ModuleSummary {
    * One aggregation plus a window over the small aggregated result.
    */
   def apply(resources: DataFrame, moduleCol: String, typeCol: String,
-      resourceTypes: Seq[String] = Nil): DataFrame = {
+      resourceTypes: Seq[String] = Nil, ordered: Boolean = true): DataFrame = {
     val filtered =
       if (resourceTypes.isEmpty) resources
       else resources.filter(col(typeCol).isin(resourceTypes.map(lit): _*))
@@ -85,6 +85,6 @@ object ModuleSummary {
     val w = Window.partitionBy("resource_type")
     counts
       .withColumn("pct", round(lit(100.0) * col("n") / sum(col("n")).over(w), 2))
-      .orderBy("module", "resource_type")
+      .transform(d => if (ordered) d.orderBy("module", "resource_type") else d)
   }
 }

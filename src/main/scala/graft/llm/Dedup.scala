@@ -83,7 +83,8 @@ object NgramJaccard {
       shingleN: Int = 3,
       threshold: Double = 0.6,
       maxDf: Int = 1000,
-      broadcastSizes: Boolean = true): DataFrame = {
+      broadcastSizes: Boolean = true,
+      ordered: Boolean = true): DataFrame = {
     // one typed pass: tokenize -> distinct shingle set -> explode to the
     // inverted index (id, fnv64(shingle)). The shingle string itself never
     // survives the projection: every downstream use (df count, self-join,
@@ -138,7 +139,7 @@ object NgramJaccard {
       .withColumn("_jac", jac)
       .filter(col("_jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("_jac"), 3).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .transform(d => if (ordered) d.orderBy("doc_a", "doc_b") else d)
   }
 }
 
@@ -170,7 +171,8 @@ object MinHashNearDup {
       shingleN: Int = 3,
       numHashes: Int = 9,
       bands: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      ordered: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must divide into bands ($bands)")
     val rowsPerBand = numHashes / bands
 
@@ -231,7 +233,7 @@ object MinHashNearDup {
       .withColumn("_jac", inter.cast("double") / union)
       .filter(col("_jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("_jac"), 3).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .transform(d => if (ordered) d.orderBy("doc_a", "doc_b") else d)
   }
 }
 
@@ -250,8 +252,11 @@ object SimHashSignatures {
    * evaluations per token. Tokenization and hashing replicate the Column
    * tier exactly ([[TextOps.tokensJvm]]), so results are unchanged.
    */
-  def apply(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    signatures(df, idCol, textCol).orderBy("doc_id")
+  def apply(df: DataFrame, idCol: String, textCol: String,
+      ordered: Boolean = true): DataFrame = {
+    val sigs = signatures(df, idCol, textCol)
+    if (ordered) sigs.orderBy("doc_id") else sigs
+  }
 
   /** The signature projection without the presentation sort (joins don't
    *  want it). */
@@ -318,7 +323,7 @@ object SimHashNearDup {
    * bucket-equality self-join.
    */
   def apply(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, ordered: Boolean = true): DataFrame = {
     require(maxHamming <= 3,
       s"4 bands guarantee recall only for distance <= 3, got $maxHamming")
     val sigs = SimHashSignatures.signatures(df, idCol, textCol)
@@ -355,14 +360,14 @@ object SimHashNearDup {
             buf.iterator
           }(Encoders.row(outSchema))
           .distinct() // a pair within distance d shares up to 4 - d chunks
-          .orderBy("doc_a", "doc_b")
-      case None => joined(sigs, maxHamming)
+          .transform(d => if (ordered) d.orderBy("doc_a", "doc_b") else d)
+      case None => joined(sigs, maxHamming, ordered)
     }
   }
 
   /** Fallback for exotic id types: bucket-equality self-join on
    *  (chunk index, chunk value), distinct, then the Hamming expression. */
-  private def joined(sigs: DataFrame, maxHamming: Int): DataFrame = {
+  private def joined(sigs: DataFrame, maxHamming: Int, ordered: Boolean): DataFrame = {
     val cached = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     val banded = cached.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
@@ -378,6 +383,6 @@ object SimHashNearDup {
       .withColumn("hamming", hammingExpr(col("_sa"), col("_sb")))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy("doc_a", "doc_b")
+      .transform(d => if (ordered) d.orderBy("doc_a", "doc_b") else d)
   }
 }

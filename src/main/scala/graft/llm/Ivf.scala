@@ -133,7 +133,8 @@ object Ivf {
    * candidate reduction.
    */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nlist: Int, nprobe: Int, iters: Int = 5, sampleN: Int = 4096): DataFrame = {
+      k: Int, nlist: Int, nprobe: Int, iters: Int = 5, sampleN: Int = 4096,
+      ordered: Boolean = true): DataFrame = {
     require(nlist >= 1 && nprobe >= 1 && iters >= 0 && sampleN >= 1)
     val (c0, q0) = Similarity.prepSides(corpus, queries, idCol, vecCol)
     // prep is consumed by the sample collect AND the assignment scan —
@@ -150,6 +151,6 @@ object Ivf {
     val pairs = c
       .join(q, col("_probe") === col("_list") && col("qid") =!= col("cid"))
       .select(Similarity.PairCols: _*)
-    Similarity.ranked(Similarity.scorePairs(pairs, k), k)
+    Similarity.ranked(Similarity.scorePairs(pairs, k), k, ordered)
   }
 }

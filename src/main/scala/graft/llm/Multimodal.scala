@@ -85,7 +85,8 @@ object Multimodal {
    * real codec swaps in by replacing the offset/size arithmetic with
    * container metadata.
    */
-  def frameSample(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String,
+      ordered: Boolean = true): DataFrame = {
     val nBytes = octet_length(col(payloadCol)).cast("long")
     val nFrames = (lit(1) + nBytes % 7).cast("int")
     val frameSize = (nBytes / nFrames).cast("long")
@@ -103,7 +104,7 @@ object Multimodal {
         md5(col("_payload").substr(
           (col("frame_idx") * col("frame_size") + 1).cast("int"),
           col("frame_size").cast("int"))).as("frame_tag"))
-      .orderBy("doc_id", "frame_idx")
+      .transform(d => if (ordered) d.orderBy("doc_id", "frame_idx") else d)
   }
 
   /**
@@ -155,7 +156,8 @@ object Multimodal {
    * touching the decoder, and pins decodeOne's arithmetic against the
    * SQL oracle.
    */
-  def metaColumns(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def metaColumns(df: DataFrame, idCol: String, textCol: String,
+      ordered: Boolean = true): DataFrame = {
     val nBytes = octet_length(col(textCol)).cast("long")
     df.select(
       col(idCol).as("doc_id"),
@@ -164,6 +166,6 @@ object Multimodal {
       (lit(16) + nBytes % 64).cast("long").as("fake_width"),
       (lit(16) + (nBytes.cast("long") / lit(64)).cast("long") % 64).cast("long").as("fake_height"),
       (lit(1) + nBytes % 7).cast("long").as("n_frames"))
-      .orderBy("doc_id")
+      .transform(d => if (ordered) d.orderBy("doc_id") else d)
   }
 }

@@ -238,15 +238,17 @@ object Similarity {
     }(Encoders.row(outSchema))
   }
 
-  /** Final ranking window over the scored survivors. */
-  private[llm] def ranked(scoredPairs: DataFrame, k: Int): DataFrame = {
+  /** Final ranking window over the scored survivors. The window sort is
+   *  semantic (rnk); the trailing total order is presentation only. */
+  private[llm] def ranked(scoredPairs: DataFrame, k: Int,
+      ordered: Boolean = true): DataFrame = {
     val cos = cosine(col("_dot"), col("_na"), col("_nb"))
     val w = Window.partitionBy("qid").orderBy(cos.desc, col("cid"))
     scoredPairs
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("cid"), round(cos, 4).as("cos"))
-      .orderBy("qid", "rnk")
+      .transform(d => if (ordered) d.orderBy("qid", "rnk") else d)
   }
 
   /** Join sides with the prep columns renamed for an unambiguous join.
@@ -284,7 +286,7 @@ object Similarity {
    * pre-reduce and emit every scored pair — correct, just more shuffle.
    */
   def cosineTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, ordered: Boolean = true): DataFrame = {
     val qPrep = prepTyped(queries, idCol, "qid", vecCol)
       .filter(col("_v").isNotNull && col("_n2") > 0)
     val cPrep = prepTyped(corpus, idCol, "cid", vecCol)
@@ -344,7 +346,7 @@ object Similarity {
           }
       }
     }(Encoders.row(outSchema))
-    ranked(survivors, k)
+    ranked(survivors, k, ordered)
   }
 
   /**
@@ -362,7 +364,8 @@ object Similarity {
    * [[groupedNearDup]].
    */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bucketBits: Int = -1, srp: Boolean = false): DataFrame = {
+      threshold: Double, bucketBits: Int = -1, srp: Boolean = false,
+      ordered: Boolean = true): DataFrame = {
     val prep0 = prepTyped(corpus, idCol, "_id", vecCol)
       .filter(col("_v").isNotNull && col("_id").isNotNull && col("_n2") > 0)
     // the sizing count / dim probe read prep again — persist unless the
@@ -378,7 +381,9 @@ object Similarity {
     val withBkt = prep.withColumn("_bkt", bucketKey(prep, srp, bits))
     idOrdering(withBkt.schema("_id").dataType) match {
       case Some(ord) => groupedNearDup(withBkt, threshold, ord)
+        .transform(d => if (ordered) d.orderBy("id_a", "id_b") else d)
       case None => joinedNearDup(withBkt, threshold)
+        .transform(d => if (ordered) d.orderBy("id_a", "id_b") else d)
     }
   }
 
@@ -486,7 +491,6 @@ object Similarity {
         }
         buf.iterator
       }(Encoders.row(outSchema))
-      .orderBy("id_a", "id_b")
   }
 
   /** Fallback for id types without a JVM ordering that mirrors
@@ -505,7 +509,6 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .filter(cos >= threshold)
       .select(col("id_a"), col("id_b"), round(cos, 4).as("cos"))
-      .orderBy("id_a", "id_b")
   }
 
   /**
@@ -525,7 +528,7 @@ object Similarity {
    */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, bucketBits: Int = -1,
-      srp: Boolean = false, probes: Int = 1): DataFrame = {
+      srp: Boolean = false, probes: Int = 1, ordered: Boolean = true): DataFrame = {
     require(probes >= 1, s"probes must be >= 1, got $probes")
     val (c0, q0) = prepSides(corpus, queries, idCol, vecCol)
     val c1 = if (bucketBits > 0 && !srp) c0 else c0.persist(StorageLevel.MEMORY_AND_DISK)
@@ -546,6 +549,6 @@ object Similarity {
     val pairs = c
       .join(q, col("_bktq") === col("_bktc") && col("qid") =!= col("cid"))
       .select(PairCols: _*)
-    ranked(scorePairs(pairs, k), k)
+    ranked(scorePairs(pairs, k), k, ordered)
   }
 }

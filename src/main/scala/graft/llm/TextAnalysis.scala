@@ -11,6 +11,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField
  * most one hash aggregation — the shapes that scale to 100 TB unchanged
  * (the aggregations are partial/map-side combinable; nothing collects to
  * the driver).
+ *
+ * Every operator takes `ordered` (default true): a totally-ordered
+ * presentation of the result. At scale pass `ordered = false` — a global
+ * sort is a range exchange over the full output and row order carries no
+ * semantics in any of these results.
  */
 object TextAnalysis {
 
@@ -23,16 +28,17 @@ object TextAnalysis {
    * (ASCII classes only, so the regexes behave identically across
    * engines). One projection, three codegen'd regex scans per row.
    */
-  def tokenClassCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def tokenClassCounts(df: DataFrame, idCol: String, textCol: String,
+      ordered: Boolean = true): DataFrame = {
     def cnt(pattern: String): Column =
       size(regexp_extract_all(col(textCol), lit(pattern), lit(0))).cast("long")
-    df.select(
+    val out = df.select(
       col(idCol).as("doc_id"),
       cnt("[A-Za-z]+").as("n_words"),
       cnt("[0-9]+").as("n_numbers"),
       cnt("[^A-Za-z0-9 \\t\\n]").as("n_punct"))
       .withColumn("n_bpeish", col("n_words") + col("n_numbers") + col("n_punct"))
-      .orderBy("doc_id")
+    if (ordered) out.orderBy("doc_id") else out
   }
 
   /**
@@ -43,7 +49,8 @@ object TextAnalysis {
    * length, so containment between fingerprints estimates overlap of
    * long documents. Typed stage; empty sample -> empty string.
    */
-  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      ordered: Boolean = true): DataFrame = {
     val outSchema = StructType(Seq(
       df.schema(df.schema.fieldIndex(idCol)).copy(name = "doc_id"),
       StructField("fingerprint", StringType, nullable = true)))
@@ -65,14 +72,15 @@ object TextAnalysis {
           }
         }
       }(Encoders.row(outSchema))
-      .orderBy("doc_id")
+      .transform(d => if (ordered) d.orderBy("doc_id") else d)
   }
 
   /**
    * Per-language corpus statistics: doc count, total/avg chars, total/max
    * tokens. One hash aggregation on the language key.
    */
-  def corpusStats(df: DataFrame, langCol: String, charsCol: String, textCol: String): DataFrame =
+  def corpusStats(df: DataFrame, langCol: String, charsCol: String, textCol: String,
+      ordered: Boolean = true): DataFrame =
     df.select(col(langCol).as("lang"), col(charsCol).as("n_chars"),
         tokenCount(col(textCol)).as("n_tokens"))
       .groupBy("lang")
@@ -82,7 +90,7 @@ object TextAnalysis {
         round(avg("n_chars"), 2).as("avg_chars"),
         sum("n_tokens").as("total_tokens"),
         max("n_tokens").as("max_tokens"))
-      .orderBy("lang")
+      .transform(d => if (ordered) d.orderBy("lang") else d)
 
   /**
    * Dedup-normalization projection: lowercase, strip every char outside
@@ -106,7 +114,8 @@ object TextAnalysis {
    * before expensive pipeline stages.
    */
   def qualityMetrics(df: DataFrame, idCol: String, textCol: String,
-      stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+      stopwords: Seq[String] = DefaultStopwords,
+      ordered: Boolean = true): DataFrame = {
     // Typed single-pass stage: the five metrics share the token array, and
     // Catalyst's projection collapse would re-inline (and re-evaluate) the
     // tokenizer per metric — interpreted, since filter/aggregate are
@@ -145,7 +154,7 @@ object TextAnalysis {
           }
         }
       }(Encoders.row(outSchema))
-      .orderBy("doc_id")
+      .transform(d => if (ordered) d.orderBy("doc_id") else d)
   }
 
   val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
@@ -197,7 +206,8 @@ object TextAnalysis {
    * the Column form and the unit suite pins both to identical outputs.
    */
   def langDistribution(df: DataFrame, textCol: String,
-      profiles: Seq[(String, Seq[String])] = DefaultLangProfiles): DataFrame = {
+      profiles: Seq[(String, Seq[String])] = DefaultLangProfiles,
+      ordered: Boolean = true): DataFrame = {
     val langs = profiles.map(_._1).toIndexedSeq
     val wordSets = profiles.map(_._2.toSet).toIndexedSeq
     val outSchema = StructType(Seq(StructField("predicted_lang", StringType, nullable = true)))
@@ -227,7 +237,7 @@ object TextAnalysis {
       }(Encoders.row(outSchema))
       .groupBy("predicted_lang")
       .agg(count(lit(1)).as("n"))
-      .orderBy("predicted_lang")
+      .transform(d => if (ordered) d.orderBy("predicted_lang") else d)
   }
 
   /**
@@ -238,7 +248,8 @@ object TextAnalysis {
    * exact md5/lexicographic semantics (see [[TextOps.bottomKSketch]] for
    * the Column form of the same sketch).
    */
-  def fingerprints(df: DataFrame, idCol: String, textCol: String, k: Int = 4): DataFrame = {
+  def fingerprints(df: DataFrame, idCol: String, textCol: String, k: Int = 4,
+      ordered: Boolean = true): DataFrame = {
     val outSchema = StructType(Seq(
       df.schema(df.schema.fieldIndex(idCol)).copy(name = "doc_id"),
       StructField("fingerprint", StringType, nullable = true)))
@@ -258,6 +269,6 @@ object TextAnalysis {
           }
         }
       }(Encoders.row(outSchema))
-      .orderBy("doc_id")
+      .transform(d => if (ordered) d.orderBy("doc_id") else d)
   }
 }

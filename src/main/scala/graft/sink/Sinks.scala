@@ -137,11 +137,12 @@ object StudyIdsSink {
    *  study-ids JSON document's content: per-type id lists destined for
    *  one driver-written file, so the per-type array is document-sized by
    *  contract (the reference builds the same lists in RAM). */
-  def sortedIdSets(resources: DataFrame, typeCol: String, idCol: String): DataFrame =
+  def sortedIdSets(resources: DataFrame, typeCol: String, idCol: String,
+      ordered: Boolean = true): DataFrame =
     resources
       .groupBy(col(typeCol).as("resource_type"))
       .agg(sort_array(collect_set(col(idCol).cast("string"))).as("ids"))
-      .orderBy("resource_type")
+      .transform(d => if (ordered) d.orderBy("resource_type") else d)
 
   /** Nested JSON document, merged into `existingJson` (merge-not-
    *  overwrite, ref: tests/test_studyids.py:43-57): other studies/hosts
