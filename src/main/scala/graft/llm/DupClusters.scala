@@ -12,20 +12,24 @@ import org.apache.spark.sql.functions._
  * transitive closure — A~B and B~C must drop two docs, not one from
  * each pair independently.
  *
- * Shape: iterative min-label propagation. Each round unions every
- * node's own label with its neighbors' labels (one shuffle join on the
- * bidirected edge set) and keeps the minimum (one agg shuffle); labels
- * are min-monotone, so convergence is detected by the label sum going
- * stable — one O(1)-row action per round, never a data collect. Rounds
- * needed = O(log component diameter); near-dup components are shallow
- * (clusters of copies, not long chains), so 2-3 rounds is typical and
- * the cap is a safety bound, not a tuning knob. Lineage is cut per
+ * Shape: min-label propagation with pointer jumping. Each round
+ * (1) unions every node's own label with its neighbors' labels (one
+ * shuffle join on the bidirected edge set) and keeps the minimum, then
+ * (2) jumps: replaces each node's label with its LABEL's label (one
+ * join of the label table against itself — labels are always node ids,
+ * so the lookup is total). The hop moves a label one edge per round;
+ * the jump halves the remaining pointer-chain depth, so rounds needed
+ * are O(log component diameter) — genuinely, not just for shallow
+ * graphs (a bare hop loop is O(diameter): the label walks one hop per
+ * round, and a chain longer than the round cap would come out silently
+ * wrong). Labels are min-monotone, so convergence is detected by the
+ * label sum going stable — one O(1)-row action per round, never a data
+ * collect. Exhausting `maxRounds` without convergence THROWS rather
+ * than returning partially-propagated cluster ids. Lineage is cut per
  * round with an eager localCheckpoint — the iterative-DataFrame norm
  * (same discipline as the reference-resolution fixpoint,
  * [[graft.sink.ReferenceResolution]]). At cluster scale each round is
- * fully partition-parallel over the edge set; for graphs with extreme
- * diameters swap the loop body for large-star/small-star — the loop
- * skeleton and convergence test stay the same.
+ * fully partition-parallel over the edge and label sets.
  *
  * Only ids that appear in at least one pair come out (singletons need
  * no canonical pick). Output: (doc_id, cluster_id), one row per
@@ -53,8 +57,17 @@ object DupClusters {
     while (!converged && rounds < maxRounds) {
       val nbr = edges.join(labels, edges("dst") === labels("doc_id"))
         .select(edges("src").as("doc_id"), labels("cluster_id"))
-      val next = labels.unionByName(nbr)
+      val hop = labels.unionByName(nbr)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+      // pointer jump: label <- label(label). Every label is a node id
+      // (mins over node ids), so the self-join resolves for every row;
+      // the left join + coalesce is belt-and-braces. The parent's label
+      // is <= the child's (min-monotone with self included), so the
+      // jump only ever improves.
+      val parent = hop.select(col("doc_id").as("_pid"), col("cluster_id").as("_plbl"))
+      val next = hop.join(parent, hop("cluster_id") === parent("_pid"), "left")
+        .select(hop("doc_id"),
+          coalesce(col("_plbl"), hop("cluster_id")).as("cluster_id"))
         .localCheckpoint(true)
       val cur = labelSum(next)
       converged = cur.compareTo(prev) == 0
@@ -62,6 +75,11 @@ object DupClusters {
       labels = next
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"DupClusters did not converge within maxRounds=$maxRounds: the label " +
+          "sum was still falling, so cluster_ids would be partially propagated " +
+          "(wrong). Rounds scale with log(component diameter) — raise maxRounds.")
     labels
   }
 }

@@ -150,9 +150,43 @@ object IncrementalMinHash {
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
 
+  /** Per-row guard that `arr` is exactly `expected` wide: a mismatched
+    * index (built with different sketch parameters) would otherwise
+    * flow through `zip_with`, which pads the shorter side with nulls and
+    * silently under-counts matches — dups would classify as `new`.
+    * Evaluates inline in the projection (codegen'd, no extra job). */
+  private def widthChecked(arr: Column, expected: Int, what: String): Column =
+    when(size(arr) === expected, arr).otherwise(raise_error(concat(
+      lit(s"IncrementalMinHash.classify: index $what width "),
+      size(arr).cast("string"),
+      lit(s" != expected $expected — the index was built with different " +
+        "sketch parameters (shingleN/numHashes/bands) than this call; " +
+        "rebuild it or pass the parameters it was built with"))))
+
   /**
    * Classify `batch` against `index`. Output (doc_id, status, dup_of),
    * dup_of = -1 for `new` rows.
+   *
+   * The index must have been built with the SAME `numHashes`/`bands`
+   * as this call: every index row's sketch widths are guarded inline
+   * and a mismatch raises rather than silently under-counting matches.
+   *
+   * `dup_of` for a `dup_in_batch` row is a BATCH-LOCAL reference: the
+   * min matching smaller batch id, which may itself be classified
+   * `dup_of_history` (or `dup_in_batch` of a yet-smaller row) and then
+   * never enters the merged index — MinHash similarity is not
+   * transitive, so the row need not also match that row's own keeper.
+   * Callers that need every `dup_of` to resolve into the merged index
+   * should resolve chains over the batch's pair set ([[DupClusters]])
+   * or re-join `dup_of` against the classified batch.
+   *
+   * The batch sketch is cached for the duration of the (lazy) returned
+   * plan — it feeds four plan branches. Same contract as
+   * [[MinHashNearDup]]'s shingle cache: long-lived sessions running
+   * many batches should release it between batches via
+   * `spark.catalog.clearCache()` (or consume the result eagerly and
+   * checkpoint); classify itself cannot unpersist without forcing the
+   * caller's action.
    *
    * @param minMatch minimum equal signature components out of
    *                 `numHashes` (estimated Jaccard >= minMatch/numHashes)
@@ -166,12 +200,13 @@ object IncrementalMinHash {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bBand = bs.select(col("_id"), posexplode(col("_bands")).as(Seq("_b", "_bk")))
     val hBand = index.select(col("keep_id"),
-      posexplode(col("bands")).as(Seq("_b", "_bk")))
+      posexplode(widthChecked(col("bands"), bands, "bands")).as(Seq("_b", "_bk")))
 
     val histDup = bBand.join(hBand, Seq("_b", "_bk"))
       .select(col("_id"), col("keep_id")).distinct()
       .join(bs.select(col("_id"), col("_sig")), Seq("_id"))
-      .join(index.select(col("keep_id"), col("sig")), Seq("keep_id"))
+      .join(index.select(col("keep_id"),
+        widthChecked(col("sig"), numHashes, "signature").as("sig")), Seq("keep_id"))
       .filter(matchCount(col("_sig"), col("sig")) >= minMatch)
       .groupBy(col("_id")).agg(min(col("keep_id")).as("_hist"))
 

@@ -39,12 +39,24 @@ class DupClustersSpec extends AnyFunSuite {
     assert(clusters(Seq.empty) == Map.empty)
   }
 
-  test("round cap bounds work even when convergence needs more rounds") {
-    // a 6-node path with maxRounds = 1: labels move at most one hop +
-    // one min-fold, so the far end cannot reach the global min — the
-    // cap must bound the loop, not loop forever
-    val got = clusters(Seq((2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L)), maxRounds = 1)
-    assert(got(2L) == 2L) // global min 1 is five hops away — not yet propagated
-    assert(got.size == 6)
+  test("exhausting the round cap before convergence throws, never returns partial labels") {
+    // a 6-node path with maxRounds = 1: the far end cannot reach the
+    // global min in one hop+jump, and a partially-propagated result is
+    // silently WRONG downstream (docs kept under the wrong keeper) —
+    // the operator must refuse, not return it
+    val ex = intercept[IllegalStateException] {
+      clusters(Seq((2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L)), maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("maxRounds"))
+  }
+
+  test("deep chain converges in O(log diameter) rounds (pointer jumping)") {
+    // a 100-node path with the global min at the far end: pure one-hop
+    // label propagation needs ~99 rounds; the pointer jump halves the
+    // remaining chain depth each round, so the default cap of 20
+    // (>> log2(100) + slack) must suffice
+    val pairs = (1L until 100L).map(i => (i + 1, i))
+    val got = clusters(pairs)
+    assert(got == (1L to 100L).map(_ -> 1L).toMap)
   }
 }

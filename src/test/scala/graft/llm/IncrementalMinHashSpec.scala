@@ -63,4 +63,23 @@ class IncrementalMinHashSpec extends AnyFunSuite {
     assert(again(40L) == ("dup_of_history", 40L)) // its own prior acceptance
     assert(again(41L) == ("dup_of_history", 1L))
   }
+
+  test("classify raises on an index built with different sketch parameters") {
+    // numHashes=12/bands=4 index vs default 9/3 call: zip_with over
+    // different-length sig arrays would null-pad and silently
+    // under-count matches (dups misclassified as new) — the width
+    // guard must raise instead
+    val index = IncrementalMinHash.buildIndex(history, "doc_id", "text",
+      numHashes = 12, bands = 4)
+    val batch = Seq(
+      (50L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      IncrementalMinHash.classify(batch, index, "doc_id", "text").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain(ex).exists(_.contains("different sketch parameters")))
+  }
 }

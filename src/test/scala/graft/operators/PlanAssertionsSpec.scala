@@ -73,11 +73,11 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // be equi-joins — a nested-loop against the index is the scale-killer
     assert(!cp.contains("Cartesian") && !cp.contains("BroadcastNestedLoop"))
 
-    // one propagation round of DupClusters: the edge-label join is an
-    // equi-join on the node id (the loop repeats this plan shape)
+    // DupClusters propagation rounds: the edge-label hop join and the
+    // pointer-jump self-join are both equi-joins on the node id
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
-    val labels = graft.llm.DupClusters(pairs, "a", "b", maxRounds = 1)
+    val labels = graft.llm.DupClusters(pairs, "a", "b")
     val lp = labels.queryExecution.optimizedPlan.toString
     assert(!lp.contains("Cartesian") && !lp.contains("BroadcastNestedLoop"))
   }
