@@ -456,6 +456,46 @@ object PipelineQueries {
       ExactDedup(corpus, "doc_id", "norm_text")
     }),
 
+    // Train/eval decontamination: shingle containment of an eval set
+    // against the full corpus as training data. The eval set synthesizes
+    // all three classes from the corpus itself: full copies of
+    // doc_id < 10 (containment 1.0), synthetic disjoint texts
+    // (containment 0.0), and copies with novel tokens appended
+    // (containment strictly between — original shingles all hit, the
+    // boundary + novel shingles miss).
+    "pq25_decontaminate" -> q((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val idstr = col("doc_id").cast("string")
+      val freshText = concat(lit("n"), idstr, lit("a n"), idstr, lit("b n"),
+        idstr, lit("c n"), idstr, lit("d n"), idstr, lit("e"))
+      val eval = d.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 50000).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") >= 30 && col("doc_id") < 40)
+          .select((col("doc_id") + 60000).as("doc_id"), freshText.as("text")))
+        .unionByName(d.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+          .select((col("doc_id") + 70000).as("doc_id"),
+            concat(col("text"), lit(" q"), idstr, lit("a q"), idstr,
+              lit("b q"), idstr, lit("c")).as("text")))
+      Decontamination.containment(d, eval, "doc_id", "text",
+        shingleN = 3, ordered = false)
+    }),
+
+    // Gopher-style repetition gates: duplicate-bigram fraction and
+    // dominant-bigram share per document (the synthetic corpus has a
+    // small vocabulary, so both metrics are well-populated).
+    "pq26_repetition" -> q((s, dir) =>
+      TextAnalysis.repetitionMetrics(docs(s, dir), "doc_id", "text",
+        ordered = false)),
+
+    // Deterministic stratified sampling: per-source rates keyed on the
+    // doc id — membership is a pure function of (salt, key), so both
+    // engines select the identical row set (fixed-length lowercase hex
+    // compares like the 32-bit value it spells).
+    "pq27_stratified_sample" -> q((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir).select("doc_id", "source"),
+        "doc_id", "source", rates = Map("src0" -> 0.8, "src1" -> 0.2),
+        defaultRate = 0.5, salt = "r10")),
+
     // Multimodal decode path: text -> opaque binary payload -> batched
     // per-partition decode (the stub codec) -> typed metadata rows. This
     // executes asBinaryPayload + decodeBatch + decodeOne end-to-end; the
@@ -751,6 +791,54 @@ object PipelineQueries {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |       date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    // string shingles stand in for the operator's fnv64 keys — pure
+    // equality semantics, identical counts absent collisions (the same
+    // contract pq15's oracle pins)
+    "pq25_decontaminate" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |ev AS (
+        |  SELECT doc_id + 50000 AS doc_id, text FROM d WHERE doc_id < 10
+        |  UNION ALL SELECT doc_id + 60000, 'n'||doc_id||'a n'||doc_id||'b n'||doc_id||'c n'||doc_id||'d n'||doc_id||'e' FROM d WHERE doc_id >= 30 AND doc_id < 40
+        |  UNION ALL SELECT doc_id + 70000, text || ' q'||doc_id||'a q'||doc_id||'b q'||doc_id||'c' FROM d WHERE doc_id >= 10 AND doc_id < 20),
+        |tt AS (SELECT string_split_regex(trim(text), '\s+') AS t FROM d),
+        |tsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(t)-1),
+        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |        FROM tt WHERE len(t) >= 3),
+        |et AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM ev),
+        |esh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
+        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |        FROM et WHERE len(t) >= 3),
+        |m AS (SELECT e.doc_id, COUNT(*) AS n_shingles,
+        |        CAST(SUM(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+        |      FROM esh e LEFT JOIN tsh t USING (s) GROUP BY e.doc_id)
+        |SELECT ids.doc_id, COALESCE(n_shingles, 0) AS n_shingles,
+        |       COALESCE(n_matched, 0) AS n_matched,
+        |       COALESCE(ROUND(n_matched::DOUBLE / n_shingles, 3), 0.0) AS containment
+        |FROM (SELECT DISTINCT doc_id FROM ev) ids LEFT JOIN m USING (doc_id)""".stripMargin,
+
+    "pq26_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs
+        |      FROM t WHERE len(toks) >= 2),
+        |u AS (SELECT doc_id, unnest(bgs) AS bg FROM b),
+        |c AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM u GROUP BY doc_id, bg),
+        |s AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+        |             COUNT(*) AS n_distinct, MAX(cnt) AS top
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_ngrams,
+        |       ROUND((n_ngrams - n_distinct)::DOUBLE / n_ngrams, 3) AS dup_ngram_frac,
+        |       ROUND(top::DOUBLE / n_ngrams, 3) AS top_ngram_frac
+        |FROM s""".stripMargin,
+
+    "pq27_stratified_sample" -> {
+      def pred(rate: Double): String =
+        s"substr(md5('r10' || CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.thresholdHex(rate)}'"
+      s"""SELECT doc_id, source FROM documents
+         |WHERE CASE WHEN source = 'src0' THEN ${pred(0.8)}
+         |           WHEN source = 'src1' THEN ${pred(0.2)}
+         |           ELSE ${pred(0.5)} END""".stripMargin
+    },
 
     "pq16_percentiles" ->
       """SELECT source, COUNT(*) AS n_docs,

@@ -1,0 +1,72 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/**
+ * Train/eval overlap detection ("decontamination") — the check a
+ * training-data pipeline runs before training: for every eval document,
+ * the fraction of its distinct word n-gram shingles that occur anywhere
+ * in the training corpus. An eval doc fully contained in training data
+ * (containment 1.0) is leaked; high partial containment flags paraphrase
+ * or fragment overlap. Callers filter on `containment` at their chosen
+ * cutoff (0.8 is the common n-gram-overlap convention).
+ *
+ * Scale shape — the train side is the whole corpus, so nothing about it
+ * may be driver-sized or broadcast by construction:
+ *  - one typed pass per side streams tokens into distinct 64-bit fnv
+ *    shingle keys ([[TextOps.shingleHashesJvm]] — the shingle string
+ *    never leaves the row, same trade as [[NgramJaccard]]);
+ *  - the train set collapses to DISTINCT hashes (one shuffle on the
+ *    8-byte key — the map-side partial dedup absorbs most volume);
+ *  - eval shingles left-join the train set on the hash key (shuffle
+ *    join; the planner may still broadcast a small train set, which is
+ *    an optimization, not a requirement) and matches count per doc;
+ *  - one final aggregation keyed on the (small) eval doc id.
+ * Eval docs too short to shingle come out with n_shingles = 0 and
+ * containment 0.0 — every eval id gets exactly one row.
+ *
+ * Output: (doc_id, n_shingles, n_matched, containment), containment
+ * rounded to 3 digits.
+ */
+object Decontamination {
+
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame = {
+    val schema = StructType(Seq(
+      df.schema(df.schema.fieldIndex(idCol)).copy(name = "_id"),
+      StructField("_sh", LongType, nullable = false)))
+    df.select(col(idCol), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) Iterator.empty
+          else TextOps.shingleHashesJvm(
+            TextOps.tokensJvm(r.getString(1)), shingleN).iterator
+            .map(h => Row(r.get(0), h))
+        }
+      }(Encoders.row(schema))
+  }
+
+  def containment(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, ordered: Boolean = true): DataFrame = {
+    val trainSh = shingleRows(train, idCol, textCol, shingleN)
+      .select("_sh").distinct().withColumn("_hit", lit(1))
+    val evalSh = shingleRows(eval, idCol, textCol, shingleN)
+    val perDoc = evalSh
+      .join(trainSh, Seq("_sh"), "left")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_matched"))
+    // spine: every eval id exactly once, shingle-less docs included
+    eval.select(col(idCol).as("doc_id")).distinct()
+      .join(perDoc, col("doc_id") === perDoc("_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_matched").cast("double") / col("n_shingles"), 3))
+          .as("containment"))
+      .transform(d => if (ordered) d.orderBy("doc_id") else d)
+  }
+}

@@ -160,6 +160,63 @@ object TextAnalysis {
   val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
 
   /**
+   * Repetition metrics — the duplicate-n-gram quality gates (the
+   * Gopher-rules family) applied before training: boilerplate and
+   * degenerate generations show up as a high duplicate-n-gram fraction
+   * or a single dominant n-gram. Per document with >= ngramN tokens
+   * (shorter docs have no n-grams and emit no row, same contract as
+   * [[fingerprints]]):
+   *  - n_ngrams        — total word n-grams
+   *  - dup_ngram_frac  — (n_ngrams - distinct) / n_ngrams
+   *  - top_ngram_frac  — occurrences of the most frequent n-gram /
+   *                      n_ngrams (ties don't matter: only the count is
+   *                      used)
+   * Single typed pass (one token array + one count map per row), no
+   * shuffle; rounding is [[TextOps.round3]] = Spark's round().
+   */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String,
+      ngramN: Int = 2, ordered: Boolean = true): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(df.schema.fieldIndex(idCol)).copy(name = "doc_id"),
+      StructField("n_ngrams", LongType, nullable = true),
+      StructField("dup_ngram_frac", DoubleType, nullable = true),
+      StructField("top_ngram_frac", DoubleType, nullable = true)))
+    df.select(col(idCol), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val toks = TextOps.tokensJvm(r.getString(1))
+            val n = toks.length - ngramN + 1
+            if (n <= 0) Iterator.empty
+            else {
+              val counts = new java.util.HashMap[String, Int]()
+              var top = 0
+              var i = 0
+              val sb = new java.lang.StringBuilder()
+              while (i < n) {
+                sb.setLength(0)
+                var o = 0
+                while (o < ngramN) {
+                  if (o > 0) sb.append(' ')
+                  sb.append(toks(i + o))
+                  o += 1
+                }
+                val c = counts.merge(sb.toString, 1, Integer.sum)
+                if (c > top) top = c
+                i += 1
+              }
+              Iterator.single(Row(r.get(0), n.toLong,
+                TextOps.round3((n - counts.size).toDouble / n),
+                TextOps.round3(top.toDouble / n)))
+            }
+          }
+        }
+      }(Encoders.row(outSchema))
+      .transform(d => if (ordered) d.orderBy("doc_id") else d)
+  }
+
+  /**
    * Stopword-profile language ID: score each candidate language by hits
    * from its function-word list; highest score wins, ties broken by list
    * order. A cheap n-gram-free heuristic that runs as a projection; for

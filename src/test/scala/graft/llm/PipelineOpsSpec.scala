@@ -1,0 +1,98 @@
+package graft.llm
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Decontamination, repetition metrics, and deterministic sampling —
+  * the round-10 pipeline operators. */
+class PipelineOpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("containment: full copy 1.0, disjoint 0.0, partial in between, short doc 0-row") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // full copy: 4/4
+      (11L, "xx yy zz ww vv"),                      // disjoint: 0/3
+      (12L, "alpha beta gamma delta qq rr"),        // 2 of its 4 shingles in train
+      (13L, "too short")                            // < 3 tokens: no shingles
+    ).toDF("doc_id", "text")
+    val got = Decontamination.containment(train, eval, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(10L) == ((4L, 4L, 1.0)))
+    assert(got(11L) == ((3L, 0L, 0.0)))
+    assert(got(12L) == ((4L, 2L, 0.5)))
+    assert(got(13L) == ((0L, 0L, 0.0))) // spine row, not dropped
+    assert(got.size == 4)
+  }
+
+  test("containment counts DISTINCT shingles — repeats in the eval doc don't inflate") {
+    val train = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    // "a b c" appears twice in the eval text; distinct set = {a b c, b c a, c a b}
+    val eval = Seq((10L, "a b c a b c")).toDF("doc_id", "text")
+    val r = Decontamination.containment(train, eval, "doc_id", "text").head()
+    assert(r.getLong(1) == 3L) // distinct shingles
+    assert(r.getLong(2) == 1L) // only "a b c" is in train
+  }
+
+  test("repetitionMetrics: hand-computed bigram fractions; short docs emit no row") {
+    val df = Seq(
+      (1L, "x y x y x y"),   // bigrams: xy yx xy yx xy -> n=5, distinct=2, top=3
+      (2L, "a b c d"),       // n=3, all distinct, top=1
+      (3L, "solo")           // < 2 tokens: no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionMetrics(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((5L, 0.6, 0.6)))   // (5-2)/5, 3/5
+    assert(got(2L) == ((3L, 0.0, 0.333))) // 0/3, 1/3
+    assert(!got.contains(3L))
+  }
+
+  test("hashSample is deterministic, salt-sensitive, and roughly calibrated") {
+    val df = spark.range(0, 2000).select(col("id").as("k"))
+    val a = Sampling.hashSample(df, "k", 0.5, salt = "s1").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df, "k", 0.5, salt = "s1").collect().map(_.getLong(0)).toSet
+    assert(a == b) // same (salt, key) -> same sample, run to run
+    val c = Sampling.hashSample(df, "k", 0.5, salt = "s2").collect().map(_.getLong(0)).toSet
+    assert(a != c) // different salt -> independent draw
+    assert(math.abs(a.size - 1000) < 150, s"rate 0.5 of 2000 drew ${a.size}")
+    // nested rates: a lower-rate sample with the same salt is a subset
+    val quarter = Sampling.hashSample(df, "k", 0.25, salt = "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(quarter.subsetOf(a))
+  }
+
+  test("rate edges: 0 keeps nothing, 1 keeps everything") {
+    val df = spark.range(0, 100).select(col("id").as("k"))
+    assert(Sampling.hashSample(df, "k", 0.0).count() == 0L)
+    assert(Sampling.hashSample(df, "k", 1.0).count() == 100L)
+    assert(Sampling.thresholdHex(0.5) == "80000000")
+  }
+
+  test("stratifiedSample applies per-stratum rates with a default") {
+    val df = spark.range(0, 3000).select(col("id").as("k"),
+      (col("id") % 3).cast("string").as("src"))
+    val got = Sampling.stratifiedSample(df, "k", "src",
+      rates = Map("0" -> 1.0, "1" -> 0.0), defaultRate = 0.5, salt = "t")
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("0") == 1000L)        // rate 1.0: all of stratum 0
+    assert(!got.contains("1"))       // rate 0.0: none of stratum 1
+    val d = got("2")                 // default 0.5 of 1000
+    assert(math.abs(d - 500) < 120, s"default rate drew $d")
+  }
+
+  test("sampling is a filter on the scan — no shuffle, no UDF in the plan") {
+    val df = spark.range(0, 100).select(col("id").as("k"), lit("s").as("src"))
+    val plan = Sampling.stratifiedSample(df, "k", "src", Map("s" -> 0.5), 0.25)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"))
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+  private def lit(v: Any) = org.apache.spark.sql.functions.lit(v)
+}
