@@ -201,6 +201,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(cRatio < 15.0, s"dup clustering grew superlinearly: $c1 s -> $c10 s")
   }
 
+  test("10x growth: decontamination cost is near-linear in the train corpus") {
+    // the scale axis is the TRAIN side (the whole training corpus) with
+    // a fixed eval set — the production shape; copies share no shingles
+    // (docCorpus marker), so the distinct train-shingle set grows ~10x
+    // and the eval join stays eval-sized
+    val d1 = materialize(docCorpus(1), "dc1")
+    val d10 = materialize(docCorpus(10), "dc10")
+    val eval = materialize(docCorpus(1).filter(col("doc_id") < 50)
+      .select((col("doc_id") + 900000000L).as("doc_id"), col("text")), "dceval")
+    def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+    // deterministic pin: one row per eval doc regardless of train size,
+    // and the fixed eval set is fully contained in both corpora
+    val r1 = Decontamination.containment(d1, eval, "doc_id", "text")
+    val r10 = Decontamination.containment(d10, eval, "doc_id", "text")
+    assert(r1.count() == 50 && r10.count() == 50)
+    assert(r1.filter(col("containment") === 1.0).count() == 50)
+    val t1 = timeMinOf2(() =>
+      noop(Decontamination.containment(d1, eval, "doc_id", "text")))
+    val t10 = timeMinOf2(() =>
+      noop(Decontamination.containment(d10, eval, "doc_id", "text")))
+    val ratio = t10 / math.max(t1, 0.3)
+    info(f"decontaminate 1x=$t1%.2fs 10x=$t10%.2fs ratio=$ratio%.1f")
+    assert(ratio < 15.0, s"decontamination grew superlinearly: $t1 s -> $t10 s")
+  }
+
   test("with size-based broadcast off, dedup plans contain no broadcast of anything") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
