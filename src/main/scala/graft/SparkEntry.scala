@@ -358,6 +358,51 @@ object SparkEntry {
           (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("duration_sec"))
     }),
 
+    // VQ-23: as-of join — each click matched to the user's latest
+    // purchase at or before it (operators/AsOfJoin: union+carry-forward,
+    // one shuffle, no range join). Seconds truncation makes the ts
+    // values byte-identical across engines; the purchase side is
+    // aggregated to uniqueness per (user, ts) so "the" match is
+    // deterministic in both engines.
+    "vq23_asof_join" -> q((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts"), col("event_type"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(round(max("value"), 2).as("ref_value"))
+        .select(col("user_id"), col("ts"), col("ts").as("ref_ts"), col("ref_value"))
+      // no-match sentinels: a null double round-trips as NaN through the
+      // pandas bridge and NaN defeats row compares (same trade as pq21's
+      // dup_of = -1)
+      AsOfJoin(clicks, purchases, Seq("user_id"), "ts", Seq("ref_ts", "ref_value"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          coalesce(col("ref_ts"), to_timestamp(lit("1970-01-01"))).as("ref_ts"),
+          coalesce(col("ref_value"), lit(-1.0)).as("ref_value"))
+    }),
+
+    // VQ-24: range (interval) join — clicks inside a ±5-minute window
+    // around each purchase (operators/RangeJoin: time-bucketed equi-join,
+    // never a per-key cross product). Purchases are aggregated to
+    // uniqueness per (user, ts) first so the interval side is
+    // deterministic; inner join, so no null sentinels needed.
+    "vq24_range_join" -> q((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts"), col("event_type"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val windows = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("_pts"))
+        .agg(round(max("value"), 2).as("purchase_value"))
+        .select(col("user_id"),
+          (col("_pts") - expr("INTERVAL 5 MINUTES")).as("win_start"),
+          (col("_pts") + expr("INTERVAL 5 MINUTES")).as("win_end"),
+          col("purchase_value"))
+      RangeJoin(clicks, windows, Seq("user_id"), "ts",
+        "win_start", "win_end", bucketSeconds = 600)
+    }),
+
     // VQ-21b: harmony target-group last-wins polarity
     // (conceptmap.py:119-127 `targets`): duplicate (system, code) pairs
     // keep the LAST row's display (firstWins dedup, by contrast, keeps
@@ -583,6 +628,29 @@ object SparkEntry {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |       date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "vq24_range_join" ->
+      """WITH ev AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts,
+        |                   event_type, value FROM events),
+        |c AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'click'),
+        |w AS (SELECT user_id, ts - INTERVAL 5 MINUTE AS win_start,
+        |             ts + INTERVAL 5 MINUTE AS win_end,
+        |             ROUND(MAX(value), 2) AS purchase_value
+        |      FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.user_id, c.event_id, c.ts, w.win_start, w.win_end, w.purchase_value
+        |FROM c JOIN w ON c.user_id = w.user_id
+        |               AND c.ts BETWEEN w.win_start AND w.win_end""".stripMargin,
+
+    "vq23_asof_join" ->
+      """WITH ev AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts,
+        |                   event_type, value FROM events),
+        |c AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, ts AS ref_ts, ROUND(MAX(value), 2) AS ref_value
+        |      FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.user_id, c.event_id, c.ts,
+        |       COALESCE(p.ref_ts, TIMESTAMP '1970-01-01') AS ref_ts,
+        |       COALESCE(p.ref_value, -1.0) AS ref_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
 
     "vq21b_harmony_lastwins" ->
       """WITH m AS (SELECT c_mktsegment AS system,

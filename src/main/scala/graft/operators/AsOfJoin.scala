@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * As-of join: for every left row, the single most recent right row with
+ * `right.ts <= left.ts` within the same key — the temporal lookup
+ * (latest quote for a trade, latest config for an event) that SQL
+ * engines ship natively (DuckDB `ASOF JOIN`, the vq oracle) and Spark
+ * lacks.
+ *
+ * Implementation is the UNION + CARRY-FORWARD shape, not a range join:
+ * tag both sides, union on (key, ts), then one window per key ordered
+ * by (ts, side) carries the latest right payload forward into each left
+ * row. The payload travels as ONE struct column (null on left rows), so
+ * `last(_, ignoreNulls = true)` atomically picks every carried column
+ * from the SAME right row — per-column carries could mix rows when a
+ * payload field is legitimately null. Right rows sort BEFORE left rows
+ * at equal ts, so the match is inclusive — exactly DuckDB's
+ * `ON l.ts >= r.ts`.
+ *
+ * Scale shape: ONE shuffle on the key (both sides together), one
+ * windowed sort per key partition, zero joins — each row crosses the
+ * wire once. The naive alternatives both die at scale: an inequality
+ * join degenerates to a per-key cross product, and a "max ts per left
+ * row" subquery re-scans the right side per row. Skewed keys cost what
+ * any window costs (a hot key's rows sort in one partition) — the
+ * standard mitigation is time-bucketing the carry within the key, same
+ * as any windowed pipeline.
+ *
+ * The right side must be unique per (key, ts) — pre-aggregate if not
+ * (ties would make "the" matched row nondeterministic in ANY engine;
+ * DuckDB's ASOF picks one arbitrarily). Output: every left row + the
+ * matched right payload columns (null when no right row precedes).
+ */
+object AsOfJoin {
+
+  /**
+   * @param left        probe side; all its columns survive
+   * @param right       reference side, unique per (key, ts)
+   * @param keyCols     equality keys
+   * @param tsCol       ordering column name, present on both sides
+   * @param payloadCols right-side columns to carry (must not collide
+   *                    with left column names; alias on the way in)
+   */
+  def apply(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "as-of join needs at least one equality key")
+    require(payloadCols.nonEmpty, "as-of join needs at least one payload column")
+    val leftCols = left.columns.toSeq
+    require(payloadCols.intersect(leftCols).isEmpty,
+      s"payload columns ${payloadCols.intersect(leftCols)} collide with left columns — alias the right side")
+    val restCols = leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val payloadType = StructType(payloadCols.map(c => right.schema(c)))
+    val l = left.select(
+      (keyCols :+ tsCol).map(col) ++ Seq(
+        lit(1).as("_side"),
+        lit(null).cast(payloadType).as("_payload")) ++ restCols.map(col): _*)
+    val r = right.select(
+      (keyCols :+ tsCol).map(col) ++ Seq(
+        lit(0).as("_side"),
+        struct(payloadCols.map(col): _*).as("_payload")) ++
+        restCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_carried", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(s"_carried.$c").as(c)): _*)
+  }
+}

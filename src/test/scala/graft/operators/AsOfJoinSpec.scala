@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def run(left: Seq[(Int, Long, String)], right: Seq[(Int, Long, String)]) =
+    AsOfJoin(
+      left.toDF("k", "ts", "tag"),
+      right.toDF("k", "ts", "v").select($"k", $"ts", $"ts".as("ref_ts"), $"v"),
+      Seq("k"), "ts", Seq("ref_ts", "v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getString(4)))
+      .toSet
+
+  test("each left row gets the latest right row at or before its ts, per key") {
+    val got = run(
+      left = Seq((1, 10L, "a"), (1, 20L, "b"), (1, 5L, "c"), (2, 10L, "d")),
+      right = Seq((1, 7L, "r7"), (1, 15L, "r15"), (2, 30L, "r30")))
+    assert(got == Set(
+      (1, 10L, "a", 7L, "r7"),   // 7 <= 10 < 15
+      (1, 20L, "b", 15L, "r15"), // latest wins
+      (1, 5L, "c", -1L, null),   // nothing precedes -> null match
+      (2, 10L, "d", -1L, null))) // key 2's only right row is later
+  }
+
+  test("equal timestamps match (inclusive, DuckDB ASOF semantics)") {
+    val got = run(
+      left = Seq((1, 10L, "a")),
+      right = Seq((1, 10L, "r10")))
+    assert(got == Set((1, 10L, "a", 10L, "r10")))
+  }
+
+  test("payload columns are carried atomically from one right row") {
+    // the ts=20 right row carries a NULL v; a per-column carry would
+    // resurrect ts=10's v under ts=20's ref_ts — the struct carry must
+    // keep both fields from the matched row
+    val left = Seq((1, 25L)).toDF("k", "ts")
+    val right = Seq((1, 10L, Some("old")), (1, 20L, Option.empty[String]))
+      .toDF("k", "ts", "v").select($"k", $"ts", $"ts".as("ref_ts"), $"v")
+    val r = AsOfJoin(left, right, Seq("k"), "ts", Seq("ref_ts", "v")).head()
+    assert(r.getLong(2) == 20L && r.isNullAt(3),
+      s"expected (ref_ts=20, v=null) from the matched row, got $r")
+  }
+
+  test("no join operator in the plan: one shuffle on the key, window-only") {
+    val left = Seq((1, 10L, "a")).toDF("k", "ts", "tag")
+    val right = Seq((1, 7L, "r")).toDF("k", "ts", "v")
+      .select($"k", $"ts", $"ts".as("ref_ts"), $"v")
+    val plan = AsOfJoin(left, right, Seq("k"), "ts", Seq("ref_ts", "v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly one key shuffle, got $shuffles:\n$plan")
+  }
+
+  test("payload name collisions are rejected up front") {
+    val df = Seq((1, 10L, "x")).toDF("k", "ts", "tag")
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin(df, df, Seq("k"), "ts", Seq("tag"))
+    }
+    assert(ex.getMessage.contains("collide"))
+  }
+}
