@@ -496,6 +496,14 @@ object PipelineQueries {
         "doc_id", "source", rates = Map("src0" -> 0.8, "src1" -> 0.2),
         defaultRate = 0.5, salt = "r10")),
 
+    // Characteristic terms per doc: tf-idf-family weighting with the
+    // rational idf (N/df — bit-identical IEEE arithmetic across
+    // engines; production swaps in the log form, same plan), ties on
+    // the term string, top-3 per doc.
+    "pq28_tfidf" -> q((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(docs(s, dir), "doc_id", "text",
+        k = 3, ordered = false)),
+
     // Multimodal decode path: text -> opaque binary payload -> batched
     // per-partition decode (the stub codec) -> typed metadata rows. This
     // executes asBinaryPayload + decodeBatch + decodeOne end-to-end; the
@@ -830,6 +838,20 @@ object PipelineQueries {
         |       ROUND((n_ngrams - n_distinct)::DOUBLE / n_ngrams, 3) AS dup_ngram_frac,
         |       ROUND(top::DOUBLE / n_ngrams, 3) AS top_ngram_frac
         |FROM s""".stripMargin,
+
+    "pq28_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tt GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term, tf::DOUBLE * n_docs::DOUBLE / df::DOUBLE AS weight
+        |      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, weight,
+        |             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS rnk
+        |      FROM s)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, ROUND(weight, 4) AS weight
+        |FROM r WHERE rnk <= 3""".stripMargin,
 
     "pq27_stratified_sample" -> {
       def pred(rate: Double): String =

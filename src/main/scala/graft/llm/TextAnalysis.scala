@@ -217,6 +217,45 @@ object TextAnalysis {
   }
 
   /**
+   * Top-k characteristic terms per document by tf-idf-style weighting —
+   * the keyword-extraction / topic-tagging pass of a corpus pipeline.
+   *
+   * The idf factor is the RATIONAL form N / df (not log(N / df)):
+   * integer counts through one IEEE division and one multiplication are
+   * bit-identical across engines, which makes the operator exactly
+   * oracle-checkable; production scoring that wants the log dampening
+   * swaps one expression, the plan shape is unchanged. Ranking ties
+   * break on the term string, so top-k membership is deterministic.
+   *
+   * Scale shape: one shuffle for per-(doc, term) counts, one for
+   * per-term document frequencies, a term-keyed join (co-partitioned
+   * with the df aggregation), and the per-doc ranking window. The
+   * corpus size N joins in as a broadcast one-row aggregate — never a
+   * driver action, the plan stays lazy.
+   */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, ordered: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol).cast("string"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(col(idCol)).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("weight").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .join(broadcast(nDocs))
+      .withColumn("weight",
+        col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), round(col("weight"), 4).as("weight"))
+      .transform(d => if (ordered) d.orderBy("doc_id", "rnk") else d)
+  }
+
+  /**
    * Stopword-profile language ID: score each candidate language by hits
    * from its function-word list; highest score wins, ties broken by list
    * order. A cheap n-gram-free heuristic that runs as a projection; for

@@ -85,6 +85,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(d - 500) < 120, s"default rate drew $d")
   }
 
+  test("tfIdfTopTerms: rare terms outweigh common ones, ties break on the term") {
+    val df = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "cherry common"),
+      (3L, "common common common")).toDF("doc_id", "text")
+    // N=3. doc 1: apple tf=2 df=1 -> 6.0; banana 1/1 -> 3.0; common 1/3 -> 1.0
+    val got = TextAnalysis.tfIdfTopTerms(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, "apple", 6.0), (1L, 2L, "banana", 3.0),
+      (2L, 1L, "cherry", 3.0), (2L, 2L, "common", 1.0),
+      (3L, 1L, "common", 3.0))) // tf=3 * 3/3 = 3.0; only one distinct term
+  }
+
   test("sampling is a filter on the scan — no shuffle, no UDF in the plan") {
     val df = spark.range(0, 100).select(col("id").as("k"), lit("s").as("src"))
     val plan = Sampling.stratifiedSample(df, "k", "src", Map("s" -> 0.5), 0.25)
