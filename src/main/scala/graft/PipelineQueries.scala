@@ -504,6 +504,26 @@ object PipelineQueries {
       TextAnalysis.tfIdfTopTerms(docs(s, dir), "doc_id", "text",
         k = 3, ordered = false)),
 
+    // Token-window chunking: 16-token chunks with 4-token overlap
+    // (stride 12) — every chunk boundary and the short tail are
+    // slice-expressible in both engines.
+    "pq29_chunking" -> q((s, dir) =>
+      TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text",
+        chunkTokens = 16, overlapTokens = 4, ordered = false)),
+
+    // PII redaction over a corpus with synthesized contamination for
+    // doc_id < 20 (email + phone + IPv4 appended); the rest of the
+    // corpus is clean word soup and must pass through untouched with
+    // n_redactions = 0.
+    "pq30_redact" -> q((s, dir) => {
+      val contaminated = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") < 20,
+          concat(col("text"),
+            lit(" contact bob@example.com or 555-123-4567 at 10.0.0.1")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.redactPii(contaminated, "doc_id", "text", ordered = false)
+    }),
+
     // Multimodal decode path: text -> opaque binary payload -> batched
     // per-partition decode (the stub codec) -> typed metadata rows. This
     // executes asBinaryPayload + decodeBatch + decodeOne end-to-end; the
@@ -852,6 +872,31 @@ object PipelineQueries {
         |      FROM s)
         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, ROUND(weight, 4) AS weight
         |FROM r WHERE rnk <= 3""".stripMargin,
+
+    "pq29_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, i AS chunk_idx,
+        |             toks[(1 + i*12)::INT : (i*12 + 16)::INT] AS chunk
+        |      FROM t, unnest(range(0, (len(toks) - 1) // 12 + 1)) AS u(i))
+        |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
+        |       array_to_string(chunk, ' ') AS chunk_text
+        |FROM c""".stripMargin,
+
+    "pq30_redact" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id < 20
+        |       THEN text || ' contact bob@example.com or 555-123-4567 at 10.0.0.1'
+        |       ELSE text END AS text FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted_text,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+        |     + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |    AS BIGINT) AS n_redactions
+        |FROM d""".stripMargin,
 
     "pq27_stratified_sample" -> {
       def pred(rate: Double): String =

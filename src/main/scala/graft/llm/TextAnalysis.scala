@@ -217,6 +217,82 @@ object TextAnalysis {
   }
 
   /**
+   * Split documents into fixed-size token windows with optional overlap
+   * — the chunking pass that precedes tokenization/embedding in a
+   * training or retrieval pipeline. Chunk starts advance by
+   * `chunkTokens - overlapTokens`; every chunk except possibly the last
+   * carries `chunkTokens` tokens; a chunk is emitted for every start
+   * offset below the token count (no tail suppression — deterministic
+   * and slice-expressible in any engine). Pure projection + explode: no
+   * shuffle, chunks stay colocated with their document's partition.
+   * Output: (doc_id, chunk_idx, n_tokens, chunk_text).
+   */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 128, overlapTokens: Int = 0,
+      ordered: Boolean = true): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val outSchema = StructType(Seq(
+      df.schema(df.schema.fieldIndex(idCol)).copy(name = "doc_id"),
+      StructField("chunk_idx", LongType, nullable = true),
+      StructField("n_tokens", LongType, nullable = true),
+      StructField("chunk_text", StringType, nullable = true)))
+    df.select(col(idCol), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val toks = TextOps.tokensJvm(r.getString(1))
+            val n = toks.length
+            Iterator.range(0, (n - 1) / stride + 1).map { i =>
+              val start = i * stride
+              val end = math.min(start + chunkTokens, n)
+              Row(r.get(0), i.toLong, (end - start).toLong,
+                toks.slice(start, end).mkString(" "))
+            }
+          }
+        }
+      }(Encoders.row(outSchema))
+      .transform(d => if (ordered) d.orderBy("doc_id", "chunk_idx") else d)
+  }
+
+  /** (pattern, replacement) pairs for [[redactPii]]: email, NANP-style
+    * phone, IPv4 — ASCII regexes that Java and RE2 engines read
+    * identically. */
+  val DefaultRedactions: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{3}-\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  /**
+   * PII scrubbing: replace every match of each pattern with its tag and
+   * count the redactions — the privacy pass a corpus runs before
+   * training. Counts are taken on the ORIGINAL text per pattern (the
+   * default patterns cannot overlap each other's matches), replacements
+   * apply in sequence. Pure codegen'd Column projection — three regex
+   * scans per row, no shuffle, no UDF. Output:
+   * (doc_id, redacted_text, n_redactions).
+   */
+  def redactPii(df: DataFrame, idCol: String, textCol: String,
+      redactions: Seq[(String, String)] = DefaultRedactions,
+      ordered: Boolean = true): DataFrame = {
+    val text = col(textCol).cast("string")
+    val redacted = redactions.foldLeft(text) { case (acc, (pat, tag)) =>
+      regexp_replace(acc, pat, tag)
+    }
+    val counts = redactions.map { case (pat, _) =>
+      size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
+    }
+    df.select(
+      col(idCol).as("doc_id"),
+      redacted.as("redacted_text"),
+      counts.reduce(_ + _).as("n_redactions"))
+      .transform(d => if (ordered) d.orderBy("doc_id") else d)
+  }
+
+  /**
    * Top-k characteristic terms per document by tf-idf-style weighting —
    * the keyword-extraction / topic-tagging pass of a corpus pipeline.
    *

@@ -99,6 +99,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       (3L, 1L, "common", 3.0))) // tf=3 * 3/3 = 3.0; only one distinct term
   }
 
+  test("chunkDocuments: stride, overlap, short tail, and sub-chunk docs") {
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(df, "doc_id", "text",
+      chunkTokens = 4, overlapTokens = 1) // stride 3
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 1L, "t6"),          // tail chunk, no suppression
+      (2L, 0L, 2L, "a b")))        // doc shorter than a chunk
+  }
+
+  test("redactPii: tags every pattern, counts on the original text, clean rows untouched") {
+    val df = Seq(
+      (1L, "mail a@b.io and c@d.org call 555-123-4567 from 10.0.0.1"),
+      (2L, "plain words only")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("mail <EMAIL> and <EMAIL> call <PHONE> from <IP>", 4L)))
+    assert(got(2L) == (("plain words only", 0L)))
+  }
+
   test("sampling is a filter on the scan — no shuffle, no UDF in the plan") {
     val df = spark.range(0, 100).select(col("id").as("k"), lit("s").as("src"))
     val plan = Sampling.stratifiedSample(df, "k", "src", Map("s" -> 0.5), 0.25)
