@@ -154,6 +154,24 @@ object PipelineQueries {
       |                             strpos('0123456789abcdef', substr(sb, p, 1)) - 1)))) AS BIGINT) AS hamming
       |        FROM cand)""".stripMargin
 
+  /** The perturbed-corpus bucket/cosine pair CTE chain — the oracle for
+   *  BOTH pq12 (near-dup pairs) and pq31 (semantic-dedup clusters): one
+   *  string, so the cluster oracle provably builds on the exact pair
+   *  set the pair oracle pins. */
+  private val EmbNearDupCtes: String =
+    """corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.01 AS FLOAT))
+      |  FROM embeddings WHERE vec_id < 10),
+      |qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v FROM corpus),
+      |nrm AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2,
+      |          array_to_string(list_transform([1, 2, 3, 4], i -> CASE WHEN v[i] > 0 THEN '1' ELSE '0' END), '') AS bkt
+      |        FROM qv),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |        list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) AS cos
+      |      FROM nrm a JOIN nrm b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)""".stripMargin
+
   /** Exact cosine top-5 for queries vec_id < 20 — the oracle for BOTH
    *  pq8 (brute force) and pq19 (full-probe IVF): one string, so the
    *  "IVF with nprobe == nlist equals brute force" pin cannot drift. */
@@ -273,6 +291,21 @@ object PipelineQueries {
           .as("embedding"))
       Similarity.nearDupPairs(e.unionByName(perturbed), "vec_id", "embedding",
         threshold = 0.99, bucketBits = 4, ordered = false)
+    }),
+
+    // Semantic dedup (SemDeDup-style): the pq12 embedding near-dup
+    // pairs resolved to connected components with the min-id keeper —
+    // each perturbed copy clusters onto its original; everything else
+    // is a singleton and emits no row.
+    "pq31_semantic_dedup" -> q((s, dir) => {
+      val e = embs(s, dir).select("vec_id", "embedding")
+      val perturbed = e.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), x => (x.cast("double") * 1.01).cast("float"))
+          .as("embedding"))
+      val pairs = Similarity.nearDupPairs(e.unionByName(perturbed),
+        "vec_id", "embedding", threshold = 0.99, bucketBits = 4, ordered = false)
+      DupClusters(pairs, "id_a", "id_b")
     }),
 
     // BPE-ish token-class counts (letters / digits / punctuation)
@@ -673,19 +706,18 @@ object PipelineQueries {
         |SELECT qid, rnk, cid, ROUND(cos, 4) AS cos FROM scored WHERE rnk <= 3""".stripMargin,
 
     "pq12_embedding_neardup" ->
-      """WITH corpus AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 1000, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.01 AS FLOAT))
-        |  FROM embeddings WHERE vec_id < 10),
-        |qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v FROM corpus),
-        |nrm AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2,
-        |          array_to_string(list_transform([1, 2, 3, 4], i -> CASE WHEN v[i] > 0 THEN '1' ELSE '0' END), '') AS bkt
-        |        FROM qv),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |        list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) AS cos
-        |      FROM nrm a JOIN nrm b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM p WHERE cos >= 0.99""".stripMargin,
+      s"""WITH $EmbNearDupCtes
+         |SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM p WHERE cos >= 0.99""".stripMargin,
+
+    // MATERIALIZED for the same reason as pq23: DuckDB inlines CTEs
+    // referenced from a recursive term, which would re-run the whole
+    // bucket/cosine chain per iteration and inflate the oracle
+    "pq31_semantic_dedup" ->
+      s"""WITH RECURSIVE $EmbNearDupCtes,
+         |pr AS MATERIALIZED (SELECT id_a, id_b FROM p WHERE cos >= 0.99),
+         |e AS (SELECT id_a AS s, id_b AS t FROM pr UNION SELECT id_b, id_a FROM pr),
+         |reach AS (SELECT s, t FROM e UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
+         |SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id FROM reach GROUP BY s""".stripMargin,
 
     "pq13_token_classes" ->
       """SELECT doc_id,
