@@ -129,6 +129,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("scalaudf"))
   }
 
+  test("ordered=false makes the projection tier streaming-compatible (redact + sample + chunk)") {
+    // a global sort is illegal on an unbounded stream — the ordered
+    // opt-out is exactly what lets these passes run unchanged under
+    // Structured Streaming (stateless projections/filters need no
+    // watermark, no state store)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = ms.toDF.toDF("doc_id", "text")
+    val piped = TextAnalysis.chunkDocuments(
+      TextAnalysis.redactPii(
+        Sampling.hashSample(stream, "doc_id", rate = 1.0),
+        "doc_id", "text", ordered = false)
+        .withColumnRenamed("redacted_text", "text"),
+      "doc_id", "text", chunkTokens = 3, overlapTokens = 0, ordered = false)
+    val q = piped.writeStream.format("memory").queryName("pipeops_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "mail a@b.io one two three four"), (2L, "x y"))
+      q.processAllAvailable()
+      val got = spark.table("pipeops_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+      assert(got == Set(
+        (1L, 0L, "mail <EMAIL> one"), (1L, 1L, "two three four"),
+        (2L, 0L, "x y")))
+    } finally q.stop()
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
   private def lit(v: Any) = org.apache.spark.sql.functions.lit(v)
 }

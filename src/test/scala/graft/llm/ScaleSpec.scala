@@ -237,7 +237,11 @@ class ScaleSpec extends AnyFunSuite {
       "SimHashNearDup" -> SimHashNearDup(d, "doc_id", "text"),
       // broadcastSizes=false is the documented extreme-scale fallback —
       // with it, nothing in the n-gram Jaccard plan broadcasts either
-      "NgramJaccard" -> NgramJaccard(d, "doc_id", "text", broadcastSizes = false)
+      "NgramJaccard" -> NgramJaccard(d, "doc_id", "text", broadcastSizes = false),
+      // the train side is the whole corpus: the containment join must
+      // survive without ever broadcasting it
+      "Decontamination" -> Decontamination.containment(
+        d, d.limit(50), "doc_id", "text")
     ).foreach { case (name, q) =>
       val plan = q.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastExchange"),
