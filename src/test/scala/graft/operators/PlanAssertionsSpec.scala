@@ -33,6 +33,28 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"))
   }
 
+  test("the typed (mapPartitions) operator tier still prunes the parquet scan") {
+    // typed stages black-box their row function, but the select() in
+    // front of each mapPartitions is what keeps column pruning alive:
+    // the documents scan must read (doc_id, text) only — never source,
+    // lang, n_chars — or at 100 TB every quality pass drags the whole
+    // table through IO
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      "qualityMetrics" -> graft.llm.TextAnalysis.qualityMetrics(d, "doc_id", "text"),
+      "repetitionMetrics" -> graft.llm.TextAnalysis.repetitionMetrics(d, "doc_id", "text"),
+      "chunkDocuments" -> graft.llm.TextAnalysis.chunkDocuments(d, "doc_id", "text"),
+      "redactPii" -> graft.llm.TextAnalysis.redactPii(d, "doc_id", "text")
+    ).foreach { case (name, q) =>
+      val readSchema = q.queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("ReadSchema")).get
+      assert(readSchema.contains("doc_id") && readSchema.contains("text"),
+        s"$name must read its input columns: $readSchema")
+      assert(!readSchema.contains("source") && !readSchema.contains("n_chars"),
+        s"$name reads columns it never uses: $readSchema")
+    }
+  }
+
   test("dimension joins broadcast; the fact side never shuffles for the join") {
     val supplier = spark.read.parquet(s"$dir/supplier.parquet")
     val nation = spark.read.parquet(s"$dir/nation.parquet")
