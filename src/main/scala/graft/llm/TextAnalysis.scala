@@ -303,11 +303,13 @@ object TextAnalysis {
    * swaps one expression, the plan shape is unchanged. Ranking ties
    * break on the term string, so top-k membership is deterministic.
    *
-   * Scale shape: one shuffle for per-(doc, term) counts, one for
-   * per-term document frequencies, a term-keyed join (co-partitioned
-   * with the df aggregation), and the per-doc ranking window. The
-   * corpus size N joins in as a broadcast one-row aggregate — never a
-   * driver action, the plan stays lazy.
+   * Scale shape: THREE exchanges total — per-(doc, term) counts, the
+   * document frequency as a count window over the term partition (one
+   * exchange instead of the aggregate-then-rejoin's two: tf rows are
+   * already one-per-(doc, term), so the partition row count IS df),
+   * and the per-doc ranking window. The corpus size N joins in as a
+   * broadcast one-row aggregate — never a driver action, the plan
+   * stays lazy.
    */
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, ordered: Boolean = true): DataFrame = {
@@ -317,11 +319,10 @@ object TextAnalysis {
         explode(TextOps.tokens(col(textCol).cast("string"))).as("term"))
       .filter(col("term") =!= "")
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.select(col(idCol)).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("weight").desc, col("term").asc)
-    tf.join(dfreq, Seq("term"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .join(broadcast(nDocs))
       .withColumn("weight",
         col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
