@@ -43,9 +43,13 @@ object DupClusters {
     val edges = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true) // scanned every round; compute the pair source once
+    // lazy checkpoints throughout the loop: the convergence probe
+    // (labelSum) is the action that materializes each round, so every
+    // round costs ONE job instead of checkpoint-then-sum's two — at
+    // bench scale the rounds are pure machinery and this halves it
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // decimal sum: overflow-safe convergence witness for 64-bit ids
     // (null on an empty graph — an empty pair set converges immediately)
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -68,7 +72,7 @@ object DupClusters {
       val next = hop.join(parent, hop("cluster_id") === parent("_pid"), "left")
         .select(hop("doc_id"),
           coalesce(col("_plbl"), hop("cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val cur = labelSum(next)
       converged = cur.compareTo(prev) == 0
       prev = cur
