@@ -59,7 +59,11 @@ object AsOfJoin {
       (keyCols :+ tsCol).map(col) ++ Seq(
         lit(1).as("_side"),
         lit(null).cast(payloadType).as("_payload")) ++ restCols.map(col): _*)
-    val r = right.select(
+    // a null-ts reference row would sort FIRST (nulls-first asc) and
+    // carry its payload into every left row of the key — it carries no
+    // "as of when" information, so it is dropped (left rows with a null
+    // ts still come out, with no match: nothing "precedes" them)
+    val r = right.filter(col(tsCol).isNotNull).select(
       (keyCols :+ tsCol).map(col) ++ Seq(
         lit(0).as("_side"),
         struct(payloadCols.map(col): _*).as("_payload")) ++

@@ -59,6 +59,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected exactly one key shuffle, got $shuffles:\n$plan")
   }
 
+  test("null timestamps: right rows are dropped (no 'as of when'), left rows match nothing") {
+    // an unfiltered null-ts reference row would sort first in the
+    // window and poison every left row of its key with its payload
+    val left = Seq((1, Option(10L), "a"), (1, Option.empty[Long], "b"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1, Option.empty[Long], "poison"), (1, Option(7L), "r7"))
+      .toDF("k", "ts", "v")
+      .select($"k", $"ts", $"ts".as("ref_ts"), $"v")
+    val got = AsOfJoin(left, right, Seq("k"), "ts", Seq("ref_ts", "v"))
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(4)) null else r.getString(4))).toSet
+    assert(got == Set(("a", "r7"), ("b", null)))
+  }
+
   test("payload name collisions are rejected up front") {
     val df = Seq((1, 10L, "x")).toDF("k", "ts", "tag")
     val ex = intercept[IllegalArgumentException] {
