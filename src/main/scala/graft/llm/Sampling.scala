@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
  * value it spells ('0'-'9' < 'a'-'f' in ASCII) — no integer parsing,
  * portable verbatim to any engine with md5(). Everything is a codegen'd
  * Column predicate: a filter on top of the scan, no shuffle, no UDF.
+ *
+ * Null keys have no stable identity to hash, so null-keyed rows are
+ * excluded from every sample (the predicate is null -> filtered); a
+ * null stratum in [[stratifiedSample]] falls through to `defaultRate`.
  */
 object Sampling {
 

@@ -56,6 +56,18 @@ class RangeJoinSpec extends AnyFunSuite {
       s"range join degenerated:\n$plan")
   }
 
+  test("null timestamps and null bounds drop out cleanly (no null-key matches)") {
+    val p = Seq((1, Option(ts(5L))), (1, Option.empty[java.sql.Timestamp]))
+      .toDF("k", "ts")
+    val i = Seq(
+      (1, Option(ts(0L)), Option(ts(10L)), "ok"),
+      (1, Option.empty[java.sql.Timestamp], Option(ts(10L)), "null_start"))
+      .toDF("k", "start", "end", "v")
+    val got = RangeJoin(p, i, Seq("k"), "ts", "start", "end", 10)
+      .collect().map(_.getString(4)).toSeq
+    assert(got == Seq("ok")) // null-ts point and null-bound interval match nothing
+  }
+
   test("column collisions outside the keys are rejected up front") {
     val p = Seq((1, ts(5L), "x")).toDF("k", "ts", "v")
     val i = Seq((1, ts(0L), ts(10L), "y")).toDF("k", "start", "end", "v")
