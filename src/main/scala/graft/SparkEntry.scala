@@ -382,6 +382,26 @@ object SparkEntry {
           coalesce(col("ref_value"), lit(-1.0)).as("ref_value"))
     }),
 
+    // VQ-25: forward as-of with tolerance — each click matched to the
+    // user's NEXT purchase within 10 minutes (the merge_asof
+    // direction/tolerance knobs, cross-engine: DuckDB ASOF with the
+    // inequality flipped + a staleness CASE).
+    "vq25_asof_forward" -> q((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts"), col("event_type"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(round(max("value"), 2).as("ref_value"))
+        .select(col("user_id"), col("ts"), col("ts").as("ref_ts"), col("ref_value"))
+      AsOfJoin(clicks, purchases, Seq("user_id"), "ts", Seq("ref_ts", "ref_value"),
+          direction = "forward", tolerance = Some(600.0))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          coalesce(col("ref_ts"), to_timestamp(lit("1970-01-01"))).as("ref_ts"),
+          coalesce(col("ref_value"), lit(-1.0)).as("ref_value"))
+    }),
+
     // VQ-24: range (interval) join — clicks inside a ±5-minute window
     // around each purchase (operators/RangeJoin: time-bucketed equi-join,
     // never a per-key cross product). Purchases are aggregated to
@@ -628,6 +648,19 @@ object SparkEntry {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |       date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "vq25_asof_forward" ->
+      """WITH ev AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts,
+        |                   event_type, value FROM events),
+        |c AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, ts AS ref_ts, ROUND(MAX(value), 2) AS ref_value
+        |      FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.user_id, c.event_id, c.ts,
+        |       COALESCE(CASE WHEN date_diff('second', c.ts, p.ref_ts) <= 600
+        |                     THEN p.ref_ts END, TIMESTAMP '1970-01-01') AS ref_ts,
+        |       COALESCE(CASE WHEN date_diff('second', c.ts, p.ref_ts) <= 600
+        |                     THEN p.ref_value END, -1.0) AS ref_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
 
     "vq24_range_join" ->
       """WITH ev AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts,

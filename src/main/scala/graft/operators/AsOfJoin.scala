@@ -45,16 +45,33 @@ object AsOfJoin {
    * @param tsCol       ordering column name, present on both sides
    * @param payloadCols right-side columns to carry (must not collide
    *                    with left column names; alias on the way in)
+   * @param direction   "backward" (default): latest right ts <= left ts;
+   *                    "forward": earliest right ts >= left ts — the
+   *                    same carry-forward window scanned in descending
+   *                    ts order (pandas merge_asof's direction knob)
+   * @param tolerance   max |left ts - matched ts| in the ts column's
+   *                    units (seconds for timestamps — a cast to double
+   *                    yields epoch seconds); a nearest match farther
+   *                    than this nulls out, exactly like no match
    */
   def apply(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-      tsCol: String, payloadCols: Seq[String]): DataFrame = {
+      tsCol: String, payloadCols: Seq[String],
+      direction: String = "backward",
+      tolerance: Option[Double] = None): DataFrame = {
     require(keyCols.nonEmpty, "as-of join needs at least one equality key")
     require(payloadCols.nonEmpty, "as-of join needs at least one payload column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
+    tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
+    val backward = direction == "backward"
     val leftCols = left.columns.toSeq
     require(payloadCols.intersect(leftCols).isEmpty,
       s"payload columns ${payloadCols.intersect(leftCols)} collide with left columns — alias the right side")
     val restCols = leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
-    val payloadType = StructType(payloadCols.map(c => right.schema(c)))
+    // the matched row's own ts travels inside the struct so the
+    // tolerance check reads the SAME row the payload came from
+    val payloadType = StructType(
+      right.schema(tsCol).copy(name = "_match_ts") +: payloadCols.map(c => right.schema(c)))
     val l = left.select(
       (keyCols :+ tsCol).map(col) ++ Seq(
         lit(1).as("_side"),
@@ -66,15 +83,27 @@ object AsOfJoin {
     val r = right.filter(col(tsCol).isNotNull).select(
       (keyCols :+ tsCol).map(col) ++ Seq(
         lit(0).as("_side"),
-        struct(payloadCols.map(col): _*).as("_payload")) ++
+        struct(col(tsCol).as("_match_ts") +: payloadCols.map(col): _*).as("_payload")) ++
         restCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // backward scans ascending (carry = latest ts <= current); forward
+    // scans DESCENDING, so the carried row is the smallest ts >= current.
+    // Right rows sort before left rows at equal ts either way: inclusive.
+    val tsOrder = if (backward) col(tsCol).asc else col(tsCol).desc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("_side").asc)
+      .orderBy(tsOrder, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = last(col("_payload"), ignoreNulls = true).over(w)
+    val gap =
+      if (backward) col(tsCol).cast("double") - col("_carried._match_ts").cast("double")
+      else col("_carried._match_ts").cast("double") - col(tsCol).cast("double")
+    val within = tolerance match {
+      case Some(tol) => col("_carried").isNotNull && gap <= tol
+      case None => col("_carried").isNotNull
+    }
     l.unionByName(r)
-      .withColumn("_carried", last(col("_payload"), ignoreNulls = true).over(w))
+      .withColumn("_carried", m)
       .filter(col("_side") === 1)
       .select(leftCols.map(col) ++
-        payloadCols.map(c => col(s"_carried.$c").as(c)): _*)
+        payloadCols.map(c => when(within, col(s"_carried.$c")).as(c)): _*)
   }
 }

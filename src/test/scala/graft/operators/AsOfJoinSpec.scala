@@ -59,6 +59,31 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected exactly one key shuffle, got $shuffles:\n$plan")
   }
 
+  test("forward direction: earliest right row at or after, equal ts inclusive") {
+    val left = Seq((1, 10L, "a"), (1, 16L, "b"), (1, 30L, "c")).toDF("k", "ts", "tag")
+    val right = Seq((1, 7L, "r7"), (1, 15L, "r15"), (1, 16L, "r16"))
+      .toDF("k", "ts", "v").select($"k", $"ts", $"ts".as("ref_ts"), $"v")
+    val got = AsOfJoin(left, right, Seq("k"), "ts", Seq("ref_ts", "v"),
+      direction = "forward")
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(4)) null else r.getString(4))).toMap
+    assert(got == Map("a" -> "r15", "b" -> "r16", "c" -> null))
+  }
+
+  test("tolerance nulls matches farther than the cap, in both directions") {
+    val left = Seq((1, 100L, "x")).toDF("k", "ts", "tag")
+    val right = Seq((1, 40L, "far"), (1, 90L, "near"))
+      .toDF("k", "ts", "v").select($"k", $"ts", $"ts".as("ref_ts"), $"v")
+    def match1(tol: Double, dir: String) = {
+      val r = AsOfJoin(left, right, Seq("k"), "ts", Seq("ref_ts", "v"),
+        direction = dir, tolerance = Some(tol)).head()
+      if (r.isNullAt(4)) null else r.getString(4)
+    }
+    assert(match1(15.0, "backward") == "near") // gap 10 <= 15
+    assert(match1(5.0, "backward") == null)    // nearest is 10 away — nulled
+    assert(match1(5.0, "forward") == null)     // nothing at or after 100 at all
+  }
+
   test("null timestamps: right rows are dropped (no 'as of when'), left rows match nothing") {
     // an unfiltered null-ts reference row would sort first in the
     // window and poison every left row of its key with its payload
