@@ -30,7 +30,8 @@ object PipelineQueries {
    *  the total by this set so the artifact carries comparable
    *  denominators — their oracles are instantaneous batch SQL. */
   val StreamingQueryNames: Set[String] = Set(
-    "pq17_streaming_dedup", "pq18_streaming_sessionize", "pq20_streaming_window")
+    "pq17_streaming_dedup", "pq18_streaming_sessionize", "pq20_streaming_window",
+    "pq32_streaming_incremental")
 
   /** A sibling session whose shuffle-partition count right-sizes the
    *  STATE sharding for a keyed streaming query: state partitions are
@@ -429,6 +430,31 @@ object PipelineQueries {
       s2.table(sink)
     }),
 
+    // Streaming incremental dedup: the documents file replayed through
+    // the file stream source and classified against a STATIC
+    // content-hash index of doc_id < 250 via a stream-static join —
+    // stateless (history lives in the index relation, not the state
+    // store). The fourth streaming mechanism made driver-visible
+    // (keyed state x2, watermarked windows, stream-static join).
+    "pq32_streaming_incremental" -> q((s, dir) => {
+      val schema = docs(s, dir).schema
+      val s2 = streamSession(s, statePartitions = 2)
+      val d2 = Tables(s2, dir, "documents").select("doc_id", "text")
+      val index = IncrementalDedup.buildIndex(
+        d2.filter(col("doc_id") < 250), "doc_id", "text")
+      val stream = s2.readStream.schema(schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/documents.parque[t]")
+      val sink = s"pq32_sink_${SinkId.incrementAndGet()}"
+      val query = graft.streaming.StreamingIncremental
+        .classify(stream, index, "doc_id", "text")
+        .withColumn("dup_of", coalesce(col("dup_of"), lit(-1L)))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      s2.table(sink)
+    }),
+
     // Incremental exact dedup: a new batch classified against the
     // persisted content-hash index of the full corpus — history is never
     // rescanned. The batch synthesizes all three classes: re-tagged
@@ -794,6 +820,14 @@ object PipelineQueries {
         |            WHEN bv.batch_dup IS NOT NULL THEN 'dup_in_batch' ELSE 'new' END AS status,
         |       CAST(COALESCE(hv.hist_dup, bv.batch_dup, -1) AS BIGINT) AS dup_of
         |FROM batch LEFT JOIN hv ON hv.bid = batch.doc_id LEFT JOIN bv ON bv.bid = batch.doc_id""".stripMargin,
+
+    "pq32_streaming_incremental" ->
+      """WITH hist AS (SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id
+        |              FROM documents WHERE doc_id < 250 GROUP BY 1)
+        |SELECT d.doc_id, md5(d.text) AS content_hash,
+        |       CASE WHEN h.keep_id IS NOT NULL THEN 'dup_of_history' ELSE 'new' END AS status,
+        |       CAST(COALESCE(h.keep_id, -1) AS BIGINT) AS dup_of
+        |FROM documents d LEFT JOIN hist h ON md5(d.text) = h.content_hash""".stripMargin,
 
     "pq21_incremental_dedup" ->
       """WITH d AS (SELECT doc_id, text FROM documents),

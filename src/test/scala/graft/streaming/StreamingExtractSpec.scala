@@ -68,6 +68,39 @@ class StreamingExtractSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  test("StreamingIncremental: stream-static classify against an index, stateless across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val index = graft.llm.IncrementalDedup.buildIndex(
+      Seq((10L, "history A"), (11L, "history A"), (12L, "history B"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingIncremental.classify(
+      input.toDF().toDF("doc_id", "text"), index, "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("incr_out")
+      .outputMode("append").start()
+    def got(): Map[Long, (String, Any)] =
+      spark.table("incr_out").collect()
+        .map(r => r.getLong(0) -> ((r.getString(2),
+          if (r.isNullAt(3)) null else r.getLong(3)))).toMap
+
+    input.addData((100L, "history A"), (101L, "fresh X"))
+    q.processAllAvailable()
+    assert(got() == Map(
+      100L -> (("dup_of_history", 10L)), // index keeper = min history id
+      101L -> (("new", null))))
+
+    // stateless: the same unseen content arriving again is `new` again
+    // (in-stream dedup is StreamingDedup's job — the ops compose)
+    input.addData((102L, "fresh X"), (103L, "history B"))
+    q.processAllAvailable()
+    assert(got()(102L) == (("new", null)))
+    assert(got()(103L) == (("dup_of_history", 12L)))
+    q.stop()
+  }
+
   test("StreamingSessionize: batch-closed sessions emit immediately, watermark closes the rest") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
