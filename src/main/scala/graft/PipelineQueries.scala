@@ -19,6 +19,18 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
 
+  /** The perturbed embedding corpus shared by pq12 (near-dup pairs) and
+   *  pq31 (semantic-dedup clusters) — ONE definition, mirroring the
+   *  shared [[EmbNearDupCtes]] oracle string, so the cluster query
+   *  provably runs over the exact pair input the pair query pins. */
+  private def perturbedEmbCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select("vec_id", "embedding")
+    e.unionByName(e.filter(col("vec_id") < 10).select(
+      (col("vec_id") + 1000).as("vec_id"),
+      transform(col("embedding"), x => (x.cast("double") * 1.01).cast("float"))
+        .as("embedding")))
+  }
+
   private def q(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = fn
 
   /** Unique memory-sink names so repeated runs (bench best-of-N sweeps,
@@ -284,30 +296,19 @@ object PipelineQueries {
     // perturbed copies of vec_id < 10 (scaled 1.01 in double — cosine
     // ~1.0 survives quantization); the bucket join finds exactly those
     // pairs at threshold 0.99
-    "pq12_embedding_neardup" -> q((s, dir) => {
-      val e = embs(s, dir).select("vec_id", "embedding")
-      val perturbed = e.filter(col("vec_id") < 10).select(
-        (col("vec_id") + 1000).as("vec_id"),
-        transform(col("embedding"), x => (x.cast("double") * 1.01).cast("float"))
-          .as("embedding"))
-      Similarity.nearDupPairs(e.unionByName(perturbed), "vec_id", "embedding",
-        threshold = 0.99, bucketBits = 4, ordered = false)
-    }),
+    "pq12_embedding_neardup" -> q((s, dir) =>
+      Similarity.nearDupPairs(perturbedEmbCorpus(s, dir), "vec_id", "embedding",
+        threshold = 0.99, bucketBits = 4, ordered = false)),
 
     // Semantic dedup (SemDeDup-style): the pq12 embedding near-dup
     // pairs resolved to connected components with the min-id keeper —
     // each perturbed copy clusters onto its original; everything else
     // is a singleton and emits no row.
-    "pq31_semantic_dedup" -> q((s, dir) => {
-      val e = embs(s, dir).select("vec_id", "embedding")
-      val perturbed = e.filter(col("vec_id") < 10).select(
-        (col("vec_id") + 1000).as("vec_id"),
-        transform(col("embedding"), x => (x.cast("double") * 1.01).cast("float"))
-          .as("embedding"))
-      val pairs = Similarity.nearDupPairs(e.unionByName(perturbed),
-        "vec_id", "embedding", threshold = 0.99, bucketBits = 4, ordered = false)
-      DupClusters(pairs, "id_a", "id_b")
-    }),
+    "pq31_semantic_dedup" -> q((s, dir) =>
+      DupClusters(
+        Similarity.nearDupPairs(perturbedEmbCorpus(s, dir), "vec_id", "embedding",
+          threshold = 0.99, bucketBits = 4, ordered = false),
+        "id_a", "id_b")),
 
     // BPE-ish token-class counts (letters / digits / punctuation)
     "pq13_token_classes" -> q((s, dir) =>
@@ -948,25 +949,31 @@ object PipelineQueries {
         |       array_to_string(chunk, ' ') AS chunk_text
         |FROM c""".stripMargin,
 
+    // staged counts: each pattern counted on the text as it stands when
+    // that pattern runs, mirroring the operator — a match swallowed by
+    // an earlier replacement is not double-counted
     "pq30_redact" ->
       """WITH d AS (SELECT doc_id,
         |  CASE WHEN doc_id < 20
         |       THEN text || ' contact bob@example.com or 555-123-4567 at 10.0.0.1'
-        |       ELSE text END AS text FROM documents)
+        |       ELSE text END AS text FROM documents),
+        |s1 AS (SELECT doc_id, text,
+        |         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |       FROM d),
+        |s2 AS (SELECT doc_id, text, t1,
+        |         regexp_replace(t1, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS t2
+        |       FROM s1)
         |SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted_text,
+        |  regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted_text,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |     + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
-        |     + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |     + len(regexp_extract_all(t1, '\b\d{3}-\d{3}-\d{4}\b'))
+        |     + len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
         |    AS BIGINT) AS n_redactions
-        |FROM d""".stripMargin,
+        |FROM s2""".stripMargin,
 
     "pq27_stratified_sample" -> {
       def pred(rate: Double): String =
-        s"substr(md5('r10' || CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.thresholdHex(rate)}'"
+        s"substr(md5('r10' || CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.thresholdLiteral(rate)}'"
       s"""SELECT doc_id, source FROM documents
          |WHERE CASE WHEN source = 'src0' THEN ${pred(0.8)}
          |           WHEN source = 'src1' THEN ${pred(0.2)}

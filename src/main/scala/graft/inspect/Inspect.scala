@@ -1,5 +1,7 @@
 package graft.inspect
 
+import graft.Presented
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -85,6 +87,6 @@ object ModuleSummary {
     val w = Window.partitionBy("resource_type")
     counts
       .withColumn("pct", round(lit(100.0) * col("n") / sum(col("n")).over(w), 2))
-      .transform(d => if (ordered) d.orderBy("module", "resource_type") else d)
+      .transform(Presented(_, ordered, "module", "resource_type"))
   }
 }

@@ -1,8 +1,9 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import graft.Presented
+
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /**
  * Train/eval overlap detection ("decontamination") — the check a
@@ -32,27 +33,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
  */
 object Decontamination {
 
-  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int): DataFrame = {
-    val schema = StructType(Seq(
-      df.schema(df.schema.fieldIndex(idCol)).copy(name = "_id"),
-      StructField("_sh", LongType, nullable = false)))
-    df.select(col(idCol), col(textCol).cast("string"))
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          if (r.isNullAt(1)) Iterator.empty
-          else TextOps.shingleHashesJvm(
-            TextOps.tokensJvm(r.getString(1)), shingleN).iterator
-            .map(h => Row(r.get(0), h))
-        }
-      }(Encoders.row(schema))
-  }
-
   def containment(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3, ordered: Boolean = true): DataFrame = {
-    val trainSh = shingleRows(train, idCol, textCol, shingleN)
+    val trainSh = TextOps.shingleIndex(train, idCol, textCol, shingleN)
       .select("_sh").distinct().withColumn("_hit", lit(1))
-    val evalSh = shingleRows(eval, idCol, textCol, shingleN)
+    val evalSh = TextOps.shingleIndex(eval, idCol, textCol, shingleN)
     val perDoc = evalSh
       .join(trainSh, Seq("_sh"), "left")
       .groupBy(col("_id"))
@@ -67,6 +52,6 @@ object Decontamination {
         when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
           .otherwise(round(col("n_matched").cast("double") / col("n_shingles"), 3))
           .as("containment"))
-      .transform(d => if (ordered) d.orderBy("doc_id") else d)
+      .transform(Presented(_, ordered, "doc_id"))
   }
 }

@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.Presented
+
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
@@ -85,31 +87,12 @@ object NgramJaccard {
       maxDf: Int = 1000,
       broadcastSizes: Boolean = true,
       ordered: Boolean = true): DataFrame = {
-    // one typed pass: tokenize -> distinct shingle set -> explode to the
-    // inverted index (id, fnv64(shingle)). The shingle string itself never
-    // survives the projection: every downstream use (df count, self-join,
-    // intersection count) is pure equality, so the 64-bit key carries the
-    // full semantics at a fraction of the shuffle/agg cost
-    // (TextOps.fnv64Jvm scaladoc covers the collision trade)
-    val invSchema = StructType(Seq(
-      df.schema(df.schema.fieldIndex(idCol)).copy(name = "_id"),
-      StructField("_sh", org.apache.spark.sql.types.LongType, nullable = false)))
-    // persisted: inv appears twice in rare's own plan (join probe side +
+    // the shared typed inverted-index pass (TextOps.shingleIndex):
+    // tokenize -> distinct shingle set -> (id, fnv64(shingle)) rows.
+    // Persisted: inv appears twice in rare's own plan (join probe side +
     // df-count agg side are DIFFERENT exchanges, so reuse never applies)
     // — without the cache the tokenize/shingle scan runs twice
-    val inv = df
-      .select(col(idCol), col(textCol).cast("string"))
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          if (r.isNullAt(1)) Iterator.empty
-          else {
-            val toks = TextOps.tokensJvm(r.getString(1))
-            if (toks.length < shingleN) Iterator.empty
-            else TextOps.shingleHashesJvm(toks, shingleN).iterator
-              .map(h => Row(r.get(0), h))
-          }
-        }
-      }(Encoders.row(invSchema))
+    val inv = TextOps.shingleIndex(df, idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // rare-shingle index: df counts are one hash agg on the shingle key;
@@ -139,7 +122,7 @@ object NgramJaccard {
       .withColumn("_jac", jac)
       .filter(col("_jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("_jac"), 3).as("jaccard"))
-      .transform(d => if (ordered) d.orderBy("doc_a", "doc_b") else d)
+      .transform(Presented(_, ordered, "doc_a", "doc_b"))
   }
 }
 
@@ -233,7 +216,7 @@ object MinHashNearDup {
       .withColumn("_jac", inter.cast("double") / union)
       .filter(col("_jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("_jac"), 3).as("jaccard"))
-      .transform(d => if (ordered) d.orderBy("doc_a", "doc_b") else d)
+      .transform(Presented(_, ordered, "doc_a", "doc_b"))
   }
 }
 
@@ -253,10 +236,8 @@ object SimHashSignatures {
    * tier exactly ([[TextOps.tokensJvm]]), so results are unchanged.
    */
   def apply(df: DataFrame, idCol: String, textCol: String,
-      ordered: Boolean = true): DataFrame = {
-    val sigs = signatures(df, idCol, textCol)
-    if (ordered) sigs.orderBy("doc_id") else sigs
-  }
+      ordered: Boolean = true): DataFrame =
+    Presented(signatures(df, idCol, textCol), ordered, "doc_id")
 
   /** The signature projection without the presentation sort (joins don't
    *  want it). */
@@ -360,7 +341,7 @@ object SimHashNearDup {
             buf.iterator
           }(Encoders.row(outSchema))
           .distinct() // a pair within distance d shares up to 4 - d chunks
-          .transform(d => if (ordered) d.orderBy("doc_a", "doc_b") else d)
+          .transform(Presented(_, ordered, "doc_a", "doc_b"))
       case None => joined(sigs, maxHamming, ordered)
     }
   }
@@ -383,6 +364,6 @@ object SimHashNearDup {
       .withColumn("hamming", hammingExpr(col("_sa"), col("_sb")))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .transform(d => if (ordered) d.orderBy("doc_a", "doc_b") else d)
+      .transform(Presented(_, ordered, "doc_a", "doc_b"))
   }
 }

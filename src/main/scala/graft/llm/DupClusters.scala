@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
  * label sum going stable — one O(1)-row action per round, never a data
  * collect. Exhausting `maxRounds` without convergence THROWS rather
  * than returning partially-propagated cluster ids. Lineage is cut per
- * round with an eager localCheckpoint — the iterative-DataFrame norm
- * (same discipline as the reference-resolution fixpoint,
+ * round with a LAZY localCheckpoint that the convergence probe's
+ * action materializes — one job per round (the iterative-DataFrame
+ * norm, same discipline as the reference-resolution fixpoint,
  * [[graft.sink.ReferenceResolution]]). At cluster scale each round is
  * fully partition-parallel over the edge and label sets.
  *

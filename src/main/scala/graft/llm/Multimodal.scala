@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.Presented
+
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -104,7 +106,7 @@ object Multimodal {
         md5(col("_payload").substr(
           (col("frame_idx") * col("frame_size") + 1).cast("int"),
           col("frame_size").cast("int"))).as("frame_tag"))
-      .transform(d => if (ordered) d.orderBy("doc_id", "frame_idx") else d)
+      .transform(Presented(_, ordered, "doc_id", "frame_idx"))
   }
 
   /**
@@ -166,6 +168,6 @@ object Multimodal {
       (lit(16) + nBytes % 64).cast("long").as("fake_width"),
       (lit(16) + (nBytes.cast("long") / lit(64)).cast("long") % 64).cast("long").as("fake_height"),
       (lit(1) + nBytes % 7).cast("long").as("n_frames"))
-      .transform(d => if (ordered) d.orderBy("doc_id") else d)
+      .transform(Presented(_, ordered, "doc_id"))
   }
 }

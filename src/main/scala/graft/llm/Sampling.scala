@@ -31,11 +31,19 @@ object Sampling {
     f"${math.min((rate * 4294967296.0).toLong, 0xffffffffL)}%08x"
   }
 
+  /** The literal the predicate actually compares against: "g" for
+    * rate >= 1 — lexicographically above every hex char, so every
+    * NON-NULL key is kept (an 8-hex threshold could never include a
+    * prefix of exactly "ffffffff", and a `lit(true)` short-circuit
+    * would wrongly keep null keys and diverge from the oracle's string
+    * compare). One form for every rate on both engines. */
+  def thresholdLiteral(rate: Double): String =
+    if (rate >= 1.0) "g" else thresholdHex(rate)
+
   /** In-sample predicate for one key at one rate. */
   def samplePredicate(key: Column, rate: Double, salt: String = ""): Column =
-    if (rate >= 1.0) lit(true)
-    else substring(md5(concat(lit(salt), key.cast("string")).cast("binary")), 1, 8) <
-      lit(thresholdHex(rate))
+    substring(md5(concat(lit(salt), key.cast("string")).cast("binary")), 1, 8) <
+      lit(thresholdLiteral(rate))
 
   /** Uniform deterministic sample of `rate` keyed on `keyCol`. */
   def hashSample(df: DataFrame, keyCol: String, rate: Double,

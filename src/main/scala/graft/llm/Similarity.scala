@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.Presented
+
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -248,7 +250,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("cid"), round(cos, 4).as("cos"))
-      .transform(d => if (ordered) d.orderBy("qid", "rnk") else d)
+      .transform(Presented(_, ordered, "qid", "rnk"))
   }
 
   /** Join sides with the prep columns renamed for an unambiguous join.
@@ -381,9 +383,9 @@ object Similarity {
     val withBkt = prep.withColumn("_bkt", bucketKey(prep, srp, bits))
     idOrdering(withBkt.schema("_id").dataType) match {
       case Some(ord) => groupedNearDup(withBkt, threshold, ord)
-        .transform(d => if (ordered) d.orderBy("id_a", "id_b") else d)
+        .transform(Presented(_, ordered, "id_a", "id_b"))
       case None => joinedNearDup(withBkt, threshold)
-        .transform(d => if (ordered) d.orderBy("id_a", "id_b") else d)
+        .transform(Presented(_, ordered, "id_a", "id_b"))
     }
   }
 

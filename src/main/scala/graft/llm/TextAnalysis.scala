@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.Presented
+
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
@@ -38,7 +40,7 @@ object TextAnalysis {
       cnt("[0-9]+").as("n_numbers"),
       cnt("[^A-Za-z0-9 \\t\\n]").as("n_punct"))
       .withColumn("n_bpeish", col("n_words") + col("n_numbers") + col("n_punct"))
-    if (ordered) out.orderBy("doc_id") else out
+    Presented(out, ordered, "doc_id")
   }
 
   /**
@@ -72,7 +74,7 @@ object TextAnalysis {
           }
         }
       }(Encoders.row(outSchema))
-      .transform(d => if (ordered) d.orderBy("doc_id") else d)
+      .transform(Presented(_, ordered, "doc_id"))
   }
 
   /**
@@ -90,7 +92,7 @@ object TextAnalysis {
         round(avg("n_chars"), 2).as("avg_chars"),
         sum("n_tokens").as("total_tokens"),
         max("n_tokens").as("max_tokens"))
-      .transform(d => if (ordered) d.orderBy("lang") else d)
+      .transform(Presented(_, ordered, "lang"))
 
   /**
    * Dedup-normalization projection: lowercase, strip every char outside
@@ -154,7 +156,7 @@ object TextAnalysis {
           }
         }
       }(Encoders.row(outSchema))
-      .transform(d => if (ordered) d.orderBy("doc_id") else d)
+      .transform(Presented(_, ordered, "doc_id"))
   }
 
   val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
@@ -213,7 +215,7 @@ object TextAnalysis {
           }
         }
       }(Encoders.row(outSchema))
-      .transform(d => if (ordered) d.orderBy("doc_id") else d)
+      .transform(Presented(_, ordered, "doc_id"))
   }
 
   /**
@@ -255,7 +257,7 @@ object TextAnalysis {
           }
         }
       }(Encoders.row(outSchema))
-      .transform(d => if (ordered) d.orderBy("doc_id", "chunk_idx") else d)
+      .transform(Presented(_, ordered, "doc_id", "chunk_idx"))
   }
 
   /** (pattern, replacement) pairs for [[redactPii]]: email, NANP-style
@@ -269,27 +271,30 @@ object TextAnalysis {
   /**
    * PII scrubbing: replace every match of each pattern with its tag and
    * count the redactions — the privacy pass a corpus runs before
-   * training. Counts are taken on the ORIGINAL text per pattern (the
-   * default patterns cannot overlap each other's matches), replacements
-   * apply in sequence. Pure codegen'd Column projection — three regex
-   * scans per row, no shuffle, no UDF. Output:
+   * training. Replacements apply in sequence and each pattern's count
+   * is taken on the text AS IT STANDS when that pattern runs (the
+   * already-redacted prefix stages), so `n_redactions` is exactly the
+   * number of replacements performed — a match swallowed by an earlier
+   * pattern (an IPv4 inside an email's local part, say) is not
+   * double-counted. Pure codegen'd Column projection — two regex scans
+   * per pattern per row, no shuffle, no UDF. Output:
    * (doc_id, redacted_text, n_redactions).
    */
   def redactPii(df: DataFrame, idCol: String, textCol: String,
       redactions: Seq[(String, String)] = DefaultRedactions,
       ordered: Boolean = true): DataFrame = {
     val text = col(textCol).cast("string")
-    val redacted = redactions.foldLeft(text) { case (acc, (pat, tag)) =>
-      regexp_replace(acc, pat, tag)
-    }
-    val counts = redactions.map { case (pat, _) =>
-      size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
-    }
+    val (redacted, counts) =
+      redactions.foldLeft((text, Seq.empty[Column])) {
+        case ((acc, cs), (pat, tag)) =>
+          val n = size(regexp_extract_all(acc, lit(pat), lit(0))).cast("long")
+          (regexp_replace(acc, pat, tag), cs :+ n)
+      }
     df.select(
       col(idCol).as("doc_id"),
       redacted.as("redacted_text"),
       counts.reduce(_ + _).as("n_redactions"))
-      .transform(d => if (ordered) d.orderBy("doc_id") else d)
+      .transform(Presented(_, ordered, "doc_id"))
   }
 
   /**
@@ -329,7 +334,7 @@ object TextAnalysis {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("term"), round(col("weight"), 4).as("weight"))
-      .transform(d => if (ordered) d.orderBy("doc_id", "rnk") else d)
+      .transform(Presented(_, ordered, "doc_id", "rnk"))
   }
 
   /**
@@ -410,7 +415,7 @@ object TextAnalysis {
       }(Encoders.row(outSchema))
       .groupBy("predicted_lang")
       .agg(count(lit(1)).as("n"))
-      .transform(d => if (ordered) d.orderBy("predicted_lang") else d)
+      .transform(Presented(_, ordered, "predicted_lang"))
   }
 
   /**
@@ -442,6 +447,6 @@ object TextAnalysis {
           }
         }
       }(Encoders.row(outSchema))
-      .transform(d => if (ordered) d.orderBy("doc_id") else d)
+      .transform(Presented(_, ordered, "doc_id"))
   }
 }

@@ -1,7 +1,8 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /**
  * Text primitives for the large-scale training-data pipeline operators
@@ -27,6 +28,28 @@ object TextOps {
 
   /** md5 hex (lowercase) of a string column's UTF-8 bytes. */
   def md5Hex(c: Column): Column = md5(c.cast("binary"))
+
+  /** The typed inverted-index pass shared by [[NgramJaccard]] and
+    * [[Decontamination]]: one (_id, _sh) row per DISTINCT fnv64
+    * word-n-gram shingle per document (null texts and docs with fewer
+    * than `shingleN` tokens emit nothing). The shingle string never
+    * leaves the row — every downstream use is pure equality on the
+    * 64-bit key ([[fnv64Jvm]] covers the collision trade). */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame = {
+    val schema = StructType(Seq(
+      df.schema(df.schema.fieldIndex(idCol)).copy(name = "_id"),
+      StructField("_sh", LongType, nullable = false)))
+    df.select(col(idCol), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) Iterator.empty
+          else TextOps.shingleHashesJvm(
+            TextOps.tokensJvm(r.getString(1)), shingleN).iterator
+            .map(h => Row(r.get(0), h))
+        }
+      }(Encoders.row(schema))
+  }
 
   /**
    * Distinct word n-gram shingle set from a token array. Requires

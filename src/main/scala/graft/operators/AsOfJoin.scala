@@ -67,6 +67,10 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(payloadCols.intersect(leftCols).isEmpty,
       s"payload columns ${payloadCols.intersect(leftCols)} collide with left columns — alias the right side")
+    val reserved = Seq("_side", "_payload", "_carried")
+      .filter(c => leftCols.contains(c) || right.columns.contains(c))
+    require(reserved.isEmpty,
+      s"columns $reserved collide with the operator's working columns — alias them away")
     val restCols = leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
     // the matched row's own ts travels inside the struct so the
     // tolerance check reads the SAME row the payload came from
@@ -96,9 +100,14 @@ object AsOfJoin {
     val gap =
       if (backward) col(tsCol).cast("double") - col("_carried._match_ts").cast("double")
       else col("_carried._match_ts").cast("double") - col(tsCol).cast("double")
+    // the left-ts null guard matters for the FORWARD scan: desc ordering
+    // puts nulls LAST, so a null-ts left row would otherwise see every
+    // right row and "match" the minimum-ts one — the contract is no
+    // match (backward gets this for free from nulls-first asc ordering)
+    val matched = col(tsCol).isNotNull && col("_carried").isNotNull
     val within = tolerance match {
-      case Some(tol) => col("_carried").isNotNull && gap <= tol
-      case None => col("_carried").isNotNull
+      case Some(tol) => matched && gap <= tol
+      case None => matched
     }
     l.unionByName(r)
       .withColumn("_carried", m)

@@ -41,6 +41,8 @@ object RangeJoin {
       .filterNot(keyCols.contains)
     require(collisions.isEmpty,
       s"interval columns $collisions collide with point columns — alias the interval side")
+    require(!points.columns.contains("_bkt") && !intervals.columns.contains("_bkt"),
+      "column _bkt collides with the operator's bucket column — alias it away")
     def bkt(c: String) = floor(unix_timestamp(col(c)) / bucketSeconds)
     val p = points.withColumn("_bkt", bkt(tsCol))
     val i = intervals

@@ -1,5 +1,7 @@
 package graft.sink
 
+import graft.Presented
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -142,7 +144,7 @@ object StudyIdsSink {
     resources
       .groupBy(col(typeCol).as("resource_type"))
       .agg(sort_array(collect_set(col(idCol).cast("string"))).as("ids"))
-      .transform(d => if (ordered) d.orderBy("resource_type") else d)
+      .transform(Presented(_, ordered, "resource_type"))
 
   /** Nested JSON document, merged into `existingJson` (merge-not-
    *  overwrite, ref: tests/test_studyids.py:43-57): other studies/hosts

@@ -111,14 +111,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       (2L, 0L, 2L, "a b")))        // doc shorter than a chunk
   }
 
-  test("redactPii: tags every pattern, counts on the original text, clean rows untouched") {
+  test("redactPii: tags every pattern, counts the replacements performed, clean rows untouched") {
     val df = Seq(
       (1L, "mail a@b.io and c@d.org call 555-123-4567 from 10.0.0.1"),
-      (2L, "plain words only")).toDF("doc_id", "text")
+      (2L, "plain words only"),
+      // an IPv4 inside an email's local part: the email replacement
+      // swallows it, so exactly ONE redaction happens and is counted
+      // (per-pattern counts on the original text would report 2)
+      (3L, "ping 1.2.3.4@mail.com now")).toDF("doc_id", "text")
     val got = TextAnalysis.redactPii(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(got(1L) == (("mail <EMAIL> and <EMAIL> call <PHONE> from <IP>", 4L)))
     assert(got(2L) == (("plain words only", 0L)))
+    assert(got(3L) == (("ping <EMAIL> now", 1L)))
+  }
+
+  test("sampling: rate 1.0 keeps every non-null key but still drops null keys") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, "a"), org.apache.spark.sql.Row(null, "b"))
+    val df = spark.createDataFrame(rows, StructType(Seq(
+      StructField("k", LongType, nullable = true),
+      StructField("v", StringType, nullable = true))))
+    val kept = Sampling.hashSample(df, "k", 1.0).collect().map(_.getString(1)).toSeq
+    assert(kept == Seq("a")) // the null-keyed row is excluded even at rate 1
   }
 
   test("sampling is a filter on the scan — no shuffle, no UDF in the plan") {

@@ -84,6 +84,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(match1(5.0, "forward") == null)     // nothing at or after 100 at all
   }
 
+  test("forward direction: null-ts left rows match nothing (desc scan puts nulls last)") {
+    // without the left-ts guard the descending scan would carry the
+    // minimum-ts right payload into the null-ts left row
+    val left = Seq((1, Option(10L), "a"), (1, Option.empty[Long], "b"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1, Option(15L), "r15")).toDF("k", "ts", "v")
+      .select($"k", $"ts", $"ts".as("ref_ts"), $"v")
+    val got = AsOfJoin(left, right, Seq("k"), "ts", Seq("ref_ts", "v"),
+      direction = "forward")
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(4)) null else r.getString(4))).toSet
+    assert(got == Set(("a", "r15"), ("b", null)))
+  }
+
   test("null timestamps: right rows are dropped (no 'as of when'), left rows match nothing") {
     // an unfiltered null-ts reference row would sort first in the
     // window and poison every left row of its key with its payload
