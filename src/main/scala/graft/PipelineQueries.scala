@@ -104,25 +104,52 @@ object PipelineQueries {
     // runtime confs don't carry into newSession — the raw file needs the
     // same nanos-as-long read the batch path uses
     s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s2.readStream.schema(rawSchema)
-      .parquet(s"$replay/*.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val raw = s2.readStream.schema(rawSchema).parquet(s"$replay/*.parquet")
+    // same type dispatch as the batch reader (Tables:19), plus one
+    // streaming-only step: watermarks demand TIMESTAMP (not NTZ), so
+    // NTZ files reinterpret in the UTC session zone — value-identical
+    // wall-clock times, same instants the batch oracle sees
+    rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   private def buildReplayDir(s: SparkSession, dir: String)
       : (java.nio.file.Path, org.apache.spark.sql.types.StructType) = {
     val events = Tables(s, dir, "events") // sets nanosAsLong for raw reads
-    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
-    val sentinelNanos = (maxTs.getTime + ReplayHorizonSec * 1000L) * 1000000L
-    // the stream reads the RAW file (ts = INT64 nanos, like the batch
-    // reader pre-conversion), so the sentinel file must carry the same
-    // long-typed ts for a uniform stream schema
+    // the converted ts surfaces as Timestamp (legacy/with-tz files) or
+    // LocalDateTime (TIMESTAMP_NTZ files) — normalize to epoch micros
+    val maxTsMicros = events.agg(max(col("ts"))).head().get(0) match {
+      case t: java.sql.Timestamp => Math.multiplyExact(t.getTime, 1000L)
+      case i: java.time.Instant =>
+        Math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000L
+      case l: java.time.LocalDateTime =>
+        val i = l.toInstant(java.time.ZoneOffset.UTC)
+        Math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000L
+      case other => sys.error(s"unexpected max(ts) value: $other")
+    }
+    val sentinelMicros = maxTsMicros + ReplayHorizonSec * 1000000L
+    // the stream reads the RAW file, so the sentinel file must carry a
+    // ts of the raw column's exact type for a uniform stream schema:
+    // INT64-nanos long for legacy files, LocalDateTime for NTZ,
+    // Timestamp for with-tz
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val sentinelTs: Any = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => sentinelMicros * 1000L
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        java.time.LocalDateTime.ofEpochSecond(sentinelMicros / 1000000L,
+          ((sentinelMicros % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+      case _ => new java.sql.Timestamp(sentinelMicros / 1000L)
+    }
     val replay = java.nio.file.Files.createTempDirectory("graft_replay")
     val eventsCopy = replay.resolve("0-events.parquet")
     java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"), eventsCopy)
     val sentinelRow = org.apache.spark.sql.Row.fromSeq(rawSchema.fields.map(_.name match {
-      case "ts" => sentinelNanos
+      case "ts" => sentinelTs
       case "user_id" | "event_id" => -1L
       case _ => null
     }).toSeq)

@@ -308,13 +308,18 @@ object TextAnalysis {
    * swaps one expression, the plan shape is unchanged. Ranking ties
    * break on the term string, so top-k membership is deterministic.
    *
-   * Scale shape: THREE exchanges total — per-(doc, term) counts, the
-   * document frequency as a count window over the term partition (one
-   * exchange instead of the aggregate-then-rejoin's two: tf rows are
-   * already one-per-(doc, term), so the partition row count IS df),
-   * and the per-doc ranking window. The corpus size N joins in as a
-   * broadcast one-row aggregate — never a driver action, the plan
-   * stays lazy.
+   * Scale shape: the document frequency is a KEYED aggregate
+   * (`groupBy(term).agg(count)`) equi-joined back onto the tf rows —
+   * never a window over the term partition. Term frequency is Zipfian:
+   * a window partition is one task, so the hottest terms would put
+   * ~n_docs rows in a single task with no map-side combine — a
+   * straggler/OOM at corpus scale. The keyed aggregate gets partial
+   * (map-side) combine, collapsing hot keys before the shuffle, and
+   * the term-keyed equi-join is AQE-skew-join eligible. The per-doc
+   * ranking window that follows partitions on doc_id, which is
+   * high-cardinality and bounded per document. The corpus size N joins
+   * in as a broadcast one-row aggregate — never a driver action, the
+   * plan stays lazy.
    */
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, ordered: Boolean = true): DataFrame = {
@@ -327,7 +332,8 @@ object TextAnalysis {
     val nDocs = df.select(col(idCol)).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("weight").desc, col("term").asc)
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val dfByTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfByTerm, "term")
       .join(broadcast(nDocs))
       .withColumn("weight",
         col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))

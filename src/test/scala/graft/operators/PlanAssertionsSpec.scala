@@ -128,6 +128,26 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s2.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("tfIdfTopTerms: document frequency is a keyed aggregate, never a term-partition window") {
+    // Term frequency is Zipfian: a window partitioned by term puts every
+    // (doc, term) row for a hot term into ONE task with no map-side
+    // combine — at corpus scale that's a straggler/OOM. df must come from
+    // groupBy(term).agg(count) (partial-aggregating) equi-joined back; the
+    // only window allowed in the plan is the per-doc top-k ranking, whose
+    // partitions are bounded by document size.
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val q = graft.llm.TextAnalysis.tfIdfTopTerms(d, "doc_id", "text", k = 3)
+    val op = q.queryExecution.optimizedPlan.toString
+    val windowSpecs = op.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowSpecs.nonEmpty, s"expected the per-doc ranking window:\n$op")
+    assert(windowSpecs.forall(_.contains("doc_id#")),
+      s"a window in the tf-idf plan is not partitioned by doc_id:\n${windowSpecs.mkString("\n")}")
+    assert(!windowSpecs.exists(l => l.contains("windowspecdefinition(term#")),
+      s"document frequency regressed to a term-partition window:\n${windowSpecs.mkString("\n")}")
+    // and the df aggregate is a real keyed aggregate feeding an equi-join
+    assert(op.contains("Aggregate [term#"), s"expected groupBy(term) df aggregate:\n$op")
+  }
+
   test("AQE skew-join splits the same hot-key shuffle the manual salt targets, with identical results") {
     // The vq20 shape: 5 event_type keys at ~20% each joined to a tiny
     // dim, shuffle join forced. At real scale AQE's skew handling
