@@ -173,19 +173,52 @@ object Bench {
     // (losing the gate metric). They now go to a side file; stdout gets
     // ONE compact line — totals, ratio, sweeps, failures — short enough
     // that any tail window keeps it whole.
+    val cwd = sys.props.getOrElse("user.dir", ".")
     val detailsPath = sys.env.getOrElse("SPARK_GRAFT_DETAILS",
-      sys.props.getOrElse("user.dir", ".") + "/bench_details.json")
+      cwd + "/bench_details.json")
+    val details =
+      detailsJson(timings, oracle, sweepTotals.toSeq, failed.toSeq, sfDir) + "\n"
     val detailsWritten =
       try {
-        java.nio.file.Files.writeString(java.nio.file.Paths.get(detailsPath),
-          detailsJson(timings, oracle, sweepTotals.toSeq, failed.toSeq, sfDir) + "\n")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(detailsPath), details)
         true
       } catch {
         case e: Exception =>
           System.err.println(s"[bench] details write failed: ${e.getMessage}"); false
       }
-    println(compactLine(timings, oracle, sweepTotals.toSeq, failed.toSeq, sfDir,
-      details = if (detailsWritten) detailsPath else ""))
+    // Per-round archive: bench_details.json is overwritten every run,
+    // which blocked two rounds of per-query regression checks. The round
+    // number is 1 + the highest BENCH_r<N>.json the driver has committed
+    // (the current round's BENCH file lands only after this run).
+    try {
+      import scala.jdk.CollectionConverters._
+      val benchR = """BENCH_r(\d+)\.json""".r
+      val round = 1 + java.nio.file.Files.list(java.nio.file.Paths.get(cwd))
+        .iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case benchR(n) => n.toInt }
+        .foldLeft(0)(math.max)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(cwd, f"bench_details_r$round%02d.json"), details)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] details archive failed: ${e.getMessage}")
+    }
+    // relative when in-repo: the gate line must stay short enough that a
+    // bounded tail capture keeps it whole (round 11 lost the line's end
+    // to the absolute path)
+    val detailsRef =
+      if (!detailsWritten) ""
+      else if (detailsPath.startsWith(cwd + "/")) detailsPath.drop(cwd.length + 1)
+      else detailsPath
+    val line = compactLine(timings, oracle, sweepTotals.toSeq, failed.toSeq, sfDir,
+      details = detailsRef)
+    // the same line as a file, immune to sbt's [info] prefix and any
+    // stdout capture truncation
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(cwd, "bench_line.json"), line + "\n")
+    catch { case _: Exception => () }
+    println(line)
     spark.stop()
   }
 
@@ -250,7 +283,10 @@ object Bench {
   }
 
   /** The side-file JSON carrying what the compact line deliberately
-    * omits: per-query Spark and oracle timings. */
+    * omits: per-query Spark and oracle timings, plus each streaming
+    * row's micro-batch count (last run) — the replay floor is
+    * per-batch machinery, so batch counts flat + seconds up means a
+    * state-logic regression, not replay noise. */
   private[graft] def detailsJson(
       timings: scala.collection.Map[String, Double],
       oracle: Option[Map[String, Double]],
@@ -259,7 +295,15 @@ object Bench {
       sfDir: String): String = {
     val detailsOracle = oracle.fold("")(o => s""","oracle_queries":${obj(o)}""")
     val sweeps = sweepTotals.map(num).mkString("[", ",", "]")
-    s"""{"queries":${obj(timings)}$detailsOracle,"sweep_totals":$sweeps,"failed":${arr(failed)},"sf":"$sfDir"}"""
+    val batches = {
+      import scala.jdk.CollectionConverters._
+      val m = PipelineQueries.StreamingBatchCounts.asScala
+      if (m.isEmpty) ""
+      else m.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","streaming_batches":{""", ",", "}")
+    }
+    s"""{"queries":${obj(timings)}$detailsOracle$batches,"sweep_totals":$sweeps,"failed":${arr(failed)},"sf":"$sfDir"}"""
   }
 
   /** Runs tools/oracle_bench.py (DuckDB, min-of-2) over the oracle SQL for

@@ -45,6 +45,22 @@ object PipelineQueries {
     "pq17_streaming_dedup", "pq18_streaming_sessionize", "pq20_streaming_window",
     "pq32_streaming_incremental")
 
+  /** Micro-batch count of each streaming row's LAST run — bench
+   *  attribution so the replay floor (micro-batch machinery per batch)
+   *  is separable from state-logic time in bench_details: a state-logic
+   *  regression shows as seconds moving with batch counts flat. */
+  val StreamingBatchCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Drain the replay, record its micro-batch count, always stop. */
+  private def drainStream(name: String,
+      query: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try {
+      query.processAllAvailable()
+      StreamingBatchCounts.put(name,
+        query.recentProgress.map(_.batchId).distinct.length.toLong)
+    } finally query.stop()
+
   /** A sibling session whose shuffle-partition count right-sizes the
    *  STATE sharding for a keyed streaming query: state partitions are
    *  fixed at query start from `spark.sql.shuffle.partitions`, and each
@@ -400,7 +416,7 @@ object PipelineQueries {
       val query = graft.streaming.StreamingDedup(stream, "doc_id", "text")
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try query.processAllAvailable() finally query.stop()
+      drainStream("pq17_streaming_dedup", query)
       s2.table(sink)
         .select(col("content_hash"), col("keep_id").cast("bigint").as("keep_id"))
     }),
@@ -427,7 +443,7 @@ object PipelineQueries {
         gapSeconds = gapSec, watermark = "0 seconds")
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try query.processAllAvailable() finally query.stop()
+      drainStream("pq18_streaming_sessionize", query)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("session_start")
       s2.table(sink).filter(col("user_id") >= 0) // drop the sentinel user
@@ -454,7 +470,7 @@ object PipelineQueries {
         windowLength = "1 hour", watermark = "0 seconds")
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try query.processAllAvailable() finally query.stop()
+      drainStream("pq20_streaming_window", query)
       s2.table(sink)
     }),
 
@@ -479,7 +495,7 @@ object PipelineQueries {
         .withColumn("dup_of", coalesce(col("dup_of"), lit(-1L)))
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try query.processAllAvailable() finally query.stop()
+      drainStream("pq32_streaming_incremental", query)
       s2.table(sink)
     }),
 
