@@ -438,8 +438,94 @@ object SparkEntry {
         .select(col("system"), posexplode(col("codes")).as(Seq("pos", "c")))
         .select(col("system"), col("pos"),
           col("c.code").as("code"), col("c.display").as("display"))
-    })
+    }),
+
+    // VQ-26: nearest as-of — each click matched to the purchase closest
+    // in time either direction, ties to backward (the third merge_asof
+    // direction knob). The oracle composes DuckDB's two ASOF directions
+    // and picks the closer candidate with the same tie rule.
+    "vq26_asof_nearest" -> q((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts"), col("event_type"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(round(max("value"), 2).as("ref_value"))
+        .select(col("user_id"), col("ts"), col("ts").as("ref_ts"), col("ref_value"))
+      AsOfJoin(clicks, purchases, Seq("user_id"), "ts", Seq("ref_ts", "ref_value"),
+          direction = "nearest")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          coalesce(col("ref_ts"), to_timestamp(lit("1970-01-01"))).as("ref_ts"),
+          coalesce(col("ref_value"), lit(-1.0)).as("ref_value"))
+    }),
+
+    // VQ-26b/26c: the HOT-KEY as-of pair — every click keyed to ONE
+    // group (the 100%-skew straggler shape), matched to the latest
+    // purchase anywhere. 26b runs the plain single-window carry (one
+    // task does all the work); 26c runs the time-bucketed carry
+    // (AsOfJoin.bucketed, 1-hour buckets over the 30-day span = ~720
+    // parallel slices). Same oracle — BENCH times the pair side by
+    // side, so the hot-key defense carries a number like vq20/vq20b.
+    // Expected crossover: at sf0.1 the hot key is ~20k rows, so the
+    // plain single window wins and bucketed pays its two extra
+    // buckets-sized shuffles (~0.5 s vs ~1.2 s measured); the pair
+    // prices that insurance — at straggler scale (billions of rows on
+    // the key) the plain variant is one serial task and bucketed's
+    // constant overhead buys ~bucket-count-way parallelism.
+    "vq26b_asof_hot_plain" -> q((s, dir) => asofHot(s, dir, bucketed = false)),
+    "vq26c_asof_hot_bucketed" -> q((s, dir) => asofHot(s, dir, bucketed = true)),
+
+    // VQ-27/27b: the 50%-hot-key join pair — half of all events
+    // collapse onto one synthetic key ('hot'), the rest keep their
+    // event_type. 27 is the plain shuffle join (the hot key lands on
+    // one task); 27b salts it across 8 buckets
+    // (operators/SkewJoin.scala). Same oracle; BENCH times the pair so
+    // the salting defense carries a number at the skew ratio AQE's
+    // splitter cannot fix when the dim aggregate sits between sort and
+    // shuffle (see PlanAssertionsSpec's AQE note).
+    "vq27_hot_join_plain" -> q((s, dir) => hotJoin(s, dir, salted = false)),
+    "vq27b_hot_join_salted" -> q((s, dir) => hotJoin(s, dir, salted = true))
   ) ++ PipelineQueries.queries
+
+  /** The vq26b/vq26c hot-key as-of body — identical semantics, carry
+    * strategy switched by `bucketed`. */
+  private def asofHot(s: SparkSession, dir: String, bucketed: Boolean): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"),
+      date_trunc("second", col("ts")).as("ts"), col("event_type"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(lit(0).as("g"), col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("ts").agg(round(max("value"), 2).as("ref_value"))
+      .select(lit(0).as("g"), col("ts"), col("ts").as("ref_ts"), col("ref_value"))
+    val joined =
+      if (bucketed) AsOfJoin.bucketed(clicks, purchases, Seq("g"), "ts",
+        Seq("ref_ts", "ref_value"), bucketSeconds = 3600L)
+      else AsOfJoin(clicks, purchases, Seq("g"), "ts", Seq("ref_ts", "ref_value"))
+    joined.select(col("event_id"), col("ts"),
+      coalesce(col("ref_ts"), to_timestamp(lit("1970-01-01"))).as("ref_ts"),
+      coalesce(col("ref_value"), lit(-1.0)).as("ref_value"))
+  }
+
+  /** The vq27/vq27b 50%-hot-key join body — identical semantics, salting
+    * switched by `salted`. Decimal-exact aggregates as in vq20. */
+  private def hotJoin(s: SparkSession, dir: String, salted: Boolean): DataFrame = {
+    val events = t(s, dir, "events").select(
+      when(col("user_id") % 2 === 0, lit("hot"))
+        .otherwise(col("event_type")).as("k"),
+      col("value"))
+    val dim = events.groupBy("k")
+      .agg(round(sum(col("value").cast("decimal(20,6)")).cast("double") /
+        count(lit(1)), 3).as("weight"))
+    val joined =
+      if (salted) SkewJoin.saltedJoin(events, dim.hint("shuffle_hash"),
+        Seq("k"), saltBuckets = 8)
+      else events.join(dim.hint("shuffle_hash"), Seq("k"))
+    joined.groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        round(sum((col("value") * col("weight")).cast("decimal(20,6)"))
+          .cast("double"), 2).as("weighted"))
+  }
 
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL. Same column names as the Spark results; no final
@@ -685,6 +771,34 @@ object SparkEntry {
         |       COALESCE(p.ref_value, -1.0) AS ref_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
 
+    "vq26_asof_nearest" ->
+      """WITH ev AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts,
+        |                   event_type, value FROM events),
+        |c AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, ts AS ref_ts, ROUND(MAX(value), 2) AS ref_value
+        |      FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |b AS (SELECT c.user_id, c.event_id, c.ts, p.ref_ts, p.ref_value
+        |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts),
+        |f AS (SELECT c.event_id, p.ref_ts AS fref_ts, p.ref_value AS fref_value
+        |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT b.user_id, b.event_id, b.ts,
+        |       COALESCE(CASE WHEN b.ref_ts IS NOT NULL AND (f.fref_ts IS NULL OR
+        |                          date_diff('second', b.ref_ts, b.ts) <=
+        |                          date_diff('second', b.ts, f.fref_ts))
+        |                     THEN b.ref_ts ELSE f.fref_ts END,
+        |                TIMESTAMP '1970-01-01') AS ref_ts,
+        |       COALESCE(CASE WHEN b.ref_ts IS NOT NULL AND (f.fref_ts IS NULL OR
+        |                          date_diff('second', b.ref_ts, b.ts) <=
+        |                          date_diff('second', b.ts, f.fref_ts))
+        |                     THEN b.ref_value ELSE f.fref_value END,
+        |                -1.0) AS ref_value
+        |FROM b JOIN f ON b.event_id = f.event_id""".stripMargin,
+
+    "vq26b_asof_hot_plain" -> AsofHotOracle,
+    "vq26c_asof_hot_bucketed" -> AsofHotOracle,
+    "vq27_hot_join_plain" -> HotJoinOracle,
+    "vq27b_hot_join_salted" -> HotJoinOracle,
+
     "vq21b_harmony_lastwins" ->
       """WITH m AS (SELECT c_mktsegment AS system,
         |                  CAST(c_nationkey AS VARCHAR) AS code,
@@ -701,4 +815,31 @@ object SparkEntry {
         |       code, display
         |FROM kept WHERE dup = 1""".stripMargin
   ) ++ PipelineQueries.oracleSql
+
+  /** Shared oracle for the vq26b/vq26c hot-key as-of pair (same result
+    * by construction — the pair exists so BENCH can time plain vs
+    * bucketed on the 100%-skew key). */
+  private val AsofHotOracle: String =
+    """WITH ev AS (SELECT event_id, date_trunc('second', ts) AS ts,
+      |                   event_type, value FROM events),
+      |c AS (SELECT event_id, ts FROM ev WHERE event_type = 'click'),
+      |p AS (SELECT ts, ts AS ref_ts, ROUND(MAX(value), 2) AS ref_value
+      |      FROM ev WHERE event_type = 'purchase' GROUP BY ts)
+      |SELECT c.event_id, c.ts,
+      |       COALESCE(p.ref_ts, TIMESTAMP '1970-01-01') AS ref_ts,
+      |       COALESCE(p.ref_value, -1.0) AS ref_value
+      |FROM c ASOF LEFT JOIN p ON c.ts >= p.ts""".stripMargin
+
+  /** Shared oracle for the vq27/vq27b 50%-hot-key join pair. */
+  private val HotJoinOracle: String =
+    """WITH e AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'hot' ELSE event_type END AS k,
+      |                  value FROM events),
+      |d AS (SELECT k, ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+      |                      / COUNT(*), 3) AS weight
+      |      FROM e GROUP BY k)
+      |SELECT e.k, COUNT(*) AS n,
+      |       ROUND(CAST(SUM(CAST(e.value * d.weight AS DECIMAL(20,6))) AS DOUBLE), 2)
+      |         AS weighted
+      |FROM e JOIN d ON e.k = d.k
+      |GROUP BY e.k""".stripMargin
 }

@@ -225,9 +225,12 @@ object TextAnalysis {
    * `chunkTokens - overlapTokens`; every chunk except possibly the last
    * carries `chunkTokens` tokens; a chunk is emitted for every start
    * offset below the token count (no tail suppression — deterministic
-   * and slice-expressible in any engine). Pure projection + explode: no
-   * shuffle, chunks stay colocated with their document's partition.
-   * Output: (doc_id, chunk_idx, n_tokens, chunk_text).
+   * and slice-expressible in any engine). Pure Catalyst projection +
+   * explode — tokenize/sequence/slice/array_join all stay inside
+   * WholeStageCodegen (no typed mapPartitions, no object
+   * serialization boundary): no shuffle, chunks stay colocated with
+   * their document's partition. Output:
+   * (doc_id, chunk_idx, n_tokens, chunk_text).
    */
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 128, overlapTokens: Int = 0,
@@ -236,27 +239,22 @@ object TextAnalysis {
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"overlap must be in [0, chunkTokens), got $overlapTokens")
     val stride = chunkTokens - overlapTokens
-    val outSchema = StructType(Seq(
-      df.schema(df.schema.fieldIndex(idCol)).copy(name = "doc_id"),
-      StructField("chunk_idx", LongType, nullable = true),
-      StructField("n_tokens", LongType, nullable = true),
-      StructField("chunk_text", StringType, nullable = true)))
-    df.select(col(idCol), col(textCol).cast("string"))
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          if (r.isNullAt(1)) Iterator.empty
-          else {
-            val toks = TextOps.tokensJvm(r.getString(1))
-            val n = toks.length
-            Iterator.range(0, (n - 1) / stride + 1).map { i =>
-              val start = i * stride
-              val end = math.min(start + chunkTokens, n)
-              Row(r.get(0), i.toLong, (end - start).toLong,
-                toks.slice(start, end).mkString(" "))
-            }
-          }
-        }
-      }(Encoders.row(outSchema))
+    // tokens() never yields an empty array for non-null text (split of
+    // "" is [""]), so n >= 1 and the chunk count is (n-1)/stride + 1;
+    // greatest(0) still clamps the sequence bound because sequence(0, x)
+    // COUNTS DOWN for x < 0 instead of returning empty
+    val lastChunk = greatest(
+      floor((size(col("_toks")) - 1) / lit(stride)).cast("int"), lit(0))
+    val chunk = slice(col("_toks"), col("chunk_idx") * stride + 1, lit(chunkTokens))
+    df.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol).cast("string")).as("_toks"))
+      .filter(col("_toks").isNotNull)
+      .select(col("doc_id"), col("_toks"),
+        explode(sequence(lit(0), lastChunk)).as("chunk_idx"))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        size(chunk).cast("long").as("n_tokens"),
+        array_join(chunk, " ").as("chunk_text"))
       .transform(Presented(_, ordered, "doc_id", "chunk_idx"))
   }
 

@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
  * Column contract: point and interval columns must not collide apart
  * from the keys (alias on the way in); `start > end` intervals match
  * nothing (empty bucket sequence would error — they are filtered).
+ * Null bounds likewise DROP the row rather than match: an interval
+ * with a null start or end filters out at the `start <= end` guard
+ * (null comparison is never true), and a null-ts point gets a null
+ * bucket key, which no inner equi-join row can match — the operator
+ * emits only provable overlaps, exactly the `BETWEEN` oracle's
+ * semantics, so "null means unbounded" callers must materialize the
+ * bound (e.g. min/max of the corpus) before joining.
  */
 object RangeJoin {
 

@@ -119,4 +119,74 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("collide"))
   }
+
+  test("a _match_ts payload column is rejected, not silently ambiguous") {
+    val left = Seq((1, 10L, "a")).toDF("k", "ts", "tag")
+    val right = Seq((1, 7L, "r")).toDF("k", "ts", "_match_ts")
+      .select($"k", $"ts", $"_match_ts", $"ts".as("ref_ts"))
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin(left, right, Seq("k"), "ts", Seq("_match_ts", "ref_ts"))
+    }
+    assert(ex.getMessage.contains("_match_ts"))
+  }
+
+  test("nearest direction: closer side wins, ties go backward, tolerance gates each candidate") {
+    val left = Seq((1, 10L, "closerBack"), (1, 20L, "closerFwd"),
+      (1, 31L, "tie"), (1, 50L, "onlyBack"), (2, 5L, "none"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1, 8L, "r8"), (1, 14L, "r14"), (1, 22L, "r22"),
+      (1, 30L, "r30"), (1, 32L, "r32")).toDF("k", "ts", "v")
+      .select($"k", $"ts", $"ts".as("ref_ts"), $"v")
+    def got(tol: Option[Double]) = AsOfJoin(left, right, Seq("k"), "ts",
+      Seq("ref_ts", "v"), direction = "nearest", tolerance = tol)
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(4)) null else r.getString(4))).toMap
+    assert(got(None) == Map(
+      "closerBack" -> "r8",  // |10-8|=2 < |14-10|=4
+      "closerFwd" -> "r22",  // |20-14|=6 > |22-20|=2
+      "tie" -> "r30",        // |31-30| == |32-31| — backward wins
+      "onlyBack" -> "r32",   // nothing after 50
+      "none" -> null))       // key 2 has no right rows
+    // tolerance 3: closerFwd's backward candidate (gap 6) is out of
+    // range but its forward candidate (gap 2) is in — pandas semantics:
+    // the gate applies per candidate, not after the pick
+    assert(got(Some(3.0)).apply("closerFwd") == "r22")
+    assert(got(Some(1.0)).apply("closerFwd") == null)
+  }
+
+  test("bucketed carry is result-identical to the plain window on a hot key, all directions") {
+    // one key holds ~all rows (the straggler shape bucketed() exists
+    // for); buckets of 10s cut the 600s timeline into 60 slices. Left
+    // rows land in buckets with and without right rows, so both the
+    // in-bucket carry and the cross-bucket carry-in paths execute.
+    val left = (0L until 600L by 3L).map(ts => (1, ts, s"l$ts")) :+ ((2, 5L, "cold"))
+    val right = (0L until 600L by 50L).map(ts => (1, ts + 1L, s"r$ts")) :+ ((2, 9L, "rc"))
+    val lDf = left.toDF("k", "ts", "tag")
+    val rDf = right.toDF("k", "ts", "v").select($"k", $"ts", $"ts".as("ref_ts"), $"v")
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(25.0))) {
+      val plain = AsOfJoin(lDf, rDf, Seq("k"), "ts", Seq("ref_ts", "v"),
+        direction = dir, tolerance = tol).collect().map(_.toSeq).toSet
+      val buck = AsOfJoin.bucketed(lDf, rDf, Seq("k"), "ts", Seq("ref_ts", "v"),
+        bucketSeconds = 10L, direction = dir, tolerance = tol)
+        .collect().map(_.toSeq).toSet
+      assert(buck == plain, s"bucketed != plain for direction=$dir tolerance=$tol")
+    }
+  }
+
+  test("bucketed: null-ts rows keep the plain contract (right dropped, left unmatched)") {
+    val left = Seq((1, Option(10L), "a"), (1, Option.empty[Long], "b"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1, Option.empty[Long], "poison"), (1, Option(7L), "r7"))
+      .toDF("k", "ts", "v")
+      .select($"k", $"ts", $"ts".as("ref_ts"), $"v")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val got = AsOfJoin.bucketed(left, right, Seq("k"), "ts", Seq("ref_ts", "v"),
+        bucketSeconds = 5L, direction = dir)
+        .collect().map(r => (r.getString(2),
+          if (r.isNullAt(4)) null else r.getString(4))).toSet
+      val expectA = if (dir == "forward") null else "r7"
+      assert(got == Set(("a", expectA), ("b", null)), s"direction=$dir got $got")
+    }
+  }
 }

@@ -128,6 +128,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s2.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("chunkDocuments is pure Catalyst — no object boundary, explode stays in codegen") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val q = graft.llm.TextAnalysis.chunkDocuments(d, "doc_id", "text")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("SerializeFromObject")
+      && !plan.contains("MapPartitions"),
+      s"chunking fell out of codegen into the object tier:\n$plan")
+    assert(plan.contains("Generate explode"), s"expected a codegen explode:\n$plan")
+  }
+
   test("tfIdfTopTerms: document frequency is a keyed aggregate, never a term-partition window") {
     // Term frequency is Zipfian: a window partitioned by term puts every
     // (doc, term) row for a hot term into ONE task with no map-side
