@@ -177,8 +177,8 @@ object IncrementalMinHash {
    * never enters the merged index — MinHash similarity is not
    * transitive, so the row need not also match that row's own keeper.
    * Callers that need every `dup_of` to resolve into the merged index
-   * should resolve chains over the batch's pair set ([[DupClusters]])
-   * or re-join `dup_of` against the classified batch.
+   * apply [[resolveKeepers]] to the classified batch (opt-in: the
+   * chain hops cost extra joins the raw classification doesn't).
    *
    * The batch sketch is cached for the duration of the (lazy) returned
    * plan — it feeds four plan branches. Same contract as
@@ -229,6 +229,59 @@ object IncrementalMinHash {
           .when(col("_prev").isNotNull, lit("dup_in_batch"))
           .otherwise(lit("new")).as("status"),
         coalesce(col("_hist"), col("_prev"), lit(-1L)).as("dup_of"))
+  }
+
+  /**
+   * Opt-in totality pass over [[classify]]'s output: rewrite every
+   * `dup_of` so it references an id that survives the run — a member of
+   * (merged index ∪ batch keepers). A `dup_in_batch` row's batch-local
+   * target may itself be `dup_of_history` (then this row's `dup_of`
+   * becomes that row's HISTORY keeper) or `dup_in_batch` of a smaller
+   * row (then the chain is followed). Statuses are untouched — only
+   * the reference is rewritten.
+   *
+   * Chains strictly decrease the id at every hop (a `dup_in_batch`
+   * target is always a smaller batch id), so the loop terminates in at
+   * most the longest chain's length; each round is one equi-join of the
+   * batch against its own (id -> status, dup_of) map plus an O(1)-row
+   * convergence count, with a lazy localCheckpoint cutting plan growth
+   * (the [[DupClusters]] discipline). History keeper ids are final by
+   * construction, and a `_resolved` flag pins them so a history id that
+   * collides with a batch id is never re-chased.
+   *
+   * @param maxRounds hard cap on chain hops; exceeding it throws
+   *                  rather than returning partially resolved refs
+   */
+  def resolveKeepers(classified: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val targets = classified.select(
+      col("doc_id").as("_tid"), col("status").as("_tstatus"),
+      col("dup_of").as("_tdup"))
+    var cur = classified
+      .withColumn("_resolved", col("status") =!= "dup_in_batch")
+    var round = 0
+    var done = false
+    while (!done) {
+      val hopped = cur
+        .join(targets, col("dup_of") === col("_tid") && !col("_resolved"), "left")
+        .select(
+          col("doc_id"), col("status"),
+          when(!col("_resolved") &&
+              col("_tstatus").isin("dup_in_batch", "dup_of_history"),
+            col("_tdup")).otherwise(col("dup_of")).as("dup_of"),
+          // still unresolved only when the hop landed on another
+          // dup_in_batch row: its dup_of is again batch-local
+          (col("_resolved") || col("_tstatus").isNull ||
+            col("_tstatus") =!= "dup_in_batch").as("_resolved"))
+        .localCheckpoint(false)
+      val unresolved = hopped.filter(!col("_resolved")).limit(1).count()
+      cur = hopped
+      done = unresolved == 0L
+      round += 1
+      if (!done && round >= maxRounds)
+        sys.error(s"resolveKeepers did not converge in $maxRounds rounds " +
+          "— chain longer than the cap; raise maxRounds")
+    }
+    cur.drop("_resolved")
   }
 
   /** The next run's index: history plus the sketches of the batch's

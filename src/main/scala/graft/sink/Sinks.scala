@@ -161,8 +161,14 @@ object StudyIdsSink {
     val hostNode =
       if (study.has(host)) study.get(host).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       else { val n = mapper.createObjectNode(); study.set(host, n); n }
-    // id sets are the per-type distinct id lists — dimension-sized output
-    idSets.collect().foreach { r =>
+    // one row per resourceType streamed through the driver
+    // (toLocalIterator, the WhistleInputWriter pattern): the driver
+    // holds ONE type's id list plus the growing document instead of
+    // double-buffering the whole result set next to it — the last
+    // full-result collect() in a sink
+    val it = idSets.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
       val arr = mapper.createArrayNode()
       r.getSeq[String](1).foreach(arr.add)
       hostNode.set[com.fasterxml.jackson.databind.JsonNode](r.getString(0), arr)

@@ -64,6 +64,52 @@ class IncrementalMinHashSpec extends AnyFunSuite {
     assert(again(41L) == ("dup_of_history", 1L))
   }
 
+  test("resolveKeepers: every dup_of lands in (index ∪ batch keepers), statuses untouched") {
+    // synthetic classified frame with the chain shapes classify can emit:
+    //   2 -> 1 (keeper, stays)            4 -> 3 (dup_of_history: adopt 3's
+    //   5 -> 4 -> 3 (depth-2 chain)          history keeper 100)
+    //   6 -> 5 -> 4 -> 3 (depth-3 chain)  100 is ALSO a batch id classified
+    // dup_in_batch — the resolved pin must stop 4/5/6 from chasing it
+    // after their dup_of rewrites to HISTORY id 100
+    val classified = Seq(
+      (1L, "new", -1L),
+      (2L, "dup_in_batch", 1L),
+      (3L, "dup_of_history", 100L),
+      (4L, "dup_in_batch", 3L),
+      (5L, "dup_in_batch", 4L),
+      (6L, "dup_in_batch", 5L),
+      (100L, "dup_in_batch", 1L)
+    ).toDF("doc_id", "status", "dup_of")
+    val got = IncrementalMinHash.resolveKeepers(classified)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ("new", -1L),
+      2L -> ("dup_in_batch", 1L),
+      3L -> ("dup_of_history", 100L),
+      4L -> ("dup_in_batch", 100L),
+      5L -> ("dup_in_batch", 100L),
+      6L -> ("dup_in_batch", 100L),
+      100L -> ("dup_in_batch", 1L)))
+    // totality: every reference resolves to a keeper ('new' row) or a
+    // history id — never to a dropped dup row (other than ids that are
+    // keepers under a different run, like the colliding 100)
+    val keepers = got.collect { case (id, ("new", _)) => id }.toSet + 100L
+    got.collect { case (_, ("dup_in_batch", d)) => d }
+      .foreach(d => assert(keepers.contains(d), s"dangling dup_of $d"))
+  }
+
+  test("resolveKeepers is a no-op on classify output that is already total") {
+    val index = IncrementalMinHash.buildIndex(history, "doc_id", "text")
+    val raw = IncrementalMinHash.classify(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again extra"),
+      (11L, "entirely fresh words nothing shared with the indexed corpus here"),
+      (12L, "entirely fresh words nothing shared with the indexed corpus here"))
+      .toDF("doc_id", "text"), index, "doc_id", "text")
+    val before = raw.collect().map(_.toSeq).toSet
+    val after = IncrementalMinHash.resolveKeepers(raw).collect().map(_.toSeq).toSet
+    assert(after == before)
+  }
+
   test("classify raises on an index built with different sketch parameters") {
     // numHashes=12/bands=4 index vs default 9/3 call: zip_with over
     // different-length sig arrays would null-pad and silently
