@@ -326,7 +326,15 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol).cast("string"))).as("term"))
       .filter(col("term") =!= "")
+    // persisted: tf feeds BOTH the join probe side and the df aggregate.
+    // Without it each branch re-scans and re-tokenizes the corpus (the
+    // branches prune differently — df needs only distinct (doc, term) —
+    // so even exchange reuse can't unify them). |tf| is counts, smaller
+    // than the text it summarizes. Same contract as MinHashNearDup's
+    // shingle cache: long-lived sessions release it via
+    // spark.catalog.clearCache() (Verify/Bench already do).
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = df.select(col(idCol)).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("weight").desc, col("term").asc)
