@@ -174,6 +174,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("law: bucketed == plain on a seeded random fixture, across bucket widths") {
+    // random keys/timestamps with collisions and gaps; every (direction,
+    // width) pair must reproduce the plain window's rows exactly —
+    // including widths of 1 (every row its own bucket) and 10_000 (one
+    // bucket, pure in-bucket path)
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 300).map(i =>
+      (rnd.nextInt(4), rnd.nextInt(500).toLong, s"l$i"))
+    val right = (0 until 120).map(i =>
+      (rnd.nextInt(4), rnd.nextInt(500).toLong, i.toDouble))
+      .distinct.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (k, ts)
+    val lDf = left.toDF("k", "ts", "tag")
+    val rDf = right.toDF("k", "ts", "v").select($"k", $"ts", $"ts".as("ref_ts"), $"v")
+    for (dir <- Seq("backward", "forward", "nearest"); width <- Seq(1L, 37L, 10000L)) {
+      val plain = AsOfJoin(lDf, rDf, Seq("k"), "ts", Seq("ref_ts", "v"),
+        direction = dir).collect().map(_.toSeq).toSet
+      val buck = AsOfJoin.bucketed(lDf, rDf, Seq("k"), "ts", Seq("ref_ts", "v"),
+        bucketSeconds = width, direction = dir).collect().map(_.toSeq).toSet
+      assert(buck == plain, s"bucketed($width) != plain for direction=$dir")
+    }
+  }
+
   test("bucketed: null-ts rows keep the plain contract (right dropped, left unmatched)") {
     val left = Seq((1, Option(10L), "a"), (1, Option.empty[Long], "b"))
       .toDF("k", "ts", "tag")

@@ -128,6 +128,20 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s2.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("bucketed as-of joins are equi-joins on (key, bucket) — never cartesian") {
+    import spark.implicits._
+    val l = Seq((1, 10L, "a")).toDF("k", "ts", "tag")
+    val r = Seq((1, 7L, "x")).toDF("k", "ts", "v")
+      .select($"k", $"ts", $"ts".as("ref_ts"), $"v")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val p = graft.operators.AsOfJoin.bucketed(l, r, Seq("k"), "ts",
+        Seq("ref_ts", "v"), bucketSeconds = 5L, direction = dir)
+        .queryExecution.optimizedPlan.toString
+      assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+        s"bucketed as-of ($dir) planned a product join:\n$p")
+    }
+  }
+
   test("chunkDocuments is pure Catalyst — no object boundary, explode stays in codegen") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val q = graft.llm.TextAnalysis.chunkDocuments(d, "doc_id", "text")
