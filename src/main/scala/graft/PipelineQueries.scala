@@ -33,6 +33,27 @@ object PipelineQueries {
 
   private def q(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = fn
 
+  /** pq24/pq33's shared fixture: a batch of near-copies of history
+    * (one appended token -> dup_of_history), synthetic disjoint texts
+    * (-> new) and their second copies (-> dup_in_batch), classified
+    * against the full-corpus MinHash index. */
+  private def minhashFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val index = IncrementalMinHash.buildIndex(d, "doc_id", "text")
+    val idstr = col("doc_id").cast("string")
+    val freshText = concat(lit("n"), idstr, lit("a n"), idstr,
+      lit("b n"), idstr, lit("c n"), idstr, lit("d"))
+    val fresh = d.filter(col("doc_id") >= 30 && col("doc_id") < 40)
+    val batch = d.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" xtra")).as("text"))
+      .unionByName(fresh.select((col("doc_id") + 20000).as("doc_id"),
+        freshText.as("text")))
+      .unionByName(fresh.select((col("doc_id") + 30000).as("doc_id"),
+        freshText.as("text")))
+    (batch, index)
+  }
+
   /** Unique memory-sink names so repeated runs (bench best-of-N sweeps,
    *  verify + bench in one session) never collide on an active query. */
   private val SinkId = new java.util.concurrent.atomic.AtomicLong(0)
@@ -187,6 +208,44 @@ object PipelineQueries {
     }))
     (replay, rawSchema)
   }
+
+  /** pq24's full classification SQL — also the `classified` CTE of
+    * pq33's recursive chain resolution. */
+  private val IncMinhashClassifySql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 10000 AS doc_id, text || ' xtra' AS text FROM d WHERE doc_id < 30
+        |  UNION ALL SELECT doc_id + 20000, 'n' || doc_id || 'a n' || doc_id || 'b n' || doc_id || 'c n' || doc_id || 'd' FROM d WHERE doc_id >= 30 AND doc_id < 40
+        |  UNION ALL SELECT doc_id + 30000, 'n' || doc_id || 'a n' || doc_id || 'b n' || doc_id || 'c n' || doc_id || 'd' FROM d WHERE doc_id >= 30 AND doc_id < 40),
+        |alld AS (SELECT doc_id, text, 0 AS is_b FROM d UNION ALL SELECT doc_id, text, 1 FROM batch),
+        |toks AS (SELECT doc_id, is_b, string_split_regex(trim(text), '\s+') AS t FROM alld),
+        |sh AS (SELECT doc_id, is_b, list_distinct(list_transform(range(1, len(t)-1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM toks WHERE len(t) >= 3),
+        |sig AS (SELECT doc_id, is_b, list_transform(range(0, 9),
+        |          k -> list_min(list_transform(shingles, x -> md5(k::VARCHAR || ':' || x)))) AS mh FROM sh),
+        |bands AS (SELECT doc_id, is_b, b, md5(mh[3*b+1] || mh[3*b+2] || mh[3*b+3]) AS band_key
+        |          FROM sig, unnest([0, 1, 2]) AS u(b)),
+        |hc AS (SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid
+        |       FROM bands b JOIN bands h ON b.band_key = h.band_key AND b.b = h.b
+        |        AND b.is_b = 1 AND h.is_b = 0),
+        |hv AS (SELECT bid, MIN(hid) AS hist_dup
+        |       FROM hc JOIN sig sb ON sb.doc_id = bid AND sb.is_b = 1
+        |               JOIN sig s2 ON s2.doc_id = hid AND s2.is_b = 0
+        |       WHERE len(list_filter(range(1, 10), i -> sb.mh[i] = s2.mh[i])) >= 5
+        |       GROUP BY bid),
+        |bc AS (SELECT DISTINCT a.doc_id AS aid, b.doc_id AS bid
+        |       FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.b = b.b
+        |        AND a.is_b = 1 AND b.is_b = 1 AND a.doc_id < b.doc_id),
+        |bv AS (SELECT bid, MIN(aid) AS batch_dup
+        |       FROM bc JOIN sig sa ON sa.doc_id = aid AND sa.is_b = 1
+        |               JOIN sig sb ON sb.doc_id = bid AND sb.is_b = 1
+        |       WHERE len(list_filter(range(1, 10), i -> sa.mh[i] = sb.mh[i])) >= 5
+        |       GROUP BY bid)
+        |SELECT batch.doc_id,
+        |       CASE WHEN hv.hist_dup IS NOT NULL THEN 'dup_of_history'
+        |            WHEN bv.batch_dup IS NOT NULL THEN 'dup_in_batch' ELSE 'new' END AS status,
+        |       CAST(COALESCE(hv.hist_dup, bv.batch_dup, -1) AS BIGINT) AS dup_of
+        |FROM batch LEFT JOIN hv ON hv.bid = batch.doc_id LEFT JOIN bv ON bv.bid = batch.doc_id""".stripMargin
 
   /** The SimHash signature->banded-candidates->Hamming CTE chain — the
    *  oracle for BOTH pq7b (near-dup pairs) and pq23 (pair clustering):
@@ -529,20 +588,19 @@ object PipelineQueries {
     // minhash makes every estimate engine-portable, so the oracle
     // computes the identical classification.
     "pq24_incremental_minhash" -> q((s, dir) => {
-      val d = docs(s, dir).select("doc_id", "text")
-      val index = IncrementalMinHash.buildIndex(d, "doc_id", "text")
-      val idstr = col("doc_id").cast("string")
-      val freshText = concat(lit("n"), idstr, lit("a n"), idstr,
-        lit("b n"), idstr, lit("c n"), idstr, lit("d"))
-      val fresh = d.filter(col("doc_id") >= 30 && col("doc_id") < 40)
-      val batch = d.filter(col("doc_id") < 30)
-        .select((col("doc_id") + 10000).as("doc_id"),
-          concat(col("text"), lit(" xtra")).as("text"))
-        .unionByName(fresh.select((col("doc_id") + 20000).as("doc_id"),
-          freshText.as("text")))
-        .unionByName(fresh.select((col("doc_id") + 30000).as("doc_id"),
-          freshText.as("text")))
+      val (batch, index) = minhashFixture(s, dir)
       IncrementalMinHash.classify(batch, index, "doc_id", "text")
+    }),
+
+    // The totality pass over pq24's classification: every dup_of
+    // rewritten to an id that survives the run (batch keeper or history
+    // keeper). The oracle follows the same chains with a recursive CTE
+    // over the classified rows — engine-portable because the
+    // classification itself is (pq24).
+    "pq33_resolve_keepers" -> q((s, dir) => {
+      val (batch, index) = minhashFixture(s, dir)
+      IncrementalMinHash.resolveKeepers(
+        IncrementalMinHash.classify(batch, index, "doc_id", "text"))
     }),
 
     // Normalized-exact dedup: ExactDedup over the dedup-normalized text
@@ -829,41 +887,29 @@ object PipelineQueries {
     // the MinHash sketch CTEs mirror pq6's (same md5 minhash + banding);
     // verification is the component-match ESTIMATE, as the operator's
     // index carries signatures, not shingle sets
-    "pq24_incremental_minhash" ->
-      """WITH d AS (SELECT doc_id, text FROM documents),
-        |batch AS (
-        |  SELECT doc_id + 10000 AS doc_id, text || ' xtra' AS text FROM d WHERE doc_id < 30
-        |  UNION ALL SELECT doc_id + 20000, 'n' || doc_id || 'a n' || doc_id || 'b n' || doc_id || 'c n' || doc_id || 'd' FROM d WHERE doc_id >= 30 AND doc_id < 40
-        |  UNION ALL SELECT doc_id + 30000, 'n' || doc_id || 'a n' || doc_id || 'b n' || doc_id || 'c n' || doc_id || 'd' FROM d WHERE doc_id >= 30 AND doc_id < 40),
-        |alld AS (SELECT doc_id, text, 0 AS is_b FROM d UNION ALL SELECT doc_id, text, 1 FROM batch),
-        |toks AS (SELECT doc_id, is_b, string_split_regex(trim(text), '\s+') AS t FROM alld),
-        |sh AS (SELECT doc_id, is_b, list_distinct(list_transform(range(1, len(t)-1),
-        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM toks WHERE len(t) >= 3),
-        |sig AS (SELECT doc_id, is_b, list_transform(range(0, 9),
-        |          k -> list_min(list_transform(shingles, x -> md5(k::VARCHAR || ':' || x)))) AS mh FROM sh),
-        |bands AS (SELECT doc_id, is_b, b, md5(mh[3*b+1] || mh[3*b+2] || mh[3*b+3]) AS band_key
-        |          FROM sig, unnest([0, 1, 2]) AS u(b)),
-        |hc AS (SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid
-        |       FROM bands b JOIN bands h ON b.band_key = h.band_key AND b.b = h.b
-        |        AND b.is_b = 1 AND h.is_b = 0),
-        |hv AS (SELECT bid, MIN(hid) AS hist_dup
-        |       FROM hc JOIN sig sb ON sb.doc_id = bid AND sb.is_b = 1
-        |               JOIN sig s2 ON s2.doc_id = hid AND s2.is_b = 0
-        |       WHERE len(list_filter(range(1, 10), i -> sb.mh[i] = s2.mh[i])) >= 5
-        |       GROUP BY bid),
-        |bc AS (SELECT DISTINCT a.doc_id AS aid, b.doc_id AS bid
-        |       FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.b = b.b
-        |        AND a.is_b = 1 AND b.is_b = 1 AND a.doc_id < b.doc_id),
-        |bv AS (SELECT bid, MIN(aid) AS batch_dup
-        |       FROM bc JOIN sig sa ON sa.doc_id = aid AND sa.is_b = 1
-        |               JOIN sig sb ON sb.doc_id = bid AND sb.is_b = 1
-        |       WHERE len(list_filter(range(1, 10), i -> sa.mh[i] = sb.mh[i])) >= 5
-        |       GROUP BY bid)
-        |SELECT batch.doc_id,
-        |       CASE WHEN hv.hist_dup IS NOT NULL THEN 'dup_of_history'
-        |            WHEN bv.batch_dup IS NOT NULL THEN 'dup_in_batch' ELSE 'new' END AS status,
-        |       CAST(COALESCE(hv.hist_dup, bv.batch_dup, -1) AS BIGINT) AS dup_of
-        |FROM batch LEFT JOIN hv ON hv.bid = batch.doc_id LEFT JOIN bv ON bv.bid = batch.doc_id""".stripMargin,
+    "pq24_incremental_minhash" -> IncMinhashClassifySql,
+
+    // resolveKeepers as a recursive chain walk over pq24's classified
+    // rows: follow dup_in_batch hops (strictly decreasing ids, so the
+    // recursion provably terminates); a dup_of_history target ends the
+    // chain by adopting its HISTORY keeper; 'new'/history targets end
+    // it in place. Exactly the operator's rewrite contract.
+    "pq33_resolve_keepers" ->
+      s"""WITH RECURSIVE classified AS (
+        |$IncMinhashClassifySql
+        |),
+        |chain AS (
+        |  SELECT doc_id, status, dup_of AS cur, status <> 'dup_in_batch' AS done
+        |  FROM classified
+        |  UNION ALL
+        |  SELECT c.doc_id, c.status,
+        |         CASE WHEN t.status IN ('dup_in_batch', 'dup_of_history')
+        |              THEN t.dup_of ELSE c.cur END,
+        |         t.status <> 'dup_in_batch'
+        |  FROM chain c JOIN classified t ON t.doc_id = c.cur AND NOT c.done)
+        |SELECT doc_id, status, CAST(cur AS BIGINT) AS dup_of
+        |FROM chain WHERE done""".stripMargin,
+
 
     "pq32_streaming_incremental" ->
       """WITH hist AS (SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id
