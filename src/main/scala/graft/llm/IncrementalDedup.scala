@@ -1,6 +1,5 @@
 package graft.llm
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -35,15 +34,24 @@ object IncrementalDedup {
   /**
    * Classify `batch` against `index`. Output
    * (doc_id, content_hash, status, dup_of), dup_of null for `new` rows.
+   *
+   * The in-batch keeper is a KEYED aggregate equi-joined back, never a
+   * window over the content_hash partition: a crawl batch can carry
+   * millions of copies of one boilerplate document, and a window
+   * partition is one task with no map-side combine — the same Zipfian
+   * straggler the tf-idf df computation guards against. The aggregate
+   * collapses hot hashes before its shuffle and both joins are
+   * AQE-skew-eligible.
    */
   def classify(batch: DataFrame, index: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val hashed = batch.select(
       col(idCol).as("doc_id"),
       TextOps.md5Hex(col(textCol)).as("content_hash"))
-    val w = Window.partitionBy("content_hash")
+    val keepers = hashed.groupBy("content_hash")
+      .agg(min(col("doc_id")).as("_batch_keep"))
     hashed
-      .withColumn("_batch_keep", min(col("doc_id")).over(w))
+      .join(keepers, Seq("content_hash"))
       .join(index.select(col("content_hash"), col("keep_id").as("_hist")),
         Seq("content_hash"), "left")
       .select(

@@ -152,6 +152,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(plan.contains("Generate explode"), s"expected a codegen explode:\n$plan")
   }
 
+  test("incremental exact dedup: the batch keeper is a keyed aggregate, never a hash-partition window") {
+    // same Zipfian-straggler class as the tf-idf df pin: millions of
+    // copies of one boilerplate content must collapse map-side, not
+    // land in a single window task
+    import spark.implicits._
+    val batch = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val index = graft.llm.IncrementalDedup.buildIndex(
+      Seq((0L, "c")).toDF("doc_id", "text"), "doc_id", "text")
+    val op = graft.llm.IncrementalDedup.classify(batch, index, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(!op.contains("windowspecdefinition"),
+      s"incremental dedup regressed to a window:\n$op")
+    assert(op.contains("Aggregate [content_hash#"),
+      s"expected groupBy(content_hash) keeper aggregate:\n$op")
+  }
+
   test("tfIdfTopTerms: document frequency is a keyed aggregate, never a term-partition window") {
     // Term frequency is Zipfian: a window partitioned by term puts every
     // (doc, term) row for a hot term into ONE task with no map-side
