@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // tooling-only logging config (quiet Spark startup INFO so the bench
+  // gate line survives bounded output captures); deliberately not the
+  // auto-discovered log4j2.properties name, so library consumers keep
+  // their own logging
+  "-Dlog4j2.configurationFile=classpath:log4j2-graft-tooling.properties",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

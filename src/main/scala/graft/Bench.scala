@@ -106,8 +106,11 @@ object Bench {
         case e: Throwable =>
           failed += name
           // drop every rep key too (`name#2`...), else a failure at rep k>1
-          // leaves earlier reps contributing timings for a failed query
+          // leaves earlier reps contributing timings for a failed query —
+          // and the streaming batch count from a prior successful sweep,
+          // which would attribute a "last run" that is not the last run
           timings.filterInPlace((k, _) => k != name && !k.startsWith(name + "#"))
+          PipelineQueries.StreamingBatchCounts.remove(name)
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       } finally {
         // operators that persist intermediates (e.g. MinHash LSH's shingle
@@ -193,11 +196,12 @@ object Bench {
     try {
       import scala.jdk.CollectionConverters._
       val benchR = """BENCH_r(\d+)\.json""".r
-      val round = 1 + java.nio.file.Files.list(java.nio.file.Paths.get(cwd))
-        .iterator().asScala
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(cwd))
+      val round = 1 + (try listing.iterator().asScala
         .map(_.getFileName.toString)
         .collect { case benchR(n) => n.toInt }
         .foldLeft(0)(math.max)
+      finally listing.close())
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(cwd, f"bench_details_r$round%02d.json"), details)
     } catch {

@@ -73,13 +73,16 @@ object PipelineQueries {
   val StreamingBatchCounts =
     new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
-  /** Drain the replay, record its micro-batch count, always stop. */
+  /** Drain the replay, record its micro-batch count, always stop.
+    * lastProgress.batchId is exact — recentProgress would clamp at
+    * numRecentProgressUpdates (100) and silently flatten the count a
+    * regression diagnosis depends on. */
   private def drainStream(name: String,
       query: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     try {
       query.processAllAvailable()
       StreamingBatchCounts.put(name,
-        query.recentProgress.map(_.batchId).distinct.length.toLong)
+        Option(query.lastProgress).map(_.batchId + 1L).getOrElse(0L))
     } finally query.stop()
 
   /** A sibling session whose shuffle-partition count right-sizes the

@@ -50,8 +50,13 @@ object IncrementalDedup {
       TextOps.md5Hex(col(textCol)).as("content_hash"))
     val keepers = hashed.groupBy("content_hash")
       .agg(min(col("doc_id")).as("_batch_keep"))
+      .withColumnRenamed("content_hash", "_kh")
     hashed
-      .join(keepers, Seq("content_hash"))
+      // null-SAFE equality: null-text rows hash to null and must keep
+      // the one-output-row-per-input-row contract (they dedup among
+      // themselves, exactly the old window's null-partition behavior) —
+      // a plain equi-join would silently drop them
+      .join(keepers, col("content_hash") <=> col("_kh")).drop("_kh")
       .join(index.select(col("content_hash"), col("keep_id").as("_hist")),
         Seq("content_hash"), "left")
       .select(

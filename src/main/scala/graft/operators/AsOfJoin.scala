@@ -111,7 +111,14 @@ object AsOfJoin {
     require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
     val fr = tagFrames(left, right, keyCols, tsCol, payloadCols, direction, tolerance)
     val bkt = floor(col(tsCol).cast("double") / bucketSeconds).cast("long")
+    // persisted: the union feeds the occupied-bucket distinct, the
+    // boundary aggregate (once per carry direction) and the main carry
+    // path — 3 (backward/forward) to 5 (nearest) consumers that would
+    // otherwise each re-scan both inputs at exactly the straggler scale
+    // this variant exists for. Same release contract as the other
+    // operator caches: spark.catalog.clearCache() between runs.
     val u = fr.l.unionByName(fr.r).withColumn("_bkt", bkt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // null-ts left rows get a null bucket: they join no carry-in row and
     // their in-bucket carry partition holds no right rows (right null-ts
     // rows were dropped in tagFrames), so they surface unmatched — the

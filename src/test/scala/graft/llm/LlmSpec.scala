@@ -428,6 +428,23 @@ class LlmSpec extends AnyFunSuite {
       (13L, "new", None)))
   }
 
+  test("IncrementalDedup.classify: null-text rows keep one-row-per-input and dedup among themselves") {
+    // md5(null) = null; the keeper join must be null-SAFE or these rows
+    // silently vanish from the output (the contract is one classified
+    // row per batch row, null texts grouped as their own content)
+    val history = df("doc_id BIGINT, text STRING", Seq(Row(1L, "alpha")))
+    val index = IncrementalDedup.buildIndex(history, "doc_id", "text")
+    val batch = df("doc_id BIGINT, text STRING", Seq(
+      Row(20L, null), Row(21L, null), Row(22L, "alpha")))
+    val out = IncrementalDedup.classify(batch, index, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      (20L, "new", None),
+      (21L, "dup_in_batch", Some(20L)),
+      (22L, "dup_of_history", Some(1L))))
+  }
+
   test("IncrementalDedup.mergeIndex folds only the accepted keepers in") {
     val history = df("doc_id BIGINT, text STRING", Seq(Row(1L, "alpha")))
     val index = IncrementalDedup.buildIndex(history, "doc_id", "text")
