@@ -675,6 +675,22 @@ object PipelineQueries {
       TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text",
         chunkTokens = 16, overlapTokens = 4, ordered = false)),
 
+    // Deterministic shard-shuffle: the reproducible training-order
+    // permutation as (shard, pos) — two independent md5-derived hashes
+    // (shard assignment, within-shard order), no global sort. The
+    // oracle parses the same 8 hex chars via CAST('0x'||.. AS BIGINT).
+    "pq34_shard_shuffle" -> q((s, dir) =>
+      Packing.shardShuffle(docs(s, dir).select("doc_id"), "doc_id", shards = 8)
+        .select("doc_id", "shard", "pos")),
+
+    // Fixed-token sequence packing over the shard-shuffle order: one
+    // row per (doc, training sequence it occupies), with the
+    // document-local token slice — documents straddle sequence cuts
+    // (pack-and-mask layout).
+    "pq35_pack_sequences" -> q((s, dir) =>
+      Packing.packSequences(docs(s, dir), "doc_id", "text",
+        targetTokens = 256, shards = 4)),
+
     // PII redaction over a corpus with synthesized contamination for
     // doc_id < 20 (email + phone + IPv4 appended); the rest of the
     // corpus is clean word soup and must pass through untouched with
@@ -1031,6 +1047,36 @@ object PipelineQueries {
         |      FROM s)
         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, ROUND(weight, 4) AS weight
         |FROM r WHERE rnk <= 3""".stripMargin,
+
+    "pq34_shard_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5('graft:s' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+        |         CAST(('0x' || substr(md5('graft:o' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h2
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT doc_id, shard,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h2, doc_id) AS BIGINT) AS pos
+        |FROM h""".stripMargin,
+
+    "pq35_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |           FROM documents WHERE doc_id IS NOT NULL),
+        |h AS (SELECT doc_id, n,
+        |        CAST(('0x' || substr(md5('graft:s' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS shard,
+        |        CAST(('0x' || substr(md5('graft:o' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h2
+        |      FROM t),
+        |o AS (SELECT doc_id, n, shard,
+        |        CAST(SUM(n) OVER (PARTITION BY shard ORDER BY h2, doc_id
+        |                          ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS cb
+        |      FROM h),
+        |s AS (SELECT doc_id, n, shard, cb,
+        |        unnest(range(cb // 256, (cb + greatest(n, 1) - 1) // 256 + 1)) AS seq_id
+        |      FROM o)
+        |SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        |       CAST(greatest(seq_id * 256 - cb, 0) AS BIGINT) AS tok_start,
+        |       CAST(least((seq_id + 1) * 256 - cb, n) AS BIGINT) AS tok_end
+        |FROM s""".stripMargin,
 
     "pq29_chunking" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

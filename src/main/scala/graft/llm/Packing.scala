@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-order primitives: deterministic corpus reshuffling and
+ * fixed-token sequence packing — the two layout passes between a
+ * cleaned corpus and a training run.
+ *
+ * Both are pure functions of (salt, id), so a re-run reproduces the
+ * exact order and packing (training reproducibility), and both avoid a
+ * GLOBAL total order: at corpus scale `orderBy(hash)` is one range
+ * exchange through a single sort; sharding first bounds every ordered
+ * window by the shard-size contract the training job already imposes
+ * (a shard must fit its consumer).
+ */
+object Packing {
+
+  /** Portable 32-bit hash: the first 8 md5 hex chars of salt||key as a
+    * long — the integer twin of [[Sampling]]'s hex-compare trick
+    * (DuckDB: CAST('0x' || substr(md5(..), 1, 8) AS BIGINT)). */
+  private def hash32(key: org.apache.spark.sql.Column, salt: String) =
+    conv(substring(
+      md5(concat(lit(salt), key.cast("string")).cast("binary")), 1, 8),
+      16, 10).cast("long")
+
+  /**
+   * Deterministic reshuffle: each row lands in shard
+   * `hash(salt:s, id) % shards` at position `rank of hash(salt:o, id)`
+   * within the shard — a reproducible global permutation delivered as
+   * (shard, pos) instead of one totally-ordered stream. ONE shuffle
+   * (the shard partition); each shard sorts in one task, so pick
+   * `shards` to make a shard task-sized — the same sizing the training
+   * reader needs anyway. Two INDEPENDENT hashes: with a single hash the
+   * within-shard order would be a function of the shard assignment
+   * (every shard ordered by the same residue-classed value), coupling
+   * the permutation to the shard count.
+   *
+   * Null ids have no stable identity and are dropped, as in
+   * [[Sampling]]. Output: input columns + (shard, pos), pos 1-based.
+   */
+  def shardShuffle(df: DataFrame, idCol: String, shards: Int,
+      salt: String = "graft"): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    require(!df.columns.contains("shard") && !df.columns.contains("pos") &&
+      !df.columns.contains("_h2"),
+      "columns shard/pos/_h2 collide with the operator's output — alias them away")
+    val w = Window.partitionBy("shard").orderBy(col("_h2"), col(idCol))
+    df.filter(col(idCol).isNotNull)
+      .withColumn("shard", pmod(hash32(col(idCol), salt + ":s"), lit(shards)))
+      .withColumn("_h2", hash32(col(idCol), salt + ":o"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_h2")
+  }
+
+  /**
+   * Fixed-token sequence packing over the [[shardShuffle]] order: lay
+   * documents end to end within each shard and cut every
+   * `targetTokens`, emitting one row per (document, training sequence
+   * it occupies) — documents straddle sequence boundaries (the
+   * standard pack-and-mask layout, not bin packing: greedy/FFD bin
+   * packing is order-dependent across the whole shard and saves
+   * nothing once attention masking handles the splits).
+   *
+   * Output per span: (shard, seq_id, doc_id, tok_start, tok_end) —
+   * tok_start/tok_end are the document-local token slice [start, end)
+   * for that sequence; every sequence except a shard's last carries
+   * exactly `targetTokens` tokens across its spans.
+   *
+   * Scale shape: one shuffle (shard), one per-shard ordered window for
+   * the running offset (bounded by the shard contract), then a pure
+   * projection + explode of ceil(n/target)+1 spans max per doc. The
+   * token count is `size(tokens)` — swap in a real tokenizer column
+   * upstream without changing the plan.
+   */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      targetTokens: Int, shards: Int, salt: String = "graft"): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be positive, got $targetTokens")
+    val shuffled = shardShuffle(
+      df.select(col(idCol).as("doc_id"),
+        size(TextOps.tokens(col(textCol).cast("string"))).cast("long").as("_n")),
+      "doc_id", shards, salt)
+    val w = Window.partitionBy("shard").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = shuffled
+      .withColumn("_cb", sum(col("_n")).over(w) - col("_n")) // tokens before this doc
+      .withColumn("seq_id",
+        explode(sequence(floor(col("_cb") / targetTokens),
+          floor((col("_cb") + greatest(col("_n"), lit(1L)) - 1) / targetTokens))))
+    spans.select(
+      col("shard"), col("seq_id").cast("long").as("seq_id"), col("doc_id"),
+      greatest(col("seq_id") * targetTokens - col("_cb"), lit(0L)).as("tok_start"),
+      least((col("seq_id") + 1) * targetTokens - col("_cb"), col("_n")).as("tok_end"))
+  }
+}

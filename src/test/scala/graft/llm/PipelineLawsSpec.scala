@@ -37,6 +37,49 @@ class PipelineLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("law: shardShuffle is a permutation — every id once, positions contiguous per shard") {
+    val df = corpus.toDF("doc_id", "text")
+    val got = Packing.shardShuffle(df, "doc_id", shards = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))) // (id, shard, pos)
+    assert(got.map(_._1).toSet == corpus.map(_._1).toSet, "every id exactly once")
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not contiguous from 1")
+    }
+    // determinism + salt sensitivity
+    val again = Packing.shardShuffle(df, "doc_id", shards = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(again == got.toSet, "same salt must reproduce the permutation")
+    val salted = Packing.shardShuffle(df, "doc_id", shards = 5, salt = "other")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(salted != got.toSet, "a different salt must draw a different permutation")
+  }
+
+  test("law: packSequences covers every token exactly once; interior sequences carry exactly target tokens") {
+    val target = 7
+    val df = corpus.toDF("doc_id", "text")
+    val spans = Packing.packSequences(df, "doc_id", "text", target, shards = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // per-doc coverage: spans partition [0, n) in order with no gaps
+    spans.groupBy(_._3).foreach { case (id, ss) =>
+      val n = TextOps.tokensJvm(corpus.find(_._1 == id).get._2).length.toLong
+      val ordered = ss.sortBy(_._2)
+      assert(ordered.head._4 == 0L && ordered.last._5 == n, s"doc $id ends: $ordered")
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 == b._4, s"doc $id gap between $a and $b")
+        case _ =>
+      }
+    }
+    // per-sequence budget: every sequence but the shard's last is full
+    spans.groupBy(s => (s._1, s._2)).foreach { case ((shard, seq), ss) =>
+      val tokens = ss.map(s => s._5 - s._4).sum
+      val lastSeq = spans.filter(_._1 == shard).map(_._2).max
+      if (seq < lastSeq)
+        assert(tokens == target, s"shard $shard seq $seq carries $tokens != $target")
+      else assert(tokens <= target, s"shard $shard last seq overflows: $tokens")
+    }
+  }
+
   test("law: redactPii is idempotent and a second pass finds nothing") {
     val contaminated = corpus.map { case (i, t) =>
       (i, if (i % 3 == 0) s"$t x$i@h$i.com 555-123-4567 1.2.3.$i" else t)
