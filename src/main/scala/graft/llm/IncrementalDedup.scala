@@ -17,19 +17,35 @@ import org.apache.spark.sql.{Column, DataFrame}
  *    smaller id carries it (`dup_of` = that row's id).
  *  - `new`            — the batch's keeper for an unseen content.
  *
- * Scale shape: ONE shuffle of (id, hash) on the content hash covers both
- * the in-batch min-id window and the sort-merge join against the index
- * (co-partitioned on the same key); the index is never broadcast and
- * never rescans the corpus it summarizes. [[mergeIndex]] folds the
- * accepted `new` rows back in for the next run — the same last-wins
- * union-groupBy as the initial build.
+ * Scale shape: the batch's (id, hash) rows cross the wire ONCE — the
+ * keeper aggregate sees only map-side-combined distinct hashes, and the
+ * keeper join's output keeps the content_hash partitioning the history
+ * sort-merge join needs (co-partitioned, AQE-skew-eligible); the index
+ * is never broadcast and never rescans the corpus it summarizes.
+ * [[mergeIndex]] folds the accepted `new` rows back in for the next
+ * run — the same last-wins union-groupBy as the initial build.
  */
 object IncrementalDedup {
 
+  /** Null-content sentinel: null texts hash to null, and a null key
+    * never survives a plain equi-join — but the dedup contract wants
+    * null-text docs treated as ONE content ("no content"), in-batch and
+    * across batches. Normalizing null to a non-hex sentinel (md5 hex is
+    * 32 lowercase hex chars, so "-" cannot collide) keeps every join a
+    * plain equi-join — a null-SAFE join (<=>) would instead normalize
+    * the join keys and re-shuffle the batch for the history join,
+    * breaking the one-shuffle co-partitioning below. */
+  private val NullHash = "-"
+  private def contentHash(text: org.apache.spark.sql.Column) =
+    coalesce(TextOps.md5Hex(text), lit(NullHash))
+
   /** The persisted index: (content_hash, keep_id) — exactly
-    * [[ExactDedup]]'s output minus the copy count. */
+    * [[ExactDedup]]'s output minus the copy count, with null-text
+    * contents normalized to the [[NullHash]] sentinel. */
   def buildIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    ExactDedup(df, idCol, textCol).select("content_hash", "keep_id")
+    ExactDedup(df, idCol, textCol)
+      .select(coalesce(col("content_hash"), lit(NullHash)).as("content_hash"),
+        col("keep_id"))
 
   /**
    * Classify `batch` against `index`. Output
@@ -47,17 +63,17 @@ object IncrementalDedup {
       idCol: String, textCol: String): DataFrame = {
     val hashed = batch.select(
       col(idCol).as("doc_id"),
-      TextOps.md5Hex(col(textCol)).as("content_hash"))
+      // sentinel-normalized (see NullHash): null-text rows keep the
+      // one-output-row-per-input-row contract and dedup as one content,
+      // in-batch and against history, through plain equi-joins
+      contentHash(col(textCol)).as("content_hash"))
     val keepers = hashed.groupBy("content_hash")
       .agg(min(col("doc_id")).as("_batch_keep"))
-      .withColumnRenamed("content_hash", "_kh")
     hashed
-      // null-SAFE equality: null-text rows hash to null and must keep
-      // the one-output-row-per-input-row contract (they dedup among
-      // themselves, exactly the old window's null-partition behavior) —
-      // a plain equi-join would silently drop them
-      .join(keepers, col("content_hash") <=> col("_kh")).drop("_kh")
-      .join(index.select(col("content_hash"), col("keep_id").as("_hist")),
+      .join(keepers, Seq("content_hash"))
+      .join(index.select(
+          coalesce(col("content_hash"), lit(NullHash)).as("content_hash"),
+          col("keep_id").as("_hist")),
         Seq("content_hash"), "left")
       .select(
         col("doc_id"),
@@ -75,7 +91,10 @@ object IncrementalDedup {
     * original keeper id (classified rows for it were dup_of_history,
     * so nothing downstream references the batch id). */
   def mergeIndex(index: DataFrame, classified: DataFrame): DataFrame =
-    index.unionByName(
+    index.select( // normalize pre-sentinel persisted indexes on the way in
+        coalesce(col("content_hash"), lit(NullHash)).as("content_hash"),
+        col("keep_id"))
+      .unionByName(
         classified.filter(col("status") === "new")
           .select(col("content_hash"), col("doc_id").as("keep_id")))
       .groupBy("content_hash")

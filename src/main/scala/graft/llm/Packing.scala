@@ -39,7 +39,10 @@ object Packing {
    * the permutation to the shard count.
    *
    * Null ids have no stable identity and are dropped, as in
-   * [[Sampling]]. Output: input columns + (shard, pos), pos 1-based.
+   * [[Sampling]]. Ids must be UNIQUE: duplicate ids share both sort
+   * keys, making their relative positions nondeterministic — dedup
+   * upstream (same precondition as [[AsOfJoin]]'s right side).
+   * Output: input columns + (shard, pos), pos 1-based.
    */
   def shardShuffle(df: DataFrame, idCol: String, shards: Int,
       salt: String = "graft"): DataFrame = {
@@ -69,22 +72,32 @@ object Packing {
    * for that sequence; every sequence except a shard's last carries
    * exactly `targetTokens` tokens across its spans.
    *
-   * Scale shape: one shuffle (shard), one per-shard ordered window for
-   * the running offset (bounded by the shard contract), then a pure
+   * Scale shape: one shuffle (shard), ONE per-shard ordered window for
+   * the running offset — the shard/order hashes are computed inline
+   * rather than via [[shardShuffle]], whose rank column this operator
+   * never emits and whose pos-ordered window would force a second
+   * identical per-shard sort Catalyst cannot elide — then a pure
    * projection + explode of ceil(n/target)+1 spans max per doc. The
    * token count is `size(tokens)` — swap in a real tokenizer column
    * upstream without changing the plan.
+   *
+   * Same preconditions as [[shardShuffle]] (non-null unique ids);
+   * null-TEXT docs carry no tokens and are excluded explicitly (an
+   * empty string still packs: it tokenizes to one empty token).
    */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       targetTokens: Int, shards: Int, salt: String = "graft"): DataFrame = {
     require(targetTokens > 0, s"targetTokens must be positive, got $targetTokens")
-    val shuffled = shardShuffle(
-      df.select(col(idCol).as("doc_id"),
-        size(TextOps.tokens(col(textCol).cast("string"))).cast("long").as("_n")),
-      "doc_id", shards, salt)
-    val w = Window.partitionBy("shard").orderBy("pos")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val base = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(TextOps.tokens(col(textCol).cast("string"))).cast("long").as("_n"))
+      .withColumn("shard", pmod(hash32(col("doc_id"), salt + ":s"), lit(shards)))
+      .withColumn("_h2", hash32(col("doc_id"), salt + ":o"))
+    val w = Window.partitionBy("shard").orderBy(col("_h2"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val spans = shuffled
+    val spans = base
       .withColumn("_cb", sum(col("_n")).over(w) - col("_n")) // tokens before this doc
       .withColumn("seq_id",
         explode(sequence(floor(col("_cb") / targetTokens),

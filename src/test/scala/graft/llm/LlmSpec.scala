@@ -445,6 +445,25 @@ class LlmSpec extends AnyFunSuite {
       (22L, "dup_of_history", Some(1L))))
   }
 
+  test("IncrementalDedup: null-text dedup holds ACROSS batches through the index") {
+    // the sentinel normalization must survive buildIndex + classify +
+    // mergeIndex: a null-text doc accepted once is dup_of_history in
+    // every later batch ("seen once, dropped forever"), not re-accepted
+    val history = df("doc_id BIGINT, text STRING",
+      Seq(Row(1L, "alpha"), Row(2L, null)))
+    val index = IncrementalDedup.buildIndex(history, "doc_id", "text")
+    val batch = df("doc_id BIGINT, text STRING", Seq(Row(30L, null)))
+    val classified = IncrementalDedup.classify(batch, index, "doc_id", "text")
+    val first = classified.head()
+    assert(first.getString(2) == "dup_of_history" && first.getLong(3) == 2L)
+    // and through a merge round too
+    val merged = IncrementalDedup.mergeIndex(index, classified)
+    val again = IncrementalDedup.classify(
+      df("doc_id BIGINT, text STRING", Seq(Row(40L, null))), merged,
+      "doc_id", "text").head()
+    assert(again.getString(2) == "dup_of_history" && again.getLong(3) == 2L)
+  }
+
   test("IncrementalDedup.mergeIndex folds only the accepted keepers in") {
     val history = df("doc_id BIGINT, text STRING", Seq(Row(1L, "alpha")))
     val index = IncrementalDedup.buildIndex(history, "doc_id", "text")

@@ -80,6 +80,18 @@ class PipelineLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("law: packSequences excludes null-text docs explicitly; empty text still packs") {
+    import org.apache.spark.sql.Row
+    val schema = "doc_id BIGINT, text STRING"
+    val df = TestSpark.spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "a b c"), Row(2L, null), Row(3L, "")),
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+    val got = Packing.packSequences(df, "doc_id", "text", targetTokens = 2, shards = 1)
+      .collect().map(_.getLong(2)).toSet
+    assert(got == Set(1L, 3L), // null text out by contract, empty text in (one "" token)
+      s"expected docs 1 and 3 only, got $got")
+  }
+
   test("law: redactPii is idempotent and a second pass finds nothing") {
     val contaminated = corpus.map { case (i, t) =>
       (i, if (i % 3 == 0) s"$t x$i@h$i.com 555-123-4567 1.2.3.$i" else t)
