@@ -1061,7 +1061,8 @@ object PipelineQueries {
     "pq35_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
         |                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
-        |           FROM documents WHERE doc_id IS NOT NULL),
+        |           FROM documents
+        |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
         |h AS (SELECT doc_id, n,
         |        CAST(('0x' || substr(md5('graft:s' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS shard,
         |        CAST(('0x' || substr(md5('graft:o' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h2
