@@ -691,6 +691,16 @@ object PipelineQueries {
       Packing.packSequences(docs(s, dir), "doc_id", "text",
         targetTokens = 256, shards = 4)),
 
+    // Data-mixing rates: per-source sampling rates hitting a target
+    // token mixture under a budget (rate = min(1, budget*share/tokens),
+    // capped strata flagged) — the step in front of stratifiedSample.
+    // src0 is deliberately over-asked (share 0.9 of a budget larger
+    // than its tokens) so the cap path is exercised.
+    "pq36_mixture_rates" -> q((s, dir) =>
+      Packing.mixtureRates(docs(s, dir), "source", "n_chars",
+        Map("src0" -> 0.9, "src1" -> 0.05, "src2" -> 0.05),
+        budgetTokens = 20000L)),
+
     // PII redaction over a corpus with synthesized contamination for
     // doc_id < 20 (email + phone + IPv4 appended); the rest of the
     // corpus is clean word soup and must pass through untouched with
@@ -1047,6 +1057,21 @@ object PipelineQueries {
         |      FROM s)
         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, ROUND(weight, 4) AS weight
         |FROM r WHERE rnk <= 3""".stripMargin,
+
+    "pq36_mixture_rates" ->
+      """WITH t AS (SELECT source AS stratum,
+        |                  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT stratum, n_tokens,
+        |             CAST(CASE stratum WHEN 'src0' THEN 0.9
+        |                               WHEN 'src1' THEN 0.05
+        |                               WHEN 'src2' THEN 0.05
+        |                               ELSE 0.0 END * 20000 AS DOUBLE) AS want
+        |      FROM t)
+        |SELECT stratum, n_tokens,
+        |       CAST(ROUND(least(1.0, want / n_tokens), 6) AS DOUBLE) AS rate,
+        |       want > n_tokens AS capped
+        |FROM w""".stripMargin,
 
     "pq34_shard_shuffle" ->
       """WITH h AS (

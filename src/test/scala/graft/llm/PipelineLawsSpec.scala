@@ -92,6 +92,21 @@ class PipelineLawsSpec extends AnyFunSuite {
       s"expected docs 1 and 3 only, got $got")
   }
 
+  test("law: mixtureRates — uncapped strata hit budget*share exactly; caps flag and clamp to 1") {
+    val df = Seq(
+      ("web", 1000L), ("web", 1000L),   // 2000 tokens
+      ("books", 100L),                  // 100 tokens — will be over-asked
+      ("code", 500L)                    // untargeted -> rate 0
+    ).toDF("source", "n_tokens")
+    val got = Packing.mixtureRates(df, "source", "n_tokens",
+      Map("web" -> 0.5, "books" -> 0.5), budgetTokens = 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got("web") == ((2000L, 0.25, false)))   // 1000*0.5/2000
+    assert(got("books") == ((100L, 1.0, true)))    // wants 500 of 100 -> capped
+    assert(got("code") == ((500L, 0.0, false)))    // excluded from the mixture
+  }
+
   test("law: redactPii is idempotent and a second pass finds nothing") {
     val contaminated = corpus.map { case (i, t) =>
       (i, if (i % 3 == 0) s"$t x$i@h$i.com 555-123-4567 1.2.3.$i" else t)

@@ -44,7 +44,8 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "qualityMetrics" -> graft.llm.TextAnalysis.qualityMetrics(d, "doc_id", "text"),
       "repetitionMetrics" -> graft.llm.TextAnalysis.repetitionMetrics(d, "doc_id", "text"),
       "chunkDocuments" -> graft.llm.TextAnalysis.chunkDocuments(d, "doc_id", "text"),
-      "redactPii" -> graft.llm.TextAnalysis.redactPii(d, "doc_id", "text")
+      "redactPii" -> graft.llm.TextAnalysis.redactPii(d, "doc_id", "text"),
+      "packSequences" -> graft.llm.Packing.packSequences(d, "doc_id", "text", 128, 4)
     ).foreach { case (name, q) =>
       val readSchema = q.queryExecution.executedPlan.toString
         .linesIterator.find(_.contains("ReadSchema")).get
