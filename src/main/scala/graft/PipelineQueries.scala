@@ -697,7 +697,7 @@ object PipelineQueries {
     // src0 is deliberately over-asked (share 0.9 of a budget larger
     // than its tokens) so the cap path is exercised.
     "pq36_mixture_rates" -> q((s, dir) =>
-      Packing.mixtureRates(docs(s, dir), "source", "n_chars",
+      Sampling.mixtureRates(docs(s, dir), "source", "n_chars",
         Map("src0" -> 0.9, "src1" -> 0.05, "src2" -> 0.05),
         budgetTokens = 20000L)),
 

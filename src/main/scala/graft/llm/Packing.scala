@@ -108,33 +108,4 @@ object Packing {
       least((col("seq_id") + 1) * targetTokens - col("_cb"), col("_n")).as("tok_end"))
   }
 
-  /**
-   * Per-stratum sampling rates that hit a target token mixture under a
-   * budget — the data-mixing step in front of [[Sampling.stratifiedSample]]:
-   * `rate_s = min(1, budget * share_s / tokens_s)` keeps stratum s's
-   * expected sampled tokens at `budget * share_s`, capped at keeping
-   * everything (hash sampling cannot upsample; a capped stratum
-   * undershoots its share and the output says so). Strata absent from
-   * `targetShares` get rate 0 — excluded from the mixture by contract.
-   *
-   * One keyed aggregate (map-side combined) over the corpus; the
-   * result is strata-sized. Output: (stratum, n_tokens, rate, capped).
-   */
-  def mixtureRates(df: DataFrame, strataCol: String, tokensCol: String,
-      targetShares: Map[String, Double], budgetTokens: Long): DataFrame = {
-    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
-    require(targetShares.values.forall(s => s >= 0 && s <= 1),
-      s"target shares must be in [0, 1]: $targetShares")
-    val share = targetShares.toSeq.sortBy(_._1).foldRight(lit(0.0)) {
-      case ((stratum, s), elseExpr) =>
-        when(col("stratum") === stratum, lit(s)).otherwise(elseExpr)
-    }
-    df.groupBy(col(strataCol).as("stratum"))
-      .agg(sum(col(tokensCol).cast("long")).as("n_tokens"))
-      .withColumn("_want", share * budgetTokens)
-      .withColumn("rate",
-        round(least(lit(1.0), col("_want") / col("n_tokens")), 6))
-      .withColumn("capped", col("_want") > col("n_tokens"))
-      .drop("_want")
-  }
 }

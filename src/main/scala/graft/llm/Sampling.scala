@@ -50,6 +50,16 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(samplePredicate(col(keyCol), rate, salt))
 
+  /** Sorted when-chain dispatch on a stratum column — shared by
+    * [[stratifiedSample]] and [[mixtureRates]] so the two agree on
+    * stratum matching (they compose: rates out, sample in). */
+  private def stratumCase(strata: Column, cases: Seq[(String, Column)],
+      default: Column): Column =
+    cases.sortBy(_._1).foldRight(default) {
+      case ((stratum, value), elseExpr) =>
+        when(strata === stratum, value).otherwise(elseExpr)
+    }
+
   /**
    * Stratified deterministic sample: per-stratum rates (domain mixing —
    * upsample curated sources, downsample crawl), `defaultRate` for
@@ -60,12 +70,47 @@ object Sampling {
       rates: Map[String, Double], defaultRate: Double = 1.0,
       salt: String = ""): DataFrame = {
     val key = col(keyCol)
-    val pred = rates.toSeq.sortBy(_._1).foldRight(
-        samplePredicate(key, defaultRate, salt): Column) {
-      case ((stratum, rate), elseExpr) =>
-        when(col(strataCol) === stratum, samplePredicate(key, rate, salt))
-          .otherwise(elseExpr)
-    }
-    df.filter(pred)
+    df.filter(stratumCase(col(strataCol),
+      rates.toSeq.map { case (s, r) => s -> samplePredicate(key, r, salt) },
+      samplePredicate(key, defaultRate, salt)))
+  }
+
+  /**
+   * Per-stratum sampling rates that hit a target token mixture under a
+   * budget — the data-mixing step in front of [[stratifiedSample]]:
+   * `rate_s = min(1, budget * share_s / tokens_s)` keeps stratum s's
+   * expected sampled tokens at `budget * share_s`, capped at keeping
+   * everything (hash sampling cannot upsample; a capped stratum
+   * undershoots its share and the output says so — including a
+   * targeted stratum with zero tokens, which rates 0 and flags).
+   * Strata absent from `targetShares` get rate 0 — excluded from the
+   * mixture by contract. Shares must sum to at most 1: an
+   * over-subscribed mixture would silently exceed the budget.
+   *
+   * One keyed aggregate (map-side combined) over the corpus; the
+   * result is strata-sized. Output: (stratum, n_tokens, rate, capped).
+   */
+  def mixtureRates(df: DataFrame, strataCol: String, tokensCol: String,
+      targetShares: Map[String, Double], budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(targetShares.values.forall(s => s >= 0 && s <= 1),
+      s"target shares must be in [0, 1]: $targetShares")
+    val total = targetShares.values.sum
+    require(total <= 1.0 + 1e-9,
+      f"target shares sum to $total%.4f > 1 — the mixture would exceed the budget")
+    val share = stratumCase(col("stratum"),
+      targetShares.toSeq.map { case (s, v) => s -> (lit(v): Column) }, lit(0.0))
+    df.groupBy(col(strataCol).as("stratum"))
+      // coalesce: an all-null token column must read as zero tokens, not
+      // poison the division into a null that least() would skip (turning
+      // the rate into 1.0 — the opposite of "nothing to sample")
+      .agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L)).as("n_tokens"))
+      .withColumn("_want", share * budgetTokens)
+      .withColumn("rate",
+        when(col("n_tokens") > 0,
+          round(least(lit(1.0), col("_want") / col("n_tokens")), 6))
+        .otherwise(lit(0.0)))
+      .withColumn("capped", col("_want") > col("n_tokens"))
+      .drop("_want")
   }
 }

@@ -98,13 +98,32 @@ class PipelineLawsSpec extends AnyFunSuite {
       ("books", 100L),                  // 100 tokens — will be over-asked
       ("code", 500L)                    // untargeted -> rate 0
     ).toDF("source", "n_tokens")
-    val got = Packing.mixtureRates(df, "source", "n_tokens",
+    val got = Sampling.mixtureRates(df, "source", "n_tokens",
       Map("web" -> 0.5, "books" -> 0.5), budgetTokens = 1000L)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
     assert(got("web") == ((2000L, 0.25, false)))   // 1000*0.5/2000
     assert(got("books") == ((100L, 1.0, true)))    // wants 500 of 100 -> capped
     assert(got("code") == ((500L, 0.0, false)))    // excluded from the mixture
+    // zero/null-token strata must rate 0, never 1 (least() skips the
+    // NULL a zero-division produces), and targeted-but-empty flags capped
+    import org.apache.spark.sql.Row
+    val withEmpty = TestSpark.spark.createDataFrame(
+      java.util.Arrays.asList(Row("web", 1000L),
+        Row("empty", null), Row("zero", 0L)),
+      org.apache.spark.sql.types.StructType.fromDDL("source STRING, n_tokens BIGINT"))
+    val g2 = Sampling.mixtureRates(withEmpty, "source", "n_tokens",
+      Map("web" -> 0.5, "empty" -> 0.5), budgetTokens = 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(g2("empty") == ((0L, 0.0, true)))  // targeted, nothing to sample
+    assert(g2("zero") == ((0L, 0.0, false)))  // untargeted and empty
+    // over-subscribed mixtures are rejected up front
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.mixtureRates(df, "source", "n_tokens",
+        Map("web" -> 0.9, "books" -> 0.9), budgetTokens = 1000L)
+    }
+    assert(ex.getMessage.contains("sum"))
   }
 
   test("law: redactPii is idempotent and a second pass finds nothing") {
