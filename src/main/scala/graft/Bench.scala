@@ -115,8 +115,10 @@ object Bench {
       } finally {
         // operators that persist intermediates (e.g. MinHash LSH's shingle
         // cache) would otherwise accumulate across queries and perturb
-        // later timings via memory pressure
-        spark.catalog.clearCache()
+        // later timings via memory pressure. Scope-released (not
+        // clearCache): exactly the graft-tracked intermediates go,
+        // including checkpoint storage clearCache cannot see
+        CacheScope.releaseSession()
       }
     val sweepTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
     if (reps > 1) {
@@ -191,17 +193,24 @@ object Bench {
       }
     // Per-round archive: bench_details.json is overwritten every run,
     // which blocked two rounds of per-query regression checks. The round
-    // number is 1 + the highest BENCH_r<N>.json the driver has committed
-    // (the current round's BENCH file lands only after this run).
+    // number is SPARK_GRAFT_ROUND when set; otherwise inferred as 1 + the
+    // highest BENCH_r<N>.json the driver has committed (the current
+    // round's BENCH file lands only after this run). The env override
+    // exists because the inference is cwd-dependent: a run launched
+    // outside the repo root, or rerun before the driver commits the
+    // round's BENCH file, would compute the wrong round and silently
+    // overwrite a previous round's archive.
     try {
       import scala.jdk.CollectionConverters._
       val benchR = """BENCH_r(\d+)\.json""".r
-      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(cwd))
-      val round = 1 + (try listing.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case benchR(n) => n.toInt }
-        .foldLeft(0)(math.max)
-      finally listing.close())
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+        val listing = java.nio.file.Files.list(java.nio.file.Paths.get(cwd))
+        1 + (try listing.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case benchR(n) => n.toInt }
+          .foldLeft(0)(math.max)
+        finally listing.close())
+      }
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(cwd, f"bench_details_r$round%02d.json"), details)
     } catch {

@@ -694,11 +694,13 @@ object PipelineQueries {
     // Data-mixing rates: per-source sampling rates hitting a target
     // token mixture under a budget (rate = min(1, budget*share/tokens),
     // capped strata flagged) — the step in front of stratifiedSample.
-    // src0 is deliberately over-asked (share 0.9 of a budget larger
-    // than its tokens) so the cap path is exercised.
+    // src0 is deliberately over-asked (share 0.85 of a budget larger
+    // than its tokens) so the cap path is exercised, and src_absent
+    // targets a stratum with no corpus rows so the zero-token contract
+    // (n_tokens=0, rate=0, capped=true) is exercised too.
     "pq36_mixture_rates" -> q((s, dir) =>
       Sampling.mixtureRates(docs(s, dir), "source", "n_chars",
-        Map("src0" -> 0.9, "src1" -> 0.05, "src2" -> 0.05),
+        Map("src0" -> 0.85, "src1" -> 0.05, "src2" -> 0.05, "src_absent" -> 0.05),
         budgetTokens = 20000L)),
 
     // PII redaction over a corpus with synthesized contamination for
@@ -1062,14 +1064,20 @@ object PipelineQueries {
       """WITH t AS (SELECT source AS stratum,
         |                  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_tokens
         |           FROM documents GROUP BY source),
+        |tgt AS (SELECT * FROM (VALUES ('src0'), ('src1'), ('src2'), ('src_absent')) AS v(stratum)),
+        |u AS (SELECT COALESCE(t.stratum, tgt.stratum) AS stratum,
+        |             CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens
+        |      FROM t FULL OUTER JOIN tgt ON t.stratum = tgt.stratum),
         |w AS (SELECT stratum, n_tokens,
-        |             CAST(CASE stratum WHEN 'src0' THEN 0.9
+        |             CAST(CASE stratum WHEN 'src0' THEN 0.85
         |                               WHEN 'src1' THEN 0.05
         |                               WHEN 'src2' THEN 0.05
+        |                               WHEN 'src_absent' THEN 0.05
         |                               ELSE 0.0 END * 20000 AS DOUBLE) AS want
-        |      FROM t)
+        |      FROM u)
         |SELECT stratum, n_tokens,
-        |       CAST(ROUND(least(1.0, want / n_tokens), 6) AS DOUBLE) AS rate,
+        |       CAST(CASE WHEN n_tokens > 0 THEN ROUND(least(1.0, want / n_tokens), 6)
+        |                 ELSE 0.0 END AS DOUBLE) AS rate,
         |       want > n_tokens AS capped
         |FROM w""".stripMargin,
 

@@ -23,7 +23,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // drop operator-persisted intermediates
+      finally CacheScope.releaseSession() // drop graft-persisted intermediates only
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${JsonStr.quote(k)}: ${JsonStr.quote(v)}" }

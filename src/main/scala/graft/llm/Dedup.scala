@@ -86,14 +86,15 @@ object NgramJaccard {
       threshold: Double = 0.6,
       maxDf: Int = 1000,
       broadcastSizes: Boolean = true,
-      ordered: Boolean = true): DataFrame = {
+      ordered: Boolean = true,
+      scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
     // the shared typed inverted-index pass (TextOps.shingleIndex):
     // tokenize -> distinct shingle set -> (id, fnv64(shingle)) rows.
     // Persisted: inv appears twice in rare's own plan (join probe side +
     // df-count agg side are DIFFERENT exchanges, so reuse never applies)
     // — without the cache the tokenize/shingle scan runs twice
-    val inv = TextOps.shingleIndex(df, idCol, textCol, shingleN)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val inv = scope.track(TextOps.shingleIndex(df, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK))
 
     // rare-shingle index: df counts are one hash agg on the shingle key;
     // the join back is co-partitioned on the same key. NOT persisted: the
@@ -155,7 +156,8 @@ object MinHashNearDup {
       numHashes: Int = 9,
       bands: Int = 3,
       threshold: Double = 0.8,
-      ordered: Boolean = true): DataFrame = {
+      ordered: Boolean = true,
+      scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must divide into bands ($bands)")
     val rowsPerBand = numHashes / bands
 
@@ -168,7 +170,7 @@ object MinHashNearDup {
     // exchange reuse covers at most the self-join, never the re-reads;
     // without the cache the shingle/signature work runs 3-4x. Storage is
     // (id, shingle-set, band keys) only — tiny relative to the corpus.
-    // Long-lived sessions can clear it via spark.catalog.clearCache.
+    // Released via `scope`.
     val shSchema = StructType(Seq(
       df.schema(df.schema.fieldIndex(idCol)).copy(name = "_id"),
       StructField("_shingles", ArrayType(StringType, containsNull = true), nullable = true),
@@ -192,6 +194,7 @@ object MinHashNearDup {
         }
       }(Encoders.row(shSchema))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    scope.track(sh)
 
     val banded = sh.select(col("_id"),
       posexplode(col("_bands")).as(Seq("_b", "_band_key")))
@@ -304,7 +307,8 @@ object SimHashNearDup {
    * bucket-equality self-join.
    */
   def apply(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, ordered: Boolean = true): DataFrame = {
+      maxHamming: Int = 3, ordered: Boolean = true,
+      scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
     require(maxHamming <= 3,
       s"4 bands guarantee recall only for distance <= 3, got $maxHamming")
     val sigs = SimHashSignatures.signatures(df, idCol, textCol)
@@ -342,14 +346,15 @@ object SimHashNearDup {
           }(Encoders.row(outSchema))
           .distinct() // a pair within distance d shares up to 4 - d chunks
           .transform(Presented(_, ordered, "doc_a", "doc_b"))
-      case None => joined(sigs, maxHamming, ordered)
+      case None => joined(sigs, maxHamming, ordered, scope)
     }
   }
 
   /** Fallback for exotic id types: bucket-equality self-join on
    *  (chunk index, chunk value), distinct, then the Hamming expression. */
-  private def joined(sigs: DataFrame, maxHamming: Int, ordered: Boolean): DataFrame = {
-    val cached = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+  private def joined(sigs: DataFrame, maxHamming: Int, ordered: Boolean,
+      scope: graft.CacheScope): DataFrame = {
+    val cached = scope.track(sigs.persist(StorageLevel.MEMORY_AND_DISK))
     val banded = cached.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         substring(col("simhash"), 1 + 4 * i, 4)): _*)).as(Seq("_i", "_chunk")))

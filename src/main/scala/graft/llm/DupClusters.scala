@@ -39,18 +39,25 @@ import org.apache.spark.sql.functions._
 object DupClusters {
 
   def apply(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20,
+      scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
     val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val edges = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true) // scanned every round; compute the pair source once
+    val edgesCk = graft.CacheScope.checkpointRdd(edges)
     // lazy checkpoints throughout the loop: the convergence probe
     // (labelSum) is the action that materializes each round, so every
     // round costs ONE job instead of checkpoint-then-sum's two — at
-    // bench scale the rounds are pure machinery and this halves it
+    // bench scale the rounds are pure machinery and this halves it.
+    // Each round's checkpoint is released as the next materializes, so
+    // the loop holds at most two label-table copies plus the edge set;
+    // the survivors (edges + final labels) are released when they are:
+    // edges as soon as the loop exits, the returned labels via `scope`.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(false)
+    var labelsCk = graft.CacheScope.checkpointRdd(labels)
     // decimal sum: overflow-safe convergence witness for 64-bit ids
     // (null on an empty graph — an empty pair set converges immediately)
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -59,32 +66,40 @@ object DupClusters {
     var prev = labelSum(labels)
     var rounds = 0
     var converged = labels.isEmpty
-    while (!converged && rounds < maxRounds) {
-      val nbr = edges.join(labels, edges("dst") === labels("doc_id"))
-        .select(edges("src").as("doc_id"), labels("cluster_id"))
-      val hop = labels.unionByName(nbr)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-      // pointer jump: label <- label(label). Every label is a node id
-      // (mins over node ids), so the self-join resolves for every row;
-      // the left join + coalesce is belt-and-braces. The parent's label
-      // is <= the child's (min-monotone with self included), so the
-      // jump only ever improves.
-      val parent = hop.select(col("doc_id").as("_pid"), col("cluster_id").as("_plbl"))
-      val next = hop.join(parent, hop("cluster_id") === parent("_pid"), "left")
-        .select(hop("doc_id"),
-          coalesce(col("_plbl"), hop("cluster_id")).as("cluster_id"))
-        .localCheckpoint(false)
-      val cur = labelSum(next)
-      converged = cur.compareTo(prev) == 0
-      prev = cur
-      labels = next
-      rounds += 1
-    }
-    if (!converged)
+    try {
+      while (!converged && rounds < maxRounds) {
+        val nbr = edges.join(labels, edges("dst") === labels("doc_id"))
+          .select(edges("src").as("doc_id"), labels("cluster_id"))
+        val hop = labels.unionByName(nbr)
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        // pointer jump: label <- label(label). Every label is a node id
+        // (mins over node ids), so the self-join resolves for every row;
+        // the left join + coalesce is belt-and-braces. The parent's label
+        // is <= the child's (min-monotone with self included), so the
+        // jump only ever improves.
+        val parent = hop.select(col("doc_id").as("_pid"), col("cluster_id").as("_plbl"))
+        val next = hop.join(parent, hop("cluster_id") === parent("_pid"), "left")
+          .select(hop("doc_id"),
+            coalesce(col("_plbl"), hop("cluster_id")).as("cluster_id"))
+          .localCheckpoint(false)
+        val nextCk = graft.CacheScope.checkpointRdd(next)
+        val cur = labelSum(next) // materializes next's checkpoint
+        labelsCk.foreach(_.unpersist(blocking = false))
+        labelsCk = nextCk
+        converged = cur.compareTo(prev) == 0
+        prev = cur
+        labels = next
+        rounds += 1
+      }
+    } finally edgesCk.foreach(_.unpersist(blocking = false))
+    if (!converged) {
+      labelsCk.foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
         s"DupClusters did not converge within maxRounds=$maxRounds: the label " +
           "sum was still falling, so cluster_ids would be partially propagated " +
           "(wrong). Rounds scale with log(component diameter) — raise maxRounds.")
+    }
+    labelsCk.foreach(scope.track)
     labels
   }
 }

@@ -214,22 +214,20 @@ object IncrementalMinHash {
    *
    * The batch sketch is cached for the duration of the (lazy) returned
    * plan — it feeds four plan branches. Same contract as
-   * [[MinHashNearDup]]'s shingle cache: long-lived sessions running
-   * many batches should release it between batches via
-   * `spark.catalog.clearCache()` (or consume the result eagerly and
-   * checkpoint); classify itself cannot unpersist without forcing the
-   * caller's action.
+   * [[MinHashNearDup]]'s shingle cache: release between batches via the
+   * `scope` handle (or [[graft.CacheScope.releaseSession]]).
    *
    * @param minMatch minimum equal signature components out of
    *                 `numHashes` (estimated Jaccard >= minMatch/numHashes)
    */
   def classify(batch: DataFrame, index: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3, numHashes: Int = 9,
-      bands: Int = 3, minMatch: Int = 5): DataFrame = {
+      bands: Int = 3, minMatch: Int = 5,
+      scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must divide into bands ($bands)")
     val spine = batch.select(col(idCol).cast("long").as("doc_id")).distinct()
-    val bs = sketch(batch, idCol, textCol, shingleN, numHashes, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bs = scope.track(sketch(batch, idCol, textCol, shingleN, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bBand = bs.select(col("_id"), posexplode(col("_bands")).as(Seq("_b", "_bk")))
     val hBand = index.select(col("keep_id"),
       posexplode(widthChecked(col("bands"), bands, "bands")).as(Seq("_b", "_bk")))
@@ -277,19 +275,27 @@ object IncrementalMinHash {
    * most the longest chain's length; each round is one equi-join of the
    * batch against its own (id -> status, dup_of) map plus an O(1)-row
    * convergence count, with a lazy localCheckpoint cutting plan growth
-   * (the [[DupClusters]] discipline). History keeper ids are final by
-   * construction, and a `_resolved` flag pins them so a history id that
-   * collides with a batch id is never re-chased.
+   * (the [[DupClusters]] discipline). Each round's checkpoint is
+   * released as soon as the next round's materializes — a deep chain
+   * holds at most TWO batch-sized copies, not rounds x; the final
+   * round's (which backs the returned DataFrame) is registered with
+   * `scope`. History keeper ids are final by construction, and a
+   * `_resolved` flag pins them so a history id that collides with a
+   * batch id is never re-chased.
    *
    * @param maxRounds hard cap on chain hops; exceeding it throws
    *                  rather than returning partially resolved refs
    */
-  def resolveKeepers(classified: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def resolveKeepers(classified: DataFrame, maxRounds: Int = 20,
+      scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
     val targets = classified.select(
       col("doc_id").as("_tid"), col("status").as("_tstatus"),
       col("dup_of").as("_tdup"))
     var cur = classified
       .withColumn("_resolved", col("status") =!= "dup_in_batch")
+    // the storage behind cur's checkpoint, once cur IS a checkpoint —
+    // never the caller's own plan (round 0 tracks None)
+    var curCk: Option[org.apache.spark.rdd.RDD[_]] = None
     var round = 0
     var done = false
     while (!done) {
@@ -305,14 +311,23 @@ object IncrementalMinHash {
           (col("_resolved") || col("_tstatus").isNull ||
             col("_tstatus") =!= "dup_in_batch").as("_resolved"))
         .localCheckpoint(false)
+      val hoppedCk = graft.CacheScope.checkpointRdd(hopped)
+      // the convergence probe materializes hopped's checkpoint (the lazy
+      // checkpoint completes its missing partitions at job end), after
+      // which the PREVIOUS round's storage is unreachable — release it
       val unresolved = hopped.filter(!col("_resolved")).limit(1).count()
+      curCk.foreach(_.unpersist(blocking = false))
+      curCk = hoppedCk
       cur = hopped
       done = unresolved == 0L
       round += 1
-      if (!done && round >= maxRounds)
+      if (!done && round >= maxRounds) {
+        curCk.foreach(_.unpersist(blocking = false))
         sys.error(s"resolveKeepers did not converge in $maxRounds rounds " +
           "— chain longer than the cap; raise maxRounds")
+      }
     }
+    curCk.foreach(scope.track)
     cur.drop("_resolved")
   }
 

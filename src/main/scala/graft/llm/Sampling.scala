@@ -87,7 +87,12 @@ object Sampling {
    * mixture by contract. Shares must sum to at most 1: an
    * over-subscribed mixture would silently exceed the budget.
    *
-   * One keyed aggregate (map-side combined) over the corpus; the
+   * One keyed aggregate (map-side combined) over the corpus, outer-
+   * joined against the (tiny) target-share key set so EVERY
+   * targeted stratum emits a row even when the corpus has no rows for
+   * it — a targeted-but-absent stratum surfaces as (n_tokens=0, rate=0,
+   * capped=true when its share is positive) instead of silently
+   * disappearing, so callers watching `capped` see the undershoot. The
    * result is strata-sized. Output: (stratum, n_tokens, rate, capped).
    */
   def mixtureRates(df: DataFrame, strataCol: String, tokensCol: String,
@@ -100,11 +105,20 @@ object Sampling {
       f"target shares sum to $total%.4f > 1 — the mixture would exceed the budget")
     val share = stratumCase(col("stratum"),
       targetShares.toSeq.map { case (s, v) => s -> (lit(v): Column) }, lit(0.0))
+    val targeted = df.sparkSession
+      .createDataset(targetShares.keys.toSeq)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("stratum")
     df.groupBy(col(strataCol).as("stratum"))
       // coalesce: an all-null token column must read as zero tokens, not
       // poison the division into a null that least() would skip (turning
       // the rate into 1.0 — the opposite of "nothing to sample")
       .agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L)).as("n_tokens"))
+      // full-outer against the target keys: absent targeted strata get a
+      // zero-token row; a null-stratum aggregate row passes through (null
+      // never equi-joins) and rates 0 via the share dispatch's default.
+      // Both sides are strata-sized — the join cost is nil by construction
+      .join(targeted, Seq("stratum"), "full_outer")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
       .withColumn("_want", share * budgetTokens)
       .withColumn("rate",
         when(col("n_tokens") > 0,

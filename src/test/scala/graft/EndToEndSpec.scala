@@ -78,7 +78,7 @@ class EndToEndSpec extends AnyFunSuite {
     assert(summary(("patient", "Patient")) == 3L)
     assert(summary(("source_data", "Observation")) == 3L)
     assert(summary(("source_data", "QuestionnaireResponse")) == 3L)
-    spark.catalog.clearCache()
+    spark.catalog.clearCache(); graft.CacheScope.releaseSession()
 
     // 4. bundles: one per module under the record cap
     val bundles = BundleSink.bundles(

@@ -113,11 +113,15 @@ class PipelineLawsSpec extends AnyFunSuite {
         Row("empty", null), Row("zero", 0L)),
       org.apache.spark.sql.types.StructType.fromDDL("source STRING, n_tokens BIGINT"))
     val g2 = Sampling.mixtureRates(withEmpty, "source", "n_tokens",
-      Map("web" -> 0.5, "empty" -> 0.5), budgetTokens = 1000L)
+      Map("web" -> 0.5, "empty" -> 0.25, "ghost" -> 0.25), budgetTokens = 1000L)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
     assert(g2("empty") == ((0L, 0.0, true)))  // targeted, nothing to sample
     assert(g2("zero") == ((0L, 0.0, false)))  // untargeted and empty
+    // a targeted stratum with NO corpus rows at all still emits its
+    // zero-token capped row — callers watching `capped` see the undershoot
+    assert(g2("ghost") == ((0L, 0.0, true)))
+    assert(g2.size == 4)
     // over-subscribed mixtures are rejected up front
     val ex = intercept[IllegalArgumentException] {
       Sampling.mixtureRates(df, "source", "n_tokens",

@@ -98,11 +98,11 @@ class ScaleSpec extends AnyFunSuite {
       // a per-cluster quadratic would be ~45x for 10 copies)
       val n1 = op(small).count().max(1L)
       val n10 = op(big).count()
-      spark.catalog.clearCache()
+      spark.catalog.clearCache(); graft.CacheScope.releaseSession()
       assert(n10 <= n1 * 12,
         s"$name output grew superlinearly: 1x=$n1 rows, 10x=$n10 rows")
-      val t1 = timeMinOf2(() => { noop(op(small)); spark.catalog.clearCache() })
-      val t10 = timeMinOf2(() => { noop(op(big)); spark.catalog.clearCache() })
+      val t1 = timeMinOf2(() => { noop(op(small)); spark.catalog.clearCache(); graft.CacheScope.releaseSession() })
+      val t10 = timeMinOf2(() => { noop(op(big)); spark.catalog.clearCache(); graft.CacheScope.releaseSession() })
       // floor the denominator at 0.3 s: a floor-dominated 1x baseline
       // (exact dedup runs in ~0.25 s) would otherwise let ordinary host
       // noise on the 10x side read as "superlinear growth"
@@ -168,16 +168,16 @@ class ScaleSpec extends AnyFunSuite {
     def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
     val n1 = IncrementalMinHash.classify(d1, index, "doc_id", "text").count()
     val n10 = IncrementalMinHash.classify(d10, index, "doc_id", "text").count()
-    spark.catalog.clearCache()
+    spark.catalog.clearCache(); graft.CacheScope.releaseSession()
     assert(n1 == d1.count() && n10 == d10.count(),
       s"classify must emit one row per batch doc: $n1/$n10")
     val t1 = timeMinOf2(() => {
       noop(IncrementalMinHash.classify(d1, index, "doc_id", "text"))
-      spark.catalog.clearCache()
+      spark.catalog.clearCache(); graft.CacheScope.releaseSession()
     })
     val t10 = timeMinOf2(() => {
       noop(IncrementalMinHash.classify(d10, index, "doc_id", "text"))
-      spark.catalog.clearCache()
+      spark.catalog.clearCache(); graft.CacheScope.releaseSession()
     })
     val ratio = t10 / math.max(t1, 0.3)
     info(f"incr_minhash 1x=$t1%.2fs 10x=$t10%.2fs ratio=$ratio%.1f")

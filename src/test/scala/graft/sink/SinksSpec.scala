@@ -178,7 +178,7 @@ class SinksSpec extends AnyFunSuite {
     assert(report.duplicateIdentifiers.collect().map(_.getString(1)).toSeq == Seq("s:1"))
     assert(report.missingResourceType == 1L)
     assert(report.missingIdentifier == 1L) // Thing lacks one; ConceptMap exempt
-    TestSpark.spark.catalog.clearCache()
+    TestSpark.spark.catalog.clearCache(); graft.CacheScope.releaseSession()
   }
 
   test("DdProfiler: histogram, try-float min/max, distinct-count value gate") {
