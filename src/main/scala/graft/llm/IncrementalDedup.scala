@@ -58,6 +58,15 @@ object IncrementalDedup {
    * straggler the tf-idf df computation guards against. The aggregate
    * collapses hot hashes before its shuffle and both joins are
    * AQE-skew-eligible.
+   *
+   * The index must be sentinel-normalized (no null content_hash rows) —
+   * every builder in this object emits it that way ([[buildIndex]],
+   * [[mergeIndex]], the [[IndexStore]] writers). The history join reads
+   * the index column RAW rather than re-coalescing defensively: a
+   * normalizing projection is not an alias, so it would discard the
+   * hash partitioning a bucketed index scan provides and re-shuffle the
+   * terabyte-scale index side every batch — the exact cost the bucketed
+   * store exists to remove.
    */
   def classify(batch: DataFrame, index: DataFrame,
       idCol: String, textCol: String): DataFrame = {
@@ -65,15 +74,13 @@ object IncrementalDedup {
       col(idCol).as("doc_id"),
       // sentinel-normalized (see NullHash): null-text rows keep the
       // one-output-row-per-input-row contract and dedup as one content,
-      // in-batch and against history, through plain equi-joins
+      // in-batch and across batches, through plain equi-joins
       contentHash(col(textCol)).as("content_hash"))
     val keepers = hashed.groupBy("content_hash")
       .agg(min(col("doc_id")).as("_batch_keep"))
     hashed
       .join(keepers, Seq("content_hash"))
-      .join(index.select(
-          coalesce(col("content_hash"), lit(NullHash)).as("content_hash"),
-          col("keep_id").as("_hist")),
+      .join(index.select(col("content_hash"), col("keep_id").as("_hist")),
         Seq("content_hash"), "left")
       .select(
         col("doc_id"),
@@ -225,18 +232,65 @@ object IncrementalMinHash {
       bands: Int = 3, minMatch: Int = 5,
       scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must divide into bands ($bands)")
+    classifyBanded(batch,
+      bandedIndex(index.select(col("keep_id"),
+        widthChecked(col("bands"), bands, "bands").as("bands"), col("sig"))),
+      idCol, textCol, shingleN, numHashes, bands, minMatch, scope)
+  }
+
+  /** The band-exploded index shape the bucketed [[IndexStore]] persists:
+    * one row per (band position, band key) per accepted doc, with the
+    * doc's full signature inline — sig is duplicated `bands`x (a few
+    * hundred bytes per doc), the price for verifying candidates without
+    * a second index join that would re-shuffle the index by keep_id. */
+  def bandedIndex(index: DataFrame): DataFrame =
+    index.select(col("keep_id"), col("sig"),
+        posexplode(col("bands")).as(Seq("_b", "_bk")))
+      .select(col("_b").as("band_idx"), col("_bk").as("band_key"),
+        col("keep_id"), col("sig"))
+
+  /**
+   * [[classify]] against a band-exploded index
+   * (band_idx, band_key, keep_id, sig) — the saved-index fast path.
+   * When `banded` is an [[IndexStore]] table bucketed on
+   * (band_idx, band_key), the candidate join consumes the scan's own
+   * hash partitioning and the terabyte-scale index side runs with ZERO
+   * exchange — only batch-derived sides shuffle (pinned in
+   * PlanAssertionsSpec). The join keys are plain ALIASES of the bucket
+   * columns; the parameter guards run as a partitioning-preserving
+   * filter (assert_true) and a non-key projection (sig width), so the
+   * scan's partitioning survives to the join.
+   *
+   * A candidate pair matched by k bands is verified k times (k <=
+   * `bands`) instead of paying a distinct shuffle first; the min
+   * aggregate dedups.
+   */
+  def classifyBanded(batch: DataFrame, banded: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, numHashes: Int = 9,
+      bands: Int = 3, minMatch: Int = 5,
+      scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes ($numHashes) must divide into bands ($bands)")
     val spine = batch.select(col(idCol).cast("long").as("doc_id")).distinct()
     val bs = scope.track(sketch(batch, idCol, textCol, shingleN, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bBand = bs.select(col("_id"), posexplode(col("_bands")).as(Seq("_b", "_bk")))
-    val hBand = index.select(col("keep_id"),
-      posexplode(widthChecked(col("bands"), bands, "bands")).as(Seq("_b", "_bk")))
+    val hBand = banded
+      // an index built with MORE bands than this call would surface as
+      // band positions this batch never probes — matches silently lost;
+      // raise instead. assert_true keeps this a Filter (partitioning
+      // survives); fewer-bands mismatches are caught by the sig width
+      // guard below (numHashes/bands always change together here)
+      .filter(assert_true(col("band_idx") < bands,
+        lit(s"IncrementalMinHash.classifyBanded: index band_idx >= expected " +
+          s"bands ($bands) — the index was built with different sketch " +
+          "parameters than this call; rebuild it or pass the parameters " +
+          "it was built with")).isNull)
+      .select(col("band_idx").as("_b"), col("band_key").as("_bk"),
+        col("keep_id"),
+        widthChecked(col("sig"), numHashes, "signature").as("sig"))
 
     val histDup = bBand.join(hBand, Seq("_b", "_bk"))
-      .select(col("_id"), col("keep_id")).distinct()
       .join(bs.select(col("_id"), col("_sig")), Seq("_id"))
-      .join(index.select(col("keep_id"),
-        widthChecked(col("sig"), numHashes, "signature").as("sig")), Seq("keep_id"))
       .filter(matchCount(col("_sig"), col("sig")) >= minMatch)
       .groupBy(col("_id")).agg(min(col("keep_id")).as("_hist"))
 

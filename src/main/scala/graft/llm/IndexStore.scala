@@ -1,0 +1,202 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Bucketed, catalog-backed persistence for the incremental-dedup
+ * indexes — the storage half of the every-batch classify join.
+ *
+ * WHY BUCKETED: [[IncrementalDedup.classify]] equi-joins each batch
+ * against the exact index on `content_hash`, and
+ * [[IncrementalMinHash.classifyBanded]] against the banded sketch index
+ * on (band_idx, band_key). At 100 TB corpus scale the index is
+ * terabyte-scale, and a plain parquet index pays a full exchange of
+ * that index EVERY batch. Writing it `bucketBy` the join key gives the
+ * scan a hash partitioning Catalyst recognizes (v1 bucketing hashes
+ * with the same murmur3 as a shuffle), so the history join plans with
+ * ZERO exchange above the index scan — only the batch-derived side
+ * shuffles, into the bucket count. Pinned in PlanAssertionsSpec.
+ *
+ * WHY APPEND: the classify/merge cycle only ever ADDS rows for contents
+ * the index has never seen (`status = new` keepers), so the per-batch
+ * index write is an O(batch) bucketed APPEND, not the O(corpus) rewrite
+ * [[IncrementalDedup.mergeIndex]] performs on DataFrames. Uniqueness is
+ * maintained by construction: a batch keeper is appended only when its
+ * hash missed the index it was classified against. Appends add one file
+ * per bucket per batch; Spark unions a bucket's files in one task, so
+ * the JOIN shape is unchanged, but scan parallelism is bucket-bound and
+ * file counts grow per batch — run [[compactExact]]/[[compactMinhash]]
+ * on a cadence (e.g. every ~100 batches, or when files-per-bucket
+ * exceeds the HDFS/object-store small-file comfort zone) to rewrite the
+ * table to one file per bucket. SCALE.md §"Incremental index growth"
+ * carries the runbook.
+ *
+ * BUCKET COUNT: `buckets` defaults to 32 to match the session's
+ * `spark.sql.shuffle.partitions` — when the two are equal, the batch
+ * side's existing hash partitioning (from the keeper aggregate) is
+ * co-partitioned with the index scan and the second join inserts no
+ * extra exchange at all. Size it like shuffle partitions: index rows /
+ * buckets should fit a task comfortably (the exact index is ~24 bytes
+ * per distinct content — even 10^12 contents over 4096 buckets is ~6 GB
+ * a bucket; pick thousands of buckets at that scale).
+ *
+ * The table name is a catalog identifier; `path` places the parquet
+ * files (external table), so the catalog entry is metadata only.
+ */
+object IndexStore {
+
+  private def writeBucketed(df: DataFrame, tableName: String, path: String,
+      buckets: Int, keys: Seq[String], mode: String): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    df.write
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", path)
+      .mode(mode)
+      .format("parquet")
+      .saveAsTable(tableName)
+  }
+
+  // ------------------------------------------------------------------
+  // Exact index: (content_hash, keep_id), bucketed by content_hash
+  // ------------------------------------------------------------------
+
+  /** Write an exact-dedup index ([[IncrementalDedup.buildIndex]] /
+    * [[IncrementalDedup.mergeIndex]] output) as a bucketed external
+    * table. Overwrites. */
+  def saveExact(index: DataFrame, tableName: String, path: String,
+      buckets: Int = 32): Unit =
+    writeBucketed(
+      // belt-and-braces sentinel normalization: classify consumes the
+      // stored column RAW (a read-side coalesce would discard the
+      // bucketed partitioning), so normalization must happen here
+      index.select(coalesce(col("content_hash"), lit("-")).as("content_hash"),
+        col("keep_id")),
+      tableName, path, buckets, Seq("content_hash"), "overwrite")
+
+  /** The bucketed exact index, ready for [[IncrementalDedup.classify]]. */
+  def exactIndex(spark: SparkSession, tableName: String): DataFrame =
+    spark.table(tableName)
+
+  /** O(batch) index maintenance: append the batch's accepted keepers
+    * (`status = new` rows of a [[IncrementalDedup.classify]] result
+    * that was computed AGAINST THIS TABLE — that precondition is what
+    * keeps content_hash unique without a merge). */
+  def appendExactKeepers(classified: DataFrame, tableName: String): Unit = {
+    val spark = classified.sparkSession
+    val (buckets, keys) = bucketSpecOf(spark, tableName)
+    require(keys == Seq("content_hash"),
+      s"$tableName is not an exact-dedup index table (bucket keys $keys)")
+    val path = tablePath(spark, tableName)
+    writeBucketed(
+      classified.filter(col("status") === "new")
+        .select(col("content_hash"), col("doc_id").as("keep_id")),
+      tableName, path, buckets, keys, "append")
+  }
+
+  /** Rewrite the (append-accumulated) exact index into `toTable` with
+    * one file per bucket. Contents are identical rows (the append
+    * invariant keeps content_hash unique; this is a file-layout
+    * compaction, not a merge) — pinned by the compaction law spec.
+    * Writes to a NEW table/path: Spark cannot overwrite a table from a
+    * plan that reads it; swap names afterwards if desired. */
+  def compactExact(spark: SparkSession, fromTable: String, toTable: String,
+      toPath: String, buckets: Int = 32): Unit =
+    saveExact(spark.table(fromTable), toTable, toPath, buckets)
+
+  // ------------------------------------------------------------------
+  // MinHash banded index: (band_idx, band_key, keep_id, sig),
+  // bucketed by (band_idx, band_key)
+  // ------------------------------------------------------------------
+
+  /** Sketch parameters stamped on the table so a later classify with
+    * different parameters fails fast instead of silently missing
+    * matches (the per-row width/band guards catch most mismatches; the
+    * properties catch them all, before any job runs). */
+  private def minhashProps(shingleN: Int, numHashes: Int, bands: Int) = Seq(
+    "graft.shingleN" -> shingleN.toString,
+    "graft.numHashes" -> numHashes.toString,
+    "graft.bands" -> bands.toString)
+
+  /** Write a MinHash sketch index ([[IncrementalMinHash.buildIndex]]
+    * output) as a band-exploded bucketed external table. Overwrites. */
+  def saveMinhash(index: DataFrame, tableName: String, path: String,
+      buckets: Int = 32, shingleN: Int = 3, numHashes: Int = 9,
+      bands: Int = 3): Unit = {
+    val spark = index.sparkSession
+    writeBucketed(IncrementalMinHash.bandedIndex(index), tableName, path,
+      buckets, Seq("band_idx", "band_key"), "overwrite")
+    val props = minhashProps(shingleN, numHashes, bands)
+      .map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
+    spark.sql(s"ALTER TABLE $tableName SET TBLPROPERTIES ($props)")
+  }
+
+  /** The banded index, parameter-checked against the table's stamped
+    * sketch parameters, ready for
+    * [[IncrementalMinHash.classifyBanded]]. */
+  def minhashIndex(spark: SparkSession, tableName: String,
+      shingleN: Int = 3, numHashes: Int = 9, bands: Int = 3): DataFrame = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    minhashProps(shingleN, numHashes, bands).foreach { case (k, expected) =>
+      props.get(k).foreach(actual => require(actual == expected,
+        s"$tableName was built with $k=$actual, but this call expects " +
+          s"$expected — rebuild the index or pass the parameters it was " +
+          "built with"))
+    }
+    spark.table(tableName)
+  }
+
+  /** O(batch) index maintenance for the sketch index: append the banded
+    * sketch rows of the batch's accepted `new` docs (recomputed on that
+    * small subset, exactly [[IncrementalMinHash.mergeIndex]]'s shape). */
+  def appendMinhashAccepted(batch: DataFrame, classified: DataFrame,
+      idCol: String, textCol: String, tableName: String,
+      shingleN: Int = 3, numHashes: Int = 9, bands: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val (buckets, keys) = bucketSpecOf(spark, tableName)
+    require(keys == Seq("band_idx", "band_key"),
+      s"$tableName is not a minhash index table (bucket keys $keys)")
+    // fail fast on parameter drift before any job runs
+    minhashIndex(spark, tableName, shingleN, numHashes, bands)
+    val accepted = batch.join(
+      classified.filter(col("status") === "new")
+        .select(col("doc_id").as("_accepted_id")),
+      batch(idCol).cast("long") === col("_accepted_id")).drop("_accepted_id")
+    writeBucketed(
+      IncrementalMinHash.bandedIndex(IncrementalMinHash.buildIndex(
+        accepted, idCol, textCol, shingleN, numHashes, bands)),
+      tableName, tablePath(spark, tableName), buckets, keys, "append")
+  }
+
+  /** File-layout compaction for the banded index — see [[compactExact]]. */
+  def compactMinhash(spark: SparkSession, fromTable: String, toTable: String,
+      toPath: String, buckets: Int = 32): Unit = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $fromTable").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    writeBucketed(spark.table(fromTable), toTable, toPath, buckets,
+      Seq("band_idx", "band_key"), "overwrite")
+    val carried = minhashProps(
+      props.getOrElse("graft.shingleN", "3").toInt,
+      props.getOrElse("graft.numHashes", "9").toInt,
+      props.getOrElse("graft.bands", "3").toInt)
+      .map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
+    spark.sql(s"ALTER TABLE $toTable SET TBLPROPERTIES ($carried)")
+  }
+
+  // ------------------------------------------------------------------
+
+  private def bucketSpecOf(spark: SparkSession, tableName: String): (Int, Seq[String]) = {
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val spec = cat.getTableMetadata(ident).bucketSpec.getOrElse(
+      sys.error(s"$tableName has no bucket spec — was it written by IndexStore?"))
+    (spec.numBuckets, spec.bucketColumnNames)
+  }
+
+  private def tablePath(spark: SparkSession, tableName: String): String = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    spark.sessionState.catalog.getTableMetadata(ident).location.toString
+  }
+}

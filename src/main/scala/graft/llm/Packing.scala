@@ -78,21 +78,54 @@ object Packing {
    * never emits and whose pos-ordered window would force a second
    * identical per-shard sort Catalyst cannot elide — then a pure
    * projection + explode of ceil(n/target)+1 spans max per doc. The
-   * token count is `size(tokens)` — swap in a real tokenizer column
-   * upstream without changing the plan.
+   * token count here is whitespace `size(tokens)`;
+   * [[packSequencesCounted]] takes a precomputed tokenizer-count
+   * column through the identical plan.
    *
    * Same preconditions as [[shardShuffle]] (non-null unique ids);
    * null-TEXT docs carry no tokens and are excluded explicitly (an
    * empty string still packs: it tokenizes to one empty token).
    */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      targetTokens: Int, shards: Int, salt: String = "graft"): DataFrame = {
-    require(targetTokens > 0, s"targetTokens must be positive, got $targetTokens")
-    require(shards > 0, s"shards must be positive, got $shards")
-    val base = df
+      targetTokens: Int, shards: Int, salt: String = "graft"): DataFrame =
+    packCounted(df
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
-        size(TextOps.tokens(col(textCol).cast("string"))).cast("long").as("_n"))
+        size(TextOps.tokens(col(textCol).cast("string"))).cast("long").as("_n")),
+      targetTokens, shards, salt)
+
+  /**
+   * [[packSequences]] with a PRECOMPUTED token-count column — the
+   * production form: a real tokenizer (BPE etc.) counts upstream, this
+   * operator only lays out. The plan from the count on is IDENTICAL to
+   * the whitespace variant (both feed the same shard/offset/span
+   * pipeline; the whitespace form merely computes its count inline), so
+   * swapping tokenizers changes no shuffle, window, or explode shape.
+   *
+   * Counts must be non-negative (a negative count would corrupt every
+   * later running offset in its shard, so it raises inline rather than
+   * packing garbage); null-count docs are excluded, mirroring the
+   * null-text contract of [[packSequences]]. Zero-count docs still pack
+   * one empty span — same as empty text there.
+   */
+  def packSequencesCounted(df: DataFrame, idCol: String, countCol: String,
+      targetTokens: Int, shards: Int, salt: String = "graft"): DataFrame =
+    packCounted(df
+      .filter(col(idCol).isNotNull && col(countCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        when(col(countCol) >= 0, col(countCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit(s"packSequencesCounted: negative token count in '$countCol': "),
+            col(countCol).cast("string")))).as("_n")),
+      targetTokens, shards, salt)
+
+  /** The shared layout pipeline over (doc_id, _n): shard/order hashes,
+    * per-shard running offset, span projection + explode. */
+  private def packCounted(counted: DataFrame, targetTokens: Int,
+      shards: Int, salt: String): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be positive, got $targetTokens")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val base = counted
       .withColumn("shard", pmod(hash32(col("doc_id"), salt + ":s"), lit(shards)))
       .withColumn("_h2", hash32(col("doc_id"), salt + ":o"))
     val w = Window.partitionBy("shard").orderBy(col("_h2"), col("doc_id"))

@@ -71,7 +71,14 @@ object InvalidReferencesWriter {
       .map(mapper.readTree(_).asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode])
       .getOrElse(mapper.createArrayNode())
     val hasMissing = deferred.columns.contains("_missing")
-    deferred.collect().foreach { r =>
+    // streamed through the driver (toLocalIterator, the Sinks.scala
+    // study-ids pattern): after a cold-cache run the deferred set is
+    // corpus-shaped, and a collect() would double-buffer the full Row
+    // array next to the growing JSON document; streaming holds one row
+    // plus the document
+    val it = deferred.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
       val o = arr.addObject()
       o.put("module", r.getAs[String]("module"))
       o.put("resourceType", r.getAs[String]("resourceType"))

@@ -63,7 +63,9 @@ object PurgeSink {
     var round = 0
     while (round <= maxRounds && !pending.isEmpty) {
       if (round > 0) Thread.sleep(sleepMillis) // give the server time (purge.py:135-137)
-      // tiers in delete order: unknown types first, then reverse creation
+      // tiers in delete order: unknown types first, then reverse creation.
+      // The collect is DISTINCT TYPES only — bounded by the FHIR resource
+      // type vocabulary (~150), never the id list, at any corpus scale
       val types = pending.select("resource_type").distinct()
         .collect().map(_.getString(0)).toSeq
       val ordered = PurgeOrder.deleteOrder(types)

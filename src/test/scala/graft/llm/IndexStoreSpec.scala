@@ -1,0 +1,187 @@
+package graft.llm
+
+import graft.TestSpark
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The bucketed index-store contracts (SURVEY.md §4 "Repeated-join
+ * co-location" applied to the flagship incremental-dedup path):
+ *
+ *  1. PLAN: classify against a saved index runs with ZERO exchange
+ *     above the index scan — the index (terabyte-scale in production,
+ *     re-joined EVERY batch) is never re-shuffled; only batch-derived
+ *     plan branches exchange.
+ *  2. RESULTS: the saved-index path classifies identically to the
+ *     in-memory path.
+ *  3. APPEND LAW: appending a classified batch's accepted keepers
+ *     reproduces exactly what mergeIndex computes — the O(batch)
+ *     append and the O(corpus) merge are the same index.
+ *  4. COMPACTION LAW: compaction changes file layout only, never
+ *     contents, and the compacted table still joins exchange-free.
+ */
+class IndexStoreSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** AQE off so the executed plan is the plain tree (traversable);
+    * broadcast off so the index join must be sort-merge — the assert
+    * then proves bucketing, not a small-table special case. Shuffle
+    * partitions match the bucket count, as production would. */
+  private def planSession(buckets: Int): SparkSession = {
+    val s2 = TestSpark.spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", buckets.toString)
+    s2
+  }
+
+  /** True when `p` reaches the bucketed index scan without crossing a
+    * join: an exchange with such a child re-shuffles INDEX rows before
+    * the index has joined anything — the cost bucketing exists to
+    * remove. Exchanges above the first join re-key batch-derived join
+    * OUTPUT (candidate pairs), which is batch-sized and legitimate. */
+  private def reachesScanBeforeJoin(p: SparkPlan): Boolean = p match {
+    case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+    case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+    case other => other.children.exists(reachesScanBeforeJoin)
+  }
+
+  /** Exchanges (shuffle or broadcast) sitting between the bucketed
+    * index scan and its first join — the set that must be empty. */
+  private def exchangesAboveIndexScan(plan: SparkPlan): Seq[Exchange] =
+    plan.collect { case e: Exchange if e.children.exists(reachesScanBeforeJoin) => e }
+
+  private def tmpPath(name: String): String =
+    java.nio.file.Files.createTempDirectory("graft_idx").resolve(name).toString
+
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.toVector: Seq[Any]).toSeq
+      .sortBy(_.mkString("|"))
+
+  test("exact index: saved-index classify has zero exchange above the index scan and matches the in-memory path") {
+    val s2 = planSession(buckets = 8)
+    val d = s2.read.parquet(s"$dir/documents.parquet")
+    val history = d.filter(col("doc_id") % 2 === 0)
+    val batch = d.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val memIndex = IncrementalDedup.buildIndex(history, "doc_id", "text")
+    val tbl = "graft_idx_exact"
+    try {
+      IndexStore.saveExact(memIndex, tbl, tmpPath(tbl), buckets = 8)
+      val saved = IndexStore.exactIndex(s2, tbl)
+      val cls = IncrementalDedup.classify(batch, saved, "doc_id", "text")
+      val plan = cls.queryExecution.executedPlan
+      assert(plan.collectLeaves().exists {
+        case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+        case _ => false
+      }, s"index scan is not bucketed:\n$plan")
+      val offending = exchangesAboveIndexScan(plan)
+      assert(offending.isEmpty,
+        s"the index side re-shuffles (${offending.size} exchange(s)):\n$plan")
+      // identical classification to the in-memory index
+      assert(sortedRows(cls) ==
+        sortedRows(IncrementalDedup.classify(batch, memIndex, "doc_id", "text")))
+    } finally s2.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("exact index: append law — appended keepers reproduce mergeIndex exactly; compaction preserves contents and the plan") {
+    val s2 = planSession(buckets = 8)
+    val d = s2.read.parquet(s"$dir/documents.parquet")
+    val history = d.filter(col("doc_id") % 2 === 0)
+    // batch overlaps history (dup_of_history), itself (dup_in_batch via
+    // duplicated text), and brings new content
+    val batch = d.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") === 3)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+    val initial = IncrementalDedup.buildIndex(history, "doc_id", "text")
+    val tbl = "graft_idx_append"
+    val tbl2 = "graft_idx_compacted"
+    try {
+      IndexStore.saveExact(initial, tbl, tmpPath(tbl), buckets = 8)
+      val classified = IncrementalDedup.classify(
+        batch, IndexStore.exactIndex(s2, tbl), "doc_id", "text")
+        .localCheckpoint(true) // classify once; append must not re-run it
+      IndexStore.appendExactKeepers(classified, tbl)
+      val appended = sortedRows(IndexStore.exactIndex(s2, tbl))
+      val merged = sortedRows(IncrementalDedup.mergeIndex(initial, classified))
+      assert(appended == merged,
+        "O(batch) append diverged from O(corpus) mergeIndex")
+      // compaction: same rows, still bucketed, still exchange-free
+      IndexStore.compactExact(s2, tbl, tbl2, tmpPath(tbl2), buckets = 8)
+      assert(sortedRows(IndexStore.exactIndex(s2, tbl2)) == appended,
+        "compaction must be file-layout only, never contents")
+      val next = d.select((col("doc_id") + 300000).as("doc_id"), col("text"))
+      val plan = IncrementalDedup.classify(
+        next, IndexStore.exactIndex(s2, tbl2), "doc_id", "text")
+        .queryExecution.executedPlan
+      assert(exchangesAboveIndexScan(plan).isEmpty,
+        s"compacted index re-shuffles:\n$plan")
+    } finally Seq(tbl, tbl2).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("minhash index: saved banded index classifies exchange-free on the index side and matches the in-memory path") {
+    val s2 = planSession(buckets = 8)
+    val d = s2.read.parquet(s"$dir/documents.parquet")
+    val history = d.filter(col("doc_id") % 2 === 0)
+    // overlap so dup_of_history fires; shifted ids so spines differ
+    val batch = d.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val memIndex = IncrementalMinHash.buildIndex(history, "doc_id", "text")
+    val tbl = "graft_idx_minhash"
+    try {
+      IndexStore.saveMinhash(memIndex, tbl, tmpPath(tbl), buckets = 8)
+      val saved = IndexStore.minhashIndex(s2, tbl)
+      val cls = IncrementalMinHash.classifyBanded(batch, saved, "doc_id", "text")
+      val plan = cls.queryExecution.executedPlan
+      assert(plan.collectLeaves().exists {
+        case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+        case _ => false
+      }, s"banded index scan is not bucketed:\n$plan")
+      val offending = exchangesAboveIndexScan(plan)
+      assert(offending.isEmpty,
+        s"the banded index side re-shuffles (${offending.size} exchange(s)):\n$plan")
+      assert(sortedRows(cls) ==
+        sortedRows(IncrementalMinHash.classify(batch, memIndex, "doc_id", "text")))
+      // at least one history dup actually exercised the candidate join
+      assert(cls.filter(col("status") === "dup_of_history").count() > 0)
+      // parameter drift fails fast via the stamped table properties
+      val e = intercept[IllegalArgumentException] {
+        IndexStore.minhashIndex(s2, tbl, numHashes = 18, bands = 6)
+      }
+      assert(e.getMessage.contains("numHashes") || e.getMessage.contains("bands"))
+    } finally s2.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("minhash index: append law — appended accepted docs reproduce mergeIndex's banded rows; compaction carries the sketch properties") {
+    val s2 = planSession(buckets = 8)
+    val d = s2.read.parquet(s"$dir/documents.parquet")
+    val history = d.filter(col("doc_id") % 2 === 0)
+    val batch = d.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val initial = IncrementalMinHash.buildIndex(history, "doc_id", "text")
+    val tbl = "graft_idx_mh_append"
+    val tbl2 = "graft_idx_mh_compacted"
+    try {
+      IndexStore.saveMinhash(initial, tbl, tmpPath(tbl), buckets = 8)
+      val classified = IncrementalMinHash.classifyBanded(
+        batch, IndexStore.minhashIndex(s2, tbl), "doc_id", "text")
+        .localCheckpoint(true)
+      IndexStore.appendMinhashAccepted(batch, classified, "doc_id", "text", tbl)
+      val appended = sortedRows(IndexStore.minhashIndex(s2, tbl))
+      val merged = sortedRows(IncrementalMinHash.bandedIndex(
+        IncrementalMinHash.mergeIndex(initial, batch, classified, "doc_id", "text")))
+      assert(appended == merged,
+        "O(batch) banded append diverged from mergeIndex's banded rows")
+      IndexStore.compactMinhash(s2, tbl, tbl2, tmpPath(tbl2), buckets = 8)
+      assert(sortedRows(IndexStore.minhashIndex(s2, tbl2)) == appended)
+      // properties survived compaction: a drifted call still fails fast
+      intercept[IllegalArgumentException] {
+        IndexStore.minhashIndex(s2, tbl2, numHashes = 18, bands = 6)
+      }
+    } finally Seq(tbl, tbl2).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}

@@ -80,6 +80,27 @@ class PipelineLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("law: packSequencesCounted with inline whitespace counts ≡ packSequences") {
+    val df = corpus.toDF("doc_id", "text")
+    val counted = df.withColumn("n_tok",
+      org.apache.spark.sql.functions.size(
+        TextOps.tokens(org.apache.spark.sql.functions.col("text"))).cast("long"))
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2, t._3, t._4)).toSeq
+    val viaText = key(Packing.packSequences(df, "doc_id", "text", 7, shards = 3).collect())
+    val viaCount = key(Packing.packSequencesCounted(counted, "doc_id", "n_tok", 7, shards = 3).collect())
+    assert(viaText == viaCount,
+      "a precomputed count column must pack identically to the inline count")
+    // a negative count raises instead of corrupting the shard's offsets
+    val bad = df.limit(1).withColumn("n_tok",
+      org.apache.spark.sql.functions.lit(-1L))
+    val e = intercept[Exception] {
+      Packing.packSequencesCounted(bad, "doc_id", "n_tok", 7, shards = 1).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("law: packSequences excludes null-text docs explicitly; empty text still packs") {
     import org.apache.spark.sql.Row
     val schema = "doc_id BIGINT, text STRING"
