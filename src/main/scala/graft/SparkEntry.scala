@@ -469,12 +469,26 @@ object SparkEntry {
     // side, so the hot-key defense carries a number like vq20/vq20b.
     // Expected crossover: at sf0.1 the hot key is ~20k rows, so the
     // plain single window wins and bucketed pays its two extra
-    // buckets-sized shuffles (~0.5 s vs ~1.2 s measured); the pair
-    // prices that insurance — at straggler scale (billions of rows on
-    // the key) the plain variant is one serial task and bucketed's
-    // constant overhead buys ~bucket-count-way parallelism.
+    // buckets-sized shuffles; the pair prices that insurance. The
+    // vq26d/26e amplified pair below demonstrates the other side of
+    // the crossover: at ~5M rows on the key the plain variant's one
+    // serial window task loses to the bucketed carry (measured ~3.9 s
+    // vs ~3.1 s at sf0.1 local[32]).
     "vq26b_asof_hot_plain" -> q((s, dir) => asofHot(s, dir, bucketed = false)),
     "vq26c_asof_hot_bucketed" -> q((s, dir) => asofHot(s, dir, bucketed = true)),
+
+    // VQ-26d/26e: the same hot-key as-of pair at STRAGGLER scale — the
+    // click side amplified 256x (each click replicated with distinct
+    // event ids, same ts), so the one key carries ~5M rows at sf0.1.
+    // Here the plain variant's single window task is the serial
+    // bottleneck and the bucketed carry's constant overhead (two
+    // buckets-sized shuffles + the union persist) buys ~bucket-count-way
+    // parallelism: the A/B pair demonstrates the CROSSOVER the
+    // vq26b/26c floor-scale pair prices from the other side.
+    "vq26d_asof_hot_plain_amp" -> q((s, dir) =>
+      asofHot(s, dir, bucketed = false, amplify = 256)),
+    "vq26e_asof_hot_bucketed_amp" -> q((s, dir) =>
+      asofHot(s, dir, bucketed = true, amplify = 256)),
 
     // VQ-27/27b: the 50%-hot-key join pair — half of all events
     // collapse onto one synthetic key ('hot'), the rest keep their
@@ -488,19 +502,35 @@ object SparkEntry {
     "vq27b_hot_join_salted" -> q((s, dir) => hotJoin(s, dir, salted = true))
   ) ++ PipelineQueries.queries
 
-  /** The vq26b/vq26c hot-key as-of body — identical semantics, carry
-    * strategy switched by `bucketed`. */
-  private def asofHot(s: SparkSession, dir: String, bucketed: Boolean): DataFrame = {
+  /** The vq26b/vq26c (amplify=1) and vq26d/vq26e (amplify=256) hot-key
+    * as-of body — identical semantics, carry strategy switched by
+    * `bucketed`, probe-side volume by `amplify` (each click replicated
+    * with distinct event ids at its own ts — same-timestamp copies
+    * carry the same match, so the answer is the 1x answer replicated,
+    * while the window sort carries amplify-times the rows). */
+  private def asofHot(s: SparkSession, dir: String, bucketed: Boolean,
+      amplify: Int = 1): DataFrame = {
     val ev = t(s, dir, "events").select(col("event_id"),
       date_trunc("second", col("ts")).as("ts"), col("event_type"), col("value"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(lit(0).as("g"), col("event_id"), col("ts"))
+    val clicks0 = ev.filter(col("event_type") === "click")
+    val clicks =
+      if (amplify == 1) clicks0.select(lit(0).as("g"), col("event_id"), col("ts"))
+      else clicks0
+        .select(explode(sequence(lit(0), lit(amplify - 1))).as("_rep"),
+          col("event_id"), col("ts"))
+        .select(lit(0).as("g"),
+          (col("event_id") * amplify + col("_rep")).as("event_id"), col("ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .groupBy("ts").agg(round(max("value"), 2).as("ref_value"))
       .select(lit(0).as("g"), col("ts"), col("ts").as("ref_ts"), col("ref_value"))
     val joined =
       if (bucketed) AsOfJoin.bucketed(clicks, purchases, Seq("g"), "ts",
-        Seq("ref_ts", "ref_value"), bucketSeconds = 3600L)
+        Seq("ref_ts", "ref_value"), bucketSeconds = 3600L,
+        // both inputs are narrow projections of one pruned parquet scan:
+        // re-reading them per branch beats materializing a rows-sized
+        // cache (the amplified fixture is exactly the case the
+        // cacheUnion scaladoc describes)
+        cacheUnion = false)
       else AsOfJoin(clicks, purchases, Seq("g"), "ts", Seq("ref_ts", "ref_value"))
     joined.select(col("event_id"), col("ts"),
       coalesce(col("ref_ts"), to_timestamp(lit("1970-01-01"))).as("ref_ts"),
@@ -796,6 +826,8 @@ object SparkEntry {
 
     "vq26b_asof_hot_plain" -> AsofHotOracle,
     "vq26c_asof_hot_bucketed" -> AsofHotOracle,
+    "vq26d_asof_hot_plain_amp" -> AsofHotAmpOracle,
+    "vq26e_asof_hot_bucketed_amp" -> AsofHotAmpOracle,
     "vq27_hot_join_plain" -> HotJoinOracle,
     "vq27b_hot_join_salted" -> HotJoinOracle,
 
@@ -823,6 +855,22 @@ object SparkEntry {
     """WITH ev AS (SELECT event_id, date_trunc('second', ts) AS ts,
       |                   event_type, value FROM events),
       |c AS (SELECT event_id, ts FROM ev WHERE event_type = 'click'),
+      |p AS (SELECT ts, ts AS ref_ts, ROUND(MAX(value), 2) AS ref_value
+      |      FROM ev WHERE event_type = 'purchase' GROUP BY ts)
+      |SELECT c.event_id, c.ts,
+      |       COALESCE(p.ref_ts, TIMESTAMP '1970-01-01') AS ref_ts,
+      |       COALESCE(p.ref_value, -1.0) AS ref_value
+      |FROM c ASOF LEFT JOIN p ON c.ts >= p.ts""".stripMargin
+
+  /** Shared oracle for the vq26d/vq26e straggler-scale pair: the 1x
+    * clicks cross-joined with range(256) — same ts per copy, distinct
+    * event ids, exactly the operator's amplification. */
+  private val AsofHotAmpOracle: String =
+    """WITH ev AS (SELECT event_id, date_trunc('second', ts) AS ts,
+      |                   event_type, value FROM events),
+      |c0 AS (SELECT event_id, ts FROM ev WHERE event_type = 'click'),
+      |c AS (SELECT c0.event_id * 256 + r.rep AS event_id, c0.ts
+      |      FROM c0 CROSS JOIN range(256) AS r(rep)),
       |p AS (SELECT ts, ts AS ref_ts, ROUND(MAX(value), 2) AS ref_value
       |      FROM ev WHERE event_type = 'purchase' GROUP BY ts)
       |SELECT c.event_id, c.ts,
