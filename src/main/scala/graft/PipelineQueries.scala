@@ -54,6 +54,45 @@ object PipelineQueries {
     (batch, index)
   }
 
+  /** pq25/pq39's shared (train, eval) fixture: the corpus as training
+    * data; an eval set synthesizing all three containment classes from
+    * it — full copies (1.0), synthetic disjoint texts (0.0), and copies
+    * with novel tokens appended (strictly between). ONE definition so
+    * the bloom-prefiltered variant provably answers the exact question
+    * the plain variant pins (they share the oracle SQL verbatim). */
+  private def decontamFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val idstr = col("doc_id").cast("string")
+    val freshText = concat(lit("n"), idstr, lit("a n"), idstr, lit("b n"),
+      idstr, lit("c n"), idstr, lit("d n"), idstr, lit("e"))
+    val eval = d.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 50000).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") >= 30 && col("doc_id") < 40)
+        .select((col("doc_id") + 60000).as("doc_id"), freshText.as("text")))
+      .unionByName(d.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+        .select((col("doc_id") + 70000).as("doc_id"),
+          concat(col("text"), lit(" q"), idstr, lit("a q"), idstr,
+            lit("b q"), idstr, lit("c")).as("text")))
+    (d, eval)
+  }
+
+  /** pq37/pq38's shared fixture: the non-null-text corpus plus injected
+    * duplication in both shapes — a 12-token boilerplate tail appended
+    * to copies of doc_id < 15 (a cross-doc repeated region) and
+    * doc_id in [15, 25) rebuilt as their own first-20-token prefix
+    * repeated twice (within-doc repetition). */
+  private def substringFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text").filter(col("text").isNotNull)
+    val prefix = array_join(slice(TextOps.tokens(col("text")), 1, 20), " ")
+    d.unionByName(d.filter(col("doc_id") < 15).select(
+        (col("doc_id") + 80000).as("doc_id"),
+        concat(col("text"),
+          lit(" b0 b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11")).as("text")))
+      .unionByName(d.filter(col("doc_id") >= 15 && col("doc_id") < 25).select(
+        (col("doc_id") + 90000).as("doc_id"),
+        concat(prefix, lit(" "), prefix).as("text")))
+  }
+
   /** Unique memory-sink names so repeated runs (bench best-of-N sweeps,
    *  verify + bench in one session) never collide on an active query. */
   private val SinkId = new java.util.concurrent.atomic.AtomicLong(0)
@@ -289,6 +328,51 @@ object PipelineQueries {
       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |        list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) AS cos
       |      FROM nrm a JOIN nrm b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)""".stripMargin
+
+  /** Shared containment oracle for pq25 AND pq39 — the bloom variant is
+   *  exact by construction, so one string pins both. String shingles
+   *  stand in for the operator's fnv64 keys (the pq15 contract). */
+  private val DecontamSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |ev AS (
+      |  SELECT doc_id + 50000 AS doc_id, text FROM d WHERE doc_id < 10
+      |  UNION ALL SELECT doc_id + 60000, 'n'||doc_id||'a n'||doc_id||'b n'||doc_id||'c n'||doc_id||'d n'||doc_id||'e' FROM d WHERE doc_id >= 30 AND doc_id < 40
+      |  UNION ALL SELECT doc_id + 70000, text || ' q'||doc_id||'a q'||doc_id||'b q'||doc_id||'c' FROM d WHERE doc_id >= 10 AND doc_id < 20),
+      |tt AS (SELECT string_split_regex(trim(text), '\s+') AS t FROM d),
+      |tsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(t)-1),
+      |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |        FROM tt WHERE len(t) >= 3),
+      |et AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM ev),
+      |esh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
+      |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |        FROM et WHERE len(t) >= 3),
+      |m AS (SELECT e.doc_id, COUNT(*) AS n_shingles,
+      |        CAST(SUM(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+      |      FROM esh e LEFT JOIN tsh t USING (s) GROUP BY e.doc_id)
+      |SELECT ids.doc_id, COALESCE(n_shingles, 0) AS n_shingles,
+      |       COALESCE(n_matched, 0) AS n_matched,
+      |       COALESCE(ROUND(n_matched::DOUBLE / n_shingles, 3), 0.0) AS containment
+      |FROM (SELECT DISTINCT doc_id FROM ev) ids LEFT JOIN m USING (doc_id)""".stripMargin
+
+  /** pq37/pq38's shared fixture + gram-occurrence CTEs: the injected-
+   *  duplication corpus ([[substringFixture]] verbatim), its token
+   *  arrays, and one (doc_id, pos, gram) row per 8-gram OCCURRENCE —
+   *  1-based start positions, end-exclusive spans downstream. */
+  private val SubstringCtes: String =
+    """WITH d0 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |d AS (
+      |  SELECT doc_id, text FROM d0
+      |  UNION ALL SELECT doc_id + 80000, text || ' b0 b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11' FROM d0 WHERE doc_id < 15
+      |  UNION ALL SELECT doc_id + 90000,
+      |    array_to_string(string_split_regex(trim(text), '\s+')[1:20], ' ') || ' ' ||
+      |    array_to_string(string_split_regex(trim(text), '\s+')[1:20], ' ')
+      |  FROM d0 WHERE doc_id >= 15 AND doc_id < 25),
+      |tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM d),
+      |occ AS (SELECT doc_id, unnest(range(1, len(t) - 6)) AS pos, t FROM tok WHERE len(t) >= 8),
+      |g AS (SELECT doc_id, pos,
+      |       t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] || ' ' || t[pos+3] || ' ' ||
+      |       t[pos+4] || ' ' || t[pos+5] || ' ' || t[pos+6] || ' ' || t[pos+7] AS gram
+      |      FROM occ)""".stripMargin
 
   /** Exact cosine top-5 for queries vec_id < 20 — the oracle for BOTH
    *  pq8 (brute force) and pq19 (full-probe IVF): one string, so the
@@ -628,19 +712,8 @@ object PipelineQueries {
     // (containment strictly between — original shingles all hit, the
     // boundary + novel shingles miss).
     "pq25_decontaminate" -> q((s, dir) => {
-      val d = docs(s, dir).select("doc_id", "text")
-      val idstr = col("doc_id").cast("string")
-      val freshText = concat(lit("n"), idstr, lit("a n"), idstr, lit("b n"),
-        idstr, lit("c n"), idstr, lit("d n"), idstr, lit("e"))
-      val eval = d.filter(col("doc_id") < 10)
-        .select((col("doc_id") + 50000).as("doc_id"), col("text"))
-        .unionByName(d.filter(col("doc_id") >= 30 && col("doc_id") < 40)
-          .select((col("doc_id") + 60000).as("doc_id"), freshText.as("text")))
-        .unionByName(d.filter(col("doc_id") >= 10 && col("doc_id") < 20)
-          .select((col("doc_id") + 70000).as("doc_id"),
-            concat(col("text"), lit(" q"), idstr, lit("a q"), idstr,
-              lit("b q"), idstr, lit("c")).as("text")))
-      Decontamination.containment(d, eval, "doc_id", "text",
+      val (train, eval) = decontamFixture(s, dir)
+      Decontamination.containment(train, eval, "doc_id", "text",
         shingleN = 3, ordered = false)
     }),
 
@@ -702,6 +775,39 @@ object PipelineQueries {
       Sampling.mixtureRates(docs(s, dir), "source", "n_chars",
         Map("src0" -> 0.85, "src1" -> 0.05, "src2" -> 0.05, "src_absent" -> 0.05),
         budgetTokens = 20000L)),
+
+    // Exact duplicated-substring detection (suffix-array dedup at gram
+    // resolution): maximal token spans every length-8 window of which
+    // repeats somewhere in the corpus. The fixture injects both
+    // duplication shapes — a shared boilerplate tail (cross-doc) and
+    // prefix-repeated docs (within-doc); the base corpus's small
+    // vocabulary contributes whatever natural 8-gram repeats it has,
+    // identically in both engines.
+    "pq37_substring_spans" -> q((s, dir) =>
+      SubstringDedup.duplicatedSpans(substringFixture(s, dir),
+        "doc_id", "text", gramN = 8, ordered = false)),
+
+    // Keep-first substring dedup over the same fixture: every duplicated
+    // gram occurrence except its globally first (by (doc_id, pos)) is
+    // cut, cut windows merge to spans, covered tokens are removed and
+    // the survivors re-join — (doc_id, n_tokens, n_removed,
+    // cleaned_text) per non-null-text doc.
+    "pq38_substring_dedup" -> q((s, dir) =>
+      SubstringDedup.removeDuplicated(substringFixture(s, dir),
+        "doc_id", "text", gramN = 8, ordered = false)),
+
+    // pq25's containment through the Bloom-prefiltered train side: the
+    // eval shingle keys build a bloom sketch, the corpus shingle stream
+    // is probed before its DISTINCT shuffle, and the exact left join
+    // absorbs the sketch's false positives — bit-identical output
+    // (shared oracle SQL), shuffle sized by the eval set instead of the
+    // corpus.
+    "pq39_bloom_decontaminate" -> q((s, dir) => {
+      val (train, eval) = decontamFixture(s, dir)
+      Decontamination.containmentBloom(train, eval, "doc_id", "text",
+        shingleN = 3, ordered = false,
+        expectedEvalShingles = 1L << 16, fpp = 0.01)
+    }),
 
     // PII redaction over a corpus with synthesized contamination for
     // doc_id < 20 (email + phone + IPv4 appended); the rest of the
@@ -1010,27 +1116,53 @@ object PipelineQueries {
     // string shingles stand in for the operator's fnv64 keys — pure
     // equality semantics, identical counts absent collisions (the same
     // contract pq15's oracle pins)
-    "pq25_decontaminate" ->
-      """WITH d AS (SELECT doc_id, text FROM documents),
-        |ev AS (
-        |  SELECT doc_id + 50000 AS doc_id, text FROM d WHERE doc_id < 10
-        |  UNION ALL SELECT doc_id + 60000, 'n'||doc_id||'a n'||doc_id||'b n'||doc_id||'c n'||doc_id||'d n'||doc_id||'e' FROM d WHERE doc_id >= 30 AND doc_id < 40
-        |  UNION ALL SELECT doc_id + 70000, text || ' q'||doc_id||'a q'||doc_id||'b q'||doc_id||'c' FROM d WHERE doc_id >= 10 AND doc_id < 20),
-        |tt AS (SELECT string_split_regex(trim(text), '\s+') AS t FROM d),
-        |tsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(t)-1),
-        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-        |        FROM tt WHERE len(t) >= 3),
-        |et AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM ev),
-        |esh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
-        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-        |        FROM et WHERE len(t) >= 3),
-        |m AS (SELECT e.doc_id, COUNT(*) AS n_shingles,
-        |        CAST(SUM(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
-        |      FROM esh e LEFT JOIN tsh t USING (s) GROUP BY e.doc_id)
-        |SELECT ids.doc_id, COALESCE(n_shingles, 0) AS n_shingles,
-        |       COALESCE(n_matched, 0) AS n_matched,
-        |       COALESCE(ROUND(n_matched::DOUBLE / n_shingles, 3), 0.0) AS containment
-        |FROM (SELECT DISTINCT doc_id FROM ev) ids LEFT JOIN m USING (doc_id)""".stripMargin,
+    "pq25_decontaminate" -> DecontamSql,
+
+    // the bloom pre-filter is exact-by-construction (false positives die
+    // in the exact join), so the bloom variant answers the IDENTICAL
+    // question — one shared oracle string, like the pq12/pq31 CTE share
+    "pq39_bloom_decontaminate" -> DecontamSql,
+
+    // gram strings stand in for the operator's per-occurrence fnv64
+    // keys (the pq25 contract); islands merge duplicated windows into
+    // maximal spans exactly as the operator's doc-keyed window does
+    "pq37_substring_spans" ->
+      (SubstringCtes +
+        """,
+        |gs AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+        |dup AS (SELECT g.doc_id, g.pos FROM g JOIN gs USING (gram)),
+        |fl AS (SELECT doc_id, pos,
+        |         CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS ni
+        |       FROM dup),
+        |isl AS (SELECT doc_id, pos, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS UNBOUNDED PRECEDING) AS island FROM fl)
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end,
+        |       MAX(pos) + 8 - MIN(pos) AS n_tokens
+        |FROM isl GROUP BY doc_id, island""".stripMargin),
+
+    // keep-first removal: the per-gram first occurrence survives via the
+    // same doc*2^32+pos packed MIN the operator uses; coverage expansion
+    // replaces the islands pass (identical covered-token set)
+    "pq38_substring_dedup" ->
+      (SubstringCtes +
+        """,
+        |gs AS (SELECT gram, COUNT(*) AS cnt, MIN(doc_id * 4294967296 + pos) AS keep
+        |       FROM g GROUP BY gram),
+        |cut AS (SELECT g.doc_id, g.pos FROM g JOIN gs USING (gram)
+        |        WHERE cnt > 1 AND g.doc_id * 4294967296 + g.pos <> keep),
+        |cov AS (SELECT DISTINCT doc_id, p
+        |        FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS p FROM cut)),
+        |tp AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS p FROM tok),
+        |kept AS (SELECT tp.doc_id, tp.tok, tp.p FROM tp LEFT JOIN cov
+        |           ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+        |         WHERE cov.p IS NULL),
+        |ka AS (SELECT doc_id, COUNT(*) AS nk, string_agg(tok, ' ' ORDER BY p) AS ct
+        |       FROM kept GROUP BY doc_id)
+        |SELECT tok.doc_id, len(tok.t) AS n_tokens,
+        |       len(tok.t) - COALESCE(ka.nk, 0) AS n_removed,
+        |       COALESCE(ka.ct, '') AS cleaned_text
+        |FROM tok LEFT JOIN ka ON tok.doc_id = ka.doc_id""".stripMargin),
 
     "pq26_repetition" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -34,9 +34,45 @@ import org.apache.spark.sql.functions._
 object Decontamination {
 
   def containment(train: DataFrame, eval: DataFrame, idCol: String,
-      textCol: String, shingleN: Int = 3, ordered: Boolean = true): DataFrame = {
-    val trainSh = TextOps.shingleIndex(train, idCol, textCol, shingleN)
-      .select("_sh").distinct().withColumn("_hit", lit(1))
+      textCol: String, shingleN: Int = 3, ordered: Boolean = true): DataFrame =
+    finish(
+      TextOps.shingleIndex(train, idCol, textCol, shingleN).select("_sh"),
+      eval, idCol, textCol, shingleN, ordered)
+
+  /**
+   * [[containment]] with a Bloom pre-filter on the train side — the
+   * 100-TB form. The plain plan's dominant cost is the train-side
+   * DISTINCT: one shuffle of EVERY distinct corpus shingle, though only
+   * the (tiny) eval shingle set can ever match. Here the eval shingle
+   * keys build a [[graft.operators.BloomSemiFilter]] sketch (one
+   * aggregate over the small side, sketch sized like a broadcast dim),
+   * and the corpus shingle stream is probed BEFORE the distinct — a
+   * codegen'd filter in the scan-side stage — so the shuffle carries
+   * only eval-matching shingles plus ~fpp false positives. False
+   * positives survive the distinct but match nothing in the exact left
+   * join, so the result is bit-identical to [[containment]] (the law
+   * BloomSemiSpec pins); only the shuffled volume changes.
+   *
+   * `expectedEvalShingles` sizes the sketch (overshooting costs bytes,
+   * undershooting costs fpp); at the default 1M items / 1% fpp the
+   * sketch is ~1.2 MB.
+   */
+  def containmentBloom(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, ordered: Boolean = true,
+      expectedEvalShingles: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val evalSh = TextOps.shingleIndex(eval, idCol, textCol, shingleN)
+    val trainSh = graft.operators.BloomSemiFilter.prefilter(
+      TextOps.shingleIndex(train, idCol, textCol, shingleN).select("_sh"),
+      evalSh, "_sh", "_sh", expectedEvalShingles, fpp)
+    finish(trainSh, eval, idCol, textCol, shingleN, ordered)
+  }
+
+  /** The shared containment tail: distinct the train shingle keys, left
+    * join the eval shingles, aggregate per eval doc over the id spine. */
+  private def finish(trainShingleKeys: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, shingleN: Int,
+      ordered: Boolean): DataFrame = {
+    val trainSh = trainShingleKeys.distinct().withColumn("_hit", lit(1))
     val evalSh = TextOps.shingleIndex(eval, idCol, textCol, shingleN)
     val perDoc = evalSh
       .join(trainSh, Seq("_sh"), "left")

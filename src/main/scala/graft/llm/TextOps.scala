@@ -165,6 +165,36 @@ object TextOps {
     out
   }
 
+  /** Per-position variant of [[shingleHashesJvm]] — NO distinct: element
+    * i (0-based) is the fnv64 of the word n-gram starting at token i, so
+    * the result has `max(0, toks.length - n + 1)` entries and a repeated
+    * gram keeps every occurrence. The occurrence-level form the
+    * duplicated-substring operators need ([[SubstringDedup]]): span
+    * detection is about WHERE a gram repeats, which the distinct
+    * first-seen set erases. Same streaming FNV state (bit-identical to
+    * `fnv64Jvm(shinglesJvm(toks, n)(i))`) and the same ~2^-24
+    * key-compression collision trade. */
+  def gramHashesWithPosJvm(toks: Array[String], n: Int): Array[Long] = {
+    val m = toks.length - n + 1
+    if (m <= 0) return Array.emptyLongArray
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0xcbf29ce484222325L
+      var o = 0
+      while (o < n) {
+        if (o > 0) { h ^= ' '; h *= 0x100000001b3L }
+        val t = toks(i + o)
+        var j = 0
+        while (j < t.length) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }
+        o += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
   /** JVM twin of [[shingles]]: distinct word n-grams in first-seen order. */
   def shinglesJvm(toks: Array[String], n: Int): Array[String] = {
     val set = new java.util.LinkedHashSet[String]()
