@@ -93,6 +93,24 @@ object PipelineQueries {
         concat(prefix, lit(" "), prefix).as("text")))
   }
 
+  /** pq40's fixture: multi-line docs (every " a " becomes a newline —
+    * the corpus's most frequent word, so line lengths spread across the
+    * minTokens boundary) plus injected line duplication: a shared
+    * 6-token boilerplate line on copies of doc_id < 12 (cross-doc; the
+    * copies also duplicate every eligible line of their base doc) and a
+    * 5-token line repeated twice within copies of doc_id in [12, 20). */
+  private def lineFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), replace(col("text"), lit(" a "), lit("\n")).as("text"))
+    d.unionByName(d.filter(col("doc_id") < 12).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit("\ndl1 dl2 dl3 dl4 dl5 dl6")).as("text")))
+      .unionByName(d.filter(col("doc_id") >= 12 && col("doc_id") < 20).select(
+        (col("doc_id") + 110000).as("doc_id"),
+        concat(col("text"),
+          lit("\nsl1 sl2 sl3 sl4 sl5\nsl1 sl2 sl3 sl4 sl5")).as("text")))
+  }
+
   /** Unique memory-sink names so repeated runs (bench best-of-N sweeps,
    *  verify + bench in one session) never collide on an active query. */
   private val SinkId = new java.util.concurrent.atomic.AtomicLong(0)
@@ -796,6 +814,27 @@ object PipelineQueries {
       SubstringDedup.removeDuplicated(substringFixture(s, dir),
         "doc_id", "text", gramN = 8, ordered = false)),
 
+    // Composed quality gate (the C4/Gopher filter step): per-doc
+    // boolean gates + their conjunction, thresholds chosen to split the
+    // corpus on every gate (probed medians); an injected null-text row
+    // exercises the fails-everything contract.
+    "pq41_quality_gate" -> q((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+        .unionByName(s.range(1).select(lit(990000L).as("doc_id"),
+          lit(null).cast("string").as("text")))
+      TextAnalysis.qualityGate(d, "doc_id", "text",
+        minTokens = 20, maxTokens = 80, minMeanWlen = 3.8, maxMeanWlen = 4.9,
+        minStopRatio = 0.04, minTtr = 0.4,
+        maxDupBigramFrac = 0.05, maxTopBigramFrac = 0.06, ordered = false)
+    }),
+
+    // C4-style line-level dedup: every later occurrence of a repeated
+    // >=5-token line is removed corpus-wide (keep-first), short lines
+    // always pass through, docs reassemble in position order.
+    "pq40_line_dedup" -> q((s, dir) =>
+      LineDedup.dedupLines(lineFixture(s, dir), "doc_id", "text",
+        sep = "\n", minTokens = 5, ordered = false)),
+
     // pq25's containment through the Bloom-prefiltered train side: the
     // eval shingle keys build a bloom sketch, the corpus shingle stream
     // is probed before its DISTINCT shuffle, and the exact left join
@@ -1122,6 +1161,67 @@ object PipelineQueries {
     // in the exact join), so the bloom variant answers the IDENTICAL
     // question — one shared oracle string, like the pq12/pq31 CTE share
     "pq39_bloom_decontaminate" -> DecontamSql,
+
+    // flags compare RAW IEEE ratios (exact-integer divisions — bit-
+    // identical across engines); Kleene AND makes the null-text row
+    // fail every gate in both engines
+    "pq41_quality_gate" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT 990000, NULL),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |      FROM d WHERE text IS NOT NULL),
+        |m AS (SELECT doc_id, len(toks) AS n,
+        |        list_sum(list_transform(toks, w -> len(w)))::DOUBLE / len(toks) AS mw,
+        |        len(list_filter(toks, w -> w IN ('the','a','of','and','in')))::DOUBLE / len(toks) AS sr,
+        |        len(list_distinct(toks))::DOUBLE / len(toks) AS ttr
+        |      FROM t),
+        |b AS (SELECT doc_id, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs
+        |      FROM t WHERE len(toks) >= 2),
+        |u AS (SELECT doc_id, unnest(bgs) AS bg FROM b),
+        |c AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM u GROUP BY doc_id, bg),
+        |s AS (SELECT doc_id, SUM(cnt) AS ng, COUNT(*) AS nd, MAX(cnt) AS top
+        |      FROM c GROUP BY doc_id),
+        |j AS (SELECT d.doc_id, m.n, m.mw, m.sr, m.ttr,
+        |        CASE WHEN s.ng IS NULL THEN NULL ELSE (s.ng - s.nd)::DOUBLE / s.ng END AS dupf,
+        |        CASE WHEN s.ng IS NULL THEN NULL ELSE s.top::DOUBLE / s.ng END AS topf
+        |      FROM d LEFT JOIN m ON d.doc_id = m.doc_id LEFT JOIN s ON d.doc_id = s.doc_id),
+        |f AS (SELECT doc_id, n,
+        |        (n IS NOT NULL AND n >= 20 AND n <= 80) AS len_ok,
+        |        (mw IS NOT NULL AND mw >= 3.8 AND mw <= 4.9) AS wlen_ok,
+        |        (sr IS NOT NULL AND sr >= 0.04) AS stop_ok,
+        |        (ttr IS NOT NULL AND ttr >= 0.4) AS ttr_ok,
+        |        (n IS NOT NULL AND (dupf IS NULL OR (dupf <= 0.05 AND topf <= 0.06))) AS rep_ok
+        |      FROM j)
+        |SELECT doc_id, COALESCE(n, 0) AS n_tokens, len_ok, wlen_ok, stop_ok, ttr_ok, rep_ok,
+        |       (len_ok AND wlen_ok AND stop_ok AND ttr_ok AND rep_ok) AS pass
+        |FROM f""".stripMargin,
+
+    // line strings stand in for the operator's xxhash64 keys (the pq15
+    // contract); string_agg skips the CASE's NULLs so only kept lines
+    // re-join, in position order like the operator's array_sort
+    "pq40_line_dedup" ->
+      """WITH b AS (SELECT doc_id, replace(text, ' a ', chr(10)) AS m
+        |           FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id, m AS text FROM b
+        |  UNION ALL SELECT doc_id + 100000, m || chr(10) || 'dl1 dl2 dl3 dl4 dl5 dl6'
+        |    FROM b WHERE doc_id < 12
+        |  UNION ALL SELECT doc_id + 110000,
+        |    m || chr(10) || 'sl1 sl2 sl3 sl4 sl5' || chr(10) || 'sl1 sl2 sl3 sl4 sl5'
+        |    FROM b WHERE doc_id >= 12 AND doc_id < 20),
+        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos FROM d),
+        |e AS (SELECT doc_id, pos, line,
+        |             len(string_split_regex(trim(line), '\s+')) >= 5 AS elig FROM l),
+        |gs AS (SELECT line, COUNT(*) AS cnt, MIN(doc_id * 4294967296 + pos) AS keep
+        |       FROM e WHERE elig GROUP BY line HAVING COUNT(*) > 1),
+        |k AS (SELECT e.doc_id, e.pos, e.line,
+        |             (gs.cnt IS NOT NULL AND e.doc_id * 4294967296 + e.pos <> gs.keep) AS cut
+        |      FROM e LEFT JOIN gs ON e.elig AND e.line = gs.line)
+        |SELECT doc_id, COUNT(*) AS n_lines,
+        |       CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |       COALESCE(string_agg(CASE WHEN NOT cut THEN line END, chr(10) ORDER BY pos), '')
+        |         AS cleaned_text
+        |FROM k GROUP BY doc_id""".stripMargin,
 
     // gram strings stand in for the operator's per-occurrence fnv64
     // keys (the pq25 contract); islands merge duplicated windows into

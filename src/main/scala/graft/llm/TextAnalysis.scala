@@ -162,6 +162,106 @@ object TextAnalysis {
   val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
 
   /**
+   * Composed quality gate — the C4/Gopher filter step as one operator:
+   * per-document pass/fail flags for the standard gate families (length
+   * bounds, mean word length band, minimum stopword ratio, minimum
+   * type-token ratio, duplicate/dominant-bigram ceilings) and their
+   * conjunction `pass`. This is the decision layer over the signals
+   * [[qualityMetrics]] and [[repetitionMetrics]] report — but computed
+   * in ONE typed pass (one token array, one count map per row, zero
+   * shuffle) rather than joining two corpus-sized metric tables, with
+   * the thresholds applied in a codegen'd projection on top so the
+   * typed stage never changes when thresholds do.
+   *
+   * Comparisons use the RAW (unrounded) ratios: each is an IEEE
+   * division of two exact integers, bit-identical across engines, so
+   * the oracle pins every flag exactly.
+   *
+   * Contracts: a NULL-text row fails every gate (n_tokens 0 — an
+   * unambiguous sentinel, since any non-null text tokenizes to >= 1
+   * token — and pass false: a doc with no text is not trainable; no
+   * output column is ever null, so engine comparers never face
+   * null-vs-NaN semantics). A doc with fewer than 2 tokens has no
+   * bigrams: the repetition gates pass and the length gate does the
+   * filtering (dup/top are null-safe true).
+   *
+   * Output: (doc_id, n_tokens, len_ok, wlen_ok, stop_ok, ttr_ok,
+   * rep_ok, pass).
+   */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = DefaultStopwords,
+      minTokens: Long = 50, maxTokens: Long = 100000,
+      minMeanWlen: Double = 3.0, maxMeanWlen: Double = 10.0,
+      minStopRatio: Double = 0.01, minTtr: Double = 0.2,
+      maxDupBigramFrac: Double = 0.3, maxTopBigramFrac: Double = 0.2,
+      ordered: Boolean = true): DataFrame = {
+    val stopSet = stopwords.toSet
+    val raw = StructType(Seq(
+      df.schema(df.schema.fieldIndex(idCol)).copy(name = "doc_id"),
+      StructField("n_tokens", LongType, nullable = true),
+      StructField("_mw", DoubleType, nullable = true),
+      StructField("_sr", DoubleType, nullable = true),
+      StructField("_ttr", DoubleType, nullable = true),
+      StructField("_dupf", DoubleType, nullable = true),
+      StructField("_topf", DoubleType, nullable = true)))
+    val metrics = df.select(col(idCol), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          if (r.isNullAt(1)) Row(r.get(0), 0L, null, null, null, null, null)
+          else {
+            val toks = TextOps.tokensJvm(r.getString(1))
+            val n = toks.length
+            val types = new java.util.HashSet[String]()
+            var stops = 0
+            var sumLen = 0L
+            var i = 0
+            while (i < n) {
+              val w = toks(i)
+              types.add(w)
+              if (stopSet.contains(w)) stops += 1
+              sumLen += w.codePointCount(0, w.length)
+              i += 1
+            }
+            val nb = n - 1
+            var dupf: Any = null
+            var topf: Any = null
+            if (nb >= 1) {
+              val counts = new java.util.HashMap[String, Int]()
+              var top = 0
+              var j = 0
+              val sb = new java.lang.StringBuilder()
+              while (j < nb) {
+                sb.setLength(0)
+                sb.append(toks(j)).append(' ').append(toks(j + 1))
+                val c = counts.merge(sb.toString, 1, Integer.sum)
+                if (c > top) top = c
+                j += 1
+              }
+              dupf = (nb - counts.size).toDouble / nb
+              topf = top.toDouble / nb
+            }
+            Row(r.get(0), n.toLong, sumLen.toDouble / n, stops.toDouble / n,
+              types.size.toDouble / n, dupf, topf)
+          }
+        }
+      }(Encoders.row(raw))
+    // _mw is null exactly when the text was null — the "had text" marker
+    val lenOk = col("_mw").isNotNull &&
+      col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens
+    val wlenOk = col("_mw").isNotNull &&
+      col("_mw") >= minMeanWlen && col("_mw") <= maxMeanWlen
+    val stopOk = col("_sr").isNotNull && col("_sr") >= minStopRatio
+    val ttrOk = col("_ttr").isNotNull && col("_ttr") >= minTtr
+    val repOk = col("_mw").isNotNull && (col("_dupf").isNull ||
+      (col("_dupf") <= maxDupBigramFrac && col("_topf") <= maxTopBigramFrac))
+    metrics.select(col("doc_id"), col("n_tokens"),
+      lenOk.as("len_ok"), wlenOk.as("wlen_ok"), stopOk.as("stop_ok"),
+      ttrOk.as("ttr_ok"), repOk.as("rep_ok"),
+      (lenOk && wlenOk && stopOk && ttrOk && repOk).as("pass"))
+      .transform(Presented(_, ordered, "doc_id"))
+  }
+
+  /**
    * Repetition metrics — the duplicate-n-gram quality gates (the
    * Gopher-rules family) applied before training: boilerplate and
    * degenerate generations show up as a high duplicate-n-gram fraction

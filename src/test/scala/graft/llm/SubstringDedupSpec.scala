@@ -67,6 +67,36 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(TextOps.gramHashesWithPosJvm(Array("a", "b"), 3).isEmpty)
   }
 
+  test("plan: doc-keyed windows only, no cartesian, pruned scan") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Seq(
+      "duplicatedSpans" -> SubstringDedup.duplicatedSpans(d, "doc_id", "text", gramN = 8),
+      "removeDuplicated" -> SubstringDedup.removeDuplicated(d, "doc_id", "text", gramN = 8)
+    ).foreach { case (name, q) =>
+      val plan = q.queryExecution.executedPlan.toString
+      // never a cartesian/nested-loop: candidate pairing is pure gram
+      // equality
+      assert(!plan.contains("CartesianProduct"), s"$name went cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name nested-loop:\n$plan")
+      // the only windows are the gaps-and-islands pass, partitioned by
+      // the DOC id — a window keyed on the Zipfian gram key would be the
+      // tf-idf scale-killer all over again
+      val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(windows.nonEmpty, s"$name lost its islands window:\n$plan")
+      windows.foreach { w =>
+        assert(w.contains("[_id#"), s"$name window not doc-keyed: $w")
+        assert(!w.contains("_g#"), s"$name window keyed on the gram: $w")
+      }
+      // the gram-count aggregate combines map-side before its exchange
+      assert(plan.contains("partial_count"), s"$name gram count not partial:\n$plan")
+      // column pruning through the typed gram pass
+      val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(readSchemas.nonEmpty && readSchemas.forall(r =>
+        !r.contains("source") && !r.contains("n_chars")),
+        s"$name reads columns it never uses:\n${readSchemas.mkString("\n")}")
+    }
+  }
+
   test("cacheIndex registers with the scope and releases cleanly") {
     val scope = new graft.CacheScope
     val out = SubstringDedup.duplicatedSpans(df, "doc_id", "text", gramN = 8,
