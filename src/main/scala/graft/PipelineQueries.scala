@@ -782,6 +782,14 @@ object PipelineQueries {
       Packing.packSequences(docs(s, dir), "doc_id", "text",
         targetTokens = 256, shards = 4)),
 
+    // No-straddle next-fit packing: docs never split across sequences;
+    // a doc longer than the target occupies a sequence alone. Target 64
+    // (vs pq35's 256) so the corpus's 10..99-token docs exercise both
+    // the multi-doc fill and the overlong-singleton path.
+    "pq42_pack_greedy" -> q((s, dir) =>
+      Packing.packGreedy(docs(s, dir), "doc_id", "text",
+        targetTokens = 64, shards = 4)),
+
     // Data-mixing rates: per-source sampling rates hitting a target
     // token mixture under a budget (rate = min(1, budget*share/tokens),
     // capped strata flagged) — the step in front of stratifiedSample.
@@ -1383,6 +1391,33 @@ object PipelineQueries {
          |           WHEN source = 'src1' THEN ${pred(0.2)}
          |           ELSE ${pred(0.5)} END""".stripMargin
     },
+
+    // next-fit is inherently sequential (each placement depends on the
+    // walk prefix), so the oracle advances one row per shard per
+    // recursion round — the honest SQL twin of the operator's
+    // per-partition walk
+    "pq42_pack_greedy" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |       FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |h AS (SELECT doc_id, n,
+        |        CAST(('0x' || substr(md5('graft:s' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS shard,
+        |        CAST(('0x' || substr(md5('graft:o' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h2
+        |      FROM t),
+        |r AS (SELECT doc_id, n, shard,
+        |        ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h2, doc_id) AS rn
+        |      FROM h),
+        |p AS (
+        |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS seq_id,
+        |         CAST(0 AS BIGINT) AS tok_offset, n AS fill
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.shard, r.rn, r.doc_id, r.n,
+        |         CASE WHEN p.fill + r.n <= 64 THEN p.seq_id ELSE p.seq_id + 1 END,
+        |         CASE WHEN p.fill + r.n <= 64 THEN p.fill ELSE CAST(0 AS BIGINT) END,
+        |         CASE WHEN p.fill + r.n <= 64 THEN p.fill + r.n ELSE r.n END
+        |  FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+        |SELECT shard, seq_id, doc_id, tok_offset, n AS n_tokens FROM p""".stripMargin,
 
     "pq16_percentiles" ->
       """SELECT source, COUNT(*) AS n_docs,

@@ -119,6 +119,75 @@ object Packing {
             col(countCol).cast("string")))).as("_n")),
       targetTokens, shards, salt)
 
+  /**
+   * No-straddle ("greedy next-fit") sequence packing — the layout for
+   * trainers WITHOUT cross-document attention masking, where a document
+   * must never straddle a sequence boundary: walk the shard in
+   * [[shardShuffle]] order keeping a running fill; a doc joins the open
+   * sequence iff it fits (fill + n <= targetTokens), otherwise the
+   * sequence closes and the doc opens the next one. A doc with
+   * n >= targetTokens can never share: it occupies a sequence alone,
+   * emitted at full length (the consumer truncates — splitting would
+   * reintroduce the straddle this layout exists to avoid). Next-fit
+   * rather than best-fit/FFD: the fit decision is a pure function of
+   * the walk prefix, so the packing reproduces from (salt, ids) alone,
+   * while best-fit's open-bin search couples every placement to global
+   * mutable state with no distributed equivalent.
+   *
+   * Scale shape: one shuffle (repartition by shard — each shard lands
+   * whole in one partition), then one sequential per-partition pass
+   * (`sortWithinPartitions` + mapPartitions with O(1) state, reset at
+   * shard boundaries since a partition may host several shards). The
+   * sequential walk is the honest cost of the no-straddle contract:
+   * unlike [[packSequences]] the cut points are NOT a closed form of
+   * the running token sum, so no window can express them — the oracle
+   * needs a recursive CTE for the same reason.
+   *
+   * Output: (shard, seq_id, doc_id, tok_offset, n_tokens) — seq_id
+   * 0-based consecutive per shard, tok_offset = the doc's first token
+   * position inside its sequence. Same preconditions as
+   * [[packSequences]]: non-null unique ids, null-text docs excluded,
+   * empty text packs as one (empty) token.
+   */
+  def packGreedy(df: DataFrame, idCol: String, textCol: String,
+      targetTokens: Int, shards: Int, salt: String = "graft"): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be positive, got $targetTokens")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val counted = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(TextOps.tokens(col(textCol).cast("string"))).cast("long").as("_n"))
+      .withColumn("shard", pmod(hash32(col("doc_id"), salt + ":s"), lit(shards)))
+      .withColumn("_h2", hash32(col("doc_id"), salt + ":o"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("seq_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      counted.schema(counted.schema.fieldIndex("doc_id")),
+      org.apache.spark.sql.types.StructField("tok_offset",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    counted
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("_h2"), col("doc_id"))
+      .mapPartitions { rows =>
+        var curShard = -1L
+        var seq = -1L
+        var fill = 0L
+        rows.map { r =>
+          val sh = r.getLong(2)
+          val n = r.getLong(1)
+          if (sh != curShard) { curShard = sh; seq = -1L }
+          if (seq < 0 || fill + n > targetTokens) { seq += 1; fill = 0L }
+          val off = fill
+          fill += n
+          org.apache.spark.sql.Row(sh, seq, r.get(0), off, n)
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** The shared layout pipeline over (doc_id, _n): shard/order hashes,
     * per-shard running offset, span projection + explode. */
   private def packCounted(counted: DataFrame, targetTokens: Int,
