@@ -782,6 +782,14 @@ object PipelineQueries {
       Packing.packSequences(docs(s, dir), "doc_id", "text",
         targetTokens = 256, shards = 4)),
 
+    // Deterministic fixed-count per-stratum sample: exactly min(7, n_s)
+    // docs per source, selected by smallest (md5 hash, id) — the
+    // two-phase prefilter+window plan whose result is provably the
+    // same top-k the oracle's full-stratum window computes.
+    "pq43_topk_sample" -> q((s, dir) =>
+      Sampling.topKPerStratum(docs(s, dir).select("doc_id", "source"),
+        "doc_id", "source", k = 7, salt = "s43")),
+
     // No-straddle next-fit packing: docs never split across sequences;
     // a doc longer than the target occupies a sequence alone. Target 64
     // (vs pq35's 256) so the corpus's 10..99-token docs exercise both
@@ -1391,6 +1399,17 @@ object PipelineQueries {
          |           WHEN source = 'src1' THEN ${pred(0.2)}
          |           ELSE ${pred(0.5)} END""".stripMargin
     },
+
+    // the oracle ranks the FULL stratum; the operator's prefilter keeps
+    // a prefix of the hash order, so both select the identical row set
+    "pq43_topk_sample" ->
+      """WITH h AS (SELECT doc_id, source,
+        |        substr(md5('s43' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+        |      FROM documents WHERE doc_id IS NOT NULL),
+        |r AS (SELECT doc_id, source,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY hx, doc_id) AS rn
+        |      FROM h)
+        |SELECT doc_id, source FROM r WHERE rn <= 7""".stripMargin,
 
     // next-fit is inherently sequential (each placement depends on the
     // walk prefix), so the oracle advances one row per shard per

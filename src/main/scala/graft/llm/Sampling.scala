@@ -127,4 +127,80 @@ object Sampling {
       .withColumn("capped", col("_want") > col("n_tokens"))
       .drop("_want")
   }
+
+  /**
+   * Deterministic fixed-COUNT per-stratum sample: exactly
+   * min(k, |stratum|) rows per stratum — the k rows whose
+   * (hash32(salt, key), key) is smallest, so the selection is a pure
+   * function of (salt, keys) like every sampler here (and totally
+   * ordered: unique keys break the vanishing hash ties).
+   *
+   * The naive plan is `row_number() OVER (PARTITION BY stratum ORDER BY
+   * hash)` + `rn <= k` — a full sort of EVERY stratum's rows through
+   * one task each, the exact Zipfian-straggler shape SURVEY §4 bans.
+   * Two phases keep the giant stratum away from any window:
+   *
+   *  1. one map-side-combined count aggregate -> per-stratum counts
+   *     (strata-sized, broadcast), giving each stratum a survivor rate
+   *     `min(1, safety·k / count)`; the hash-prefilter at that rate is
+   *     a codegen'd scan-side filter keeping ~safety·k rows per
+   *     stratum — and because it keeps a PREFIX of the hash order, a
+   *     stratum with >= min(k, count) survivors ranks EXACTLY as the
+   *     full stratum would (every survivor precedes every non-survivor
+   *     in (hash, key) order);
+   *  2. the ranking window runs over the survivors — O(safety·k) rows
+   *     per stratum regardless of stratum size. Strata that came up
+   *     short (Chernoff-rare: P < e^-k at safety 4, and impossible when
+   *     count <= safety·k since the rate is then 1) are re-ranked over
+   *     their full rows via a broadcast join against the shortfall
+   *     list — at scale the branch processes ~zero rows, but the result
+   *     is exact ALWAYS, not just w.h.p. (the law the spec pins by
+   *     forcing the fallback with a tiny safety).
+   *
+   * `safety` tunes survivor head-room; production wants >= 2. Values in
+   * (0, 1) starve phase 1 and route strata through the fallback — only
+   * useful to exercise that path deterministically.
+   *
+   * Output: the sampled input rows (original columns). Null keys are
+   * excluded as in every sampler; keys must be unique within a stratum
+   * for a stable total order (the [[graft.llm.Packing.shardShuffle]]
+   * precondition).
+   */
+  def topKPerStratum(df: DataFrame, keyCol: String, strataCol: String,
+      k: Int, salt: String = "", safety: Double = 4.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(safety > 0, s"safety must be positive, got $safety")
+    val outCols = df.columns.toSeq.map(col)
+    val u32 = conv(substring(
+      md5(concat(lit(salt), col(keyCol).cast("string")).cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val base = df.filter(col(keyCol).isNotNull)
+    val counts = base.groupBy(col(strataCol).as("_tk_st"))
+      .agg(count(lit(1)).as("_tk_cnt"))
+    val need = least(lit(k.toLong), col("_tk_cnt"))
+    val thr = when(lit(safety * k) >= col("_tk_cnt"), lit(1L << 32))
+      .otherwise((lit(safety * k * 4294967296.0) / col("_tk_cnt")).cast("long"))
+    val survivors = base
+      .join(broadcast(counts), col(strataCol) === col("_tk_st"))
+      .filter(u32 < thr)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(u32.asc, col(keyCol).asc)
+    val shortfall = counts
+      .join(survivors.groupBy(col(strataCol).as("_tk_st2"))
+          .agg(count(lit(1)).as("_tk_sc")),
+        col("_tk_st") === col("_tk_st2"), "left")
+      .filter(coalesce(col("_tk_sc"), lit(0L)) < need)
+      .select(col("_tk_st").as("_tk_fb"))
+    val exact = survivors
+      .join(broadcast(shortfall), col(strataCol) === col("_tk_fb"), "left_anti")
+      .withColumn("_tk_rn", row_number().over(w))
+      .filter(col("_tk_rn") <= k)
+      .select(outCols: _*)
+    val rescued = base
+      .join(broadcast(shortfall), col(strataCol) === col("_tk_fb"))
+      .withColumn("_tk_rn", row_number().over(w))
+      .filter(col("_tk_rn") <= k)
+      .select(outCols: _*)
+    exact.unionByName(rescued)
+  }
 }
