@@ -830,6 +830,27 @@ object PipelineQueries {
       SubstringDedup.removeDuplicated(substringFixture(s, dir),
         "doc_id", "text", gramN = 8, ordered = false)),
 
+    // Incremental line dedup: a batch cleaned against the corpus line
+    // index without rescanning history — copies of history docs lose
+    // every eligible line (history always wins), fresh one-line docs
+    // injected twice dedup keep-first within the batch.
+    "pq44_incremental_line_dedup" -> q((s, dir) => {
+      val hb = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), replace(col("text"), lit(" a "), lit("\n")).as("text"))
+      val idx = LineDedup.lineIndex(hb, "doc_id", "text")
+      val idstr = col("doc_id").cast("string")
+      val fresh = concat(lit("f"), idstr, lit("a f"), idstr, lit("b f"), idstr,
+        lit("c f"), idstr, lit("d f"), idstr, lit("e"))
+      val batch = hb.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+        .unionByName(hb.filter(col("doc_id") >= 10 && col("doc_id") < 18)
+          .select((col("doc_id") + 210000).as("doc_id"), fresh.as("text")))
+        .unionByName(hb.filter(col("doc_id") >= 10 && col("doc_id") < 18)
+          .select((col("doc_id") + 220000).as("doc_id"), fresh.as("text")))
+      LineDedup.dedupLinesIncremental(batch, "doc_id", "text", idx,
+        ordered = false)
+    }),
+
     // Composed quality gate (the C4/Gopher filter step): per-doc
     // boolean gates + their conjunction, thresholds chosen to split the
     // corpus on every gate (probed medians); an injected null-text row
@@ -1177,6 +1198,38 @@ object PipelineQueries {
     // in the exact join), so the bloom variant answers the IDENTICAL
     // question — one shared oracle string, like the pq12/pq31 CTE share
     "pq39_bloom_decontaminate" -> DecontamSql,
+
+    // the index is line STRINGS here (standing in for xxhash64 keys —
+    // the pq15 contract); history hits cut unconditionally, batch-only
+    // lines replay the pq40 keep-first logic
+    "pq44_incremental_line_dedup" ->
+      """WITH hb AS (SELECT doc_id, replace(text, ' a ', chr(10)) AS text
+        |            FROM documents WHERE text IS NOT NULL),
+        |hl AS (SELECT DISTINCT line FROM
+        |         (SELECT unnest(string_split(text, chr(10))) AS line FROM hb) t
+        |       WHERE len(string_split_regex(trim(line), '\s+')) >= 5),
+        |bat AS (
+        |  SELECT doc_id + 200000 AS doc_id, text FROM hb WHERE doc_id < 10
+        |  UNION ALL SELECT doc_id + 210000, 'f'||doc_id||'a f'||doc_id||'b f'||doc_id||'c f'||doc_id||'d f'||doc_id||'e' FROM hb WHERE doc_id >= 10 AND doc_id < 18
+        |  UNION ALL SELECT doc_id + 220000, 'f'||doc_id||'a f'||doc_id||'b f'||doc_id||'c f'||doc_id||'d f'||doc_id||'e' FROM hb WHERE doc_id >= 10 AND doc_id < 18),
+        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos FROM bat),
+        |e AS (SELECT doc_id, pos, line,
+        |             len(string_split_regex(trim(line), '\s+')) >= 5 AS elig FROM l),
+        |x AS (SELECT e.doc_id, e.pos, e.line, e.elig,
+        |             (hl.line IS NOT NULL) AS hit
+        |      FROM e LEFT JOIN hl ON e.elig AND e.line = hl.line),
+        |gs AS (SELECT line, COUNT(*) AS cnt, MIN(doc_id * 4294967296 + pos) AS keep
+        |       FROM x WHERE elig AND NOT hit GROUP BY line HAVING COUNT(*) > 1),
+        |k AS (SELECT x.doc_id, x.pos, x.line, x.hit,
+        |             (x.hit OR (gs.cnt IS NOT NULL AND x.doc_id * 4294967296 + x.pos <> gs.keep)) AS cut
+        |      FROM x LEFT JOIN gs ON x.elig AND NOT x.hit AND x.line = gs.line)
+        |SELECT doc_id, COUNT(*) AS n_lines,
+        |       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_history,
+        |       CAST(SUM(CASE WHEN cut AND NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_batch,
+        |       COALESCE(string_agg(CASE WHEN NOT cut THEN line END, chr(10) ORDER BY pos), '')
+        |         AS cleaned_text
+        |FROM k GROUP BY doc_id""".stripMargin,
 
     // flags compare RAW IEEE ratios (exact-integer divisions — bit-
     // identical across engines); Kleene AND makes the null-text row

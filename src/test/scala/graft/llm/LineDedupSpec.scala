@@ -45,6 +45,36 @@ class LineDedupSpec extends AnyFunSuite {
     assert(out(2L) === "other e f g h")
   }
 
+  test("incremental: history wins, batch keeps-first, provenance split") {
+    val hist = Seq((1L, "h1 h2 h3 h4 h5\nshort")).toDF("doc_id", "text")
+    val idx = LineDedup.lineIndex(hist, "doc_id", "text")
+    val batch = Seq(
+      (10L, "h1 h2 h3 h4 h5\nnew1 n2 n3 n4 n5"), // history hit + fresh line
+      (11L, "new1 n2 n3 n4 n5\nshort"),          // batch dup of doc 10's line
+      (12L, "short")).toDF("doc_id", "text")
+    val out = LineDedup.dedupLinesIncremental(batch, "doc_id", "text", idx)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(10L) === ((2L, 1L, 0L, "new1 n2 n3 n4 n5")))
+    assert(out(11L) === ((2L, 0L, 1L, "short")))
+    assert(out(12L) === ((1L, 0L, 0L, "short")))
+  }
+
+  test("incremental law: empty history reduces to dedupLines exactly") {
+    val emptyIdx = Seq.empty[Long].toDF("line_hash")
+    val inc = LineDedup.dedupLinesIncremental(df, "doc_id", "text", emptyIdx)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2) + r.getLong(3), r.getString(4))).toSet
+    val plain = LineDedup.dedupLines(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(inc === plain)
+    // no history -> nothing attributed to it
+    assert(LineDedup.dedupLinesIncremental(df, "doc_id", "text", emptyIdx)
+      .agg(org.apache.spark.sql.functions.sum("n_removed_history"))
+      .head.getLong(0) === 0L)
+  }
+
   test("plan: no windows, map-side-combined dup aggregate, no cartesian") {
     val plan = LineDedup.dedupLines(df, "doc_id", "text")
       .queryExecution.executedPlan.toString
