@@ -793,10 +793,14 @@ object PipelineQueries {
     // No-straddle next-fit packing: docs never split across sequences;
     // a doc longer than the target occupies a sequence alone. Target 64
     // (vs pq35's 256) so the corpus's 10..99-token docs exercise both
-    // the multi-doc fill and the overlong-singleton path.
+    // the multi-doc fill and the overlong-singleton path. 128 shards:
+    // the oracle's recursion depth is the MAX SHARD SIZE (one row per
+    // shard per round), so shard count trades oracle latency against
+    // docs-per-shard coverage — 128 keeps both (33 multi-doc sequences
+    // at sf0.01, ~4 s oracle at sf0.1).
     "pq42_pack_greedy" -> q((s, dir) =>
       Packing.packGreedy(docs(s, dir), "doc_id", "text",
-        targetTokens = 64, shards = 4)),
+        targetTokens = 64, shards = 128)),
 
     // Data-mixing rates: per-source sampling rates hitting a target
     // token mixture under a budget (rate = min(1, budget*share/tokens),
@@ -1473,7 +1477,7 @@ object PipelineQueries {
         |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
         |       FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
         |h AS (SELECT doc_id, n,
-        |        CAST(('0x' || substr(md5('graft:s' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS shard,
+        |        CAST(('0x' || substr(md5('graft:s' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 128 AS shard,
         |        CAST(('0x' || substr(md5('graft:o' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h2
         |      FROM t),
         |r AS (SELECT doc_id, n, shard,
