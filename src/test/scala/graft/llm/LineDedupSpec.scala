@@ -82,4 +82,16 @@ class LineDedupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
     assert(plan.contains("partial_count"), s"dup count not partial:\n$plan")
   }
+
+  test("plan: incremental history join is a hash equi-join on the 8-byte key") {
+    val idx = Seq(1L, 2L).toDF("line_hash")
+    val plan = LineDedup.dedupLinesIncremental(df, "doc_id", "text", idx)
+      .queryExecution.executedPlan.toString
+    // the _elig side-condition must ride as a join filter, never demote
+    // the join to a nested loop over the corpus-sized line stream
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"history join degenerated:\n$plan")
+    assert(plan.contains("xxhash64"), s"history join not on the hash key:\n$plan")
+    assert(!plan.contains("Window ["))
+  }
 }

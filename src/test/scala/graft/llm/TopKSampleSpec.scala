@@ -58,5 +58,10 @@ class TopKSampleSpec extends AnyFunSuite {
     // shortfall join — never a bare window over the unfiltered scan
     assert(plan.contains("Window ["))
     assert(!plan.contains("CartesianProduct"))
+    // the rn <= k filter must stay adjacent to the window so Spark's
+    // rank-limit pushdown fires: a partial WindowGroupLimit ahead of
+    // the exchange means only <= k rows per group shuffle at all
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown did not fire:\n$plan")
   }
 }
