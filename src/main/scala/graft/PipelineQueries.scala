@@ -782,6 +782,13 @@ object PipelineQueries {
       Packing.packSequences(docs(s, dir), "doc_id", "text",
         targetTokens = 256, shards = 4)),
 
+    // Budget-bounded selection: the maximal prefix of the corpus in
+    // (n_chars DESC, doc_id) order whose cumulative weight fits 10k —
+    // the distributed-prefix-sum plan, never a global window.
+    "pq45_budget_select" -> q((s, dir) =>
+      BudgetSelect.takeUntilBudget(docs(s, dir).select("doc_id", "n_chars"),
+        "doc_id", "n_chars", "n_chars", budget = 10000L)),
+
     // Deterministic fixed-count per-stratum sample: exactly min(7, n_s)
     // docs per source, selected by smallest (md5 hash, id) — the
     // two-phase prefilter+window plan whose result is provably the
@@ -1456,6 +1463,18 @@ object PipelineQueries {
          |           WHEN source = 'src1' THEN ${pred(0.2)}
          |           ELSE ${pred(0.5)} END""".stripMargin
     },
+
+    // the oracle's single global window IS the semantics; the operator
+    // computes the same running sum as a two-pass distributed prefix
+    // sum (per-partition totals + broadcast offsets)
+    "pq45_budget_select" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+        |        CAST(SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight
+        |      FROM documents
+        |      WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL)
+        |SELECT doc_id, n_chars, CAST(n_chars AS BIGINT) AS weight, cum_weight
+        |FROM s WHERE cum_weight <= 10000""".stripMargin,
 
     // the oracle ranks the FULL stratum; the operator's prefilter keeps
     // a prefix of the hash order, so both select the identical row set
