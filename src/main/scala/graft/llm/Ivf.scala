@@ -146,6 +146,31 @@ object Ivf {
     val sample = c0.orderBy("cid").limit(sampleN)
       .select("_vc").collect().map(_.getSeq[Long](0).toArray)
     val centroids = kmeans(sample, nlist, iters)
+    search(c0, q0, centroids, k, nprobe, ordered)
+  }
+
+  /**
+   * IVF search under a caller-supplied coarse quantizer — the hook for
+   * [[Clustering.train]]'s full-corpus distributed trainer (the
+   * 100 TB-scale alternative to this file's bounded-sample k-means:
+   * same model shape, trained by distributed passes instead of a
+   * driver loop). Same output contract as [[topK]]; with
+   * `nprobe >= centroids.length` it probes every cell and equals
+   * [[Similarity.cosineTopK]] exactly (pinned in ClusteringSpec twin
+   * tests alongside pq19's sampled-trainer pin).
+   */
+  def topKWith(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, centroids: Array[Array[Long]],
+      ordered: Boolean = true): DataFrame = {
+    require(nprobe >= 1, s"topKWith: need nprobe >= 1; got $nprobe")
+    val (c0, q0) = Similarity.prepSides(corpus, queries, idCol, vecCol)
+    search(c0, q0, centroids, k, nprobe, ordered)
+  }
+
+  /** The shared assign/probe/score tail: one broadcast argmin pass per
+    * side, one shuffle on the int list id, bounded per-partition heaps. */
+  private def search(c0: DataFrame, q0: DataFrame, centroids: Array[Array[Long]],
+      k: Int, nprobe: Int, ordered: Boolean): DataFrame = {
     val c = withLists(c0, centroids, nprobe = 1, "_list")
     val q = withLists(q0, centroids, nprobe = nprobe, "_probe")
     val pairs = c
