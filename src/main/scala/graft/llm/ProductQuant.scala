@@ -301,6 +301,136 @@ object ProductQuant {
   }
 
   /**
+   * Materialize the IVF-PQ index: (idCol, list, codes) — the coarse
+   * cell each vector belongs to plus its PQ codes, in ONE typed pass
+   * (both argmins share the row's quantized vector). This is the
+   * billion-scale deployment shape: write this table once (4 + m small
+   * ints per row instead of dim floats), then every [[ivfAdcTopK]]
+   * query scans the coded index, never the raw vectors.
+   */
+  def buildCodedIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Long]], model: PqModel,
+      ordered: Boolean = true): DataFrame = {
+    val enc = encoded(corpus, idCol, vecCol, model.codebooks, model.dsub)
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val outSchema = StructType(Seq(
+      enc.schema("_id"),
+      StructField("list", IntegerType, nullable = false),
+      StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false)))
+    enc.mapPartitions { rows =>
+      val cents = bc.value
+      if (cents.isEmpty) Iterator.empty
+      else rows.map { r =>
+        val v = r.getSeq[Long](2).toArray
+        Row(r.get(0), Ivf.nearest(v, cents), r.get(1))
+      }
+    }(Encoders.row(outSchema))
+      .select(col("_id").as(idCol), col("list"), col("codes"))
+      .transform(Presented(_, ordered, idCol))
+  }
+
+  /**
+   * IVF-PQ search over a materialized [[buildCodedIndex]] table: each
+   * query ADC-scores ONLY the rows of its `nprobe` nearest cells.
+   * Probe sets are computed driver-side on the |Q|-bounded broadcast
+   * query set and inverted into a cell -> queries map, so the scan
+   * stays shuffle-free: a corpus row looks up which queries probe its
+   * cell, pays m LUT lookups per probing query, and bounded
+   * per-partition heaps keep survivors. With `nprobe >= nlist` every
+   * cell is probed and the result equals [[adcTopK]] exactly (the pq53
+   * oracle pin, sharing pq49's SQL); smaller `nprobe` trades recall
+   * (measured in ProductQuantSpec) for a ~nlist/nprobe candidate cut.
+   * Output (qid, rnk, cid, dist), ADC-distance semantics.
+   */
+  def ivfAdcTopK(coded: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Long]], model: PqModel, k: Int, nprobe: Int,
+      ordered: Boolean = true): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"ivfAdcTopK: need k, nprobe >= 1; got k=$k nprobe=$nprobe")
+    val qs = Similarity.prepTyped(queries, idCol, "qid", vecCol)
+      .filter(col("_v").isNotNull)
+      .collect().map(r => (r.get(0), r.getSeq[Long](1).toArray))
+    val probes: Array[Array[Int]] =
+      qs.map { case (_, qv) => Ivf.nearestN(qv, centroids, nprobe) }
+    val bc = coded.sparkSession.sparkContext.broadcast((qs, probes, model.codebooks))
+    val in = coded.select(col(idCol).as("cid"), col("list"), col("codes"))
+    val outSchema = StructType(Seq(
+      in.schema("cid").copy(name = "qid"),
+      in.schema("cid"),
+      StructField("_dist", LongType, nullable = false)))
+    val cidOrd = Similarity.idOrdering(in.schema("cid").dataType)
+    val m = model.m
+    val dsub = model.dsub
+    val scored = in.mapPartitions { rows =>
+      val (queryVecs, probeSets, books) = bc.value
+      if (queryVecs.isEmpty) Iterator.empty
+      else {
+        val lut = queryVecs.map { case (_, qv) =>
+          Array.tabulate(m) { s =>
+            Array.tabulate(books(s).length) { c =>
+              val ct = books(s)(c)
+              var d2 = 0L
+              var p = 0
+              while (p < dsub) { val d = qv(s * dsub + p) - ct(p); d2 += d * d; p += 1 }
+              d2
+            }
+          }
+        }
+        // invert probe sets: cell -> indices of the queries probing it
+        val byCell = new java.util.HashMap[Int, Array[Int]]()
+        probeSets.zipWithIndex.foreach { case (cells, qi) =>
+          cells.foreach { cell =>
+            val cur = byCell.get(cell)
+            byCell.put(cell, if (cur == null) Array(qi) else cur :+ qi)
+          }
+        }
+        type Cand = (Long, Any)
+        val byRank: Ordering[Cand] = cidOrd match {
+          case Some(ord) => Ordering.by[Cand, Long](_._1).orElse(Ordering.by[Cand, Any](_._2)(ord))
+          case None => Ordering.by[Cand, Long](_._1)
+        }
+        val heaps = Array.fill(queryVecs.length)(
+          scala.collection.mutable.PriorityQueue.empty[Cand](byRank))
+        val emitAll = cidOrd.isEmpty // unordered ids: no pre-reduce, emit directly
+        val direct = Array.newBuilder[Row]
+        rows.foreach { r =>
+          val probing = byCell.get(r.getInt(1))
+          if (probing != null) {
+            val cid = r.get(0)
+            val codes = r.getSeq[Int](2)
+            var j = 0
+            while (j < probing.length) {
+              val qi = probing(j)
+              if (queryVecs(qi)._1 != cid) {
+                var dist = 0L
+                var s = 0
+                while (s < m) { dist += lut(qi)(s)(codes(s)); s += 1 }
+                if (emitAll) direct += Row(queryVecs(qi)._1, cid, dist)
+                else {
+                  val cand = (dist, cid)
+                  val heap = heaps(qi)
+                  if (heap.size < k) heap.enqueue(cand)
+                  else if (byRank.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+                }
+              }
+              j += 1
+            }
+          }
+        }
+        if (emitAll) direct.result().iterator
+        else heaps.iterator.zipWithIndex.flatMap { case (heap, qi) =>
+          heap.iterator.map { case (dist, cid) => Row(queryVecs(qi)._1, cid, dist) }
+        }
+      }
+    }(Encoders.row(outSchema))
+    val w = Window.partitionBy("qid").orderBy(col("_dist"), col("cid"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("_dist").as("dist"))
+      .transform(Presented(_, ordered, "qid", "rnk"))
+  }
+
+  /**
    * ADC shortlist + exact re-rank (the FAISS "refine" pattern): take
    * the top `k * refine` ADC candidates per query, then score ONLY
    * those with the exact quantized squared L2 distance and return the

@@ -113,6 +113,47 @@ class ProductQuantSpec extends AnyFunSuite {
     got.foreach { case (q, cids) => assert(cids == truth(q), s"query $q diverged") }
   }
 
+  test("IVF-PQ: full probe == whole-corpus ADC; coded index matches encode") {
+    val centroids = Clustering.train(e, "vec_id", "embedding", k = 8, iters = 3).centroids
+    val coded = ProductQuant.buildCodedIndex(e, "vec_id", "embedding",
+      centroids, model, ordered = false)
+    // index codes agree with the standalone encoder
+    val idxCodes = coded.select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val encCodes = ProductQuant.encode(e, "vec_id", "embedding", model, ordered = false)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(idxCodes == encCodes)
+    val q = e.filter(col("vec_id") < 30)
+    val full = ProductQuant.ivfAdcTopK(coded, q, "vec_id", "embedding",
+      centroids, model, k = 5, nprobe = centroids.length, ordered = false)
+    val adc = ProductQuant.adcTopK(e, q, "vec_id", "embedding", model, k = 5, ordered = false)
+    assert(full.collect().map(_.toSeq).toSet == adc.collect().map(_.toSeq).toSet)
+  }
+
+  test("IVF-PQ recall@10 is monotone in nprobe and measured per knob") {
+    val centroids = Clustering.train(e, "vec_id", "embedding", k = 8, iters = 3).centroids
+    val coded = ProductQuant.buildCodedIndex(e, "vec_id", "embedding",
+      centroids, model, ordered = false)
+    val q = e.filter(col("vec_id") < 50)
+    val adcTruth = topkSets(ProductQuant.adcTopK(
+      e, q, "vec_id", "embedding", model, k = 10, ordered = false))
+    def recallVsAdc(approx: Map[Long, Set[Long]]): Double =
+      adcTruth.map { case (qq, t) =>
+        approx.getOrElse(qq, Set.empty[Long]).intersect(t).size.toDouble / t.size
+      }.sum / adcTruth.size
+    val byProbe = Seq(1, 2, 4, 8).map { p =>
+      p -> recallVsAdc(topkSets(ProductQuant.ivfAdcTopK(coded, q, "vec_id", "embedding",
+        centroids, model, k = 10, nprobe = p, ordered = false)))
+    }
+    info(byProbe.map { case (p, r) => f"nprobe=$p $r%.3f" }
+      .mkString("IVF-PQ recall@10 vs full ADC: ", ", ", ""))
+    byProbe.sliding(2).foreach { w =>
+      assert(w(1)._2 >= w(0)._2, s"recall fell with more probes: $byProbe")
+    }
+    assert(byProbe.last._2 == 1.0, "nprobe == nlist must reproduce full ADC")
+    assert(byProbe.head._2 >= 0.2, f"nprobe=1 recall ${byProbe.head._2}%.3f below floor 0.2")
+  }
+
   test("wrong input dimensionality is a hard error, not silent truncation") {
     val bad = TestSpark.df("id bigint, v array<double>", Seq(Row(1L, Seq(1.0, 2.0))))
     val ex = intercept[Exception] {
