@@ -1,0 +1,88 @@
+package graft.llm
+
+import graft.Presented
+import graft.operators.SkewJoin
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Unigram language-model quality scoring — the CCNet-style perplexity
+ * signal (Wenzek et al. 2020: score web text under a reference LM,
+ * bucket the corpus into head/middle/tail by score) with a unigram LM
+ * standing in for KenLM: every document gets its mean per-token
+ * Laplace-smoothed log-probability under a reference word-frequency
+ * table (any [[Bpe.wordCounts]] output — the corpus itself for a
+ * self-LM, or a trusted corpus for quality filtering).
+ *
+ * Scale shape: one explode + one (id, word)-keyed aggregate (skew-free
+ * by construction — the document id spreads hot words), then the word
+ * join against the LM table runs SALTED ([[SkewJoin.saltedJoin]]):
+ * Zipf head words hit every document, and a plain shuffle join would
+ * funnel "the" through one task. The per-document fold sums in
+ * sorted-word order (a `sort_array` + `aggregate` higher-order fold),
+ * so scores are bit-deterministic across partitionings despite double
+ * arithmetic. Nothing is collected but the two LM scalars (total
+ * count, vocabulary size).
+ *
+ * Per-document score: lp = (Σ_w occ_w · ln((cnt_w + 1) / (T + V))) / n
+ * with cnt_w = 0 for out-of-vocabulary words; documents with no tokens
+ * score exactly 0.0 with n_tokens 0 (oracle-pinned, pq54).
+ */
+object LmScore {
+
+  /**
+   * Score `docs` under the unigram LM `lm` (columns (word, cnt)).
+   * Output: (idCol, n_tokens, logprob) — mean per-token smoothed log
+   * probability (higher = more LM-like).
+   */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String, lm: DataFrame,
+      saltBuckets: Int = 8, ordered: Boolean = true): DataFrame = {
+    val Seq(tRow) = lm.agg(
+      coalesce(sum("cnt"), lit(0L)).as("t"), count(lit(1)).as("v")).collect().toSeq
+    val denom = (tRow.getLong(0) + tRow.getLong(1)).toDouble
+    val words = docs
+      .select(col(idCol).as("_id"),
+        explode(filter(TextOps.tokens(col(textCol)), w => w =!= "")).as("word"))
+      .groupBy("_id", "word").agg(count(lit(1)).as("_occ"))
+    val joined = SkewJoin.saltedJoin(
+      words, lm.select(col("word"), col("cnt").as("_cnt")),
+      Seq("word"), "left", saltBuckets)
+    // deterministic per-doc fold: sorted (word, occ, cnt) structs summed
+    // in word order, so the double total never depends on partitioning
+    val term: Column => Column = s =>
+      s.getField("o").cast("double") *
+        log((s.getField("c") + lit(1L)).cast("double") / lit(denom))
+    val scored = joined
+      .select(col("_id"), struct(col("word").as("w"), col("_occ").as("o"),
+        coalesce(col("_cnt"), lit(0L)).as("c")).as("_s"))
+      .groupBy("_id").agg(sort_array(collect_list(col("_s"))).as("_ws"))
+      .select(col("_id"),
+        aggregate(col("_ws"), lit(0L), (acc, s) => acc + s.getField("o")).as("n_tokens"),
+        aggregate(col("_ws"), lit(0.0), (acc, s) => acc + term(s)).as("_lpsum"))
+      .select(col("_id"), col("n_tokens"),
+        (col("_lpsum") / col("n_tokens")).as("logprob"))
+    // docs with no tokens (null/empty text) never reach the fold: they
+    // score exactly 0.0 with n_tokens 0
+    docs.select(col(idCol))
+      .join(scored, col(idCol) === col("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("logprob"), lit(0.0)).as("logprob"))
+      .transform(Presented(_, ordered, idCol))
+  }
+
+  /**
+   * CCNet-style corpus partition by score: adds `bucket` =
+   * head (logprob >= headMin) / middle (>= middleMin) / tail. Pure
+   * derived column — thresholds come from the caller (typically chosen
+   * from score quantiles of a held-out sample, as CCNet does).
+   */
+  def perplexityBuckets(scored: DataFrame, headMin: Double, middleMin: Double): DataFrame = {
+    require(headMin >= middleMin,
+      s"perplexityBuckets: headMin ($headMin) must be >= middleMin ($middleMin)")
+    scored.withColumn("bucket",
+      when(col("logprob") >= headMin, "head")
+        .when(col("logprob") >= middleMin, "middle")
+        .otherwise("tail"))
+  }
+}

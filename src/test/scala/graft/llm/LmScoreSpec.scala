@@ -1,0 +1,69 @@
+package graft.llm
+
+import graft.TestSpark
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Unigram LM scoring laws (arithmetic is oracle-pinned in pq54):
+ *
+ *  - DIRECTION: text made of common reference words scores higher than
+ *    text of rare/unseen words — the signal CCNet buckets on.
+ *  - OOV: an all-unseen document scores exactly n * ln(1/(T+V)) / n.
+ *  - DETERMINISM: bit-identical across partitionings (sorted fold).
+ *  - Buckets partition the corpus; thresholds are inclusive at head.
+ *  - Token-free docs score exactly 0.0 with n_tokens 0.
+ */
+class LmScoreSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val lm = Bpe.wordCounts(docs, "text", ordered = false)
+
+  private def score(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+    LmScore.unigramLogProb(df, "doc_id", "text", lm, ordered = false)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  test("common-word text outscores rare-word text; OOV scores the smoothing floor") {
+    // the most frequent reference word vs pure OOV gibberish
+    val top = lm.orderBy(col("cnt").desc, col("word")).limit(1)
+      .collect().head.getString(0)
+    val Seq(tRow) = lm.agg(sum("cnt"), count(lit(1))).collect().toSeq
+    val denom = (tRow.getLong(0) + tRow.getLong(1)).toDouble
+    val f = TestSpark.df("doc_id bigint, text string", Seq(
+      Row(1L, s"$top $top $top $top"),
+      Row(2L, "zzqx1 zzqx2 zzqx3 zzqx4")))
+    val s = score(f)
+    assert(s(1L)._2 > s(2L)._2, s"common words must outscore OOV: $s")
+    // all-OOV: every token smooths to ln(1/(T+V)); the mean equals it
+    assert(math.abs(s(2L)._2 - math.log(1.0 / denom)) < 1e-12)
+  }
+
+  test("scores are bit-identical across partitionings") {
+    assert(score(docs.repartition(1)) == score(docs.repartition(13)))
+  }
+
+  test("token-free docs score exactly 0.0 with n_tokens 0") {
+    val f = TestSpark.df("doc_id bigint, text string", Seq(
+      Row(1L, null), Row(2L, ""), Row(3L, "   "), Row(4L, "real text")))
+    val s = score(f)
+    assert(s(1L) == (0L, 0.0) && s(2L) == (0L, 0.0) && s(3L) == (0L, 0.0))
+    assert(s(4L)._1 == 2L && s(4L)._2 != 0.0)
+  }
+
+  test("perplexityBuckets partitions the corpus with inclusive head threshold") {
+    val scored = LmScore.unigramLogProb(docs, "doc_id", "text", lm, ordered = false)
+    val lps = scored.select("logprob").collect().map(_.getDouble(0)).sorted
+    val (t1, t2) = (lps(lps.length * 2 / 3), lps(lps.length / 3))
+    val b = LmScore.perplexityBuckets(scored, headMin = t1, middleMin = t2)
+    val byBucket = b.groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byBucket.values.sum == docs.count())
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+    assert(byBucket.getOrElse("head", 0L) > 0 && byBucket.getOrElse("tail", 0L) > 0)
+    // inclusive at the boundary: a doc exactly at headMin is head
+    val atBoundary = b.filter(col("logprob") === t1).select("bucket").distinct().collect()
+    assert(atBoundary.map(_.getString(0)).toSeq == Seq("head"))
+  }
+}
