@@ -189,6 +189,65 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(op.contains("Aggregate [term#"), s"expected groupBy(term) df aggregate:\n$op")
   }
 
+  test("k-means assign is one broadcast argmin pass — ZERO exchanges") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Array(Array.fill(64)(0L), Array.fill(64)(100L))
+    val plan = graft.llm.Clustering.assign(e, "vec_id", "embedding", cents,
+      ordered = false).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assign must not shuffle:\n$plan")
+  }
+
+  test("model-sized aggregates carry map-side partial aggregation") {
+    // each of these reduces a corpus-scale stream to a model/stat-sized
+    // table; without partial (map-side) aggregation the full stream
+    // would shuffle. The executed plan must show a partial_ aggregate
+    // below the exchange.
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val cents = Array(Array.fill(64)(0L), Array.fill(64)(100L))
+    val words = d.select(explode(graft.llm.TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      "kmeans updateStep" -> graft.llm.Clustering.updateStep(
+        e, "vec_id", "embedding", cents, ordered = false),
+      "pca momentStats" -> graft.llm.Pca.momentStats(
+        e.select(col("embedding")), "embedding", dims = 4, ordered = false),
+      "bpe wordCounts" -> graft.llm.Bpe.wordCounts(d, "text", ordered = false),
+      "dsir bucketDistribution" -> graft.llm.Dsir.bucketDistribution(
+        d, "text", buckets = 64, ordered = false),
+      "countmin build" -> graft.llm.CountMin.build(words, "word", 2, 64, ordered = false)
+    ).foreach { case (name, q) =>
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("partial"),
+        s"$name must aggregate map-side before its exchange:\n$plan")
+    }
+  }
+
+  test("z-order keys are pure codegen'd arithmetic — no object boundary") {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val q = o.select(col("o_orderkey"),
+      ZOrder.zValue(Seq(ZOrder.modCell(col("o_custkey"), 16),
+        ZOrder.modCell(col("o_orderkey"), 16)), bitsPerDim = 16).as("z"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapPartitions"),
+      s"zValue must stay in the expression tier:\n$plan")
+    // "*(n)" is the compact-plan WholeStageCodegen marker
+    assert(plan.contains("*(1) Project"), s"zValue must codegen:\n$plan")
+  }
+
+  test("IVF-PQ search never joins — the coded scan scores via the broadcast probe map") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = graft.llm.ProductQuant.PqModel(4, 16,
+      Array.fill(4)(Array.tabulate(4)(c => Array.fill(16)(c * 100L))))
+    val cents = Array(Array.fill(64)(0L), Array.fill(64)(100L))
+    val coded = graft.llm.ProductQuant.buildCodedIndex(
+      e, "vec_id", "embedding", cents, model, ordered = false)
+    val q = graft.llm.ProductQuant.ivfAdcTopK(coded, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", cents, model, k = 3, nprobe = 1, ordered = false)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"IVF-PQ search must not join:\n$plan")
+  }
+
   test("AQE skew-join splits the same hot-key shuffle the manual salt targets, with identical results") {
     // The vq20 shape: 5 event_type keys at ~20% each joined to a tiny
     // dim, shuffle join forced. At real scale AQE's skew handling
