@@ -59,6 +59,32 @@ object Packing {
   }
 
   /**
+   * Curriculum-ordered shard shuffle: the [[shardShuffle]] plan — same
+   * hash-assigned shards, same ONE shuffle — but within each shard rows
+   * order by (`scoreCol` ASC, order-hash, id): easy examples first,
+   * with the hash still breaking score ties so equal-difficulty runs
+   * stay shuffled. Readers consuming shards in pos order get a
+   * per-shard difficulty ramp whose interleaving across shards is the
+   * usual curriculum-learning layout. Null scores order LAST (Spark's
+   * asc null ordering is nulls-first; unscored docs should not lead the
+   * curriculum), null ids drop as in [[shardShuffle]].
+   */
+  def curriculumShardShuffle(df: DataFrame, idCol: String, scoreCol: String,
+      shards: Int, salt: String = "graft"): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    require(!df.columns.contains("shard") && !df.columns.contains("pos") &&
+      !df.columns.contains("_h2"),
+      "columns shard/pos/_h2 collide with the operator's output — alias them away")
+    val w = Window.partitionBy("shard")
+      .orderBy(col(scoreCol).asc_nulls_last, col("_h2"), col(idCol))
+    df.filter(col(idCol).isNotNull)
+      .withColumn("shard", pmod(hash32(col(idCol), salt + ":s"), lit(shards)))
+      .withColumn("_h2", hash32(col(idCol), salt + ":o"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_h2")
+  }
+
+  /**
    * Fixed-token sequence packing over the [[shardShuffle]] order: lay
    * documents end to end within each shard and cut every
    * `targetTokens`, emitting one row per (document, training sequence
