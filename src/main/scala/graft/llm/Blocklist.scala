@@ -1,0 +1,59 @@
+package graft.llm
+
+import graft.Presented
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Blocklist filtering — the standard bad-words gate (the C4 pipeline
+ * drops any page containing a "List of Dirty, Naughty …" term; most
+ * production pipelines score-and-threshold instead of hard-dropping):
+ * count blocklist hits per document at word and word-bigram
+ * granularity and gate on a threshold, so a single incidental match
+ * need not kill a long document while saturated ones go.
+ *
+ * Matching is case-folded whole-token (single terms) and
+ * space-joined-bigram (two-word phrases) — substring matching is
+ * deliberately NOT offered (the classic "Scunthorpe" false-positive
+ * class). The list is bounded by contract (it rides the plan as a
+ * literal array, the same size class as a broadcast dim); everything
+ * is a codegen'd higher-order Column projection — zero shuffle, zero
+ * UDF, oracle-pinned (pq61).
+ */
+object Blocklist {
+
+  /** Per-document hit counts: (.., n_tokens, hits) + `pass` =
+    * hits * maxHitRatioDenom <= n_tokens * maxHitRatioNum, i.e. the
+    * hit RATIO gate expressed in exact integers (no float compare).
+    * A doc with no tokens passes (nothing to match). Multi-word list
+    * entries beyond 2 tokens are rejected — no matcher exists for
+    * them. */
+  def score(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      maxHitRatioNum: Int = 0, maxHitRatioDenom: Int = 1,
+      ordered: Boolean = true): DataFrame = {
+    require(terms.nonEmpty, "score: empty blocklist")
+    require(maxHitRatioNum >= 0 && maxHitRatioDenom >= 1,
+      s"score: ratio $maxHitRatioNum/$maxHitRatioDenom invalid")
+    val folded = terms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    val (bigrams, singles) = folded.partition(_.contains(" "))
+    require(bigrams.forall(_.split("\\s+").length == 2),
+      s"score: only 1- and 2-word terms are matchable; got ${bigrams.filter(_.split("\\s+").length > 2)}")
+    val toks = transform(filter(TextOps.tokens(col(textCol)), t => t =!= ""), lower _)
+    val singleHits =
+      if (singles.isEmpty) lit(0)
+      else size(filter(toks, t => t.isin(singles.map(lit(_)): _*)))
+    val bigramHits =
+      if (bigrams.isEmpty) lit(0)
+      else size(filter(
+        zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)),
+        g => g.isin(bigrams.map(lit(_)): _*)))
+    df.select(col(idCol),
+      coalesce(size(filter(TextOps.tokens(col(textCol)), t => t =!= "")), lit(0))
+        .cast("long").as("n_tokens"),
+      coalesce(singleHits + bigramHits, lit(0)).cast("long").as("hits"))
+      .withColumn("pass",
+        col("hits") * maxHitRatioDenom <= col("n_tokens") * maxHitRatioNum)
+      .transform(Presented(_, ordered, idCol))
+  }
+}
