@@ -50,6 +50,39 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(samplePredicate(col(keyCol), rate, salt))
 
+  /**
+   * Deterministic disjoint split assignment (train/val/test): each key
+   * lands in the first split whose cumulative-weight hash threshold
+   * exceeds its md5 prefix — the [[samplePredicate]] hex-compare, so
+   * membership is reproducible across runs/engines/layouts, splits are
+   * provably disjoint and exhaustive (the last split is the
+   * `otherwise`), and a split's membership only depends on the weights
+   * BEFORE it (growing the tail never reshuffles the head). Adds
+   * `split`; null keys get a null split (no stable identity — the
+   * [[Sampling]] contract). Weights must be positive and sum to 1
+   * within 1e-9. Pure codegen'd projection, zero shuffle.
+   */
+  def assignSplits(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(splits.size >= 2, s"assignSplits: need >= 2 splits; got ${splits.size}")
+    require(splits.forall(_._2 > 0), s"assignSplits: weights must be positive: $splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"assignSplits: weights sum to $total, not 1")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"assignSplits: duplicate split names: $splits")
+    val hex = substring(
+      md5(concat(lit(salt), col(keyCol).cast("string")).cast("binary")), 1, 8)
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val cases = splits.init.zip(cums.init)
+    val expr = cases.foldRight(
+      when(col(keyCol).isNotNull, lit(splits.last._1))) {
+      case (((name, _), cum), elseExpr) =>
+        when(col(keyCol).isNotNull && hex < lit(thresholdLiteral(cum)), name)
+          .otherwise(elseExpr)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Sorted when-chain dispatch on a stratum column — shared by
     * [[stratifiedSample]] and [[mixtureRates]] so the two agree on
     * stratum matching (they compose: rates out, sample in). */

@@ -1,0 +1,78 @@
+package graft.llm
+
+import graft.TestSpark
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Unicode normalization + split assignment laws (arithmetic is
+ * oracle-pinned in pq63/pq64):
+ *
+ *  - NFC composes combining sequences and is idempotent; accent strip
+ *    removes marks from both precomposed and combining forms;
+ *  - splits are disjoint and exhaustive with proportions near the
+ *    weights; HEAD STABILITY: re-slicing the tail never moves a key
+ *    out of an earlier split (the property that lets a held-out test
+ *    set stay fixed while train/val re-partition);
+ *  - null keys get a null split; invalid weights are refused.
+ */
+class NormalizeSplitsSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  test("NFC composes and is idempotent; accent strip handles both forms") {
+    val f = TestSpark.df("id bigint, t string", Seq(
+      Row(1L, "Café"), // combining acute
+      Row(2L, "Café"),  // precomposed
+      Row(3L, null)))
+    val got = TextNormalize.normalize(f, "id", "t", ordered = false)
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(got(1L) == (Some("Café"), Some("Cafe"))) // composed + stripped
+    assert(got(2L) == (Some("Café"), Some("Cafe")))
+    assert(got(3L) == (None, None))
+    assert(TextNormalize.nfcJvm(TextNormalize.nfcJvm("Café")) ==
+      TextNormalize.nfcJvm("Café"))
+  }
+
+  test("splits disjoint, exhaustive, proportional; null key -> null split") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id")
+    val got = Sampling.assignSplits(d, "doc_id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt = "s")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.values.forall(Set("train", "val", "test")))
+    val n = got.size.toDouble
+    val frac = got.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    info(f"fractions: ${frac.map { case (k, v) => f"$k $v%.3f" }.mkString(", ")}")
+    assert(math.abs(frac("train") - 0.8) < 0.1)
+    val withNull = TestSpark.df("doc_id bigint", Seq(Row(null)))
+    val ns = Sampling.assignSplits(withNull, "doc_id",
+      Seq(("a", 0.5), ("b", 0.5)), salt = "s").collect().head
+    assert(ns.isNullAt(1), "null key must get a null split")
+  }
+
+  test("head stability: re-slicing the tail never moves a key out of an earlier split") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id")
+    def members(splits: Seq[(String, Double)], name: String): Set[Long] =
+      Sampling.assignSplits(d, "doc_id", splits, salt = "s")
+        .filter(col("split") === name)
+        .collect().map(_.getLong(0)).toSet
+    val coarse = members(Seq(("train", 0.8), ("rest", 0.2)), "train")
+    val fine = members(Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), "train")
+    assert(coarse == fine, "train membership must not depend on how the tail is sliced")
+  }
+
+  test("invalid weights are refused") {
+    val d = TestSpark.df("id bigint", Seq(Row(1L)))
+    assertThrows[IllegalArgumentException] {
+      Sampling.assignSplits(d, "id", Seq(("a", 0.5), ("b", 0.4)))
+    }
+    assertThrows[IllegalArgumentException] {
+      Sampling.assignSplits(d, "id", Seq(("a", 1.0)))
+    }
+    assertThrows[IllegalArgumentException] {
+      Sampling.assignSplits(d, "id", Seq(("a", 0.5), ("a", 0.5)))
+    }
+  }
+}
