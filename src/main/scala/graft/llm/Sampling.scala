@@ -245,4 +245,44 @@ object Sampling {
       .select(outCols: _*)
     exact.unionByName(rescued)
   }
+
+  /**
+   * Deterministic WEIGHTED sample without replacement: k rows drawn
+   * with probability proportional to `weightCol` by sequential Poisson
+   * sampling (Ohlsson 1998) — each row gets priority w/u for a uniform
+   * u derived from md5(salt, key), and the k largest priorities are the
+   * sample. The scheme is the order-sampling sibling of
+   * Efraimidis-Spirakis A-ES (u^(1/w)); it is chosen here because its
+   * priority is ONE correctly-rounded IEEE division of two exact
+   * values — u = (u32(md5)+1)/2^32 is an exact dyadic rational and the
+   * weight is cast once — so priorities (and therefore membership) are
+   * bit-identical across engines/runs/layouts, where a pow/log form
+   * would hang membership on libm's last ulp.
+   *
+   * Spark shape: codegen'd priority projection on the scan, then ONE
+   * `orderBy(...).limit(k)` which Catalyst executes as
+   * TakeOrderedAndProject — per-partition bounded heaps, only
+   * partitions·k rows move, never a full sort exchange (the
+   * [[graft.llm.Similarity]] top-k discipline). Ties break on the key
+   * for a stable total order. Null keys are excluded ([[Sampling]]
+   * contract); null/non-positive weights are excluded (a zero-weight
+   * row must never be drawn, and w/u would not order it last).
+   *
+   * This is the "train on N docs favoring high quality-score" selection
+   * stage; for a TOKEN budget instead of a row count, compose the same
+   * priorities with [[graft.llm.BudgetSelect.takeUntilBudget]].
+   */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 0, s"weightedSample: k must be positive, got $k")
+    val u32 = conv(substring(
+      md5(concat(lit(salt), col(keyCol).cast("string")).cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val u = (u32 + lit(1L)).cast("double") / lit(4294967296.0)
+    df.filter(col(keyCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol).cast("double") > 0.0)
+      .withColumn("priority", col(weightCol).cast("double") / u)
+      .orderBy(col("priority").desc, col(keyCol).asc)
+      .limit(k)
+  }
 }

@@ -67,3 +67,69 @@ object CountMin {
   def merge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
 }
+
+/**
+ * HyperLogLog sketch (Flajolet et al. 2007) over an item column — the
+ * fixed-size DISTINCT-count summary CountMin's frequency table can't
+ * answer: m registers estimate cardinality with ~1.04/sqrt(m) relative
+ * error, and the register table merges across corpora/shards/streams by
+ * plain MAX (a semilattice — merge(sketch(A), sketch(B)) EQUALS
+ * sketch(A ∪ B) exactly, not just statistically; pinned in the spec).
+ * At 100 TB this replaces a corpus-shaped `COUNT(DISTINCT ...)` per
+ * source/day with an m-row table per group that unions for free.
+ *
+ * Spark shape: one codegen'd projection derives (register, rho) from
+ * two independent 32-bit md5 words — register = u32(hex[1..8]) % m,
+ * rho = leading-zero count of u32(hex[9..16]) + 1 computed EXACTLY as
+ * `33 - length(bin(v))` (no floating log) — then ONE map-side-combined
+ * `groupBy(register).agg(max)` produces the m-bounded sketch. The
+ * oracle computes rho as `32 - floor(log2(v))`, identical by
+ * construction for all v >= 1 (floor(log2 v) = length(bin v) - 1;
+ * log2 of an integer < 2^32 is > 3e-10 away from the next integer, so
+ * the double floor is exact), making the sketch itself exact-integer
+ * cross-engine (pq66). Estimation stays a driver-side view of the
+ * m-bounded table, like [[CountMin.Sketch]].
+ */
+object Hll {
+
+  /** Build the register table (register, max_rho): one row per
+    * register hit by at least one item (absent registers are zero —
+    * the SQL GROUP BY shape). Null items are skipped. */
+  def sketch(df: DataFrame, itemCol: String, m: Int = 1024,
+      salt: String = "hll", ordered: Boolean = true): DataFrame = {
+    require(m >= 16, s"sketch: need m >= 16 registers; got $m")
+    val hex = md5(concat(lit(s"$salt:"), col(itemCol).cast("string")).cast("binary"))
+    val reg = conv(substring(hex, 1, 8), 16, 10).cast("long") % m
+    val v = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    val rho = when(v === 0L, lit(33L)).otherwise(lit(33L) - length(bin(v)))
+    df.filter(col(itemCol).isNotNull)
+      .select(reg.as("register"), rho.as("rho"))
+      .groupBy("register").agg(max("rho").as("max_rho"))
+      .transform(Presented(_, ordered, "register"))
+  }
+
+  /** Merge register tables built with identical (m, salt): register-wise
+    * MAX — exactly sketch-of-the-union, the property that makes per
+    * shard/day/source sketches composable without rescans. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("register").agg(max("max_rho").as("max_rho"))
+
+  /** Driver-side estimate from a collected register table: the standard
+    * raw HLL estimator alpha_m·m²/Σ2^(-M_j) (empty registers contribute
+    * 2^0) with the small-range linear-counting correction. The sum of
+    * dyadic 2^(-rho) terms is exact in doubles, so the estimate is
+    * deterministic under any collection order. */
+  def estimate(registers: DataFrame, m: Int): Double = {
+    val filled = registers.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val sum = (0 until m).map(j => math.pow(2.0, -filled.getOrElse(j.toLong, 0L).toDouble)).sum
+    val raw = alpha * m * m / sum
+    val zeros = m - filled.size
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+}

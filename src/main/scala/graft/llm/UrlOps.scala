@@ -1,0 +1,66 @@
+package graft.llm
+
+import graft.Presented
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * URL canonicalization — the key-normalization pass crawl dedup runs
+ * before URL-keyed joins (recrawls of one page arrive under dozens of
+ * spellings; dedup on the raw string misses nearly all of them):
+ *
+ *  1. trim;
+ *  2. fragment drops (`#...` never reaches the server);
+ *  3. scheme + authority lowercase (RFC 3986 §6.2.2.1 — host and
+ *     scheme are case-insensitive; path/query case is preserved);
+ *  4. default ports drop (`:80` for http, `:443` for https);
+ *  5. tracking parameters drop (`utm_*`, `gclid`, `fbclid`) with
+ *     separator repair (`?utm_a=1&q=2` → `?q=2`, a lone tracker drops
+ *     its `?`);
+ *  6. an empty path on an authority URL becomes `/` (RFC 3986 §6.2.3).
+ *
+ * Pure codegen'd Column chain — regexp_replace/regexp_extract in the
+ * Java-regex ∩ RE2 common subset (no lookarounds; unmatched optional
+ * groups substitute "" in both engines), zero shuffle, zero UDF,
+ * null-preserving — oracle-pinned stage-for-stage in DuckDB (pq69).
+ * Scheme-less strings pass through steps 3/4/6 untouched (no authority
+ * to normalize) — garbage in, unchanged garbage out, for the quality
+ * gate to drop.
+ */
+object UrlOps {
+
+  private val SchemeAuth = "(?s)^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(.*)$"
+
+  /** The canonicalization chain as a reusable Column expression. */
+  def canonicalize(url: Column): Column = {
+    val t = trim(url)
+    val noFrag = regexp_replace(t, "(?s)#.*", "")
+    val lowered = when(noFrag.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+      concat(lower(regexp_extract(noFrag, SchemeAuth, 1)),
+        regexp_extract(noFrag, SchemeAuth, 2))).otherwise(noFrag)
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "(?s)^(http://[^/?#]*):80([/?#].*)?$", "$1$2"),
+      "(?s)^(https://[^/?#]*):443([/?#].*)?$", "$1$2")
+    val noTrack = regexp_replace(
+      regexp_replace(
+        regexp_replace(noPort, "&(utm_[^=&]*|gclid|fbclid)=[^&]*", ""),
+        "\\?(utm_[^=&]*|gclid|fbclid)=[^&]*&", "?"),
+      "\\?(utm_[^=&]*|gclid|fbclid)=[^&]*$", "")
+    regexp_replace(noTrack,
+      "(?s)^([a-z][a-z0-9+.-]*://[^/?#]+)(\\?.*)?$", "$1/$2")
+  }
+
+  /** (idCol, canonical): the canonical form of `urlCol` per row. */
+  def canonicalizeUrls(df: DataFrame, idCol: String, urlCol: String,
+      ordered: Boolean = true): DataFrame =
+    df.select(col(idCol), canonicalize(col(urlCol)).as("canonical"))
+      .transform(Presented(_, ordered, idCol))
+
+  /** URL-keyed dedup: [[ExactDedup]] over the canonical form — one row
+    * per distinct canonical URL (content_hash, keep_id = min id,
+    * n_copies), one shuffle on the 16-byte hash. The canonicalization
+    * is pinned by pq69; the grouping semantics are ExactDedup's (pq1). */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    ExactDedup(canonicalizeUrls(df, idCol, urlCol, ordered = false),
+      idCol, "canonical")
+}

@@ -58,4 +58,51 @@ class SketchesSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(m(1) == m(13))
   }
+
+  // ---- HyperLogLog -------------------------------------------------
+
+  test("hll: estimate within the 1.04/sqrt(m) error envelope of truth") {
+    val w = words(docs)
+    val truth = w.distinct().count().toDouble
+    val m = 1024
+    val est = Hll.estimate(Hll.sketch(w, "word", m, salt = "t", ordered = false), m)
+    // 1.04/sqrt(1024) ~ 3.25% rse; assert a 4-sigma envelope so the
+    // fixed-salt draw never flakes while a broken estimator still fails
+    assert(math.abs(est - truth) / truth <= 4 * 1.04 / math.sqrt(m.toDouble),
+      s"estimate $est vs truth $truth")
+  }
+
+  test("hll: merge(sketch(A), sketch(B)) == sketch(A ++ B) exactly") {
+    val a = words(docs.filter(col("doc_id") < 25))
+    val b = words(docs.filter(col("doc_id") >= 25))
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = m(Hll.sketch(words(docs), "word", 128, "t", ordered = false))
+    val merged = m(Hll.merge(
+      Hll.sketch(a, "word", 128, "t", ordered = false),
+      Hll.sketch(b, "word", 128, "t", ordered = false)))
+    assert(whole == merged)
+  }
+
+  test("hll: rho is the exact leading-zero rank (oracle's floor-log2 twin)") {
+    // Dyadic boundary values: rho(v) must flip exactly at powers of two.
+    val rows = Seq(1L, 2L, 3L, 4L, 7L, 8L, 255L, 256L, (1L << 31) - 1, 1L << 31)
+    val got = spark.createDataFrame(rows.map(Tuple1(_))).toDF("v")
+      .select(col("v"),
+        when(col("v") === 0L, lit(33L)).otherwise(lit(33L) - length(bin(col("v")))).as("rho"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { v =>
+      val expect = 32L - (63 - java.lang.Long.numberOfLeadingZeros(v))
+      assert(got(v) == expect, s"v=$v got ${got(v)} want $expect")
+    }
+  }
+
+  test("hll: sketch is partitioning-invariant and m-bounded") {
+    def m(parts: Int): Map[Long, Long] =
+      Hll.sketch(words(docs.repartition(parts)), "word", 64, "t", ordered = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val one = m(1)
+    assert(one == m(13))
+    assert(one.size <= 64 && one.keys.forall(k => k >= 0 && k < 64))
+  }
 }

@@ -1,0 +1,63 @@
+package graft.llm
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * URL canonicalization semantics (the full chain is oracle-pinned in
+ * pq69): each rule in isolation, their composition, idempotence, and
+ * the urlDedup composition over spelling variants.
+ */
+class UrlOpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def canon(url: String): String = {
+    val df = spark.createDataFrame(Seq((1L, url))).toDF("id", "url")
+    UrlOps.canonicalizeUrls(df, "id", "url", ordered = false).collect()(0).getString(1)
+  }
+
+  test("scheme and host lowercase; path and query case is preserved") {
+    assert(canon("HTTP://Example.COM/Path?Q=Up") == "http://example.com/Path?Q=Up")
+    assert(canon("HTTPS://A.B/") == "https://a.b/")
+  }
+
+  test("default ports drop; non-default ports stay") {
+    assert(canon("http://a.com:80/x") == "http://a.com/x")
+    assert(canon("https://a.com:443/x") == "https://a.com/x")
+    assert(canon("http://a.com:8080/x") == "http://a.com:8080/x")
+    assert(canon("https://a.com:80/x") == "https://a.com:80/x",
+      ":80 is not the https default")
+  }
+
+  test("fragments drop; tracking params drop with separator repair") {
+    assert(canon("http://a.com/x#sec") == "http://a.com/x")
+    assert(canon("http://a.com/x?utm_source=s&q=1") == "http://a.com/x?q=1")
+    assert(canon("http://a.com/x?q=1&utm_a=s&fbclid=f") == "http://a.com/x?q=1")
+    assert(canon("http://a.com/x?gclid=g") == "http://a.com/x")
+    assert(canon("http://a.com/x?utm_a=1&utm_b=2") == "http://a.com/x")
+    // 'utm_' must be a key prefix, not a substring hit
+    assert(canon("http://a.com/x?xutm_a=1") == "http://a.com/x?xutm_a=1")
+  }
+
+  test("empty path gains /; scheme-less strings pass through; idempotent") {
+    assert(canon("http://a.com") == "http://a.com/")
+    assert(canon("http://a.com?q=1") == "http://a.com/?q=1")
+    assert(canon("relative/path") == "relative/path")
+    val once = canon("HTTP://A.com:80?utm_x=1#f")
+    assert(once == "http://a.com/")
+    assert(canon(once) == once, "canonicalize must be idempotent")
+  }
+
+  test("urlDedup collapses spelling variants to one canonical row") {
+    val rows = Seq(
+      (1L, "HTTP://Example.COM:80/p?utm_source=x#f"),
+      (2L, "http://example.com/p"),
+      (3L, "http://example.com/p#other"),
+      (4L, "http://other.com/p"))
+    val df = spark.createDataFrame(rows).toDF("id", "url")
+    val got = UrlOps.urlDedup(df, "id", "url")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 3L, 4L -> 1L),
+      "ids 1-3 share one canonical (keeper 1); id 4 is alone")
+  }
+}
