@@ -294,4 +294,57 @@ class PlanAssertionsSpec extends AnyFunSuite {
       rs.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sorted
     assert(key(rows) === key(salted.collect()))
   }
+
+  test("weightedSample is TakeOrdered — never a global range sort") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val q = graft.llm.Sampling.weightedSample(d.select("doc_id", "n_chars"),
+      "doc_id", "n_chars", k = 10, salt = "t")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition bounded heaps:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"weightedSample paid a full range-sort exchange:\n$plan")
+  }
+
+  test("sketches are ONE map-side-combined exchange (CountMin, HLL)") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(graft.llm.TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      "countmin" -> graft.llm.CountMin.build(d, "word", 4, 64, "t", ordered = false),
+      "hll" -> graft.llm.Hll.sketch(d, "word", 64, "t", ordered = false)
+    ).foreach { case (name, q) =>
+      val plan = q.queryExecution.executedPlan.toString
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges == 1, s"$name: expected exactly one shuffle:\n$plan")
+      assert(plan.contains("partial_"),
+        s"$name: aggregate lost its map-side partial:\n$plan")
+    }
+  }
+
+  test("text cleaning chains are shuffle-free codegen projections") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      "stripHtml" -> graft.llm.TextClean.stripHtml(
+        d.select(col("doc_id"), col("text").as("html")), "doc_id", "html",
+        ordered = false),
+      "canonicalizeUrls" -> graft.llm.UrlOps.canonicalizeUrls(
+        d.select(col("doc_id"), col("text").as("url")), "doc_id", "url",
+        ordered = false)
+    ).foreach { case (name, q) =>
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name shuffles:\n$plan")
+      assert(!plan.contains("DeserializeToObject") && !plan.contains("MapPartitions"),
+        s"$name fell out of codegen into the object tier:\n$plan")
+    }
+  }
+
+  test("edit-distance candidate generation is an equi-join, never cartesian") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdef"), (2L, "abcdex"), (3L, "zzzzzz")).toDF("id", "s")
+    val p = graft.llm.EditDistance.nearDupPairs(df, "id", "s", maxDist = 2,
+      ordered = false).queryExecution.optimizedPlan.toString
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"PassJoin planned a product join:\n$p")
+  }
 }
