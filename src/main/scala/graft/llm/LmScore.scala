@@ -85,4 +85,92 @@ object LmScore {
         .when(col("logprob") >= middleMin, "middle")
         .otherwise("tail"))
   }
+
+  /** Adjacent-token bigram counts (w1, w2, cnt) — the context table
+    * [[bigramLogProb]] consumes, built like [[Bpe.wordCounts]]: a pure
+    * Catalyst zip of each token array with its own tail, one explode,
+    * one map-side-combined aggregate. No window, no shuffle before the
+    * count. */
+  def bigramCounts(docs: DataFrame, textCol: String,
+      ordered: Boolean = true): DataFrame = {
+    val toks = filter(TextOps.tokens(col(textCol)), w => w =!= "")
+    val pairs = when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    docs.filter(col(textCol).isNotNull)
+      .select(explode(pairs).as("_p"))
+      .select(col("_p.w1"), col("_p.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .transform(Presented(_, ordered, "w1", "w2"))
+  }
+
+  /**
+   * Bigram language-model scoring with STUPID BACKOFF (Brants et al.
+   * 2007 — the web-scale smoothing that needs no discount tuning):
+   * position 0 scores under the smoothed unigram; every later position
+   * scores ln(cnt(w_{i-1} w_i) / cnt(w_{i-1})) when the bigram is in
+   * the LM, else backs off to ln(alpha · P_uni(w_i)) with the same
+   * Laplace-smoothed unigram as [[unigramLogProb]].
+   *
+   * Scale shape: the context pairing is a lag window keyed BY DOCUMENT
+   * (bounded partitions — never a word key), occurrences group on
+   * (id, context, word), and all three LM joins (bigram table, unigram
+   * for the backoff word, unigram for the context denominator) run
+   * SALTED — "of the" hits every document, the Zipf-head discipline of
+   * the unigram path. Per-document fold is the same sorted-struct
+   * aggregate, so scores are bit-deterministic under any partitioning;
+   * tokenless documents score exactly 0.0 with n_tokens 0.
+   *
+   * `uni` and `bi` must come from the same corpus (a bigram whose
+   * context word is missing from `uni` backs off defensively rather
+   * than dividing by zero).
+   */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      uni: DataFrame, bi: DataFrame, alpha: Double = 0.4,
+      saltBuckets: Int = 8, ordered: Boolean = true): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"bigramLogProb: alpha in (0, 1], got $alpha")
+    val Seq(tRow) = uni.agg(
+      coalesce(sum("cnt"), lit(0L)).as("t"), count(lit(1)).as("v")).collect().toSeq
+    val denom = (tRow.getLong(0) + tRow.getLong(1)).toDouble
+    val positioned = docs
+      .select(col(idCol).as("_id"),
+        posexplode(filter(TextOps.tokens(col(textCol)), w => w =!= "")).as(Seq("_pos", "word")))
+      .withColumn("ctx", lag(col("word"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_id").orderBy("_pos")))
+      .groupBy("_id", "ctx", "word").agg(count(lit(1)).as("_occ"))
+    val withBi = SkewJoin.saltedJoin(positioned,
+      bi.select(col("w1").as("ctx"), col("w2").as("word"), col("cnt").as("_bcnt")),
+      Seq("ctx", "word"), "left", saltBuckets)
+    val withCur = SkewJoin.saltedJoin(withBi,
+      uni.select(col("word"), col("cnt").as("_ccnt")), Seq("word"), "left", saltBuckets)
+    val withCtx = SkewJoin.saltedJoin(withCur,
+      uni.select(col("word").as("ctx"), col("cnt").as("_pcnt")), Seq("ctx"), "left",
+      saltBuckets)
+    val term: Column => Column = s => {
+      val unigram = (s.getField("u") + lit(1L)).cast("double") / lit(denom)
+      when(s.getField("c").isNull, log(unigram))
+        .when(s.getField("b").isNotNull && s.getField("p").isNotNull &&
+          s.getField("p") > 0L,
+          log(s.getField("b").cast("double") / s.getField("p").cast("double")))
+        .otherwise(log(lit(alpha) * unigram))
+    }
+    val scored = withCtx
+      .select(col("_id"), struct(col("ctx").as("c"), col("word").as("w"),
+        col("_occ").as("o"), col("_bcnt").as("b"), col("_pcnt").as("p"),
+        coalesce(col("_ccnt"), lit(0L)).as("u")).as("_s"))
+      .groupBy("_id").agg(sort_array(collect_list(col("_s"))).as("_ws"))
+      .select(col("_id"),
+        aggregate(col("_ws"), lit(0L), (acc, s) => acc + s.getField("o")).as("n_tokens"),
+        aggregate(col("_ws"), lit(0.0),
+          (acc, s) => acc + s.getField("o").cast("double") * term(s)).as("_lpsum"))
+      .select(col("_id"), col("n_tokens"),
+        (col("_lpsum") / col("n_tokens")).as("logprob"))
+    docs.select(col(idCol))
+      .join(scored, col(idCol) === col("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("logprob"), lit(0.0)).as("logprob"))
+      .transform(Presented(_, ordered, idCol))
+  }
 }

@@ -66,4 +66,58 @@ class LmScoreSpec extends AnyFunSuite {
     val atBoundary = b.filter(col("logprob") === t1).select("bucket").distinct().collect()
     assert(atBoundary.map(_.getString(0)).toSeq == Seq("head"))
   }
+
+  // ---- bigram + stupid backoff ------------------------------------
+
+  private lazy val bi = LmScore.bigramCounts(docs, "text", ordered = false)
+
+  private def score2(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+    LmScore.bigramLogProb(df, "doc_id", "text", lm, bi, ordered = false)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  test("bigram: exact closed form on a hand corpus covering every branch") {
+    val corpus = TestSpark.df("doc_id bigint, text string", Seq(
+      Row(1L, "a b a b"), Row(2L, "a c")))
+    val u = Bpe.wordCounts(corpus, "text", ordered = false)
+    val b2 = LmScore.bigramCounts(corpus, "text", ordered = false)
+    // uni: a=3 b=2 c=1 (T=6, V=3); bi: (a,b)=2 (b,a)=1 (a,c)=1
+    val denom = 9.0
+    val probe = TestSpark.df("doc_id bigint, text string", Seq(
+      Row(10L, "a b a"), // first + 2 seen bigrams
+      Row(11L, "a zz"), // first + backoff (OOV bigram AND word)
+      Row(12L, "c a"))) // first + backoff (both words known, bigram unseen)
+    val got = LmScore.bigramLogProb(probe, "doc_id", "text", u, b2, ordered = false)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def ln(x: Double) = math.log(x)
+    val e10 = (ln(4.0 / denom) + ln(2.0 / 3.0) + ln(1.0 / 2.0)) / 3
+    val e11 = (ln(4.0 / denom) + ln(0.4 * (1.0 / denom))) / 2
+    val e12 = (ln(2.0 / denom) + ln(0.4 * (4.0 / denom))) / 2
+    assert(got(10L)._1 == 3L && math.abs(got(10L)._2 - e10) < 1e-12)
+    assert(got(11L)._1 == 2L && math.abs(got(11L)._2 - e11) < 1e-12)
+    assert(got(12L)._1 == 2L && math.abs(got(12L)._2 - e12) < 1e-12)
+  }
+
+  test("bigram: scores are bit-identical across partitionings") {
+    assert(score2(docs.repartition(1)) == score2(docs.repartition(13)))
+  }
+
+  test("bigram: in-LM word order outscores the same words scrambled against the LM") {
+    // same unigram content, different bigrams: the corpus's own
+    // adjacent pairs score >= the reversed sequence on average
+    val f = docs.filter(col("text").isNotNull && col("doc_id") < 20)
+      .select(col("doc_id"), col("text"),
+        array_join(reverse(TextOps.tokens(col("text"))), " ").as("rev"))
+    val fwd = score2(f.select(col("doc_id"), col("text")))
+    val rev = score2(f.select(col("doc_id"), col("rev").as("text")))
+    val better = fwd.keys.count(k => fwd(k)._2 >= rev(k)._2)
+    assert(better * 2 > fwd.size,
+      s"bigram structure signal missing: only $better/${fwd.size} docs prefer true order")
+  }
+
+  test("bigram: token-free docs score exactly 0.0 with n_tokens 0") {
+    val f = TestSpark.df("doc_id bigint, text string", Seq(
+      Row(1L, null), Row(2L, "  ")))
+    val s = score2(f)
+    assert(s(1L) == (0L, 0.0) && s(2L) == (0L, 0.0))
+  }
 }
