@@ -37,6 +37,24 @@ object ExactDedup {
   def apply(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(TextOps.md5Hex(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /**
+   * Priority-aware keeper: when copies span sources of different trust
+   * (curated book vs crawl mirror), production dedup keeps the copy
+   * from the BEST source, not the smallest id. Keeper = argmin of
+   * (priority, id) — lower priority value wins, id breaks ties — via
+   * `min` over a two-field struct (lexicographic struct ordering), so
+   * the keeper stays a keyed aggregate with map-side combine: same
+   * one-shuffle plan as [[apply]], never a window over the hash key
+   * (the Zipfian-copies discipline). Output adds `keep_priority`.
+   */
+  def withPriority(df: DataFrame, idCol: String, textCol: String,
+      priorityCol: String): DataFrame =
+    df.groupBy(TextOps.md5Hex(col(textCol)).as("content_hash"))
+      .agg(min(struct(col(priorityCol).as("p"), col(idCol).as("i"))).as("_k"),
+        count(lit(1)).as("n_copies"))
+      .select(col("content_hash"), col("_k.i").as("keep_id"),
+        col("_k.p").as("keep_priority"), col("n_copies"))
 }
 
 /**

@@ -1,0 +1,51 @@
+package graft.llm
+
+import graft.TestSpark
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Corpus snapshot diff + priority-keeper dedup laws (both oracle-pinned
+ * in pq73/pq74): classification of every delta kind, null-text
+ * equality, unchanged suppression, and the argmin(priority, id) keeper.
+ */
+class CorpusDiffSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  test("diff classifies added/removed/changed; unchanged suppressed by default") {
+    val old = TestSpark.df("doc_id bigint, text string", Seq(
+      Row(1L, "same"), Row(2L, "will change"), Row(3L, "will vanish"),
+      Row(4L, null), Row(5L, null)))
+    val neu = TestSpark.df("doc_id bigint, text string", Seq(
+      Row(1L, "same"), Row(2L, "changed"), Row(6L, "fresh"),
+      Row(4L, null), Row(5L, "materialized")))
+    val got = CorpusDiff.diff(old, neu, "doc_id", "text", ordered = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1: unchanged (suppressed); 4: null == null -> unchanged (suppressed)
+    assert(got == Map(2L -> "changed", 3L -> "removed", 6L -> "added", 5L -> "changed"))
+    val all = CorpusDiff.diff(old, neu, "doc_id", "text",
+      includeUnchanged = true, ordered = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(1L) == "unchanged" && all(4L) == "unchanged" && all.size == 6)
+  }
+
+  test("priority keeper: lowest (priority, id) wins; count is exact") {
+    val df = TestSpark.df("doc_id bigint, text string, rank bigint", Seq(
+      Row(10L, "x", 5L), Row(11L, "x", 2L), Row(12L, "x", 2L), // keeper 11
+      Row(20L, "y", 9L),                                        // singleton
+      Row(30L, null, 1L), Row(31L, null, 0L)))                  // null group, keeper 31
+    val got = ExactDedup.withPriority(df, "doc_id", "text", "rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((11L, 2L, 3L), (20L, 9L, 1L), (31L, 0L, 2L)))
+  }
+
+  test("priority keeper matches plain ExactDedup when priority is constant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("rank", org.apache.spark.sql.functions.lit(0L))
+    val plain = ExactDedup(docs, "doc_id", "text")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val prio = ExactDedup.withPriority(docs, "doc_id", "text", "rank")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(plain == prio)
+  }
+}
