@@ -21,11 +21,15 @@ import org.apache.spark.sql.{Column, DataFrame}
  * multi-match-aware window that keeps the probe expansion at
  * O(maxDist²) substrings per row instead of O(maxDist³).
  *
- * Spark shape: both sides are codegen'd projections (segment explode on
- * the index side, windowed-substring explode on the probe side), ONE
- * shuffle joins on (segment_index, segment, indexed_length), and
- * `levenshtein(..., threshold)` verifies candidates with early exit
- * BEFORE the pair distinct. Never all-pairs; candidate volume is
+ * Spark shape: the index side is a codegen'd k-segment explode; the
+ * probe side is a typed per-partition pass (its O(maxDist²) windowed
+ * substring enumeration as one expression tree overflows janino's
+ * method limit — the JVM loop emits identical rows and dedups
+ * (i, seg, L) per document in-row, replacing a dropDuplicates
+ * shuffle). ONE shuffle joins on (segment_index, segment,
+ * indexed_length), and `levenshtein(..., threshold)` verifies
+ * candidates with early exit BEFORE the pair distinct. Never
+ * all-pairs; candidate volume is
  * quadratic only in a single segment bucket (identical leading
  * segments), so run [[ExactDedup]] first on adversarial corpora — the
  * [[SimHashNearDup]] contract. Strings shorter than k yield empty
@@ -76,26 +80,62 @@ object EditDistance {
 
     // Probe side: for every candidate indexed length L = lt - delta and
     // segment i, the substrings at starts within the multi-match-aware
-    // window. (i, delta, shift) are static; start/length are Columns.
-    val probeCols = for {
-      i <- 0 until k
-      delta <- -maxDist to maxDist
-      shift <- -maxDist to maxDist
-      if math.abs(shift) + math.abs(shift - delta) <= maxDist
-    } yield {
-      val cl = col("_ed_l") - delta // candidate indexed length L
-      val (start, sl) = segStartLen(cl, i, k)
-      val pos = start + shift
-      val valid = cl >= 0 && pos >= 0 && pos + sl <= col("_ed_l")
-      when(valid, struct(lit(i).as("i"), substring(col("_ed_s"), pos + 1, sl).as("seg"),
-        cl.as("l"))).otherwise(lit(null))
+    // window. A TYPED stage, not an exploded struct array: the
+    // (i, delta, shift) cross product is O(maxDist²) ~27 branch-heavy
+    // expressions whose single generated consume method blows janino's
+    // 64 KB limit and drops the whole stage to interpreted execution —
+    // the JVM loop emits the same rows, deduplicates (i, seg, L) per
+    // document in-row (replacing a dropDuplicates SHUFFLE), and keeps
+    // the stage compiled.
+    val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+      base.schema("_ed_id").copy(name = "doc_b"),
+      org.apache.spark.sql.types.StructField("_ed_sb",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_ed_i",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("_ed_seg",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_ed_lb",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val shifts: Array[Array[Int]] = Array.tabulate(2 * maxDist + 1) { di =>
+      val delta = di - maxDist
+      (-maxDist to maxDist)
+        .filter(s => math.abs(s) + math.abs(s - delta) <= maxDist).toArray
     }
-    val probe = base.select(col("_ed_id").as("doc_b"), col("_ed_s").as("_ed_sb"),
-        explode(array(probeCols: _*)).as("_p"))
-      .filter(col("_p").isNotNull)
-      .select(col("doc_b"), col("_ed_sb"),
-        col("_p.i").as("_ed_i"), col("_p.seg").as("_ed_seg"), col("_p.l").as("_ed_lb"))
-      .dropDuplicates("doc_b", "_ed_i", "_ed_seg", "_ed_lb")
+    val probe = base.select(col("_ed_id"), col("_ed_s"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.get(0)
+          val s = r.getString(1)
+          val lt = s.length
+          val seen = new java.util.HashSet[(Int, String, Int)]()
+          val out = Seq.newBuilder[org.apache.spark.sql.Row]
+          var delta = -maxDist
+          while (delta <= maxDist) {
+            val cl = lt - delta // candidate indexed length L
+            if (cl >= 0) {
+              val b = cl / k
+              val rem = cl - b * k
+              var i = 0
+              while (i < k) {
+                val start = i * b + math.max(0, i - (k - rem))
+                val sl = b + (if (i >= k - rem) 1 else 0)
+                for (shift <- shifts(delta + maxDist)) {
+                  val pos = start + shift
+                  if (pos >= 0 && pos + sl <= lt) {
+                    val seg = s.substring(pos, pos + sl)
+                    if (seen.add((i, seg, cl)))
+                      out += org.apache.spark.sql.Row(id, s, i, seg, cl)
+                  }
+                }
+                i += 1
+              }
+            }
+            delta += 1
+          }
+          out.result()
+        }
+      }(org.apache.spark.sql.Encoders.row(probeSchema))
 
     val cand = index.join(probe,
         index("_ed_i") === probe("_ed_i") && index("_ed_seg") === probe("_ed_seg") &&

@@ -113,14 +113,15 @@ object LmScore {
    * the LM, else backs off to ln(alpha · P_uni(w_i)) with the same
    * Laplace-smoothed unigram as [[unigramLogProb]].
    *
-   * Scale shape: the context pairing is a lag window keyed BY DOCUMENT
-   * (bounded partitions — never a word key), occurrences group on
-   * (id, context, word), and all three LM joins (bigram table, unigram
-   * for the backoff word, unigram for the context denominator) run
-   * SALTED — "of the" hits every document, the Zipf-head discipline of
-   * the unigram path. Per-document fold is the same sorted-struct
-   * aggregate, so scores are bit-deterministic under any partitioning;
-   * tokenless documents score exactly 0.0 with n_tokens 0.
+   * Scale shape: ONE salted unigram join attaches cnt(w) per position,
+   * then a lag window keyed BY DOCUMENT (bounded partitions — never a
+   * word key) derives both the context word AND its unigram count
+   * (lag of the joined cnt — the context-denominator join for free),
+   * and one salted bigram join attaches cnt(ctx, w); "of the" hits
+   * every document, so both joins run SALTED, the Zipf-head discipline
+   * of the unigram path. Per-document fold sums in position order, so
+   * scores are bit-deterministic under any partitioning; tokenless
+   * documents score exactly 0.0 with n_tokens 0.
    *
    * `uni` and `bi` must come from the same corpus (a bigram whose
    * context word is missing from `uni` backs off defensively rather
@@ -136,17 +137,15 @@ object LmScore {
     val positioned = docs
       .select(col(idCol).as("_id"),
         posexplode(filter(TextOps.tokens(col(textCol)), w => w =!= "")).as(Seq("_pos", "word")))
-      .withColumn("ctx", lag(col("word"), 1).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("_id").orderBy("_pos")))
-      .groupBy("_id", "ctx", "word").agg(count(lit(1)).as("_occ"))
-    val withBi = SkewJoin.saltedJoin(positioned,
+    val withUni = SkewJoin.saltedJoin(positioned,
+      uni.select(col("word"), col("cnt").as("_ccnt")), Seq("word"), "left", saltBuckets)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_id").orderBy("_pos")
+    val withCtx = withUni
+      .withColumn("ctx", lag(col("word"), 1).over(w))
+      .withColumn("_pcnt", lag(col("_ccnt"), 1).over(w)) // cnt(ctx) for free
+    val withBi = SkewJoin.saltedJoin(withCtx,
       bi.select(col("w1").as("ctx"), col("w2").as("word"), col("cnt").as("_bcnt")),
       Seq("ctx", "word"), "left", saltBuckets)
-    val withCur = SkewJoin.saltedJoin(withBi,
-      uni.select(col("word"), col("cnt").as("_ccnt")), Seq("word"), "left", saltBuckets)
-    val withCtx = SkewJoin.saltedJoin(withCur,
-      uni.select(col("word").as("ctx"), col("cnt").as("_pcnt")), Seq("ctx"), "left",
-      saltBuckets)
     val term: Column => Column = s => {
       val unigram = (s.getField("u") + lit(1L)).cast("double") / lit(denom)
       when(s.getField("c").isNull, log(unigram))
@@ -155,15 +154,14 @@ object LmScore {
           log(s.getField("b").cast("double") / s.getField("p").cast("double")))
         .otherwise(log(lit(alpha) * unigram))
     }
-    val scored = withCtx
-      .select(col("_id"), struct(col("ctx").as("c"), col("word").as("w"),
-        col("_occ").as("o"), col("_bcnt").as("b"), col("_pcnt").as("p"),
+    val scored = withBi
+      .select(col("_id"), struct(col("_pos").as("x"), col("ctx").as("c"),
+        col("word").as("w"), col("_bcnt").as("b"), col("_pcnt").as("p"),
         coalesce(col("_ccnt"), lit(0L)).as("u")).as("_s"))
       .groupBy("_id").agg(sort_array(collect_list(col("_s"))).as("_ws"))
       .select(col("_id"),
-        aggregate(col("_ws"), lit(0L), (acc, s) => acc + s.getField("o")).as("n_tokens"),
-        aggregate(col("_ws"), lit(0.0),
-          (acc, s) => acc + s.getField("o").cast("double") * term(s)).as("_lpsum"))
+        size(col("_ws")).cast("bigint").as("n_tokens"),
+        aggregate(col("_ws"), lit(0.0), (acc, s) => acc + term(s)).as("_lpsum"))
       .select(col("_id"), col("n_tokens"),
         (col("_lpsum") / col("n_tokens")).as("logprob"))
     docs.select(col(idCol))

@@ -114,6 +114,25 @@ object Hll {
   def merge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("register").agg(max("max_rho").as("max_rho"))
 
+  /** Per-group register tables (groupCol, register, max_rho) — the
+    * "distinct documents per source/day" report as one aggregate whose
+    * output is m rows per group instead of a corpus-shaped COUNT
+    * DISTINCT; group sketches roll up to any coarser grouping (or the
+    * corpus total) by the same register-wise MAX. Null groups form
+    * their own group, as SQL GROUP BY does. */
+  def sketchByGroup(df: DataFrame, groupCol: String, itemCol: String,
+      m: Int = 1024, salt: String = "hll", ordered: Boolean = true): DataFrame = {
+    require(m >= 16, s"sketchByGroup: need m >= 16 registers; got $m")
+    val hex = md5(concat(lit(s"$salt:"), col(itemCol).cast("string")).cast("binary"))
+    val reg = conv(substring(hex, 1, 8), 16, 10).cast("long") % m
+    val v = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    val rho = when(v === 0L, lit(33L)).otherwise(lit(33L) - length(bin(v)))
+    df.filter(col(itemCol).isNotNull)
+      .select(col(groupCol), reg.as("register"), rho.as("rho"))
+      .groupBy(col(groupCol), col("register")).agg(max("rho").as("max_rho"))
+      .transform(Presented(_, ordered, groupCol, "register"))
+  }
+
   /** Driver-side estimate from a collected register table: the standard
     * raw HLL estimator alpha_m·m²/Σ2^(-M_j) (empty registers contribute
     * 2^0) with the small-range linear-counting correction. The sum of

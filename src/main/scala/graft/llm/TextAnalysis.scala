@@ -561,4 +561,30 @@ object TextAnalysis {
       }(Encoders.row(outSchema))
       .transform(Presented(_, ordered, "doc_id"))
   }
+
+  /**
+   * Top-k most frequent terms per group (per-language/per-source
+   * vocabulary report — the corpus-inspection sibling of
+   * [[tfIdfTopTerms]], which ranks within documents). One explode +
+   * one map-side-combined (group, word) count, then a rank window
+   * PARTITIONED BY GROUP over the vocabulary-bounded count table —
+   * Spark's rank-limit pushdown (`WindowGroupLimit`, pinned in
+   * TopKSampleSpec) keeps the per-group sort bounded by k per
+   * partition, so a Zipf vocabulary never funnels through one task's
+   * full sort. Ties break alphabetically for a total order. Null
+   * groups form their own group; empty tokens are dropped.
+   */
+  def frequentTerms(df: DataFrame, groupCol: String, textCol: String, k: Int,
+      ordered: Boolean = true): DataFrame = {
+    require(k > 0, s"frequentTerms: k must be positive, got $k")
+    val counts = df
+      .select(col(groupCol).as("group"),
+        explode(filter(TextOps.tokens(col(textCol)), w => w =!= "")).as("term"))
+      .groupBy("group", "term").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group").orderBy(col("cnt").desc, col("term").asc)
+    counts.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .transform(Presented(_, ordered, "group", "rank"))
+  }
 }

@@ -97,6 +97,18 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("hll by group: group sketches roll up to the corpus sketch by MAX") {
+    val w = docs.select(col("source"),
+      explode(TextOps.tokens(col("text"))).as("word")).filter(col("word") =!= "")
+    val byGroup = Hll.sketchByGroup(w, "source", "word", 64, "t", ordered = false)
+    val rolled = byGroup.groupBy("register")
+      .agg(org.apache.spark.sql.functions.max("max_rho").as("max_rho"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = Hll.sketch(w.select("word"), "word", 64, "t", ordered = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rolled == whole)
+  }
+
   test("hll: sketch is partitioning-invariant and m-bounded") {
     def m(parts: Int): Map[Long, Long] =
       Hll.sketch(words(docs.repartition(parts)), "word", 64, "t", ordered = false)
