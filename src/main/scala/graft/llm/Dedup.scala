@@ -285,16 +285,27 @@ object SimHashNearDup {
   private def nibble(s: Column, p: Int): Column =
     conv(substring(s, p, 1), 16, 10).cast("int")
 
-  /** Hamming distance between two 16-hex-char signatures, as an
-   *  expression both engines evaluate identically (per-nibble xor +
-   *  popcount). */
-  def hammingExpr(a: Column, b: Column): Column =
+  /** Hamming distance between two 16-hex-char signatures — the native
+   *  codegen'd [[graft.plans.HexHamming64]] expression (one primitive
+   *  byte loop, zero allocation) replacing the 16-nibble
+   *  conv/substring/bit_count tree; [[nibbleHammingExpr]] keeps the
+   *  portable-SQL twin both engines evaluate identically, pinned equal
+   *  to the native form in PlansSpec. */
+  def hammingExpr(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.HexHamming64(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The pure-builtin nibble-tree form of [[hammingExpr]] (what the
+   *  DuckDB oracles compute verbatim). */
+  private[graft] def nibbleHammingExpr(a: Column, b: Column): Column =
     (1 to 16).map(p => bit_count(nibble(a, p).bitwiseXOR(nibble(b, p))))
       .reduce(_ + _).cast("bigint")
 
   /** JVM twin of [[hammingExpr]]: per-nibble xor popcount over two
    *  16-hex-char signatures. */
-  private[llm] def hammingJvm(a: String, b: String): Long = {
+  private[graft] def hammingJvm(a: String, b: String): Long = {
     var h = 0
     var p = 0
     while (p < 16) {

@@ -19,8 +19,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.GraftDot)
+    ext.injectFunction(GraftExtensions.GraftHamming64)
+  }
 }
 
 object GraftExtensions {
@@ -33,10 +35,22 @@ object GraftExtensions {
       LongArrayDot(children.head, children(1)): Expression
     })
 
+  private val GraftHamming64 = (
+    new FunctionIdentifier("graft_hamming64"),
+    new ExpressionInfo(classOf[HexHamming64].getName, "graft_hamming64"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"graft_hamming64 expects 2 arguments, got ${children.length}")
+      HexHamming64(children.head, children(1)): Expression
+    })
+
   /** Register graft's SQL functions on an already-built session (the
    *  class form applies only at `SparkSession.builder().withExtensions`
    *  / `spark.sql.extensions` time). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graft.ColumnBridge.registerFunction(
       spark, GraftDot._1, GraftDot._2, GraftDot._3)
+    org.apache.spark.sql.graft.ColumnBridge.registerFunction(
+      spark, GraftHamming64._1, GraftHamming64._2, GraftHamming64._3)
+  }
 }

@@ -84,4 +84,57 @@ class PlansSpec extends AnyFunSuite {
       "SELECT graft_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").collect()
     assert(r.head.getLong(0) == 32L)
   }
+
+  // ---- HexHamming64 ------------------------------------------------
+
+  test("HexHamming64 matches the nibble tree and the JVM twin on real signatures") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sigs = graft.llm.SimHashSignatures(docs, "doc_id", "text", ordered = false)
+      .filter(col("simhash").isNotNull)
+    val paired = sigs.select(col("simhash").as("sa"),
+      reverse(col("simhash")).as("sb"))
+    val rows = paired.select(
+      graft.llm.SimHashNearDup.hammingExpr(col("sa"), col("sb")).as("native"),
+      graft.llm.SimHashNearDup.nibbleHammingExpr(col("sa"), col("sb")).as("tree"),
+      col("sa"), col("sb")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"native != nibble tree on ${r.getString(2)}")
+      assert(r.getLong(0) ==
+        graft.llm.SimHashNearDup.hammingJvm(r.getString(2), r.getString(3)))
+    }
+  }
+
+  test("HexHamming64: identical -> 0, complement -> 64, malformed -> null") {
+    val in = df("id BIGINT, a STRING, b STRING", Seq(
+      Row(1L, "0123456789abcdef", "0123456789abcdef"),
+      Row(2L, "0000000000000000", "ffffffffffffffff"),
+      Row(3L, "0123456789ABCDEF", "0123456789abcdef"), // case-insensitive
+      Row(4L, "short", "0123456789abcdef"),
+      Row(5L, "0123456789abcdeg", "0123456789abcdef"), // non-hex char
+      Row(6L, null, "0123456789abcdef")))
+    val out = in.select(col("id"),
+        graft.llm.SimHashNearDup.hammingExpr(col("a"), col("b")).as("h"))
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) == 0L)
+    assert(out(1).getLong(1) == 64L)
+    assert(out(2).getLong(1) == 0L)
+    assert(out(3).isNullAt(1) && out(4).isNullAt(1) && out(5).isNullAt(1))
+  }
+
+  test("HexHamming64 executes inside WholeStageCodegen and registers as SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_hamming64('0000000000000000', '0000000000000003') AS h").collect()
+    assert(r.head.getLong(0) == 2L)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.llm.SimHashSignatures(docs, "doc_id", "text", ordered = false)
+      .select(graft.llm.SimHashNearDup.hammingExpr(
+        col("simhash"), reverse(col("simhash"))).as("h"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" marks a WholeStageCodegen span in the compact plan form
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project [graft_hamming64(") && l.trim.startsWith("*(")),
+      s"expected the hamming projection inside a codegen span:\n$plan")
+  }
 }
