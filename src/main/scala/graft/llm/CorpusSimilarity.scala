@@ -39,12 +39,27 @@ object CorpusSimilarity {
   def sourceSketches(df: DataFrame, sourceCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 256, ordered: Boolean = true): DataFrame = {
     require(k > 0, s"sourceSketches: k must be positive, got $k")
-    val toks = TextOps.tokens(col(textCol))
-    val hashes = df
-      .select(col(sourceCol).as("source"),
-        explode(when(size(toks) >= shingleN, TextOps.shingles(toks, shingleN))
-          .otherwise(array().cast("array<string>"))).as("_g"))
-      .select(col("source"), TextOps.md5Hex(col("_g")).as("h"))
+    // typed shingle+md5 pass (one MessageDigest per partition): the
+    // Column-tier transform/concat/md5 chain evaluates interpreted
+    // (higher-order functions get no codegen) and measured ~8x slower
+    // at sf0.1 — the SimHashSignatures/shingleIndex justification
+    val in = df.select(col(sourceCol).as("source"), col(textCol).cast("string"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      in.schema("source"),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val hashes = in.mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val toks = TextOps.tokensJvm(r.getString(1))
+            if (toks.length < shingleN) Iterator.empty
+            else TextOps.shinglesJvm(toks, shingleN).iterator
+              .map(g => org.apache.spark.sql.Row(r.get(0), TextOps.md5HexJvm(md, g)))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("h").asc)
