@@ -187,4 +187,69 @@ class PipelineLawsSpec extends AnyFunSuite {
       })
     assert(res.passed, res.status.toString)
   }
+
+  test("law: URL canonicalization is idempotent over generated messy URLs") {
+    // every combination of case, default/odd port, tracking params in
+    // each position, fragments, and path shapes — one Spark job
+    val urls = for {
+      (scheme, i1) <- Seq("http", "HTTP", "https", "HtTpS").zipWithIndex
+      (host, i2) <- Seq("Example.COM", "a.b.c", "X.Y:80", "x.y:443", "h.z:8080").zipWithIndex
+      (path, i3) <- Seq("", "/", "/P/q", "/p?q=1", "?utm_a=1", "/p?utm_a=1&b=2",
+        "/p?b=2&gclid=g&c=3", "/p?fbclid=f", "/p#f", "/p?q=1#f&utm").zipWithIndex
+    } yield ((i1 * 100 + i2 * 10 + i3).toLong, s"$scheme://$host$path")
+    val df = urls.toDF("id", "url")
+    val once = UrlOps.canonicalizeUrls(df, "id", "url", ordered = false)
+    val twice = UrlOps.canonicalizeUrls(
+      once.select($"id", $"canonical".as("url")), "id", "url", ordered = false)
+    val joined = once.select($"id", $"canonical".as("c1"))
+      .join(twice.select($"id", $"canonical".as("c2")), "id")
+    val bad = joined.filter($"c1" =!= $"c2").collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("law: HTML strip recovers the exact tokens of wrapped plain text") {
+    // corpus docs wrapped in randomized markup skeletons: stripping must
+    // return the original token sequence (single-spaced)
+    val wrappers: Seq[(String, String)] = Seq(
+      ("<html><body><p>", "</p></body></html>"),
+      ("<div class=\"a\"><span>", "</span><script>var x = '<p>';</script></div>"),
+      ("<!-- hdr --><article>", "</article><style>p{}</style>"),
+      ("<p>", "<br/></p>"))
+    val wrapped = corpus.zipWithIndex.map { case ((id, text), i) =>
+      val (pre, post) = wrappers(i % wrappers.length)
+      (id, text, pre + text + post)
+    }
+    val got = TextClean.stripHtml(
+        wrapped.map { case (id, _, h) => (id, h) }.toDF("id", "html"),
+        "id", "html", ordered = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    wrapped.foreach { case (id, text, _) =>
+      val expect = TextOps.tokensJvm(text).filter(_.nonEmpty).mkString(" ")
+      assert(got(id) == expect, s"doc $id: '${got(id)}' != '$expect'")
+    }
+  }
+
+  test("law: weightedSample grows as a chain — sample(k) ⊂ sample(k+j)") {
+    val df = corpus.toDF("doc_id", "text")
+      .withColumn("w", org.apache.spark.sql.functions.length($"text") + 1)
+    def ids(k: Int): Set[Long] = Sampling.weightedSample(df, "doc_id", "w", k, "law")
+      .collect().map(_.getLong(0)).toSet
+    val (s5, s20, s50) = (ids(5), ids(20), ids(50))
+    assert(s5.subsetOf(s20) && s20.subsetOf(s50))
+    assert(s5.size == 5 && s20.size == 20 && s50.size == 50)
+  }
+
+  test("law: corpus diff is an involution — swap sides, swap added/removed") {
+    val a = corpus.toDF("doc_id", "text")
+    val b = corpus.filter(_._1 % 3 != 0)
+      .map { case (i, t) => (i, if (i % 5 == 0) t + " edited" else t) }
+      .toDF("doc_id", "text")
+    def d(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      CorpusDiff.diff(x, y, "doc_id", "text", ordered = false)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fwd = d(a, b)
+    val swap = Map("added" -> "removed", "removed" -> "added",
+      "changed" -> "changed")
+    assert(d(b, a) == fwd.map { case (k, v) => k -> swap(v) })
+  }
 }
