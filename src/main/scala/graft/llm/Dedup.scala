@@ -337,10 +337,20 @@ object SimHashNearDup {
    */
   def apply(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, ordered: Boolean = true,
+      scope: graft.CacheScope = graft.CacheScope.session): DataFrame =
+    fromSignatures(SimHashSignatures.signatures(df, idCol, textCol),
+      maxHamming, ordered, scope)
+
+  /** Pair generation from an ALREADY-COMPUTED (doc_id, simhash)
+    * relation — the entry point for any 64-bit-signature family
+    * ([[Multimodal.perceptualHash]] image signatures, external
+    * signature stores), same pigeonhole chunk machinery. */
+  def fromSignatures(signatures: DataFrame,
+      maxHamming: Int = 3, ordered: Boolean = true,
       scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
     require(maxHamming <= 3,
       s"4 bands guarantee recall only for distance <= 3, got $maxHamming")
-    val sigs = SimHashSignatures.signatures(df, idCol, textCol)
+    val sigs = signatures
       .filter(col("simhash").isNotNull && col("doc_id").isNotNull)
     Similarity.idOrdering(sigs.schema("doc_id").dataType) match {
       case Some(ord) =>

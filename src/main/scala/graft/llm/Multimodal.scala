@@ -170,4 +170,66 @@ object Multimodal {
       (lit(1) + nBytes % 7).cast("long").as("n_frames"))
       .transform(Presented(_, ordered, "doc_id"))
   }
+
+  /** Average-hash (aHash) of one payload: 64 equal byte buckets, bit i
+    * set iff bucket i's mean unsigned byte exceeds the global mean —
+    * the classic perceptual-hash recipe with the payload bytes standing
+    * in for the decoded grayscale pixel buffer (a real build inserts
+    * the codec between [[decodeOne]] and this fold; the signature
+    * contract is unchanged). Empty buckets (payloads under 64 bytes)
+    * contribute 0-bits; an empty payload has no signal and returns
+    * null. MSB-first, 16 lowercase hex chars — the
+    * [[SimHashSignatures]] wire format. */
+  def aHashJvm(bytes: Array[Byte]): String = {
+    val n = bytes.length
+    if (n == 0) return null
+    var total = 0L
+    var i = 0
+    while (i < n) { total += bytes(i) & 0xff; i += 1 }
+    val mean = total.toDouble / n
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      val from = (b.toLong * n / 64).toInt
+      val until = ((b + 1).toLong * n / 64).toInt
+      if (until > from) {
+        var s = 0L
+        var j = from
+        while (j < until) { s += bytes(j) & 0xff; j += 1 }
+        if (s.toDouble / (until - from) > mean) sig |= 1L << (63 - b)
+      }
+      b += 1
+    }
+    f"$sig%016x"
+  }
+
+  /** (doc_id, simhash): perceptual signatures for a binary payload
+    * column — one typed pass, no shuffle; null payloads and empty
+    * payloads yield a null signature. */
+  def perceptualHash(df: DataFrame, idCol: String, payloadCol: String,
+      ordered: Boolean = true): DataFrame = {
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(df.schema.fieldIndex(idCol)).copy(name = "doc_id"),
+      org.apache.spark.sql.types.StructField("simhash",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    df.select(col(idCol), col(payloadCol).cast("binary"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val sig = if (r.isNullAt(1)) null
+            else aHashJvm(r.getAs[Array[Byte]](1))
+          Row(r.get(0), sig)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .transform(Presented(_, ordered, "doc_id"))
+  }
+
+  /** Image near-duplicate pairs: [[perceptualHash]] signatures through
+    * [[SimHashNearDup.fromSignatures]]'s pigeonhole chunk join —
+    * (doc_a, doc_b, hamming) within `maxHamming`, never all-pairs. */
+  def imageNearDup(df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3, ordered: Boolean = true,
+      scope: graft.CacheScope = graft.CacheScope.session): DataFrame =
+    SimHashNearDup.fromSignatures(
+      perceptualHash(df, idCol, payloadCol, ordered = false),
+      maxHamming, ordered, scope)
 }
