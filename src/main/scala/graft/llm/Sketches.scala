@@ -133,6 +133,39 @@ object Hll {
       .transform(Presented(_, ordered, groupCol, "register"))
   }
 
+  /** The [[estimate]] arithmetic as Columns over aggregated
+    * (Σ2^(-max_rho) over present registers, present-register count) —
+    * shared by the driver and distributed forms so the two can never
+    * drift. All inputs are exact (dyadic powers sum exactly in
+    * doubles), so the estimate is deterministic and engine-portable. */
+  private def estimateExpr(m: Int, presentSum: Column, presentCnt: Column): Column = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val zeros = lit(m.toLong) - presentCnt
+    val sum = presentSum + zeros.cast("double")
+    val raw = lit(alpha * m * m) / sum
+    when(raw <= lit(2.5 * m) && zeros > 0L,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+  }
+
+  /** Distributed per-group cardinality estimates over a
+    * [[sketchByGroup]] register table: (group, estimate) from one
+    * m-bounded aggregate per group — no driver collect, so "distinct
+    * docs per source" over thousands of groups stays a DataFrame. */
+  def estimateByGroup(registers: DataFrame, groupCol: String, m: Int,
+      ordered: Boolean = true): DataFrame =
+    registers
+      .groupBy(col(groupCol))
+      .agg(sum(pow(lit(2.0), -col("max_rho").cast("double"))).as("_ps"),
+        count(lit(1)).as("_pc"))
+      .select(col(groupCol), estimateExpr(m, col("_ps"), col("_pc")).as("estimate"))
+      .transform(Presented(_, ordered, groupCol))
+
   /** Driver-side estimate from a collected register table: the standard
     * raw HLL estimator alpha_m·m²/Σ2^(-M_j) (empty registers contribute
     * 2^0) with the small-range linear-counting correction. The sum of

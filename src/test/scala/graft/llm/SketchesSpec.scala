@@ -109,6 +109,21 @@ class SketchesSpec extends AnyFunSuite {
     assert(rolled == whole)
   }
 
+  test("hll: estimateByGroup equals the driver estimator bit-for-bit per group") {
+    val w = docs.select(col("source"),
+      explode(TextOps.tokens(col("text"))).as("word")).filter(col("word") =!= "")
+    val m = 128
+    val sk = Hll.sketchByGroup(w, "source", "word", m, "t", ordered = false)
+    val dist = Hll.estimateByGroup(sk, "source", m, ordered = false)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dist.nonEmpty)
+    dist.keys.foreach { src =>
+      val drv = Hll.estimate(
+        sk.filter(col("source") === src).select("register", "max_rho"), m)
+      assert(dist(src) == drv, s"source $src: distributed ${dist(src)} != driver $drv")
+    }
+  }
+
   test("hll: sketch is partitioning-invariant and m-bounded") {
     def m(parts: Int): Map[Long, Long] =
       Hll.sketch(words(docs.repartition(parts)), "word", 64, "t", ordered = false)
