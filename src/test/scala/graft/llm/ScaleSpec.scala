@@ -85,10 +85,22 @@ class ScaleSpec extends AnyFunSuite {
     // ANN keeps the query side FIXED (20 base queries) — the scale axis is
     // the corpus; fixed queries over a 10x corpus is the production shape
     val queries = e1.filter(col("vec_id") < 20)
+    // edit distance runs on its short-string domain with the doc-unique
+    // hash LEADING: segment buckets key on leading content, so a shared
+    // 20-char prefix across 10 copies would put every copy in one
+    // bucket (the documented hot-segment quadratic — the operator's
+    // contract says pre-ExactDedup / distinct leading content, which
+    // this fixture honors; a tail-hash variant measured 13.9x at 10x
+    // data from exactly that bucket growth)
+    val edStrings = (c: DataFrame) => c.select(col("doc_id"),
+      concat(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+        substring(col("text"), 1, 20)).as("s"))
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
       "exact_dedup" -> (c => ExactDedup(c, "doc_id", "text")),
       "minhash_lsh" -> (c => MinHashNearDup(c, "doc_id", "text")),
       "simhash_neardup" -> (c => SimHashNearDup(c, "doc_id", "text")),
+      "edit_distance" -> (c => EditDistance.nearDupPairs(
+        edStrings(c), "doc_id", "s", maxDist = 2, ordered = false)),
       "ann_bucketed" -> (c => Similarity.bucketedTopK(
         c, queries, "vec_id", "embedding", k = 3, bucketBits = 4)))
     ops.foreach { case (name, op) =>
