@@ -75,4 +75,32 @@ class NormalizeSplitsSpec extends AnyFunSuite {
       Sampling.assignSplits(d, "id", Seq(("a", 0.5), ("a", 0.5)))
     }
   }
+
+  test("scriptProfile: exact counts per script, argmax ties to the earlier class") {
+    val rows = Seq[(java.lang.Long, String)](
+      (1L, "привет мир 2024"),  // cyrillic 9, digit 4
+      (2L, "你好世界 hello"),    // cjk 4, latin 5 -> latin
+      (3L, "こんにちは世界"),     // kana 5, cjk 2 -> kana
+      (4L, "abc 你你你"),        // latin 3, cjk 3 -> tie -> latin (earlier)
+      (5L, "¿¡***!?"),           // nothing scripted -> none, all other
+      (6L, null))
+    val df = graft.TestSpark.df("doc_id bigint, text string",
+      rows.map { case (i, t) => org.apache.spark.sql.Row(i, t) })
+    val got = TextNormalize.scriptProfile(df, "doc_id", "text", ordered = false)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), r.schema.fieldNames.zipWithIndex.collect {
+          case (n, i) if !r.isNullAt(i) && n != "doc_id" && n != "dominant" && n != "n_chars" =>
+            n -> r.getLong(i)
+        }.toMap, Option(r.getAs[String]("dominant")))).toMap
+    assert(got(1L)._2("cyrillic") == 9L && got(1L)._2("digit") == 4L &&
+      got(1L)._3.contains("cyrillic"))
+    assert(got(2L)._2("cjk") == 4L && got(2L)._2("latin") == 5L &&
+      got(2L)._3.contains("latin"))
+    assert(got(3L)._2("kana") == 5L && got(3L)._2("cjk") == 2L &&
+      got(3L)._3.contains("kana"))
+    assert(got(4L)._3.contains("latin"), "equal counts tie to the earlier class")
+    assert(got(5L)._3.contains("none") && got(5L)._2("other") == 7L)
+    assert(got(6L)._1.contains(0L) && got(6L)._2("latin") == 0L &&
+      got(6L)._3.isEmpty, "null text -> zero counts, null dominant")
+  }
 }
