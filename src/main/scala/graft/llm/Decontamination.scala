@@ -67,6 +67,35 @@ object Decontamination {
     finish(trainSh, eval, idCol, textCol, shingleN, ordered)
   }
 
+  /**
+   * SPAN-level contamination report — not just "how contaminated is
+   * this eval doc" ([[containment]]'s scalar) but WHICH token runs
+   * leak: every maximal eval-doc token span covered by train-occurring
+   * shingles, (doc_id, span_start, span_end, n_tokens) with 1-based
+   * inclusive/exclusive token indices. The review artifact a
+   * decontamination pass hands to a human, and the input to span-level
+   * excision (cut the leaked run, keep the doc).
+   *
+   * Scale shape: train collapses to DISTINCT 8-byte shingle keys (the
+   * [[containment]] discipline — strings never shuffle, train is never
+   * broadcast-by-construction or driver-sized), eval explodes to
+   * per-OCCURRENCE (doc, pos, hash) rows
+   * ([[SubstringDedup.gramPosIndex]]), one hash-keyed equi-join marks
+   * leaked occurrences, and the gaps-and-islands merge runs per EVAL
+   * DOC (bounded window partitions — the [[SubstringDedup]] rule).
+   */
+  def leakedSpans(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, ordered: Boolean = true): DataFrame = {
+    val trainKeys = TextOps.shingleIndex(train, idCol, textCol, shingleN)
+      .select(col("_sh").as("_g")).distinct()
+    val hits = SubstringDedup.gramPosIndex(eval, idCol, textCol, shingleN)
+      .join(trainKeys, "_g")
+    SubstringDedup.mergeSpans(hits, shingleN)
+      .select(col("_id").as("doc_id"), col("span_start"), col("span_end"),
+        col("n_tokens"))
+      .transform(Presented(_, ordered, "doc_id", "span_start"))
+  }
+
   /** The shared containment tail: distinct the train shingle keys, left
     * join the eval shingles, aggregate per eval doc over the id spine. */
   private def finish(trainShingleKeys: DataFrame, eval: DataFrame,

@@ -65,7 +65,7 @@ object SubstringDedup {
   /** Merge 1-based gram start positions (each covering gramN tokens)
     * into maximal token spans per doc — gaps-and-islands: a new island
     * starts where a position clears every previous window's end. */
-  private def mergeSpans(dup: DataFrame, gramN: Int): DataFrame = {
+  private[llm] def mergeSpans(dup: DataFrame, gramN: Int): DataFrame = {
     val byDoc = Window.partitionBy("_id").orderBy("_pos")
     val prevEnd = max(col("_pos") + gramN)
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))

@@ -239,6 +239,22 @@ class PipelineLawsSpec extends AnyFunSuite {
     assert(s5.size == 5 && s20.size == 20 && s50.size == 50)
   }
 
+  test("law: leakedSpans marks exactly the train-covered runs, merged maximally") {
+    val train = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "a b c d e f g h"),     // full copy -> one whole-doc span
+      (2L, "a b c d X e f g h"),   // an insertion splits the leak in two
+      (3L, "z1 z2 z3 z4"))         // novel -> no spans
+      .toDF("doc_id", "text")
+    val got = Decontamination.leakedSpans(train, eval, "doc_id", "text",
+        ordered = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 1L, 9L, 8L),
+      (2L, 1L, 5L, 4L), (2L, 6L, 10L, 4L)))
+  }
+
   test("law: corpus diff is an involution — swap sides, swap added/removed") {
     val a = corpus.toDF("doc_id", "text")
     val b = corpus.filter(_._1 % 3 != 0)
