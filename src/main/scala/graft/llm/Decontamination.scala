@@ -96,6 +96,17 @@ object Decontamination {
       .transform(Presented(_, ordered, "doc_id", "span_start"))
   }
 
+  /** [[leakedSpans]] applied: rebuild the eval docs WITHOUT the leaked
+    * runs — span-level excision (cut the quote, keep the doc), the
+    * decontamination remedy that doesn't throw away the whole eval
+    * document. Same plan as [[SubstringDedup.removeDuplicated]]'s
+    * rebuild tail; output (doc_id, n_tokens, n_removed, cleaned_text). */
+  def exciseLeaked(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, ordered: Boolean = true): DataFrame =
+    SubstringDedup.applySpans(eval, idCol, textCol,
+      leakedSpans(train, eval, idCol, textCol, shingleN, ordered = false),
+      ordered)
+
   /** The shared containment tail: distinct the train shingle keys, left
     * join the eval shingles, aggregate per eval doc over the id spine. */
   private def finish(trainShingleKeys: DataFrame, eval: DataFrame,

@@ -141,8 +141,24 @@ object SubstringDedup {
     val cut = occ.join(dupGrams, Seq("_g"))
       .filter(packed =!= col("_keep"))
       .select("_id", "_pos")
-    val perDoc = mergeSpans(cut, gramN)
-      .groupBy("_id")
+    applySpans(df, idCol, textCol,
+      mergeSpans(cut, gramN).select(col("_id").as("doc_id"),
+        col("span_start"), col("span_end")), ordered)
+  }
+
+  /**
+   * Cut token spans out of documents: given (doc_id, span_start,
+   * span_end) rows (1-based, end-exclusive — [[duplicatedSpans]] /
+   * [[Decontamination.leakedSpans]] output), rebuild each document
+   * without the covered tokens. Span-less docs pass through unchanged;
+   * null texts are excluded (the pq35 contract). One doc-keyed spans
+   * aggregate + a codegen'd higher-order token filter — no window, no
+   * UDF. Output: (doc_id, n_tokens, n_removed, cleaned_text).
+   */
+  def applySpans(df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame, ordered: Boolean = true): DataFrame = {
+    val perDoc = spans
+      .groupBy(col("doc_id").as("_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
     val emptySpans = array()
       .cast("array<struct<span_start:bigint,span_end:bigint>>")
