@@ -20,8 +20,10 @@ import org.apache.spark.sql.DataFrame
  * the join plans with zero exchanges.
  *
  * Null texts hash to null; two null texts compare `unchanged` (the
- * null-safe `<=>` equality). Ids must be unique within a snapshot —
- * the diff contract, as for any keyed store.
+ * null-safe `<=>` equality). Ids must be unique and NON-NULL within a
+ * snapshot — the diff contract, as for any keyed store; null-id rows
+ * are excluded (a null key never equi-joins, so leaving them in would
+ * fabricate a spurious added+removed pair for unchanged content).
  */
 object CorpusDiff {
 
@@ -29,10 +31,10 @@ object CorpusDiff {
     * added | removed | changed (| unchanged when included). */
   def diff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String, textCol: String,
       includeUnchanged: Boolean = false, ordered: Boolean = true): DataFrame = {
-    val o = oldSnap.select(col(idCol).as("_cd_oid"),
-      TextOps.md5Hex(col(textCol)).as("old_hash"))
-    val n = newSnap.select(col(idCol).as("_cd_nid"),
-      TextOps.md5Hex(col(textCol)).as("new_hash"))
+    val o = oldSnap.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("_cd_oid"), TextOps.md5Hex(col(textCol)).as("old_hash"))
+    val n = newSnap.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("_cd_nid"), TextOps.md5Hex(col(textCol)).as("new_hash"))
     val joined = o.join(n, col("_cd_oid") === col("_cd_nid"), "full_outer")
       .select(
         coalesce(col("_cd_oid"), col("_cd_nid")).as("doc_id"),

@@ -73,7 +73,9 @@ object CorpusSimilarity {
     * (source_a, source_b, jaccard_est) for every unordered pair,
     * source_a < source_b (null sources excluded from the report). */
   def similarityReport(sketches: DataFrame, k: Int): Seq[(String, String, Double)] = {
-    val bySource = sketches.collect()
+    val bySource = sketches
+      .select(col("source").cast("string"), col("h")) // non-string group keys welcome
+      .collect()
       .filter(!_.isNullAt(0))
       .map(r => r.getString(0) -> r.getString(1))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap

@@ -43,15 +43,22 @@ object ExactDedup {
    * (curated book vs crawl mirror), production dedup keeps the copy
    * from the BEST source, not the smallest id. Keeper = argmin of
    * (priority, id) — lower priority value wins, id breaks ties — via
-   * `min` over a two-field struct (lexicographic struct ordering), so
-   * the keeper stays a keyed aggregate with map-side combine: same
-   * one-shuffle plan as [[apply]], never a window over the hash key
-   * (the Zipfian-copies discipline). Output adds `keep_priority`.
+   * `min` over a struct (lexicographic struct ordering), so the keeper
+   * stays a keyed aggregate with map-side combine: same one-shuffle
+   * plan as [[apply]], never a window over the hash key (the
+   * Zipfian-copies discipline). A NULL priority means UNKNOWN trust
+   * and ranks LAST (a leading null-flag field — Spark's struct
+   * ordering would otherwise put nulls first and let an unscored copy
+   * beat every scored one); it can only win when every copy is
+   * unscored, and then `keep_priority` is null. Output adds
+   * `keep_priority`.
    */
   def withPriority(df: DataFrame, idCol: String, textCol: String,
       priorityCol: String): DataFrame =
     df.groupBy(TextOps.md5Hex(col(textCol)).as("content_hash"))
-      .agg(min(struct(col(priorityCol).as("p"), col(idCol).as("i"))).as("_k"),
+      .agg(min(struct(
+          when(col(priorityCol).isNull, 1).otherwise(0).as("pn"),
+          col(priorityCol).as("p"), col(idCol).as("i"))).as("_k"),
         count(lit(1)).as("n_copies"))
       .select(col("content_hash"), col("_k.i").as("keep_id"),
         col("_k.p").as("keep_priority"), col("n_copies"))

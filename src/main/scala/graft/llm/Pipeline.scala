@@ -51,7 +51,7 @@ object Pipeline {
       cfg: Config = Config()): DataFrame = {
     val base = df.select(col(idCol), col(textCol).cast("string"))
       .filter(col(idCol).isNotNull)
-    val normalized = TextNormalize.normalize(base, idCol, textCol, ordered = false)
+    val normalized = TextNormalize.nfc(base, idCol, textCol, ordered = false)
       .select(col(idCol), col("nfc").as("text"))
     val cleaned =
       if (cfg.stripHtml)

@@ -133,21 +133,34 @@ object Hll {
       .transform(Presented(_, ordered, groupCol, "register"))
   }
 
-  /** The [[estimate]] arithmetic as Columns over aggregated
-    * (Σ2^(-max_rho) over present registers, present-register count) —
-    * shared by the driver and distributed forms so the two can never
-    * drift. All inputs are exact (dyadic powers sum exactly in
-    * doubles), so the estimate is deterministic and engine-portable. */
+  /** The bias-correction constant — ONE definition for the scalar and
+    * Column estimator forms. */
+  private def alphaFor(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** The estimator over (Σ2^(-max_rho) of present registers, their
+    * count) as a scalar — [[estimate]] and [[estimateExpr]] both
+    * evaluate exactly this arithmetic (identical correctly-rounded op
+    * sequence), so driver and distributed estimates cannot drift. */
+  private def estimateScalar(m: Int, presentSum: Double, presentCnt: Long): Double = {
+    val zeros = m - presentCnt
+    val sum = presentSum + zeros.toDouble
+    val raw = alphaFor(m) * m * m / sum
+    if (raw <= 2.5 * m && zeros > 0) m.toDouble * math.log(m.toDouble / zeros.toDouble)
+    else raw
+  }
+
+  /** [[estimateScalar]] as Columns — the distributed form. All inputs
+    * are exact (dyadic powers sum exactly in doubles), so the estimate
+    * is deterministic and engine-portable. */
   private def estimateExpr(m: Int, presentSum: Column, presentCnt: Column): Column = {
-    val alpha = m match {
-      case 16 => 0.673
-      case 32 => 0.697
-      case 64 => 0.709
-      case _ => 0.7213 / (1.0 + 1.079 / m)
-    }
     val zeros = lit(m.toLong) - presentCnt
     val sum = presentSum + zeros.cast("double")
-    val raw = lit(alpha * m * m) / sum
+    val raw = lit(alphaFor(m) * m * m) / sum
     when(raw <= lit(2.5 * m) && zeros > 0L,
       lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
       .otherwise(raw)
@@ -172,16 +185,8 @@ object Hll {
     * dyadic 2^(-rho) terms is exact in doubles, so the estimate is
     * deterministic under any collection order. */
   def estimate(registers: DataFrame, m: Int): Double = {
-    val filled = registers.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val alpha = m match {
-      case 16 => 0.673
-      case 32 => 0.697
-      case 64 => 0.709
-      case _ => 0.7213 / (1.0 + 1.079 / m)
-    }
-    val sum = (0 until m).map(j => math.pow(2.0, -filled.getOrElse(j.toLong, 0L).toDouble)).sum
-    val raw = alpha * m * m / sum
-    val zeros = m - filled.size
-    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+    val rhos = registers.collect().map(_.getLong(1)).sorted
+    // ascending-rho sum == descending-term sum: exact anyway (dyadics)
+    estimateScalar(m, rhos.map(r => math.pow(2.0, -r.toDouble)).sum, rhos.length.toLong)
   }
 }

@@ -87,6 +87,24 @@ object TextNormalize {
       .transform(Presented(_, ordered, "doc_id"))
   }
 
+  /** (idCol, nfc): the NFC form only — what the hot dedup/pipeline path
+    * needs ([[normalize]] also pays an NFD + combining-mark regex pass
+    * per document for `ascii_folded`, waste when nothing reads it). */
+  def nfc(df: DataFrame, idCol: String, textCol: String,
+      ordered: Boolean = true): DataFrame = {
+    val in = df.select(col(idCol), col(textCol).cast("string"))
+    val outSchema = StructType(Seq(
+      in.schema(in.schema.fieldIndex(idCol)),
+      StructField("nfc", StringType, nullable = true)))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(1)) Row(r.get(0), null)
+        else Row(r.get(0), nfcJvm(r.getString(1)))
+      }
+    }(Encoders.row(outSchema))
+      .transform(Presented(_, ordered, idCol))
+  }
+
   /** (idCol, nfc, ascii_folded): the NFC form and the accent-stripped
     * form of `textCol`; null texts stay null in both. */
   def normalize(df: DataFrame, idCol: String, textCol: String,

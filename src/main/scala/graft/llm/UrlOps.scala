@@ -11,8 +11,8 @@ import org.apache.spark.sql.{Column, DataFrame}
  *
  *  1. trim;
  *  2. fragment drops (`#...` never reaches the server);
- *  3. scheme + authority lowercase (RFC 3986 §6.2.2.1 — host and
- *     scheme are case-insensitive; path/query case is preserved);
+ *  3. scheme + host lowercase (RFC 3986 §6.2.2.1 — scheme and host are
+ *     case-insensitive; userinfo, path, and query case are preserved);
  *  4. default ports drop (`:80` for http, `:443` for https);
  *  5. tracking parameters drop (`utm_*`, `gclid`, `fbclid`) with
  *     separator repair (`?utm_a=1&q=2` → `?q=2`, a lone tracker drops
@@ -29,23 +29,34 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object UrlOps {
 
-  private val SchemeAuth = "(?s)^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(.*)$"
+  /** scheme:// | userinfo@ (case-SENSITIVE per RFC 3986 §6.2.2.1 — only
+    * scheme and host fold) | host[:port] | rest. */
+  private val SchemeUA =
+    "(?s)^([A-Za-z][A-Za-z0-9+.-]*://)((?:[^/?#]*@)?)([^/?#]*)(.*)$"
 
   /** The canonicalization chain as a reusable Column expression. */
   def canonicalize(url: Column): Column = {
     val t = trim(url)
     val noFrag = regexp_replace(t, "(?s)#.*", "")
     val lowered = when(noFrag.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
-      concat(lower(regexp_extract(noFrag, SchemeAuth, 1)),
-        regexp_extract(noFrag, SchemeAuth, 2))).otherwise(noFrag)
+      concat(lower(regexp_extract(noFrag, SchemeUA, 1)),
+        regexp_extract(noFrag, SchemeUA, 2),
+        lower(regexp_extract(noFrag, SchemeUA, 3)),
+        regexp_extract(noFrag, SchemeUA, 4))).otherwise(noFrag)
     val noPort = regexp_replace(
       regexp_replace(lowered, "(?s)^(http://[^/?#]*):80([/?#].*)?$", "$1$2"),
       "(?s)^(https://[^/?#]*):443([/?#].*)?$", "$1$2")
-    val noTrack = regexp_replace(
+    // tracking params live in the QUERY STRING only: '&' is a legal
+    // path character (RFC 3986 sub-delim), so the rules run on the
+    // split-off '?...' part and the path passes through verbatim
+    val preQ = regexp_extract(noPort, "(?s)^([^?]*)", 1)
+    val qPart = regexp_extract(noPort, "(?s)^[^?]*(\\?.*)$", 1)
+    val qClean = regexp_replace(
       regexp_replace(
-        regexp_replace(noPort, "&(utm_[^=&]*|gclid|fbclid)=[^&]*", ""),
-        "\\?(utm_[^=&]*|gclid|fbclid)=[^&]*&", "?"),
-      "\\?(utm_[^=&]*|gclid|fbclid)=[^&]*$", "")
+        regexp_replace(qPart, "&(utm_[^=&]*|gclid|fbclid)=[^&]*", ""),
+        "^\\?(utm_[^=&]*|gclid|fbclid)=[^&]*&", "?"),
+      "^\\?(utm_[^=&]*|gclid|fbclid)=[^&]*$", "")
+    val noTrack = concat(preQ, qClean)
     regexp_replace(noTrack,
       "(?s)^([a-z][a-z0-9+.-]*://[^/?#]+)(\\?.*)?$", "$1/$2")
   }

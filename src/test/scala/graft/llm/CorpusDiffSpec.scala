@@ -39,6 +39,25 @@ class CorpusDiffSpec extends AnyFunSuite {
     assert(got == Set((11L, 2L, 3L), (20L, 9L, 1L), (31L, 0L, 2L)))
   }
 
+  test("null ids are excluded from the diff (no spurious added+removed pair)") {
+    val old = TestSpark.df("doc_id bigint, text string", Seq(
+      Row(1L, "x"), Row(null.asInstanceOf[java.lang.Long], "same")))
+    val neu = TestSpark.df("doc_id bigint, text string", Seq(
+      Row(1L, "x"), Row(null.asInstanceOf[java.lang.Long], "same")))
+    assert(CorpusDiff.diff(old, neu, "doc_id", "text", ordered = false).count() == 0)
+  }
+
+  test("null priority ranks LAST: an unscored copy never beats a scored one") {
+    val df = TestSpark.df("doc_id bigint, text string, rank bigint", Seq(
+      Row(1L, "x", null.asInstanceOf[java.lang.Long]), Row(2L, "x", 7L),
+      Row(10L, "y", null.asInstanceOf[java.lang.Long]),
+      Row(11L, "y", null.asInstanceOf[java.lang.Long])))
+    val got = ExactDedup.withPriority(df, "doc_id", "text", "rank")
+      .collect().map(r => r.getLong(1) -> Option(r.get(2))).toMap
+    assert(got(2L) == Some(7L), "scored copy wins over the unscored one")
+    assert(got(10L).isEmpty, "all-unscored group keeps min id with null priority")
+  }
+
   test("priority keeper matches plain ExactDedup when priority is constant") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .withColumn("rank", org.apache.spark.sql.functions.lit(0L))

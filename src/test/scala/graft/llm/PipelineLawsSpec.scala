@@ -195,8 +195,9 @@ class PipelineLawsSpec extends AnyFunSuite {
       (scheme, i1) <- Seq("http", "HTTP", "https", "HtTpS").zipWithIndex
       (host, i2) <- Seq("Example.COM", "a.b.c", "X.Y:80", "x.y:443", "h.z:8080").zipWithIndex
       (path, i3) <- Seq("", "/", "/P/q", "/p?q=1", "?utm_a=1", "/p?utm_a=1&b=2",
-        "/p?b=2&gclid=g&c=3", "/p?fbclid=f", "/p#f", "/p?q=1#f&utm").zipWithIndex
-    } yield ((i1 * 100 + i2 * 10 + i3).toLong, s"$scheme://$host$path")
+        "/p?b=2&gclid=g&c=3", "/p?fbclid=f", "/p#f", "/p?q=1#f&utm",
+        "/a&utm_x=1/p", "/p&gclid=z?utm_a=1&q=2").zipWithIndex
+    } yield ((i1 * 1000 + i2 * 100 + i3).toLong, s"$scheme://$host$path")
     val df = urls.toDF("id", "url")
     val once = UrlOps.canonicalizeUrls(df, "id", "url", ordered = false)
     val twice = UrlOps.canonicalizeUrls(
