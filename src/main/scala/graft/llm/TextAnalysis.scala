@@ -563,6 +563,53 @@ object TextAnalysis {
   }
 
   /**
+   * Per-document DEFLATE compression ratio — the cheap
+   * whole-document redundancy signal (RefinedWeb-family pipelines gate
+   * on it: near-1 ratios mean high-entropy noise/binary junk, very low
+   * ratios mean templated/repeated content; prose sits in a band).
+   * Complements [[repetitionMetrics]], which only sees n-gram-level
+   * repetition.
+   *
+   * One typed pass, one `Deflater` per partition (reset per row — the
+   * per-row-allocation cost is what the partition prologue exists to
+   * avoid), zero shuffle. DEFLATE output for a fixed level is
+   * deterministic for a given zlib build, so the ratio is
+   * partitioning/run-stable (pinned) but NOT an engine-portable
+   * oracle quantity — golden-tested, the multimodal-stub precedent.
+   * Null texts are excluded ([[fingerprints]] contract).
+   */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String,
+      level: Int = java.util.zip.Deflater.DEFAULT_COMPRESSION,
+      ordered: Boolean = true): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(df.schema.fieldIndex(idCol)).copy(name = "doc_id"),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("n_compressed", LongType, nullable = false),
+      StructField("ratio", DoubleType, nullable = false)))
+    df.select(col(idCol), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(level, true)
+        val buf = new Array[Byte](8192)
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val bytes = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            deflater.reset()
+            deflater.setInput(bytes)
+            deflater.finish()
+            var n = 0L
+            while (!deflater.finished()) n += deflater.deflate(buf)
+            val ratio =
+              if (bytes.length == 0) 1.0 else n.toDouble / bytes.length
+            Iterator.single(Row(r.get(0), bytes.length.toLong, n,
+              math.rint(ratio * 10000) / 10000))
+          }
+        }
+      }(Encoders.row(outSchema))
+      .transform(Presented(_, ordered, "doc_id"))
+  }
+
+  /**
    * Top-k most frequent terms per group (per-language/per-source
    * vocabulary report — the corpus-inspection sibling of
    * [[tfIdfTopTerms]], which ranks within documents). One explode +
