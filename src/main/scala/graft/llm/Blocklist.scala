@@ -56,4 +56,73 @@ object Blocklist {
         col("hits") * maxHitRatioDenom <= col("n_tokens") * maxHitRatioNum)
       .transform(Presented(_, ordered, idCol))
   }
+
+  /** Token-sequence trie node for [[scoreMany]]. */
+  private final class TrieNode extends Serializable {
+    val next = new java.util.HashMap[String, TrieNode]()
+    var terminal = false
+  }
+
+  /**
+   * [[score]] for LARGE lists and ARBITRARY phrase lengths — the
+   * FlashText-shaped matcher (Singh 2017): a token-sequence trie built
+   * once on the driver rides the task closure (list-sized, the
+   * broadcast-dim class), and one typed pass walks it from every token
+   * position, counting every (position, phrase) whole-token match.
+   * Per-token work is O(max phrase length) against hash-map trie
+   * edges — independent of the list size, where [[score]]'s `isin`
+   * fold scans the list per token and caps phrases at two words.
+   * Same case-folded whole-token semantics (no Scunthorpe substring
+   * hits), same exact-integer ratio gate, same output schema — the
+   * two agree exactly on any 1-2-word list (pinned in the spec).
+   */
+  def scoreMany(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], maxHitRatioNum: Int = 0, maxHitRatioDenom: Int = 1,
+      ordered: Boolean = true): DataFrame = {
+    require(terms.nonEmpty, "scoreMany: empty blocklist")
+    require(maxHitRatioNum >= 0 && maxHitRatioDenom >= 1,
+      s"scoreMany: ratio $maxHitRatioNum/$maxHitRatioDenom invalid")
+    val root = new TrieNode
+    terms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct.foreach { t =>
+      var node = root
+      t.split("\\s+").foreach { w =>
+        node = node.next.computeIfAbsent(w, _ => new TrieNode)
+      }
+      node.terminal = true
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(df.schema.fieldIndex(idCol)),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("hits",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    df.select(col(idCol), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          if (r.isNullAt(1)) org.apache.spark.sql.Row(r.get(0), 0L, 0L)
+          else {
+            val toks = TextOps.tokensJvm(r.getString(1)).filter(_.nonEmpty)
+              .map(_.toLowerCase)
+            var hits = 0L
+            var i = 0
+            while (i < toks.length) {
+              var node = root
+              var j = i
+              while (node != null && j < toks.length) {
+                node = node.next.get(toks(j))
+                if (node != null) {
+                  if (node.terminal) hits += 1
+                  j += 1
+                }
+              }
+              i += 1
+            }
+            org.apache.spark.sql.Row(r.get(0), toks.length.toLong, hits)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .withColumn("pass",
+        col("hits") * maxHitRatioDenom <= col("n_tokens") * maxHitRatioNum)
+      .transform(Presented(_, ordered, idCol))
+  }
 }

@@ -40,6 +40,36 @@ class BlocklistOverlapSpec extends AnyFunSuite {
     }
   }
 
+  test("scoreMany: trie matcher equals score() on any 1-2-word list") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = Seq("slow", "Batch", "hash join", "a", "the")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(
+      m(Blocklist.scoreMany(docs, "doc_id", "text", terms, 1, 50, ordered = false)) ==
+      m(Blocklist.score(docs, "doc_id", "text", terms, 1, 50, ordered = false)))
+  }
+
+  test("scoreMany: arbitrary-length phrases, overlapping and nested matches") {
+    val f = TestSpark.df("doc_id bigint, text string", Seq(
+      Row(1L, "big bad wolf big bad wolf"),  // trigram twice
+      Row(2L, "big bad bad wolf"),           // neither trigram run
+      Row(3L, "big bad wolf pack"),          // trigram + nested 'bad wolf' bigram
+      Row(4L, null)))
+    val got = Blocklist.scoreMany(f, "doc_id", "text",
+      terms = Seq("big bad wolf", "bad wolf"), maxHitRatioNum = 1,
+      maxHitRatioDenom = 4, ordered = false)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // doc 1: trigram at 1 and 4, 'bad wolf' at 2 and 5 -> 4 hits / 6 tokens
+    assert(got(1L) == (6L, 4L, false))
+    // doc 2: only 'bad wolf' at 3
+    assert(got(2L) == (4L, 1L, true))
+    // doc 3: trigram at 1 + 'bad wolf' at 2
+    assert(got(3L) == (4L, 2L, false))
+    assert(got(4L) == (0L, 0L, true))
+  }
+
   test("overlap counts distinct shared contents once per unordered pair") {
     val f = TestSpark.df("doc_id bigint, text string, source string", Seq(
       Row(1L, "shared one", "a"), Row(2L, "shared one", "b"), // a~b via content 1
