@@ -34,10 +34,13 @@ object Blocklist {
     require(terms.nonEmpty, "score: empty blocklist")
     require(maxHitRatioNum >= 0 && maxHitRatioDenom >= 1,
       s"score: ratio $maxHitRatioNum/$maxHitRatioDenom invalid")
-    val folded = terms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    // Re-join on a single space so tabs/doubled spaces in a list entry
+    // match the single-space-joined bigram stream (score ≡ scoreMany law).
+    val folded = terms.map(_.trim.toLowerCase.split("\\s+").mkString(" "))
+      .filter(_.nonEmpty).distinct
     val (bigrams, singles) = folded.partition(_.contains(" "))
-    require(bigrams.forall(_.split("\\s+").length == 2),
-      s"score: only 1- and 2-word terms are matchable; got ${bigrams.filter(_.split("\\s+").length > 2)}")
+    require(bigrams.forall(_.split(" ").length == 2),
+      s"score: only 1- and 2-word terms are matchable; got ${bigrams.filter(_.split(" ").length > 2)}")
     val toks = transform(filter(TextOps.tokens(col(textCol)), t => t =!= ""), lower _)
     val singleHits =
       if (singles.isEmpty) lit(0)
@@ -66,8 +69,10 @@ object Blocklist {
   /**
    * [[score]] for LARGE lists and ARBITRARY phrase lengths — the
    * FlashText-shaped matcher (Singh 2017): a token-sequence trie built
-   * once on the driver rides the task closure (list-sized, the
-   * broadcast-dim class), and one typed pass walks it from every token
+   * once on the driver ships as an explicit `sparkContext.broadcast`
+   * (list-sized, the broadcast-dim class — serialized once per
+   * executor, not once per stage closure), and one typed pass walks it
+   * from every token
    * position, counting every (position, phrase) whole-token match.
    * Per-token work is O(max phrase length) against hash-map trie
    * edges — independent of the list size, where [[score]]'s `isin`
@@ -90,6 +95,9 @@ object Blocklist {
       }
       node.terminal = true
     }
+    // Explicit broadcast: a FlashText-scale list (100k+ phrases) would
+    // otherwise re-serialize with the closure of every stage that uses it.
+    val bcRoot = df.sparkSession.sparkContext.broadcast(root)
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       df.schema(df.schema.fieldIndex(idCol)),
       org.apache.spark.sql.types.StructField("n_tokens",
@@ -98,6 +106,7 @@ object Blocklist {
         org.apache.spark.sql.types.LongType, nullable = false)))
     df.select(col(idCol), col(textCol).cast("string"))
       .mapPartitions { rows =>
+        val root = bcRoot.value
         rows.map { r =>
           if (r.isNullAt(1)) org.apache.spark.sql.Row(r.get(0), 0L, 0L)
           else {

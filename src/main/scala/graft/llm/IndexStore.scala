@@ -186,6 +186,67 @@ object IndexStore {
   }
 
   // ------------------------------------------------------------------
+  // Maintenance: files-per-bucket probe + compact + name swap
+  // ------------------------------------------------------------------
+
+  /** Data files under the table's location — the files-per-bucket
+    * probe. Bucketed appends add one file per bucket per batch, so
+    * files/buckets ~ appends since the last compaction. */
+  def dataFileCount(spark: SparkSession, tableName: String): Int = {
+    val loc = new org.apache.hadoop.fs.Path(tablePath(spark, tableName))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(loc)) 0
+    else {
+      val it = fs.listFiles(loc, true)
+      var n = 0
+      while (it.hasNext) {
+        val name = it.next().getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      n
+    }
+  }
+
+  /** One-call index maintenance: probe files-per-bucket, and when it
+    * exceeds `maxFilesPerBucket`, compact (one file per bucket) into a
+    * fresh path and SWAP the table name back — the step
+    * [[compactExact]]/[[compactMinhash]] leave to the caller. Dispatches
+    * exact vs minhash on the table's bucket keys; minhash sketch
+    * properties are carried through the swap. Returns true iff a
+    * compaction ran. After the swap the OLD files are deleted — callers
+    * holding a pre-swap DataFrame for the table must re-resolve it
+    * (`spark.table`), the usual catalog-table contract.
+    *
+    * The swap is metadata-atomic per step (DROP then RENAME are each
+    * single catalog ops) but not jointly atomic — a concurrent reader
+    * between the two sees a missing table, the standard
+    * non-transactional-catalog caveat; run maintenance from the single
+    * writer that also owns appends (the batch/foreachBatch loop). */
+  def maintain(spark: SparkSession, tableName: String,
+      maxFilesPerBucket: Int = 16, toPath: Option[String] = None): Boolean = {
+    require(maxFilesPerBucket > 0,
+      s"maxFilesPerBucket must be positive, got $maxFilesPerBucket")
+    val (buckets, keys) = bucketSpecOf(spark, tableName)
+    val files = dataFileCount(spark, tableName)
+    if (files <= maxFilesPerBucket.toLong * buckets) return false
+    val oldPath = tablePath(spark, tableName)
+    val newPath = toPath.getOrElse(
+      oldPath.stripSuffix("/") + s"-compact-${System.nanoTime()}")
+    val tmp = tableName + "_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    if (keys == Seq("content_hash"))
+      compactExact(spark, tableName, tmp, newPath, buckets)
+    else
+      compactMinhash(spark, tableName, tmp, newPath, buckets)
+    spark.sql(s"DROP TABLE $tableName")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
+    val old = new org.apache.hadoop.fs.Path(oldPath)
+    val fs = old.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(old, true)
+    true
+  }
+
+  // ------------------------------------------------------------------
 
   private def bucketSpecOf(spark: SparkSession, tableName: String): (Int, Seq[String]) = {
     val cat = spark.sessionState.catalog

@@ -21,8 +21,9 @@ import org.apache.spark.sql.{Column, DataFrame}
  * funnel "the" through one task. The per-document fold sums in
  * sorted-word order (a `sort_array` + `aggregate` higher-order fold),
  * so scores are bit-deterministic across partitionings despite double
- * arithmetic. Nothing is collected but the two LM scalars (total
- * count, vocabulary size).
+ * arithmetic. Nothing is ever collected: the two LM scalars (total
+ * count, vocabulary size) ride the plan as a broadcast one-row
+ * aggregate, so composing a score is lazy like every other operator.
  *
  * Per-document score: lp = (Σ_w occ_w · ln((cnt_w + 1) / (T + V))) / n
  * with cnt_w = 0 for out-of-vocabulary words; documents with no tokens
@@ -37,9 +38,11 @@ object LmScore {
    */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String, lm: DataFrame,
       saltBuckets: Int = 8, ordered: Boolean = true): DataFrame = {
-    val Seq(tRow) = lm.agg(
-      coalesce(sum("cnt"), lit(0L)).as("t"), count(lit(1)).as("v")).collect().toSeq
-    val denom = (tRow.getLong(0) + tRow.getLong(1)).toDouble
+    // LM scalars (total count, vocab) ride as a broadcast one-row
+    // aggregate — composition stays lazy, no eager driver action.
+    val lmStats = lm.agg(
+      coalesce(sum("cnt"), lit(0L)).as("_lm_t"), count(lit(1)).as("_lm_v"))
+    val denom = (col("_lm_t") + col("_lm_v")).cast("double")
     val words = docs
       .select(col(idCol).as("_id"),
         explode(filter(TextOps.tokens(col(textCol)), w => w =!= "")).as("word"))
@@ -51,11 +54,12 @@ object LmScore {
     // in word order, so the double total never depends on partitioning
     val term: Column => Column = s =>
       s.getField("o").cast("double") *
-        log((s.getField("c") + lit(1L)).cast("double") / lit(denom))
+        log((s.getField("c") + lit(1L)).cast("double") / denom)
     val scored = joined
       .select(col("_id"), struct(col("word").as("w"), col("_occ").as("o"),
         coalesce(col("_cnt"), lit(0L)).as("c")).as("_s"))
       .groupBy("_id").agg(sort_array(collect_list(col("_s"))).as("_ws"))
+      .crossJoin(broadcast(lmStats))
       .select(col("_id"),
         aggregate(col("_ws"), lit(0L), (acc, s) => acc + s.getField("o")).as("n_tokens"),
         aggregate(col("_ws"), lit(0.0), (acc, s) => acc + term(s)).as("_lpsum"))
@@ -131,9 +135,9 @@ object LmScore {
       uni: DataFrame, bi: DataFrame, alpha: Double = 0.4,
       saltBuckets: Int = 8, ordered: Boolean = true): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"bigramLogProb: alpha in (0, 1], got $alpha")
-    val Seq(tRow) = uni.agg(
-      coalesce(sum("cnt"), lit(0L)).as("t"), count(lit(1)).as("v")).collect().toSeq
-    val denom = (tRow.getLong(0) + tRow.getLong(1)).toDouble
+    val lmStats = uni.agg(
+      coalesce(sum("cnt"), lit(0L)).as("_lm_t"), count(lit(1)).as("_lm_v"))
+    val denom = (col("_lm_t") + col("_lm_v")).cast("double")
     val positioned = docs
       .select(col(idCol).as("_id"),
         posexplode(filter(TextOps.tokens(col(textCol)), w => w =!= "")).as(Seq("_pos", "word")))
@@ -147,7 +151,7 @@ object LmScore {
       bi.select(col("w1").as("ctx"), col("w2").as("word"), col("cnt").as("_bcnt")),
       Seq("ctx", "word"), "left", saltBuckets)
     val term: Column => Column = s => {
-      val unigram = (s.getField("u") + lit(1L)).cast("double") / lit(denom)
+      val unigram = (s.getField("u") + lit(1L)).cast("double") / denom
       when(s.getField("c").isNull, log(unigram))
         .when(s.getField("b").isNotNull && s.getField("p").isNotNull &&
           s.getField("p") > 0L,
@@ -159,6 +163,7 @@ object LmScore {
         col("word").as("w"), col("_bcnt").as("b"), col("_pcnt").as("p"),
         coalesce(col("_ccnt"), lit(0L)).as("u")).as("_s"))
       .groupBy("_id").agg(sort_array(collect_list(col("_s"))).as("_ws"))
+      .crossJoin(broadcast(lmStats))
       .select(col("_id"),
         size(col("_ws")).cast("bigint").as("n_tokens"),
         aggregate(col("_ws"), lit(0.0), (acc, s) => acc + term(s)).as("_lpsum"))

@@ -204,9 +204,11 @@ object Sampling {
    * useful to exercise that path deterministically.
    *
    * Output: the sampled input rows (original columns). Null keys are
-   * excluded as in every sampler; keys must be unique within a stratum
-   * for a stable total order (the [[graft.llm.Packing.shardShuffle]]
-   * precondition).
+   * excluded as in every sampler; a null STRATUM forms its own capped
+   * group (null-safe joins throughout), consistent with
+   * [[graft.llm.TextAnalysis.frequentTerms]] and `Hll.sketchByGroup`.
+   * Keys must be unique within a stratum for a stable total order (the
+   * [[graft.llm.Packing.shardShuffle]] precondition).
    */
   def topKPerStratum(df: DataFrame, keyCol: String, strataCol: String,
       k: Int, salt: String = "", safety: Double = 4.0): DataFrame = {
@@ -223,23 +225,23 @@ object Sampling {
     val thr = when(lit(safety * k) >= col("_tk_cnt"), lit(1L << 32))
       .otherwise((lit(safety * k * 4294967296.0) / col("_tk_cnt")).cast("long"))
     val survivors = base
-      .join(broadcast(counts), col(strataCol) === col("_tk_st"))
+      .join(broadcast(counts), col(strataCol) <=> col("_tk_st"))
       .filter(u32 < thr)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol)).orderBy(u32.asc, col(keyCol).asc)
     val shortfall = counts
       .join(survivors.groupBy(col(strataCol).as("_tk_st2"))
           .agg(count(lit(1)).as("_tk_sc")),
-        col("_tk_st") === col("_tk_st2"), "left")
+        col("_tk_st") <=> col("_tk_st2"), "left")
       .filter(coalesce(col("_tk_sc"), lit(0L)) < need)
       .select(col("_tk_st").as("_tk_fb"))
     val exact = survivors
-      .join(broadcast(shortfall), col(strataCol) === col("_tk_fb"), "left_anti")
+      .join(broadcast(shortfall), col(strataCol) <=> col("_tk_fb"), "left_anti")
       .withColumn("_tk_rn", row_number().over(w))
       .filter(col("_tk_rn") <= k)
       .select(outCols: _*)
     val rescued = base
-      .join(broadcast(shortfall), col(strataCol) === col("_tk_fb"))
+      .join(broadcast(shortfall), col(strataCol) <=> col("_tk_fb"))
       .withColumn("_tk_rn", row_number().over(w))
       .filter(col("_tk_rn") <= k)
       .select(outCols: _*)

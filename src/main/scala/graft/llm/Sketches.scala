@@ -185,7 +185,9 @@ object Hll {
     * dyadic 2^(-rho) terms is exact in doubles, so the estimate is
     * deterministic under any collection order. */
   def estimate(registers: DataFrame, m: Int): Double = {
-    val rhos = registers.collect().map(_.getLong(1)).sorted
+    // select by NAME: a reordered projection (e.g. a sketchByGroup
+    // table) must error here, not silently read the wrong column
+    val rhos = registers.select(col("max_rho")).collect().map(_.getLong(0)).sorted
     // ascending-rho sum == descending-term sum: exact anyway (dyadics)
     estimateScalar(m, rhos.map(r => math.pow(2.0, -r.toDouble)).sum, rhos.length.toLong)
   }

@@ -70,6 +70,19 @@ class BlocklistOverlapSpec extends AnyFunSuite {
     assert(got(4L) == (0L, 0L, true))
   }
 
+  test("score: list entries with tabs/doubled spaces match — score == scoreMany") {
+    val f = TestSpark.df("doc_id bigint, text string", Seq(
+      Row(1L, "hash join here"), Row(2L, "no match"), Row(3L, "solo")))
+    val terms = Seq("hash\tjoin", "big  bad", "solo")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val viaScore = m(Blocklist.score(f, "doc_id", "text", terms, 1, 2, ordered = false))
+    assert(viaScore(1L) == (3L, 1L, true)) // tab-separated entry still matches
+    assert(viaScore(3L) == (1L, 1L, false))
+    assert(viaScore ==
+      m(Blocklist.scoreMany(f, "doc_id", "text", terms, 1, 2, ordered = false)))
+  }
+
   test("overlap counts distinct shared contents once per unordered pair") {
     val f = TestSpark.df("doc_id bigint, text string, source string", Seq(
       Row(1L, "shared one", "a"), Row(2L, "shared one", "b"), // a~b via content 1

@@ -123,6 +123,80 @@ class IndexStoreSpec extends AnyFunSuite {
     } finally Seq(tbl, tbl2).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("maintain law: probe + compact + swap in one call — contents identical, same name, exchange-free join preserved, old files gone") {
+    val s2 = planSession(buckets = 8)
+    val d = s2.read.parquet(s"$dir/documents.parquet")
+    val history = d.filter(col("doc_id") % 4 === 0)
+    val tbl = "graft_idx_maintain"
+    try {
+      val firstPath = tmpPath(tbl)
+      IndexStore.saveExact(
+        IncrementalDedup.buildIndex(history, "doc_id", "text"),
+        tbl, firstPath, buckets = 8)
+      // three appended batches: files-per-bucket grows past 1
+      (1 to 3).foreach { i =>
+        val batch = d.filter(col("doc_id") % 4 === i)
+          .select((col("doc_id") + i * 100000).as("doc_id"), col("text"))
+        IndexStore.appendExactKeepers(
+          IncrementalDedup.classify(batch, IndexStore.exactIndex(s2, tbl),
+            "doc_id", "text").localCheckpoint(true), tbl)
+      }
+      val before = sortedRows(IndexStore.exactIndex(s2, tbl))
+      val filesBefore = IndexStore.dataFileCount(s2, tbl)
+      assert(filesBefore > 8, s"fixture must exceed 1 file/bucket, got $filesBefore")
+      // below threshold: maintain is a no-op probe
+      assert(!IndexStore.maintain(s2, tbl, maxFilesPerBucket = 100))
+      assert(IndexStore.dataFileCount(s2, tbl) == filesBefore)
+      // above threshold: compacts and swaps under the SAME name
+      val newPath = tmpPath(tbl + "_v2")
+      assert(IndexStore.maintain(s2, tbl, maxFilesPerBucket = 1, Some(newPath)))
+      assert(sortedRows(IndexStore.exactIndex(s2, tbl)) == before,
+        "maintain must be file-layout only, never contents")
+      assert(IndexStore.dataFileCount(s2, tbl) == 8, "one file per bucket")
+      assert(!new java.io.File(new java.net.URI(firstPath).getPath).exists ||
+        new java.io.File(new java.net.URI(firstPath).getPath).listFiles().isEmpty,
+        "old files must be deleted after the swap")
+      // the swapped table still joins exchange-free
+      val next = d.select((col("doc_id") + 900000).as("doc_id"), col("text"))
+      val plan = IncrementalDedup.classify(
+        next, IndexStore.exactIndex(s2, tbl), "doc_id", "text")
+        .queryExecution.executedPlan
+      assert(exchangesAboveIndexScan(plan).isEmpty,
+        s"maintained index re-shuffles:\n$plan")
+      // the temp _compacting name never leaks
+      assert(!s2.catalog.tableExists(tbl + "_compacting"))
+    } finally Seq(tbl, tbl + "_compacting").foreach(
+      t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("maintain law: minhash dispatch carries the sketch properties through the swap") {
+    val s2 = planSession(buckets = 8)
+    val d = s2.read.parquet(s"$dir/documents.parquet")
+    val tbl = "graft_idx_mh_maintain"
+    try {
+      IndexStore.saveMinhash(
+        IncrementalMinHash.buildIndex(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+        tbl, tmpPath(tbl), buckets = 8)
+      val batch = d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      IndexStore.appendMinhashAccepted(batch,
+        IncrementalMinHash.classifyBanded(batch,
+          IndexStore.minhashIndex(s2, tbl), "doc_id", "text")
+          .localCheckpoint(true),
+        "doc_id", "text", tbl)
+      val before = sortedRows(IndexStore.minhashIndex(s2, tbl))
+      assert(IndexStore.maintain(s2, tbl, maxFilesPerBucket = 1,
+        Some(tmpPath(tbl + "_v2"))))
+      assert(sortedRows(IndexStore.minhashIndex(s2, tbl)) == before)
+      // properties survived the swap: a drifted call still fails fast
+      intercept[IllegalArgumentException] {
+        IndexStore.minhashIndex(s2, tbl, numHashes = 18, bands = 6)
+      }
+    } finally Seq(tbl, tbl + "_compacting").foreach(
+      t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("minhash index: saved banded index classifies exchange-free on the index side and matches the in-memory path") {
     val s2 = planSession(buckets = 8)
     val d = s2.read.parquet(s"$dir/documents.parquet")

@@ -44,6 +44,36 @@ class LmScoreSpec extends AnyFunSuite {
     assert(score(docs.repartition(1)) == score(docs.repartition(13)))
   }
 
+  test("composition is LAZY: building a score plan runs zero Spark jobs") {
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    lm.count() // materialize the lazy vals outside the counted window
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // sentinel actions bracket the composition: the listener bus is
+      // FIFO, so by the time a sentinel's job-start lands, every job
+      // submitted before it has landed too — the count between the two
+      // baselines is exactly what the composition ran
+      def sentinel(expectAtLeast: Int): Int = {
+        spark.range(1).count()
+        val deadline = System.nanoTime() + 30_000_000_000L
+        while (jobs < expectAtLeast && System.nanoTime() < deadline) Thread.sleep(10)
+        jobs
+      }
+      val n0 = sentinel(1)
+      val uni = LmScore.unigramLogProb(docs, "doc_id", "text", lm, ordered = false)
+      val bi = LmScore.bigramLogProb(docs, "doc_id", "text", lm,
+        LmScore.bigramCounts(docs, "text", ordered = false), ordered = false)
+      assert(uni.schema.fieldNames.toSeq == Seq("doc_id", "n_tokens", "logprob"))
+      assert(bi.schema.fieldNames.toSeq == Seq("doc_id", "n_tokens", "logprob"))
+      val n1 = sentinel(n0 + 1)
+      assert(n1 == n0 + 1, s"composing LmScore plans ran ${n1 - n0 - 1} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("token-free docs score exactly 0.0 with n_tokens 0") {
     val f = TestSpark.df("doc_id bigint, text string", Seq(
       Row(1L, null), Row(2L, ""), Row(3L, "   "), Row(4L, "real text")))

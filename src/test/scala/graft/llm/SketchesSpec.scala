@@ -124,6 +124,19 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("hll: estimate reads max_rho by NAME — reordered projections work, mis-shaped input errors") {
+    val w = words(docs)
+    val m = 128
+    val sk = Hll.sketch(w, "word", m, "t", ordered = false)
+    // a reordered/extended projection must give the identical estimate
+    assert(Hll.estimate(sk.select(col("max_rho"), col("register")), m) ==
+      Hll.estimate(sk, m))
+    // a table without max_rho must ERROR, never silently mis-estimate
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      Hll.estimate(sk.select(col("register"), col("max_rho").as("rho")), m)
+    }
+  }
+
   test("hll: sketch is partitioning-invariant and m-bounded") {
     def m(parts: Int): Map[Long, Long] =
       Hll.sketch(words(docs.repartition(parts)), "word", 64, "t", ordered = false)

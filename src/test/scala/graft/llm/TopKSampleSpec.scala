@@ -51,6 +51,17 @@ class TopKSampleSpec extends AnyFunSuite {
     assert(a !== b) // 5-of-300 draws agreeing across salts is ~impossible
   }
 
+  test("law: a null stratum is its own capped group, not silently dropped") {
+    val withNulls = (rows ++ (500L until 520L).map(i => (i, null: String)))
+      .toDF("doc_id", "source")
+    val got = Sampling.topKPerStratum(withNulls, "doc_id", "source", k, "tk", 4.0)
+      .as[(Long, Option[String])].collect().toSeq
+    assert(got.count(_._2.isEmpty) === k, "null stratum must be capped at k")
+    // the non-null strata are unaffected by the null group's presence
+    assert(got.filter(_._2.nonEmpty).map(t => (t._1, t._2.get)).toSet ===
+      run("tk", 4.0))
+  }
+
   test("plan: the ranking window sees survivors, not the raw stratum") {
     val plan = Sampling.topKPerStratum(df, "doc_id", "source", k, "tk", 4.0)
       .queryExecution.executedPlan.toString
