@@ -49,7 +49,16 @@ object IndexStore {
   private def writeBucketed(df: DataFrame, tableName: String, path: String,
       buckets: Int, keys: Seq[String], mode: String): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    df.write
+    // Repartition on the bucket keys into exactly `buckets` partitions:
+    // Spark's HashPartitioning uses the same murmur3 hash as v1 bucket
+    // assignment, so each write task then holds exactly ONE bucket and
+    // emits exactly one file for it. Without this, every scan task
+    // writes a file for every bucket it happens to hold — a compaction
+    // that reads 3 appends' files would emit 3 × buckets files and not
+    // compact at all (and an N-task append would emit up to N × buckets
+    // files instead of the one-file-per-bucket-per-batch the growth
+    // model promises).
+    df.repartition(buckets, keys.map(col): _*).write
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .option("path", path)
@@ -221,28 +230,53 @@ object IndexStore {
     * single catalog ops) but not jointly atomic — a concurrent reader
     * between the two sees a missing table, the standard
     * non-transactional-catalog caveat; run maintenance from the single
-    * writer that also owns appends (the batch/foreachBatch loop). */
+    * writer that also owns appends (the batch/foreachBatch loop).
+    *
+    * CRASH RECOVERY: a crash between DROP and RENAME leaves the data
+    * alive only under the `<table>_compacting` name. On entry,
+    * maintain detects that state (tmp exists, table doesn't) and
+    * completes the interrupted RENAME before probing; a stale tmp
+    * alongside a live table (crash before the DROP) is dropped AND its
+    * now-orphaned external files are deleted, so retries never leak
+    * directories. */
   def maintain(spark: SparkSession, tableName: String,
       maxFilesPerBucket: Int = 16, toPath: Option[String] = None): Boolean = {
     require(maxFilesPerBucket > 0,
       s"maxFilesPerBucket must be positive, got $maxFilesPerBucket")
+    val tmp = tableName + "_compacting"
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    if (spark.catalog.tableExists(tmp)) {
+      if (!spark.catalog.tableExists(tableName)) {
+        // crashed between DROP and RENAME: the compacted data is
+        // complete — finish the swap and report the compaction done
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
+        return true
+      }
+      // crashed before the DROP: the live table is authoritative;
+      // discard the stale attempt, files included
+      val stale = new org.apache.hadoop.fs.Path(tablePath(spark, tmp))
+      spark.sql(s"DROP TABLE $tmp")
+      stale.getFileSystem(hadoopConf).delete(stale, true)
+    }
     val (buckets, keys) = bucketSpecOf(spark, tableName)
     val files = dataFileCount(spark, tableName)
     if (files <= maxFilesPerBucket.toLong * buckets) return false
     val oldPath = tablePath(spark, tableName)
     val newPath = toPath.getOrElse(
       oldPath.stripSuffix("/") + s"-compact-${System.nanoTime()}")
-    val tmp = tableName + "_compacting"
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    val oldP = new org.apache.hadoop.fs.Path(oldPath)
+    val fs = oldP.getFileSystem(hadoopConf)
+    require(fs.makeQualified(new org.apache.hadoop.fs.Path(newPath)) !=
+        fs.makeQualified(oldP),
+      s"toPath must differ from the table's current location ($oldPath): " +
+        "compacting in place would delete the fresh files with the old")
     if (keys == Seq("content_hash"))
       compactExact(spark, tableName, tmp, newPath, buckets)
     else
       compactMinhash(spark, tableName, tmp, newPath, buckets)
     spark.sql(s"DROP TABLE $tableName")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
-    val old = new org.apache.hadoop.fs.Path(oldPath)
-    val fs = old.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(old, true)
+    fs.delete(oldP, true)
     true
   }
 

@@ -196,6 +196,64 @@ object ProductQuant {
     d
   }
 
+  // ------------------------------------------------------------------
+  // OPQ-style rotated PQ: variance-balanced PCA rotation, then PQ
+  // ------------------------------------------------------------------
+
+  /** Rotated-PQ model: an orthonormal PCA rotation with
+    * eigenvalue-balanced subspace allocation ([[Pca.balancedForPq]] —
+    * Ge et al.'s "natural" OPQ baseline), plus a [[PqModel]] trained in
+    * the rotated space. Encode/search ONLY through the pair: codes of a
+    * rotated model are meaningless against raw vectors. */
+  final case class OpqModel(rotation: Pca.PcaModel, pq: PqModel) {
+    require(rotation.components.length == pq.m * pq.dsub,
+      s"OpqModel: rotation spans ${rotation.components.length} dims, " +
+        s"PQ expects ${pq.m * pq.dsub}")
+  }
+
+  private def rotated(df: DataFrame, idCol: String, vecCol: String,
+      rotation: Pca.PcaModel): DataFrame =
+    Pca.transform(df, idCol, vecCol, rotation,
+      k = rotation.components.length, outCol = "_rot", ordered = false)
+
+  /**
+   * OPQ wiring in one call: [[Pca.fit]] → [[Pca.balancedForPq]] →
+   * [[Pca.transform]] → [[train]] in the rotated space. PQ quantizes
+   * each subspace independently, so correlated dims concentrated in a
+   * few raw coordinates waste codebook entropy; rotating to
+   * decorrelated coordinates and dealing eigenvalues round-robin
+   * across the m subspaces balances per-subspace variance — lower
+   * distortion for the same (m, ksub) bit budget on correlated
+   * embeddings. Costs one extra corpus pass per training round (the
+   * rotation projection); the PCA fit itself is one shuffle-free pass +
+   * a driver-side O(d^3) eigendecomposition.
+   */
+  def trainRotated(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      ksub: Int, iters: Int, sampleN: Int = 4096,
+      pcaScale: Int = 1000): OpqModel = {
+    val rotation = Pca.balancedForPq(Pca.fit(df, vecCol, pcaScale), m)
+    OpqModel(rotation,
+      train(rotated(df, idCol, vecCol, rotation), idCol, "_rot", m, ksub,
+        iters, sampleN))
+  }
+
+  /** [[encode]] through the model's rotation: rotate, then code. Same
+    * output shape as [[encode]]; same no-shuffle scale shape (the
+    * rotation is a broadcast-model typed pass). */
+  def encodeRotated(df: DataFrame, idCol: String, vecCol: String,
+      model: OpqModel, ordered: Boolean = true): DataFrame =
+    encode(rotated(df, idCol, vecCol, model.rotation), idCol, "_rot",
+      model.pq, ordered)
+
+  /** [[distortion]] in the rotated space — the objective
+    * [[trainRotated]] minimizes. The rotation is orthonormal, so this
+    * is comparable to an unrotated model's distortion on the same
+    * corpus (rotations preserve L2). */
+  def distortionRotated(df: DataFrame, idCol: String, vecCol: String,
+      model: OpqModel): Long =
+    distortion(rotated(df, idCol, vecCol, model.rotation), idCol, "_rot",
+      model.pq)
+
   /**
    * ADC top-k: for each query, the k corpus vectors with the smallest
    * asymmetric squared L2 distance (query vs corpus RECONSTRUCTION),

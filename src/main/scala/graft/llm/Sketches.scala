@@ -185,9 +185,15 @@ object Hll {
     * dyadic 2^(-rho) terms is exact in doubles, so the estimate is
     * deterministic under any collection order. */
   def estimate(registers: DataFrame, m: Int): Double = {
-    // select by NAME: a reordered projection (e.g. a sketchByGroup
-    // table) must error here, not silently read the wrong column
+    // select by NAME so a reordered projection reads the right column;
+    // then bound the register count — a sketchByGroup table ALSO has a
+    // max_rho column, and pooling its registers across groups would
+    // make presentCnt exceed m (negative zeros term), a silent nonsense
+    // estimate instead of an error
     val rhos = registers.select(col("max_rho")).collect().map(_.getLong(0)).sorted
+    require(rhos.length <= m,
+      s"${rhos.length} registers for m=$m — is this a per-group " +
+        "(sketchByGroup) table? Use estimateByGroup for those")
     // ascending-rho sum == descending-term sum: exact anyway (dyadics)
     estimateScalar(m, rhos.map(r => math.pow(2.0, -r.toDouble)).sum, rhos.length.toLong)
   }

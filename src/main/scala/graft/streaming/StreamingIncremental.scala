@@ -1,8 +1,9 @@
 package graft.streaming
 
-import graft.llm.TextOps
-import org.apache.spark.sql.DataFrame
+import graft.llm.{IncrementalDedup, IndexStore, TextOps}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 /**
  * Streaming incremental dedup against a PERSISTED index: every arriving
@@ -49,4 +50,64 @@ object StreamingIncremental {
         when(col("_hist").isNotNull, lit("dup_of_history"))
           .otherwise(lit("new")).as("status"),
         col("_hist").as("dup_of"))
+
+  /**
+   * The MAINTAINING sink: classify each micro-batch against the
+   * bucketed [[graft.llm.IndexStore]] exact-index table, hand the
+   * classified batch to `onBatch`, append the batch's accepted keepers
+   * back into the table, and run [[graft.llm.IndexStore.maintain]] on a
+   * batch-count cadence — the full closed loop [[classify]] leaves
+   * open (its static index never learns).
+   *
+   * foreachBatch rather than a stream-static join because the loop
+   * MUTATES the static side: each batch is classified with the full
+   * batch-level [[graft.llm.IncrementalDedup.classify]] (so in-batch
+   * duplicates get the `dup_in_batch` tier the stateless join can't
+   * give), then `status = new` keepers are appended O(batch) via
+   * [[graft.llm.IndexStore.appendExactKeepers]], so batch N+1's join
+   * sees batch N's keepers through the table. The table is re-resolved
+   * from the catalog EVERY batch — maintain() swaps the table's
+   * location, and a held DataFrame would go stale.
+   *
+   * REPLAY-IDEMPOTENT for the index: foreachBatch re-delivers a batch
+   * after a failure, but a replayed batch finds its own keepers already
+   * in the table, classifies them `dup_of_history`, and appends ZERO
+   * rows — the index converges to the same contents regardless of
+   * replays. (The `onBatch` output of a replayed batch labels those
+   * rows `dup_of_history` rather than `new`/`dup_in_batch`, with
+   * `dup_of` = the first delivery's identical keeper ids — downstream
+   * sinks that must not observe the relabel should dedup on doc_id.)
+   *
+   * The classified batch is eagerly localCheckpoint'ed before anything
+   * consumes it: classify must run exactly once, BEFORE the append
+   * starts adding files to the very table it reads.
+   *
+   * Caller sets checkpointLocation/trigger on the returned writer and
+   * `.start()`s it. Maintenance runs inline in the micro-batch (the
+   * single-writer discipline maintain's swap requires).
+   *
+   * @param maintainEvery     run maintain() after every N batches
+   *                          (0 disables); cadence counts batches seen
+   *                          by THIS writer instance, not batchId, so
+   *                          restarts don't skip maintenance windows
+   * @param maxFilesPerBucket forwarded to maintain()'s probe
+   */
+  def sinkExact(stream: DataFrame, idCol: String, textCol: String,
+      tableName: String, onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      maintainEvery: Long = 100,
+      maxFilesPerBucket: Int = 16): DataStreamWriter[Row] = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val classified = IncrementalDedup.classify(
+        batch, IndexStore.exactIndex(spark, tableName), idCol, textCol)
+        .localCheckpoint(true)
+      onBatch(classified, batchId)
+      IndexStore.appendExactKeepers(classified, tableName)
+      if (maintainEvery > 0 && batches.incrementAndGet() % maintainEvery == 0) {
+        IndexStore.maintain(spark, tableName, maxFilesPerBucket)
+        ()
+      }
+    }
+  }
 }

@@ -39,6 +39,22 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(JsonStr.parseFlatNumberMap(d).contains("vq1_scan_filter"))
   }
 
+  test("job floor: floored ratio subtracts one floor per matched batch row; sweeps land in details") {
+    val line = Bench.compactLine(timings, Some(oracle), Seq(3.5), Nil, "/sf",
+      floorSweeps = Seq(0.2, 0.1))
+    assert(line.contains(""""job_floor":0.100""")) // min across sweeps
+    // (1.5 - 0.1 * 2 matched batch rows) / 0.5 oracle seconds
+    assert(line.contains(""""batch_vs_oracle_floored":2.600"""))
+    assert(line.contains(""""batch_vs_oracle":3.000"""), "raw ratio must survive unchanged")
+    val d = Bench.detailsJson(timings, Some(oracle), Seq(3.5), Nil, "/sf",
+      floorSweeps = Seq(0.2, 0.1))
+    assert(d.contains(""""job_floor_sweeps":[0.200,0.100]"""))
+    assert(d.contains(""""job_floor":0.100"""))
+    // floorless calls emit neither field (back-compat with old artifacts)
+    assert(!Bench.compactLine(timings, Some(oracle), Seq(3.5), Nil, "/sf")
+      .contains("job_floor"))
+  }
+
   test("oracle passes merge per-query min; one-sided passes survive") {
     val a = Map("q1" -> 1.0, "q2" -> 5.0)
     val b = Map("q1" -> 2.0, "q3" -> 0.5)

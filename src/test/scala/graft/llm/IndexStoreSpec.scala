@@ -169,6 +169,55 @@ class IndexStoreSpec extends AnyFunSuite {
       t => s2.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("maintain law: crash recovery — half-finished swaps are completed, stale attempts cleaned, in-place compaction refused") {
+    val s2 = planSession(buckets = 8)
+    val d = s2.read.parquet(s"$dir/documents.parquet")
+    val tbl = "graft_idx_recover"
+    val tmp = tbl + "_compacting"
+    try {
+      val index = IncrementalDedup.buildIndex(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      IndexStore.saveExact(index, tbl, tmpPath(tbl), buckets = 8)
+      // one append pushes files past 1/bucket so maintain(max=1) would
+      // actually compact — the in-place guard must fire before it does
+      IndexStore.appendExactKeepers(
+        IncrementalDedup.classify(
+          d.filter(col("doc_id") % 2 === 1)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")),
+          IndexStore.exactIndex(s2, tbl), "doc_id", "text")
+          .localCheckpoint(true), tbl)
+      val rows = sortedRows(IndexStore.exactIndex(s2, tbl))
+      // in-place compaction refused: toPath == current location would
+      // delete the fresh files with the old after the swap
+      val loc = s2.sessionState.catalog.getTableMetadata(
+        s2.sessionState.sqlParser.parseTableIdentifier(tbl)).location.getPath
+      val e = intercept[IllegalArgumentException] {
+        IndexStore.maintain(s2, tbl, maxFilesPerBucket = 1, Some(loc))
+      }
+      assert(e.getMessage.contains("must differ"))
+      // crash BEFORE the DROP: a stale _compacting table sits alongside
+      // the live one — maintain discards it, files included, and the
+      // live table wins
+      val stalePath = tmpPath(tbl + "_stale")
+      IndexStore.compactExact(s2, tbl, tmp, stalePath, buckets = 8)
+      assert(!IndexStore.maintain(s2, tbl, maxFilesPerBucket = 100),
+        "below threshold after recovery must be a no-op probe")
+      assert(!s2.catalog.tableExists(tmp), "stale _compacting must be dropped")
+      assert(!new java.io.File(stalePath).exists ||
+        new java.io.File(stalePath).listFiles().isEmpty,
+        "stale attempt's orphaned files must be deleted")
+      assert(sortedRows(IndexStore.exactIndex(s2, tbl)) == rows)
+      // crash BETWEEN DROP and RENAME: only _compacting survives —
+      // maintain completes the rename and reports the compaction done
+      IndexStore.compactExact(s2, tbl, tmp, tmpPath(tbl + "_v2"), buckets = 8)
+      s2.sql(s"DROP TABLE $tbl")
+      assert(IndexStore.maintain(s2, tbl, maxFilesPerBucket = 1))
+      assert(s2.catalog.tableExists(tbl) && !s2.catalog.tableExists(tmp))
+      assert(sortedRows(IndexStore.exactIndex(s2, tbl)) == rows,
+        "recovered table must carry the compacted contents")
+    } finally Seq(tbl, tmp).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("maintain law: minhash dispatch carries the sketch properties through the swap") {
     val s2 = planSession(buckets = 8)
     val d = s2.read.parquet(s"$dir/documents.parquet")

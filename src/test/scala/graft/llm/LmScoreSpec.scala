@@ -45,33 +45,55 @@ class LmScoreSpec extends AnyFunSuite {
   }
 
   test("composition is LAZY: building a score plan runs zero Spark jobs") {
+    // Count ONLY this test's jobs: sbt runs suites in parallel on one
+    // SparkContext, so a global job counter races with whatever another
+    // suite submits. setJobGroup is thread-local — every job this
+    // thread's actions submit carries the group id in its properties,
+    // and nothing else does.
+    val group = s"lmscore-lazy-${java.util.UUID.randomUUID()}"
     @volatile var jobs = 0
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id")) jobs += 1
     }
     lm.count() // materialize the lazy vals outside the counted window
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "LmScore laziness law")
     try {
-      // sentinel actions bracket the composition: the listener bus is
-      // FIFO, so by the time a sentinel's job-start lands, every job
-      // submitted before it has landed too — the count between the two
-      // baselines is exactly what the composition ran
-      def sentinel(expectAtLeast: Int): Int = {
-        spark.range(1).count()
+      // The listener bus is async, so after an action returns its
+      // JobStart may not have landed yet; only THIS thread submits
+      // tagged jobs, so polling until the tagged count stays still
+      // drains everything outstanding.
+      def settled(): Int = {
         val deadline = System.nanoTime() + 30_000_000_000L
-        while (jobs < expectAtLeast && System.nanoTime() < deadline) Thread.sleep(10)
+        var last = -1
+        var stableSince = System.nanoTime()
+        while (System.nanoTime() < deadline &&
+            (jobs != last || System.nanoTime() - stableSince < 500_000_000L)) {
+          if (jobs != last) { last = jobs; stableSince = System.nanoTime() }
+          Thread.sleep(10)
+        }
         jobs
       }
-      val n0 = sentinel(1)
+      def sentinel(): Int = { spark.range(1).count(); settled() }
+      // a count() is not necessarily one job (AQE can submit extra),
+      // so MEASURE the sentinel's own cost with an empty window first
+      val j1 = sentinel()
+      val sentinelCost = sentinel() - j1
+      val before = jobs
       val uni = LmScore.unigramLogProb(docs, "doc_id", "text", lm, ordered = false)
       val bi = LmScore.bigramLogProb(docs, "doc_id", "text", lm,
         LmScore.bigramCounts(docs, "text", ordered = false), ordered = false)
       assert(uni.schema.fieldNames.toSeq == Seq("doc_id", "n_tokens", "logprob"))
       assert(bi.schema.fieldNames.toSeq == Seq("doc_id", "n_tokens", "logprob"))
-      val n1 = sentinel(n0 + 1)
-      assert(n1 == n0 + 1, s"composing LmScore plans ran ${n1 - n0 - 1} Spark job(s)")
-    } finally spark.sparkContext.removeSparkListener(listener)
+      val after = sentinel()
+      assert(after - before == sentinelCost,
+        s"composing LmScore plans ran ${after - before - sentinelCost} Spark job(s)")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   test("token-free docs score exactly 0.0 with n_tokens 0") {

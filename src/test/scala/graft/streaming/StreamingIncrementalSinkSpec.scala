@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.llm.{IncrementalDedup, IndexStore}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/**
+ * The closed-loop streaming index: [[StreamingIncremental.sinkExact]]
+ * classifies each micro-batch against the bucketed
+ * [[graft.llm.IndexStore]] table, appends accepted keepers, and runs
+ * maintenance on cadence.
+ *
+ *  - LEARNING: batch 2 sees batch 1's keepers THROUGH THE TABLE —
+ *    content first seen in batch 1 classifies `dup_of_history` in
+ *    batch 2, with `dup_of` = batch 1's keeper.
+ *  - MAINTENANCE: on the configured cadence, the append-grown table is
+ *    compacted back to ≤ one file per bucket under the same name, with
+ *    identical contents.
+ *  - REPLAY CONVERGENCE: re-delivering already-indexed data appends
+ *    ZERO rows — the index contents are replay-invariant.
+ */
+class StreamingIncrementalSinkSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def indexRows(tbl: String): Set[(String, Long)] = {
+    // the appends happen in the stream's CLONED session; this outer
+    // session's relation cache holds a stale file listing for the
+    // table — refresh is the standard cross-session-reader contract
+    spark.catalog.refreshTable(tbl)
+    IndexStore.exactIndex(spark, tbl).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+  }
+
+  test("sinkExact: batches learn through the table, maintenance compacts on cadence, replays append nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val tbl = "graft_stream_sink_idx"
+    try {
+      IndexStore.saveExact(
+        IncrementalDedup.buildIndex(
+          Seq((10L, "history A")).toDF("doc_id", "text"), "doc_id", "text"),
+        tbl,
+        Files.createTempDirectory("graft_sink_idx").resolve(tbl).toString,
+        // ONE bucket so the tiny per-batch appends (1 file each) cross
+        // maintain's files-per-bucket threshold inside two batches
+        buckets = 1)
+
+      val out = scala.collection.mutable.Map[Long, (String, Any)]()
+      def onBatch(classified: DataFrame, batchId: Long): Unit =
+        out.synchronized {
+          classified.collect().foreach(r => out(r.getLong(0)) =
+            (r.getString(2), if (r.isNullAt(3)) null else r.getLong(3)))
+        }
+
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingIncremental.sinkExact(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", tbl,
+        onBatch, maintainEvery = 2, maxFilesPerBucket = 1)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_sink_chk").toString)
+        .start()
+
+      // batch 1: a history dup, and duplicated fresh content (keeper 2)
+      input.addData((1L, "history A"), (2L, "fresh X"), (3L, "fresh X"))
+      q.processAllAvailable()
+      assert(out.toMap == Map(
+        1L -> (("dup_of_history", 10L)),
+        2L -> (("new", null)),
+        3L -> (("dup_in_batch", 2L))))
+      assert(indexRows(tbl) == Set(
+        md5hex("history A") -> 10L, md5hex("fresh X") -> 2L),
+        "batch 1's keeper must be appended to the table")
+
+      // batch 2: batch 1's fresh content is now HISTORY via the table
+      input.addData((4L, "fresh X"), (5L, "fresh Y"))
+      q.processAllAvailable()
+      assert(out(4L) == (("dup_of_history", 2L)),
+        "batch 2 must see batch 1's keeper through the table")
+      assert(out(5L) == (("new", null)))
+      val converged = Set(md5hex("history A") -> 10L,
+        md5hex("fresh X") -> 2L, md5hex("fresh Y") -> 5L)
+      assert(indexRows(tbl) == converged)
+      // cadence hit at batch 2 with maxFilesPerBucket=1: initial save +
+      // two appends = 3 files in the single bucket, over threshold, so
+      // maintain compacted back to ONE file — without it the count
+      // would still be 3
+      assert(IndexStore.dataFileCount(spark, tbl) == 1,
+        "maintenance must compact the append-grown table on cadence")
+      q.stop()
+
+      // replay: a NEW query (fresh checkpoint) re-delivers already-
+      // indexed content — classified as history, zero rows appended
+      val replay = MemoryStream[(Long, String)]
+      val q2 = StreamingIncremental.sinkExact(
+        replay.toDF().toDF("doc_id", "text"), "doc_id", "text", tbl,
+        onBatch, maintainEvery = 0)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_sink_chk2").toString)
+        .start()
+      replay.addData((2L, "fresh X"), (3L, "fresh X"), (5L, "fresh Y"))
+      q2.processAllAvailable()
+      assert(indexRows(tbl) == converged,
+        "replaying indexed content must append nothing")
+      assert(out(2L) == (("dup_of_history", 2L)) &&
+        out(5L) == (("dup_of_history", 5L)),
+        "replayed rows resolve to their own original keeper ids")
+      q2.stop()
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+}
