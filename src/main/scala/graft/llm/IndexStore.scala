@@ -195,6 +195,55 @@ object IndexStore {
   }
 
   // ------------------------------------------------------------------
+  // IVF-PQ coded index: (id, codes, list), PARTITIONED by list
+  // ------------------------------------------------------------------
+
+  /** Parameters stamped so a probe with a drifted model fails fast —
+    * codes against the wrong codebooks are silent garbage distances. */
+  private def ivfProps(nlist: Int, m: Int) = Seq(
+    "graft.nlist" -> nlist.toString, "graft.m" -> m.toString)
+
+  /**
+   * Persist a [[ProductQuant.buildCodedIndex]] result PARTITIONED BY
+   * the coarse cell (`list`): a probe-limited search then reads ONLY
+   * the probed cells' directories — Catalyst turns the `list IN (...)`
+   * prefilter into a partition filter, so an nprobe-of-nlist probe
+   * reads ~nprobe/nlist of the index bytes. That is the on-disk
+   * analogue of IVF's candidate cut, and the difference between a
+   * billion-vector index being a full scan per query batch or a few
+   * directories. Unlike the dedup indexes (bucketed by a JOIN key —
+   * the classify is an equi-join), the IVF probe is a SCAN-and-score,
+   * so directory pruning, not bucketing, is the right physical layout.
+   */
+  def saveCoded(coded: DataFrame, tableName: String, path: String,
+      nlist: Int, m: Int): Unit = {
+    val spark = coded.sparkSession
+    coded.write.partitionBy("list")
+      .option("path", path).mode("overwrite").format("parquet")
+      .saveAsTable(tableName)
+    val props = ivfProps(nlist, m)
+      .map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
+    spark.sql(s"ALTER TABLE $tableName SET TBLPROPERTIES ($props)")
+  }
+
+  /** The cell-partitioned coded index, parameter-checked against the
+    * stamped (nlist, m), ready for [[ProductQuant.ivfAdcTopKPruned]].
+    * `REPAIR TABLE` first: partition directories written by an external
+    * process (or restored from a snapshot) register lazily. */
+  def codedIndex(spark: SparkSession, tableName: String,
+      nlist: Int, m: Int): DataFrame = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    ivfProps(nlist, m).foreach { case (k, expected) =>
+      props.get(k).foreach(actual => require(actual == expected,
+        s"$tableName was built with $k=$actual, but this call expects " +
+          s"$expected — rebuild the index or pass the parameters it was " +
+          "built with"))
+    }
+    spark.table(tableName)
+  }
+
+  // ------------------------------------------------------------------
   // Maintenance: files-per-bucket probe + compact + name swap
   // ------------------------------------------------------------------
 

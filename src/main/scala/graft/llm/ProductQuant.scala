@@ -488,6 +488,40 @@ object ProductQuant {
       .transform(Presented(_, ordered, "qid", "rnk"))
   }
 
+  /** The union of the queries' `nprobe` nearest coarse cells — the
+    * cell set a probed search touches, computed driver-side on the
+    * |Q|-bounded query set (the same per-query probe sets
+    * [[ivfAdcTopK]] recomputes; sorted for determinism). */
+  def ivfProbedCells(queries: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Long]], nprobe: Int): Array[Int] = {
+    require(nprobe >= 1, s"ivfProbedCells: nprobe >= 1, got $nprobe")
+    Similarity.prepTyped(queries, idCol, "qid", vecCol)
+      .filter(col("_v").isNotNull)
+      .collect()
+      .flatMap(r => Ivf.nearestN(r.getSeq[Long](1).toArray, centroids, nprobe))
+      .distinct.sorted
+  }
+
+  /**
+   * [[ivfAdcTopK]] over a CELL-PARTITIONED persisted coded index
+   * ([[IndexStore.saveCoded]]): the probed-cell set is computed
+   * driver-side and applied as a `list IN (...)` prefilter, which
+   * Catalyst resolves into a PARTITION filter on the scan — only the
+   * probed cells' directories are listed and read, ~nprobe/nlist of
+   * the index bytes (pinned in the spec: the scan's selected partition
+   * count equals the probed-cell count). Results are EXACTLY
+   * [[ivfAdcTopK]]'s on the same index: the in-scan cell→queries map
+   * already ignores unprobed cells row-wise, so the prefilter changes
+   * bytes read, never candidates scored.
+   */
+  def ivfAdcTopKPruned(coded: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Long]], model: PqModel, k: Int,
+      nprobe: Int, ordered: Boolean = true): DataFrame = {
+    val cells = ivfProbedCells(queries, idCol, vecCol, centroids, nprobe)
+    ivfAdcTopK(coded.filter(col("list").isin(cells.map(Int.box).toSeq: _*)),
+      queries, idCol, vecCol, centroids, model, k, nprobe, ordered)
+  }
+
   /**
    * ADC shortlist + exact re-rank (the FAISS "refine" pattern): take
    * the top `k * refine` ADC candidates per query, then score ONLY

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.llm.{IncrementalDedup, IndexStore, TextOps}
+import graft.llm.{IncrementalDedup, IncrementalMinHash, IndexStore, TextOps}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -104,6 +104,48 @@ object StreamingIncremental {
         .localCheckpoint(true)
       onBatch(classified, batchId)
       IndexStore.appendExactKeepers(classified, tableName)
+      if (maintainEvery > 0 && batches.incrementAndGet() % maintainEvery == 0) {
+        IndexStore.maintain(spark, tableName, maxFilesPerBucket)
+        ()
+      }
+    }
+  }
+
+  /**
+   * The near-dup sibling of [[sinkExact]]: classify each micro-batch
+   * against the bucketed MinHash band-index table
+   * ([[graft.llm.IncrementalMinHash.classifyBanded]] — candidates by
+   * band-key equality, verified by the signature-match estimate),
+   * append the accepted docs' banded sketch rows O(batch), and run
+   * maintenance on cadence. Sketch parameters must match the table's
+   * stamped properties — drift fails fast before any job runs
+   * (the [[graft.llm.IndexStore.minhashIndex]] guard).
+   *
+   * Replay convergence holds here too: a re-delivered accepted doc
+   * finds its own banded sketch in the table (all bands equal, match
+   * count = numHashes ≥ minMatch), classifies `dup_of_history`, and
+   * appends nothing. The per-batch sketch cache classifyBanded persists
+   * is scoped to the batch and released once the classified result is
+   * checkpointed — a long-running stream holds no cross-batch cache.
+   */
+  def sinkMinhash(stream: DataFrame, idCol: String, textCol: String,
+      tableName: String, onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      shingleN: Int = 3, numHashes: Int = 9, bands: Int = 3, minMatch: Int = 5,
+      maintainEvery: Long = 100,
+      maxFilesPerBucket: Int = 16): DataStreamWriter[Row] = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val scope = new graft.CacheScope
+      try {
+        val classified = IncrementalMinHash.classifyBanded(batch,
+          IndexStore.minhashIndex(spark, tableName, shingleN, numHashes, bands),
+          idCol, textCol, shingleN, numHashes, bands, minMatch, scope)
+          .localCheckpoint(true)
+        onBatch(classified, batchId)
+        IndexStore.appendMinhashAccepted(batch, classified, idCol, textCol,
+          tableName, shingleN, numHashes, bands)
+      } finally scope.release()
       if (maintainEvery > 0 && batches.incrementAndGet() % maintainEvery == 0) {
         IndexStore.maintain(spark, tableName, maxFilesPerBucket)
         ()

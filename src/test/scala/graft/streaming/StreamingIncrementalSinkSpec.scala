@@ -116,4 +116,81 @@ class StreamingIncrementalSinkSpec extends AnyFunSuite {
       q2.stop()
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("sinkMinhash: batches learn near-dups through the band index, maintenance compacts, replays append nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val tbl = "graft_stream_sink_mh"
+    val histText = "the quick brown fox jumps over the lazy dog again"
+    val freshText = "completely different words fill this other document entirely today"
+    val thirdText = "yet another unrelated body of text with its own shingles"
+    try {
+      IndexStore.saveMinhash(
+        graft.llm.IncrementalMinHash.buildIndex(
+          Seq((10L, histText)).toDF("doc_id", "text"), "doc_id", "text"),
+        tbl,
+        Files.createTempDirectory("graft_sink_mh").resolve(tbl).toString,
+        buckets = 1)
+
+      val out = scala.collection.mutable.Map[Long, (String, Long)]()
+      def onBatch(classified: DataFrame, batchId: Long): Unit =
+        out.synchronized {
+          classified.collect().foreach(r =>
+            out(r.getLong(0)) = (r.getString(1), r.getLong(2)))
+        }
+      def keepers(): Set[Long] = {
+        spark.catalog.refreshTable(tbl)
+        IndexStore.minhashIndex(spark, tbl).select("keep_id").distinct()
+          .collect().map(_.getLong(0)).toSet
+      }
+
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingIncremental.sinkMinhash(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", tbl,
+        onBatch, maintainEvery = 2, maxFilesPerBucket = 1)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_sink_mh_chk").toString)
+        .start()
+
+      // batch 1: an exact sketch-dup of history + genuinely new content
+      input.addData((1L, histText), (2L, freshText))
+      q.processAllAvailable()
+      assert(out(1L) == (("dup_of_history", 10L)))
+      assert(out(2L) == (("new", -1L)))
+      assert(keepers() == Set(10L, 2L),
+        "batch 1's accepted doc must be appended to the band index")
+
+      // batch 2: batch 1's fresh content is now history via the table
+      input.addData((3L, freshText), (4L, thirdText))
+      q.processAllAvailable()
+      assert(out(3L) == (("dup_of_history", 2L)),
+        "batch 2 must see batch 1's keeper through the table")
+      assert(out(4L) == (("new", -1L)))
+      assert(keepers() == Set(10L, 2L, 4L))
+      // cadence hit at batch 2: 3 appends-worth of files in the single
+      // bucket compact back to one
+      assert(IndexStore.dataFileCount(spark, tbl) == 1,
+        "maintenance must compact the append-grown band index on cadence")
+      q.stop()
+
+      // replay: an accepted doc re-delivered matches its own sketch
+      val replay = MemoryStream[(Long, String)]
+      val q2 = StreamingIncremental.sinkMinhash(
+        replay.toDF().toDF("doc_id", "text"), "doc_id", "text", tbl,
+        onBatch, maintainEvery = 0)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_sink_mh_chk2").toString)
+        .start()
+      replay.addData((2L, freshText))
+      q2.processAllAvailable()
+      assert(out(2L) == (("dup_of_history", 2L)),
+        "a replayed accepted doc resolves to its own keeper id")
+      assert(keepers() == Set(10L, 2L, 4L),
+        "replaying indexed content must append nothing")
+      assert(IndexStore.dataFileCount(spark, tbl) == 1)
+      q2.stop()
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
