@@ -96,10 +96,32 @@ object Bench {
       if (oracleEnabled) timeOracle(names.toSet, sfDir) else None
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      runOnce(fn, sfDir)
-      (System.nanoTime() - t0) / 1e9
+    // Per-query Spark JOB counts, via job-group tagging (the listener
+    // is async; counts are read once at the end, after the bus drains).
+    // A 0.4 s query that runs 4 jobs is floor-bound, not slow — the
+    // jobs map lets the per-query ratio review tell the two apart.
+    // Streaming rows under-count (micro-batch jobs run on scheduler
+    // threads outside the group) — their wall time is replay machinery
+    // anyway.
+    val jobCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val timedRuns = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = if (js.properties == null) null
+          else js.properties.getProperty("spark.jobGroup.id")
+        if (g != null && g.startsWith("graft-bench:"))
+          jobCounts.merge(g.stripPrefix("graft-bench:"), 1L, _ + _)
+      }
+    })
+    def timed(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      spark.sparkContext.setJobGroup(s"graft-bench:$name", name)
+      try {
+        timedRuns.merge(name, 1L, _ + _)
+        val t0 = System.nanoTime()
+        runOnce(fn, sfDir)
+        (System.nanoTime() - t0) / 1e9
+      } finally spark.sparkContext.clearJobGroup()
     }
     def attempt(name: String)(body: => Unit): Unit =
       try body catch {
@@ -143,7 +165,7 @@ object Bench {
           runOnce(SparkEntry.queries(name), warmDir) // warmup, untimed
           (1 to reps).foreach { rep =>
             timings(if (rep == 1) name else s"$name#$rep") =
-              timed(SparkEntry.queries(name))
+              timed(name, SparkEntry.queries(name))
           }
         }
       }
@@ -157,7 +179,7 @@ object Bench {
         var total = 0.0
         names.foreach { name =>
           if (!failed.contains(name)) attempt(name) {
-            val t = timed(SparkEntry.queries(name))
+            val t = timed(name, SparkEntry.queries(name))
             total += t
             timings(name) = timings.get(name).fold(t)(math.min(_, t))
           }
@@ -197,9 +219,29 @@ object Bench {
     val cwd = sys.props.getOrElse("user.dir", ".")
     val detailsPath = sys.env.getOrElse("SPARK_GRAFT_DETAILS",
       cwd + "/bench_details.json")
+    // drain the async listener bus before reading the job counts: poll
+    // until the tagged total stops moving (all timed actions returned
+    // long ago; only event delivery lags)
+    val queryJobs: Map[String, Double] = {
+      def total = jobCounts.values().stream().mapToLong(l => l).sum()
+      var last = total
+      var stableMs = 0
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (stableMs < 1000 && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        val t = total
+        stableMs = if (t == last) stableMs + 50 else 0
+        last = t
+      }
+      import scala.jdk.CollectionConverters._
+      jobCounts.asScala.flatMap { case (name, jobs) =>
+        Option(timedRuns.get(name)).filter(_ > 0)
+          .map(runs => name -> jobs.toDouble / runs)
+      }.toMap
+    }
     val details =
       detailsJson(timings, oracle, sweepTotals.toSeq, failed.toSeq, sfDir,
-        floorSweeps.toSeq) + "\n"
+        floorSweeps.toSeq, queryJobs) + "\n"
     val detailsWritten =
       try {
         java.nio.file.Files.writeString(java.nio.file.Paths.get(detailsPath), details)
@@ -216,8 +258,11 @@ object Bench {
     // exists because the inference is cwd-dependent: a run launched
     // outside the repo root, or rerun before the driver commits the
     // round's BENCH file, would compute the wrong round and silently
-    // overwrite a previous round's archive.
-    try {
+    // overwrite a previous round's archive. Dev-aid runs (SPARK_GRAFT_ONLY
+    // subsets, REPS profiling) never archive: a 2-query profiling run
+    // inferring the current round would clobber the full sweep's archive
+    // (it did, round 15).
+    if (only.isEmpty && reps == 1) try {
       import scala.jdk.CollectionConverters._
       val benchR = """BENCH_r(\d+)\.json""".r
       val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
@@ -337,13 +382,17 @@ object Bench {
       sweepTotals: Seq[Double],
       failed: Seq[String],
       sfDir: String,
-      floorSweeps: Seq[Double] = Nil): String = {
+      floorSweeps: Seq[Double] = Nil,
+      queryJobs: scala.collection.Map[String, Double] = Map.empty): String = {
     val detailsOracle = oracle.fold("")(o => s""","oracle_queries":${obj(o)}""")
     val sweeps = sweepTotals.map(num).mkString("[", ",", "]")
     val floors =
       if (floorSweeps.isEmpty) ""
       else floorSweeps.map(num).mkString(""","job_floor_sweeps":[""", ",", "]") +
         s""","job_floor":${num(floorSweeps.min)}"""
+    val jobs =
+      if (queryJobs.isEmpty) ""
+      else s""","query_jobs":${obj(scala.collection.immutable.SortedMap.from(queryJobs))}"""
     val batches = {
       import scala.jdk.CollectionConverters._
       val m = PipelineQueries.StreamingBatchCounts.asScala
@@ -352,7 +401,7 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(""","streaming_batches":{""", ",", "}")
     }
-    s"""{"queries":${obj(timings)}$detailsOracle$batches,"sweep_totals":$sweeps$floors,"failed":${arr(failed)},"sf":"$sfDir"}"""
+    s"""{"queries":${obj(timings)}$detailsOracle$batches$jobs,"sweep_totals":$sweeps$floors,"failed":${arr(failed)},"sf":"$sfDir"}"""
   }
 
   /** Runs tools/oracle_bench.py (DuckDB, min-of-2) over the oracle SQL for

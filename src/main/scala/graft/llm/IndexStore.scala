@@ -287,11 +287,22 @@ object IndexStore {
     * completes the interrupted RENAME before probing; a stale tmp
     * alongside a live table (crash before the DROP) is dropped AND its
     * now-orphaned external files are deleted, so retries never leak
-    * directories. */
+    * directories.
+    *
+    * REBUCKETING: `rebucketTo` rewrites the swap with a DIFFERENT
+    * bucket count — the escape hatch for an index that outgrew the
+    * count chosen at creation (rows per bucket no longer fit a task).
+    * A rebucket is forced even below the file threshold (the point is
+    * the layout, not the files). Classify plans against the rebucketed
+    * table stay exchange-free on the index side; re-align
+    * `spark.sql.shuffle.partitions` with the new count to keep the
+    * batch side co-partitioned too. */
   def maintain(spark: SparkSession, tableName: String,
-      maxFilesPerBucket: Int = 16, toPath: Option[String] = None): Boolean = {
+      maxFilesPerBucket: Int = 16, toPath: Option[String] = None,
+      rebucketTo: Option[Int] = None): Boolean = {
     require(maxFilesPerBucket > 0,
       s"maxFilesPerBucket must be positive, got $maxFilesPerBucket")
+    rebucketTo.foreach(b => require(b > 0, s"rebucketTo must be positive, got $b"))
     val tmp = tableName + "_compacting"
     val hadoopConf = spark.sessionState.newHadoopConf()
     if (spark.catalog.tableExists(tmp)) {
@@ -309,7 +320,9 @@ object IndexStore {
     }
     val (buckets, keys) = bucketSpecOf(spark, tableName)
     val files = dataFileCount(spark, tableName)
-    if (files <= maxFilesPerBucket.toLong * buckets) return false
+    val rebucket = rebucketTo.exists(_ != buckets)
+    if (!rebucket && files <= maxFilesPerBucket.toLong * buckets) return false
+    val newBuckets = rebucketTo.getOrElse(buckets)
     val oldPath = tablePath(spark, tableName)
     val newPath = toPath.getOrElse(
       oldPath.stripSuffix("/") + s"-compact-${System.nanoTime()}")
@@ -320,9 +333,9 @@ object IndexStore {
       s"toPath must differ from the table's current location ($oldPath): " +
         "compacting in place would delete the fresh files with the old")
     if (keys == Seq("content_hash"))
-      compactExact(spark, tableName, tmp, newPath, buckets)
+      compactExact(spark, tableName, tmp, newPath, newBuckets)
     else
-      compactMinhash(spark, tableName, tmp, newPath, buckets)
+      compactMinhash(spark, tableName, tmp, newPath, newBuckets)
     spark.sql(s"DROP TABLE $tableName")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
     fs.delete(oldP, true)

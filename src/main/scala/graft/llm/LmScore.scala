@@ -152,15 +152,22 @@ object LmScore {
       Seq("ctx", "word"), "left", saltBuckets)
     val term: Column => Column = s => {
       val unigram = (s.getField("u") + lit(1L)).cast("double") / denom
-      when(s.getField("c").isNull, log(unigram))
+      when(s.getField("f"), log(unigram))
         .when(s.getField("b").isNotNull && s.getField("p").isNotNull &&
           s.getField("p") > 0L,
           log(s.getField("b").cast("double") / s.getField("p").cast("double")))
         .otherwise(log(lit(alpha) * unigram))
     }
+    // the fold struct carries ONLY what term() reads: `_pos` (unique
+    // per doc, so it alone fixes the sort_array order — bit-identical
+    // summation) plus the three counts and a first-position flag. The
+    // ctx/word STRINGS stay out of the per-doc collect_list shuffle —
+    // they were ~half its bytes and term() never read them beyond
+    // ctx IS NULL
     val scored = withBi
-      .select(col("_id"), struct(col("_pos").as("x"), col("ctx").as("c"),
-        col("word").as("w"), col("_bcnt").as("b"), col("_pcnt").as("p"),
+      .select(col("_id"), struct(col("_pos").as("x"),
+        col("ctx").isNull.as("f"),
+        col("_bcnt").as("b"), col("_pcnt").as("p"),
         coalesce(col("_ccnt"), lit(0L)).as("u")).as("_s"))
       .groupBy("_id").agg(sort_array(collect_list(col("_s"))).as("_ws"))
       .crossJoin(broadcast(lmStats))

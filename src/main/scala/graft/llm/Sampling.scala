@@ -224,6 +224,11 @@ object Sampling {
     val need = least(lit(k.toLong), col("_tk_cnt"))
     val thr = when(lit(safety * k) >= col("_tk_cnt"), lit(1L << 32))
       .otherwise((lit(safety * k * 4294967296.0) / col("_tk_cnt")).cast("long"))
+    // NOT persisted, deliberately: the survivor set feeds several plan
+    // branches and a cache looks tempting, but a measured A/B at sf0.1
+    // (min-of-3) showed persist-overhead costing MORE than the repeated
+    // prefilter scans it saves; callers at true corpus scale can cache
+    // `df` themselves if the input scan dominates.
     val survivors = base
       .join(broadcast(counts), col(strataCol) <=> col("_tk_st"))
       .filter(u32 < thr)

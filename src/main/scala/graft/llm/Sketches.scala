@@ -23,9 +23,15 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object CountMin {
 
+  /** Row j's bucket: a 32-bit window of an md5. One digest yields FOUR
+    * independent 32-bit words, so rows share a digest in groups of 4
+    * (row j reads window j%4 of digest j/4) — for the standard depth 4
+    * that is ONE md5 per item instead of four, and Catalyst's
+    * subexpression elimination evaluates the shared digest once across
+    * the exploded row structs. */
   private def bucket(item: Column, j: Int, width: Int, salt: String): Column =
-    conv(substring(md5(concat(lit(s"$salt:$j:"), item.cast("string")).cast("binary")),
-      1, 8), 16, 10).cast("long") % width
+    conv(substring(md5(concat(lit(s"$salt:${j / 4}:"), item.cast("string")).cast("binary")),
+      1 + 8 * (j % 4), 8), 16, 10).cast("long") % width
 
   /** Build the sketch: one (row, bucket, cnt) output row per non-empty
     * counter (absent counters are zero — the SQL GROUP BY shape). Null
@@ -45,12 +51,15 @@ object CountMin {
   /** Driver-side point-query view of a collected sketch. */
   final case class Sketch(depth: Int, width: Int, salt: String,
       counters: Map[(Long, Long), Long]) {
-    /** Estimated frequency: min over rows — always >= the true count. */
+    /** Estimated frequency: min over rows — always >= the true count.
+      * Mirrors [[CountMin.bucket]]'s window-of-a-shared-digest layout. */
     def estimate(item: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
       (0 until depth).map { j =>
+        val off = 8 * (j % 4)
         val b = java.lang.Long.parseLong(
-          TextOps.md5HexJvm(md, s"$salt:$j:$item").substring(0, 8), 16) % width
+          TextOps.md5HexJvm(md, s"$salt:${j / 4}:$item")
+            .substring(off, off + 8), 16) % width
         counters.getOrElse((j.toLong, b), 0L)
       }.min
     }

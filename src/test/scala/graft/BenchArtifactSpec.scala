@@ -55,6 +55,14 @@ class BenchArtifactSpec extends AnyFunSuite {
       .contains("job_floor"))
   }
 
+  test("details carries per-query job counts when measured; omits the field when not") {
+    val d = Bench.detailsJson(timings, Some(oracle), Seq(3.5), Nil, "/sf",
+      queryJobs = Map("vq1_scan_filter" -> 3.0, "vq14_dup_identifiers" -> 1.5))
+    assert(d.contains(""""query_jobs":{"vq14_dup_identifiers":1.500,"vq1_scan_filter":3.000}"""))
+    assert(!Bench.detailsJson(timings, Some(oracle), Seq(3.5), Nil, "/sf")
+      .contains("query_jobs"))
+  }
+
   test("oracle passes merge per-query min; one-sided passes survive") {
     val a = Map("q1" -> 1.0, "q2" -> 5.0)
     val b = Map("q1" -> 2.0, "q3" -> 0.5)

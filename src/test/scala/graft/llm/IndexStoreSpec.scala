@@ -218,6 +218,42 @@ class IndexStoreSpec extends AnyFunSuite {
     } finally Seq(tbl, tmp).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("maintain law: rebucketTo rewrites the swap at a new bucket count — contents identical, exchange-free at the new count") {
+    val s2 = planSession(buckets = 8)
+    val d = s2.read.parquet(s"$dir/documents.parquet")
+    val tbl = "graft_idx_rebucket"
+    try {
+      IndexStore.saveExact(
+        IncrementalDedup.buildIndex(d.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text"),
+        tbl, tmpPath(tbl), buckets = 8)
+      val rows = sortedRows(IndexStore.exactIndex(s2, tbl))
+      // same count requested below the file threshold: plain no-op
+      assert(!IndexStore.maintain(s2, tbl, maxFilesPerBucket = 100,
+        rebucketTo = Some(8)))
+      // a DIFFERENT count forces the rewrite even below the threshold
+      assert(IndexStore.maintain(s2, tbl, maxFilesPerBucket = 100,
+        Some(tmpPath(tbl + "_v2")), rebucketTo = Some(16)))
+      val spec = s2.sessionState.catalog.getTableMetadata(
+        s2.sessionState.sqlParser.parseTableIdentifier(tbl)).bucketSpec.get
+      assert(spec.numBuckets == 16, s"bucket count must be rewritten: $spec")
+      assert(sortedRows(IndexStore.exactIndex(s2, tbl)) == rows,
+        "rebucketing must never change contents")
+      assert(IndexStore.dataFileCount(s2, tbl) <= 16, "one file per bucket")
+      // the rebucketed table still joins exchange-free when the session
+      // shuffles at the NEW count
+      val s3 = planSession(buckets = 16)
+      val next = s3.read.parquet(s"$dir/documents.parquet")
+        .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+      val plan = IncrementalDedup.classify(
+        next, IndexStore.exactIndex(s3, tbl), "doc_id", "text")
+        .queryExecution.executedPlan
+      assert(exchangesAboveIndexScan(plan).isEmpty,
+        s"rebucketed index re-shuffles:\n$plan")
+    } finally Seq(tbl, tbl + "_compacting").foreach(
+      t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("maintain law: minhash dispatch carries the sketch properties through the swap") {
     val s2 = planSession(buckets = 8)
     val d = s2.read.parquet(s"$dir/documents.parquet")
