@@ -1,0 +1,103 @@
+package graft.llm
+
+import graft.Presented
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Keyword retrieval over the corpus — BM25 scoring (Robertson et al.,
+ * Okapi BM25, in the non-negative `ln(1 + (N-df+0.5)/(df+0.5))` idf
+ * form Lucene uses) for corpus audit: "which documents best match this
+ * probe query" is the lexical sibling of [[Similarity.cosineTopK]]'s
+ * embedding search, and the standard way to pull contamination /
+ * memorization suspects for a known probe string when no embedding
+ * column exists.
+ *
+ * Scale shape: the query's term set is list-sized and rides the plan as
+ * literals; one explode restricted to query terms (codegen'd `isin` on
+ * the scan side — the corpus never shuffles full text), one
+ * (doc, term) count aggregate, a broadcast join against the
+ * terms-bounded document-frequency table, and a per-doc fold over
+ * term-sorted structs (bit-deterministic double summation). Corpus
+ * scalars (N, avgdl) ride as a broadcast one-row aggregate — scoring
+ * composes lazily, the [[LmScore]] discipline. Matching is
+ * case-folded on both sides (`lower`), whitespace tokens, the
+ * [[graft.llm.TextOps.tokens]] convention.
+ */
+object Retrieval {
+
+  /**
+   * Per-document BM25 scores for `terms`: (idCol, matched, score), one
+   * row per document containing at least one query term; `matched` =
+   * distinct query terms present. score = Σ_t idf(t) · tf(t,d)·(k1+1)
+   * / (tf(t,d) + k1·(1 − b + b·|d|/avgdl)), idf = ln(1 + (N − df +
+   * 0.5)/(df + 0.5)) — non-negative, so more matched terms never score
+   * below fewer. Oracle-pinned (pq86) under ROUND(…, 4).
+   */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      ordered: Boolean = true): DataFrame = {
+    require(terms.nonEmpty, "bm25Scores: need at least one query term")
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"bm25Scores: k1 >= 0 and b in [0, 1]; got k1=$k1 b=$b")
+    val termsLc = terms.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty).distinct
+    require(termsLc.nonEmpty, "bm25Scores: terms are all empty/blank")
+    val toks = filter(TextOps.tokens(col(textCol)), w => w =!= "")
+    val docs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"), size(toks).cast("long").as("_len"),
+        explode(toks).as("_w0"))
+      .select(col("_id"), col("_len"), lower(col("_w0")).as("_w"))
+    val hits = docs.filter(col("_w").isin(termsLc: _*))
+    // corpus scalars (N docs, average length) as a broadcast one-row
+    // aggregate: composition stays lazy, nothing collects
+    val stats = df.filter(col(textCol).isNotNull)
+      .select(size(toks).cast("long").as("_l"))
+      .agg(count(lit(1)).as("_n"),
+        coalesce(avg(col("_l")), lit(0.0)).as("_avg"))
+    val tf = hits.groupBy("_id", "_len", "_w").agg(count(lit(1)).as("_tf"))
+    val dft = hits.select("_id", "_w").distinct()
+      .groupBy("_w").agg(count(lit(1)).as("_df"))
+    val term: Column => Column = s => {
+      val idf = log(lit(1.0) +
+        (col("_n").cast("double") - s.getField("d") + lit(0.5)) /
+          (s.getField("d") + lit(0.5)))
+      val tfn = s.getField("t").cast("double") * lit(k1 + 1.0) /
+        (s.getField("t").cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("_len").cast("double") / col("_avg")))
+      idf * tfn
+    }
+    tf.join(broadcast(dft), Seq("_w"))
+      .select(col("_id"), col("_len"),
+        struct(col("_w").as("w"), col("_tf").as("t"),
+          col("_df").cast("double").as("d")).as("_s"))
+      // term-sorted fold: the double sum never depends on partitioning
+      .groupBy("_id", "_len")
+      .agg(sort_array(collect_list(col("_s"))).as("_ws"),
+        count(lit(1)).as("matched"))
+      .crossJoin(broadcast(stats))
+      .select(col("_id").as(idCol), col("matched"),
+        aggregate(col("_ws"), lit(0.0), (acc, s) => acc + term(s)).as("score"))
+      .transform(Presented(_, ordered, idCol))
+  }
+
+  /**
+   * Top-k retrieval: the `k` highest-scoring documents for `terms`,
+   * ties to the lower id. `orderBy(...).limit(k)` executes as
+   * TakeOrderedAndProject — per-partition bounded heaps, only
+   * partitions·k rows move (the [[Similarity.cosineTopK]] discipline);
+   * equal to [[bm25Scores]] sorted head-k by construction (golden law).
+   * Output adds `rnk` (1-based).
+   */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bm25TopK: k >= 1, got $k")
+    val scored = bm25Scores(df, idCol, textCol, terms, k1, b, ordered = false)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+    scored.select(
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col(idCol).asc))).cast("long").as("rnk"),
+      col(idCol), col("matched"), col("score"))
+  }
+}
