@@ -254,6 +254,19 @@ object ProductQuant {
     distortion(rotated(df, idCol, vecCol, model.rotation), idCol, "_rot",
       model.pq)
 
+  /** [[adcTopK]] under the model's rotation: BOTH sides rotate (codes
+    * of a rotated model are meaningless against raw queries), then the
+    * usual coded-corpus LUT scan. The rotation is orthonormal, so the
+    * rotated ADC distance estimates the ORIGINAL-space squared L2 up
+    * to the (reduced) quantization distortion — rankings are
+    * rotation-faithful, which is the entire point of OPQ search. */
+  def adcTopKRotated(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, model: OpqModel, k: Int,
+      ordered: Boolean = true): DataFrame =
+    adcTopK(rotated(corpus, idCol, vecCol, model.rotation),
+      rotated(queries, idCol, vecCol, model.rotation),
+      idCol, "_rot", model.pq, k, ordered)
+
   /**
    * ADC top-k: for each query, the k corpus vectors with the smallest
    * asymmetric squared L2 distance (query vs corpus RECONSTRUCTION),

@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.Presented
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -159,6 +160,53 @@ object Sampling {
         .otherwise(lit(0.0)))
       .withColumn("capped", col("_want") > col("n_tokens"))
       .drop("_want")
+  }
+
+  /**
+   * Temperature-scaled mixture — [[mixtureRates]] with the target
+   * shares DERIVED from the observed sizes instead of hand-written:
+   * `share_s = tokens_s^alpha / Σ_t tokens_t^alpha` (the multilingual
+   * sampling standard, mC4/mT5's exponent-smoothed mixing). alpha = 1
+   * reproduces the natural proportions; alpha → 0 flattens toward
+   * uniform, boosting small strata at the big strata's expense —
+   * pick ~0.3–0.7 to keep low-resource sources from vanishing.
+   *
+   * Same one-aggregate scale shape as [[mixtureRates]]; the share
+   * normalizer Σ tokens^alpha is evaluated as a SORTED strata-sized
+   * fold (stratum-ordered), so the double sum — and with it every rate
+   * — is bit-identical under any partitioning. Output: (stratum,
+   * n_tokens, share, rate, capped), shares and rates rounded to 6
+   * (the cross-engine pow/round discipline: values, never
+   * membership). A null stratum mixes as its own group, the
+   * [[topKPerStratum]] convention.
+   */
+  def temperatureMixtureRates(df: DataFrame, strataCol: String,
+      tokensCol: String, alpha: Double, budgetTokens: Long,
+      ordered: Boolean = true): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val counts = df.groupBy(col(strataCol).as("stratum"))
+      .agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L)).as("n_tokens"))
+    // Σ n^alpha as a broadcast one-row aggregate over a SORTED fold:
+    // summing 20 doubles in partition order would make the last ulp —
+    // and a rounding boundary with it — depend on layout
+    val z = counts
+      .select(struct(col("stratum"), col("n_tokens")).as("_s"))
+      .agg(sort_array(collect_list(col("_s"))).as("_cs"))
+      .select(aggregate(col("_cs"), lit(0.0),
+        (acc, s) => acc +
+          pow(s.getField("n_tokens").cast("double"), lit(alpha))).as("_z"))
+    val rawShare = pow(col("n_tokens").cast("double"), lit(alpha)) / col("_z")
+    val want = rawShare * budgetTokens
+    counts.crossJoin(broadcast(z))
+      .withColumn("share", round(rawShare, 6))
+      .withColumn("rate",
+        when(col("n_tokens") > 0,
+          round(least(lit(1.0), want / col("n_tokens")), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("capped", want > col("n_tokens"))
+      .drop("_z")
+      .transform(Presented(_, ordered, "stratum"))
   }
 
   /**

@@ -70,6 +70,23 @@ class OpqSpec extends AnyFunSuite {
       s"balanced rotation must cut distortion here: rotated $dRot vs plain $dPlain")
   }
 
+  test("search law: adcTopKRotated == adcTopK on the manually rotated frames") {
+    val opq = ProductQuant.trainRotated(correlated, "vec_id", "embedding",
+      m = 4, ksub = 4, iters = 2)
+    val rot = Pca.transform(correlated, "vec_id", "embedding", opq.rotation,
+      k = opq.rotation.components.length, outCol = "_rot", ordered = false)
+    val queries = correlated.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+    val qRot = Pca.transform(queries, "vec_id", "embedding", opq.rotation,
+      k = opq.rotation.components.length, outCol = "_rot", ordered = false)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toVector).toSeq.sortBy(_.mkString("|"))
+    assert(rows(ProductQuant.adcTopKRotated(correlated, queries, "vec_id",
+      "embedding", opq, k = 3, ordered = false)) ==
+      rows(ProductQuant.adcTopK(rot, qRot, "vec_id", "_rot", opq.pq,
+        k = 3, ordered = false)),
+      "rotated search must be exactly search-on-rotated")
+  }
+
   test("guard: rotation/PQ dimensionality mismatch refuses construction") {
     val opq = ProductQuant.trainRotated(correlated, "vec_id", "embedding",
       m = 4, ksub = 2, iters = 1)

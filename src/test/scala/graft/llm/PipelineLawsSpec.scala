@@ -151,6 +151,41 @@ class PipelineLawsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("sum"))
   }
 
+  test("law: temperatureMixtureRates — alpha=1 is proportional, lower alpha boosts small strata, shares partition the unit") {
+    val df = Seq(
+      ("web", 9000L), ("books", 900L), ("code", 100L)
+    ).toDF("source", "n_tokens")
+    def shares(alpha: Double): Map[String, Double] =
+      Sampling.temperatureMixtureRates(df, "source", "n_tokens",
+        alpha, budgetTokens = 1000L, ordered = false)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val s1 = shares(1.0)
+    // alpha = 1: the natural proportions (ROUND(6) exact here)
+    assert(s1 == Map("web" -> 0.9, "books" -> 0.09, "code" -> 0.01))
+    val s05 = shares(0.5)
+    // exponent smoothing: every small stratum gains, the big one pays
+    assert(s05("code") > s1("code") && s05("books") > s1("books"))
+    assert(s05("web") < s1("web"))
+    // shares partition the unit (up to the 6-digit rounding)
+    assert(math.abs(s05.values.sum - 1.0) < 1e-5)
+    // rate law: uncapped rate == share * budget / n (alpha = 1 exact)
+    val rates = Sampling.temperatureMixtureRates(df, "source", "n_tokens",
+      1.0, budgetTokens = 1000L, ordered = false)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(rates("web") == ((0.1, false)) && rates("books") == ((0.1, false)))
+    assert(rates("code") == ((0.1, false)))
+    // deterministic across partitionings (sorted normalizer fold)
+    val a = Sampling.temperatureMixtureRates(df.repartition(1), "source",
+      "n_tokens", 0.5, 1000L, ordered = false).collect().map(_.toSeq).toSet
+    val b = Sampling.temperatureMixtureRates(df.repartition(7), "source",
+      "n_tokens", 0.5, 1000L, ordered = false).collect().map(_.toSeq).toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixtureRates(df, "source", "n_tokens", 0.0, 1000L)
+    }
+  }
+
   test("law: redactPii is idempotent and a second pass finds nothing") {
     val contaminated = corpus.map { case (i, t) =>
       (i, if (i % 3 == 0) s"$t x$i@h$i.com 555-123-4567 1.2.3.$i" else t)
