@@ -151,6 +151,12 @@ class ScaleSpec extends AnyFunSuite {
       constructionJobs("MinHashNearDup")(MinHashNearDup(d, "doc_id", "text"))
       constructionJobs("SimHashSignatures")(SimHashSignatures(d, "doc_id", "text"))
       constructionJobs("SimHashNearDup")(SimHashNearDup(d, "doc_id", "text"))
+      // both ride their corpus scalars (N/avgdl, the share normalizer)
+      // as broadcast one-row aggregates — nothing collects at build
+      constructionJobs("bm25Scores")(Retrieval.bm25Scores(
+        d, "doc_id", "text", Seq("scan", "merge")))
+      constructionJobs("temperatureMixtureRates")(
+        Sampling.temperatureMixtureRates(d, "source", "n_chars", 0.5, 1000L))
       // the SRP-bucketed ops sniff the embedding DIMENSION via a
       // limit(1) probe — O(1) rows regardless of corpus size; pin that
       // the construction cost stays a few bounded jobs, never a scan
