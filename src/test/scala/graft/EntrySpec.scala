@@ -17,10 +17,10 @@ class EntrySpec extends AnyFunSuite {
   }
 
   test("every declared query has oracle SQL (or is explicitly exempt)") {
-    // rows-only by design: the GK sketch's value pick is
-    // algorithm-defined, not SQL-expressible (law-pinned vs the exact
-    // form in ApproxPercentileSpec instead)
-    val exempt = Set("pq16b_percentiles_approx")
+    // the exemption mechanism stays for future rows-only queries;
+    // currently every query — pq16b included (quantile_disc is exact
+    // at fixture group sizes) — carries an oracle
+    val exempt = Set.empty[String]
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"queries without oracle: $missing")
     assert(exempt.subsetOf(SparkEntry.queries.keySet),
