@@ -43,9 +43,16 @@ object LmScore {
     val lmStats = lm.agg(
       coalesce(sum("cnt"), lit(0L)).as("_lm_t"), count(lit(1)).as("_lm_v"))
     val denom = (col("_lm_t") + col("_lm_v")).cast("double")
+    // explode_OUTER keeps token-free docs (null/empty text) as a single
+    // null-word row, so every document flows through the ONE keyed
+    // aggregate — the alternative is a corpus-sized spine left-join at
+    // the end just to restore them (what this operator shipped until
+    // round 15). Null words never match the salted LM join and
+    // contribute exactly nothing to either fold, so scores are
+    // bit-identical to the joined form.
     val words = docs
       .select(col(idCol).as("_id"),
-        explode(filter(TextOps.tokens(col(textCol)), w => w =!= "")).as("word"))
+        explode_outer(filter(TextOps.tokens(col(textCol)), w => w =!= "")).as("word"))
       .groupBy("_id", "word").agg(count(lit(1)).as("_occ"))
     val joined = SkewJoin.saltedJoin(
       words, lm.select(col("word"), col("cnt").as("_cnt")),
@@ -53,25 +60,22 @@ object LmScore {
     // deterministic per-doc fold: sorted (word, occ, cnt) structs summed
     // in word order, so the double total never depends on partitioning
     val term: Column => Column = s =>
-      s.getField("o").cast("double") *
-        log((s.getField("c") + lit(1L)).cast("double") / denom)
-    val scored = joined
+      when(s.getField("w").isNull, lit(0.0))
+        .otherwise(s.getField("o").cast("double") *
+          log((s.getField("c") + lit(1L)).cast("double") / denom))
+    joined
       .select(col("_id"), struct(col("word").as("w"), col("_occ").as("o"),
         coalesce(col("_cnt"), lit(0L)).as("c")).as("_s"))
       .groupBy("_id").agg(sort_array(collect_list(col("_s"))).as("_ws"))
       .crossJoin(broadcast(lmStats))
       .select(col("_id"),
-        aggregate(col("_ws"), lit(0L), (acc, s) => acc + s.getField("o")).as("n_tokens"),
+        aggregate(col("_ws"), lit(0L), (acc, s) =>
+          acc + when(s.getField("w").isNull, lit(0L))
+            .otherwise(s.getField("o"))).as("n_tokens"),
         aggregate(col("_ws"), lit(0.0), (acc, s) => acc + term(s)).as("_lpsum"))
-      .select(col("_id"), col("n_tokens"),
-        (col("_lpsum") / col("n_tokens")).as("logprob"))
-    // docs with no tokens (null/empty text) never reach the fold: they
-    // score exactly 0.0 with n_tokens 0
-    docs.select(col(idCol))
-      .join(scored, col(idCol) === col("_id"), "left")
-      .select(col(idCol),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("logprob"), lit(0.0)).as("logprob"))
+      .select(col("_id").as(idCol), col("n_tokens"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(col("_lpsum") / col("n_tokens")).as("logprob"))
       .transform(Presented(_, ordered, idCol))
   }
 
@@ -138,9 +142,13 @@ object LmScore {
     val lmStats = uni.agg(
       coalesce(sum("cnt"), lit(0L)).as("_lm_t"), count(lit(1)).as("_lm_v"))
     val denom = (col("_lm_t") + col("_lm_v")).cast("double")
+    // posexplode_OUTER: token-free docs survive as one (null pos, null
+    // word) row and the trailing corpus-sized spine join disappears —
+    // see [[unigramLogProb]]; null words match neither LM join and the
+    // folds skip null-pos structs, so scores are bit-identical
     val positioned = docs
       .select(col(idCol).as("_id"),
-        posexplode(filter(TextOps.tokens(col(textCol)), w => w =!= "")).as(Seq("_pos", "word")))
+        posexplode_outer(filter(TextOps.tokens(col(textCol)), w => w =!= "")).as(Seq("_pos", "word")))
     val withUni = SkewJoin.saltedJoin(positioned,
       uni.select(col("word"), col("cnt").as("_ccnt")), Seq("word"), "left", saltBuckets)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("_id").orderBy("_pos")
@@ -152,7 +160,8 @@ object LmScore {
       Seq("ctx", "word"), "left", saltBuckets)
     val term: Column => Column = s => {
       val unigram = (s.getField("u") + lit(1L)).cast("double") / denom
-      when(s.getField("f"), log(unigram))
+      when(s.getField("x").isNull, lit(0.0)) // token-free doc's null row
+        .when(s.getField("f"), log(unigram))
         .when(s.getField("b").isNotNull && s.getField("p").isNotNull &&
           s.getField("p") > 0L,
           log(s.getField("b").cast("double") / s.getField("p").cast("double")))
@@ -164,7 +173,7 @@ object LmScore {
     // ctx/word STRINGS stay out of the per-doc collect_list shuffle —
     // they were ~half its bytes and term() never read them beyond
     // ctx IS NULL
-    val scored = withBi
+    withBi
       .select(col("_id"), struct(col("_pos").as("x"),
         col("ctx").isNull.as("f"),
         col("_bcnt").as("b"), col("_pcnt").as("p"),
@@ -172,15 +181,13 @@ object LmScore {
       .groupBy("_id").agg(sort_array(collect_list(col("_s"))).as("_ws"))
       .crossJoin(broadcast(lmStats))
       .select(col("_id"),
-        size(col("_ws")).cast("bigint").as("n_tokens"),
+        aggregate(col("_ws"), lit(0L), (acc, s) =>
+          acc + when(s.getField("x").isNull, lit(0L)).otherwise(lit(1L)))
+          .as("n_tokens"),
         aggregate(col("_ws"), lit(0.0), (acc, s) => acc + term(s)).as("_lpsum"))
-      .select(col("_id"), col("n_tokens"),
-        (col("_lpsum") / col("n_tokens")).as("logprob"))
-    docs.select(col(idCol))
-      .join(scored, col(idCol) === col("_id"), "left")
-      .select(col(idCol),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("logprob"), lit(0.0)).as("logprob"))
+      .select(col("_id").as(idCol), col("n_tokens"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(col("_lpsum") / col("n_tokens")).as("logprob"))
       .transform(Presented(_, ordered, idCol))
   }
 }
