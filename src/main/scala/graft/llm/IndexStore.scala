@@ -228,10 +228,15 @@ object IndexStore {
 
   /** The cell-partitioned coded index, parameter-checked against the
     * stamped (nlist, m), ready for [[ProductQuant.ivfAdcTopKPruned]].
-    * `REPAIR TABLE` first: partition directories written by an external
-    * process (or restored from a snapshot) register lazily. */
+    * Pass `repair = true` after partition directories were written by
+    * an external process or restored from a snapshot — it runs
+    * `recoverPartitions` (MSCK REPAIR) so those cells register; without
+    * it an unregistered cell is silently invisible to the pruned scan
+    * (wrong, incomplete top-k — not an error). [[saveCoded]]'s own
+    * writes always register, so the default skips the listing cost. */
   def codedIndex(spark: SparkSession, tableName: String,
-      nlist: Int, m: Int): DataFrame = {
+      nlist: Int, m: Int, repair: Boolean = false): DataFrame = {
+    if (repair) spark.catalog.recoverPartitions(tableName)
     val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     ivfProps(nlist, m).foreach { case (k, expected) =>
@@ -305,33 +310,51 @@ object IndexStore {
     rebucketTo.foreach(b => require(b > 0, s"rebucketTo must be positive, got $b"))
     val tmp = tableName + "_compacting"
     val hadoopConf = spark.sessionState.newHadoopConf()
+    var recovered = false
     if (spark.catalog.tableExists(tmp)) {
       if (!spark.catalog.tableExists(tableName)) {
         // crashed between DROP and RENAME: the compacted data is
-        // complete — finish the swap and report the compaction done
+        // complete — finish the swap. Do NOT return yet: the recovered
+        // table carries the PRIOR attempt's bucket count, so a
+        // rebucketTo in THIS call still needs its own rewrite below
+        // (returning early would report a rebucket that never happened)
         spark.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
-        return true
+        recovered = true
+      } else {
+        // crashed before the DROP: the live table is authoritative;
+        // discard the stale attempt, files included
+        val stale = new org.apache.hadoop.fs.Path(tablePath(spark, tmp))
+        spark.sql(s"DROP TABLE $tmp")
+        stale.getFileSystem(hadoopConf).delete(stale, true)
       }
-      // crashed before the DROP: the live table is authoritative;
-      // discard the stale attempt, files included
-      val stale = new org.apache.hadoop.fs.Path(tablePath(spark, tmp))
-      spark.sql(s"DROP TABLE $tmp")
-      stale.getFileSystem(hadoopConf).delete(stale, true)
     }
     val (buckets, keys) = bucketSpecOf(spark, tableName)
     val files = dataFileCount(spark, tableName)
     val rebucket = rebucketTo.exists(_ != buckets)
-    if (!rebucket && files <= maxFilesPerBucket.toLong * buckets) return false
+    if (!rebucket && files <= maxFilesPerBucket.toLong * buckets) return recovered
     val newBuckets = rebucketTo.getOrElse(buckets)
     val oldPath = tablePath(spark, tableName)
+    // strip any previous "-compact-<n>" suffix before stamping a new
+    // one: a long-running maintenance loop (the streaming sinks) would
+    // otherwise COMPOUND suffixes each round until the path component
+    // passes the filesystem's 255-byte name limit and the compact
+    // write dies mid-swap
     val newPath = toPath.getOrElse(
-      oldPath.stripSuffix("/") + s"-compact-${System.nanoTime()}")
+      oldPath.stripSuffix("/").replaceAll("-compact-\\d+$", "") +
+        s"-compact-${System.nanoTime()}")
     val oldP = new org.apache.hadoop.fs.Path(oldPath)
     val fs = oldP.getFileSystem(hadoopConf)
-    require(fs.makeQualified(new org.apache.hadoop.fs.Path(newPath)) !=
-        fs.makeQualified(oldP),
-      s"toPath must differ from the table's current location ($oldPath): " +
-        "compacting in place would delete the fresh files with the old")
+    // reject equal AND nested locations, both directions: a toPath
+    // UNDER the table's location would be deleted with the old files
+    // after the swap; the table's location under toPath would be
+    // destroyed by the overwrite-mode write while still being read
+    val oldQ = fs.makeQualified(oldP).toString.stripSuffix("/")
+    val newQ = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(newPath)).toString.stripSuffix("/")
+    require(oldQ != newQ && !newQ.startsWith(oldQ + "/") &&
+        !oldQ.startsWith(newQ + "/"),
+      s"toPath ($newQ) must not equal or nest with the table's current " +
+        s"location ($oldQ): one side's files would be deleted with the other's")
     if (keys == Seq("content_hash"))
       compactExact(spark, tableName, tmp, newPath, newBuckets)
     else

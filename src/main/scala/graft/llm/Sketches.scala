@@ -194,15 +194,19 @@ object Hll {
     * dyadic 2^(-rho) terms is exact in doubles, so the estimate is
     * deterministic under any collection order. */
   def estimate(registers: DataFrame, m: Int): Double = {
-    // select by NAME so a reordered projection reads the right column;
-    // then bound the register count — a sketchByGroup table ALSO has a
-    // max_rho column, and pooling its registers across groups would
-    // make presentCnt exceed m (negative zeros term), a silent nonsense
-    // estimate instead of an error
+    // ONE sketch only: require the exact (register, max_rho) column
+    // set (any order — read by NAME below). A sketchByGroup table also
+    // has max_rho, and pooling its registers across groups is a silent
+    // nonsense estimate; a row-count bound alone misses SPARSE by-group
+    // tables whose total present registers still fit under m
+    require(registers.columns.toSet == Set("register", "max_rho"),
+      s"estimate expects exactly (register, max_rho) columns, got " +
+        s"(${registers.columns.mkString(", ")}) — a per-group " +
+        "(sketchByGroup) table needs estimateByGroup")
     val rhos = registers.select(col("max_rho")).collect().map(_.getLong(0)).sorted
     require(rhos.length <= m,
-      s"${rhos.length} registers for m=$m — is this a per-group " +
-        "(sketchByGroup) table? Use estimateByGroup for those")
+      s"${rhos.length} registers for m=$m — was this sketch built " +
+        "with a different m?")
     // ascending-rho sum == descending-term sum: exact anyway (dyadics)
     estimateScalar(m, rhos.map(r => math.pow(2.0, -r.toDouble)).sum, rhos.length.toLong)
   }

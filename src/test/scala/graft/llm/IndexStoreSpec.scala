@@ -194,7 +194,18 @@ class IndexStoreSpec extends AnyFunSuite {
       val e = intercept[IllegalArgumentException] {
         IndexStore.maintain(s2, tbl, maxFilesPerBucket = 1, Some(loc))
       }
-      assert(e.getMessage.contains("must differ"))
+      assert(e.getMessage.contains("must not equal or nest"))
+      // nested either way is just as destructive: a toPath UNDER the
+      // location dies with the old files; the location under toPath
+      // dies in the overwrite write
+      intercept[IllegalArgumentException] {
+        IndexStore.maintain(s2, tbl, maxFilesPerBucket = 1,
+          Some(loc.stripSuffix("/") + "/nested"))
+      }
+      intercept[IllegalArgumentException] {
+        IndexStore.maintain(s2, tbl, maxFilesPerBucket = 1,
+          Some(new java.io.File(loc).getParent))
+      }
       // crash BEFORE the DROP: a stale _compacting table sits alongside
       // the live one — maintain discards it, files included, and the
       // live table wins

@@ -128,13 +128,22 @@ class SketchesSpec extends AnyFunSuite {
     val w = words(docs)
     val m = 128
     val sk = Hll.sketch(w, "word", m, "t", ordered = false)
-    // a reordered/extended projection must give the identical estimate
+    // a reordered projection must give the identical estimate
     assert(Hll.estimate(sk.select(col("max_rho"), col("register")), m) ==
       Hll.estimate(sk, m))
-    // a table without max_rho must ERROR, never silently mis-estimate
-    assertThrows[org.apache.spark.sql.AnalysisException] {
+    // a table without the exact (register, max_rho) shape must ERROR,
+    // never silently mis-estimate
+    assertThrows[IllegalArgumentException] {
       Hll.estimate(sk.select(col("register"), col("max_rho").as("rho")), m)
     }
+    // a per-group register table must ERROR even when SPARSE (total
+    // present registers under m — the row-count bound alone missed it)
+    val byGroup = Hll.sketchByGroup(
+      words(docs).limit(40), "word", "word", m, "t", ordered = false)
+    val e = intercept[IllegalArgumentException] {
+      Hll.estimate(byGroup, m)
+    }
+    assert(e.getMessage.contains("estimateByGroup"))
   }
 
   test("hll: sketch is partitioning-invariant and m-bounded") {
