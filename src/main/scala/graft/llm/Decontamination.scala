@@ -40,6 +40,48 @@ object Decontamination {
       eval, idCol, textCol, shingleN, ordered)
 
   /**
+   * The per-BENCHMARK rollup of [[containment]] — the number a model
+   * card reports per eval set: (benchmark, n_docs, n_contaminated,
+   * contamination_rate), where a doc counts as contaminated when its
+   * shingle containment in the train corpus reaches `threshold`
+   * (inclusive — the conventional "≥ 80% of n-grams seen in training").
+   * The threshold compares the ROUNDED containment [[containment]]
+   * emits, so the decision is engine-portable (the rounded values are
+   * oracle-pinned; comparing them adds no new float hazard).
+   *
+   * Scale shape: [[containment]]'s plan (the train-side cost dominates;
+   * at corpus scale prefer wiring [[containmentBloom]]'s pre-filter by
+   * passing its output via `perDoc`) plus one eval-sized join to
+   * attach the benchmark label and a benchmark-sized aggregate. A null
+   * benchmark labels its own group rather than disappearing.
+   *
+   * @param perDoc optionally a precomputed per-doc containment frame
+   *               ([[containment]] or [[containmentBloom]] output) —
+   *               lets the 100-TB caller choose the bloom path or
+   *               reuse one scoring pass across thresholds
+   */
+  def contaminationReport(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, benchCol: String, threshold: Double = 0.8,
+      shingleN: Int = 3, perDoc: Option[DataFrame] = None,
+      ordered: Boolean = true): DataFrame = {
+    require(threshold >= 0 && threshold <= 1,
+      s"contaminationReport: threshold in [0, 1], got $threshold")
+    val per = perDoc.getOrElse(
+      containment(train, eval, idCol, textCol, shingleN, ordered = false))
+    per
+      .join(eval.select(col(idCol).as("doc_id"),
+        col(benchCol).cast("string").as("benchmark")).distinct(), Seq("doc_id"))
+      .groupBy("benchmark")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("containment") >= threshold, lit(1)))
+          .as("n_contaminated"))
+      .withColumn("contamination_rate",
+        round(col("n_contaminated").cast("double") / col("n_docs"), 6))
+      .transform(Presented(_, ordered, "benchmark"))
+  }
+
+  /**
    * [[containment]] with a Bloom pre-filter on the train side — the
    * 100-TB form. The plain plan's dominant cost is the train-side
    * DISTINCT: one shuffle of EVERY distinct corpus shingle, though only

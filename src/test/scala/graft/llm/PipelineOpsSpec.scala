@@ -28,6 +28,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.size == 4)
   }
 
+  test("contaminationReport: per-benchmark rollup with inclusive threshold; null benchmark keeps its group; perDoc reuse matches") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta", "mmlu"), // 1.0
+      (11L, "xx yy zz ww vv", "mmlu"),                      // 0.0
+      (12L, "alpha beta gamma delta qq rr", "gsm"),         // 0.5
+      (13L, "one two three four five qq rr", "gsm"),        // 0.5
+      (14L, "one two three four five six seven", null)      // 1.0, null bench
+    ).toDF("doc_id", "text", "benchmark")
+    def got(threshold: Double) =
+      Decontamination.contaminationReport(train, eval, "doc_id", "text",
+        "benchmark", threshold, ordered = false)
+        .collect().map(r => Option(r.getString(0)) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val g = got(0.8)
+    assert(g(Some("mmlu")) == ((2L, 1L, 0.5)))
+    assert(g(Some("gsm")) == ((2L, 0L, 0.0)))
+    assert(g(None) == ((1L, 1L, 1.0)), "null benchmark must keep its own group")
+    // inclusive at the boundary: a doc exactly AT the threshold counts
+    assert(got(0.5)(Some("gsm")) == ((2L, 2L, 1.0)))
+    // a precomputed per-doc frame (the bloom path at scale) is identical
+    val per = Decontamination.containment(train, eval, "doc_id", "text",
+      ordered = false)
+    val viaPerDoc = Decontamination.contaminationReport(train, eval, "doc_id",
+      "text", "benchmark", 0.8, perDoc = Some(per), ordered = false)
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(viaPerDoc == g)
+  }
+
   test("containment counts DISTINCT shingles — repeats in the eval doc don't inflate") {
     val train = Seq((1L, "a b c d")).toDF("doc_id", "text")
     // "a b c" appears twice in the eval text; distinct set = {a b c, b c a, c a b}
