@@ -102,4 +102,20 @@ object DupClusters {
     labelsCk.foreach(scope.track)
     labels
   }
+
+  /**
+   * Cluster-size histogram over an [[apply]] result — the dedup
+   * diagnostics readout: (cluster_size, n_clusters). A fat head
+   * (many size-2 clusters) means near-miss duplicates; a giant single
+   * cluster usually means the pair threshold is too loose (boilerplate
+   * bridging everything) — the first thing to look at before shipping
+   * a dedup pass. Sizes count every member INCLUDING the keeper, so
+   * the minimum size is 2 (singletons never enter the pair graph).
+   * Two keyed aggregates: cluster-keyed (map-side combined), then the
+   * size-keyed rollup over the cluster-sized result.
+   */
+  def sizeHistogram(clusters: DataFrame, ordered: Boolean = true): DataFrame =
+    clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .transform(graft.Presented(_, ordered, "cluster_size"))
 }

@@ -33,6 +33,16 @@ class DupClustersSpec extends AnyFunSuite {
     assert(cycle == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("sizeHistogram: sizes include the keeper; rollup is exact; empty in, empty out") {
+    // components: {1,2,3} size 3, {10,11} size 2, {20,21} size 2
+    val cl = DupClusters(Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("a", "b"), "a", "b")
+    val got = DupClusters.sizeHistogram(cl, ordered = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 1L, 2L -> 2L))
+    assert(DupClusters.sizeHistogram(cl.filter("doc_id < 0")).count() == 0)
+  }
+
   test("empty pair set yields an empty result, no iteration") {
     // a corpus with no near-dups must flow through (the fuzzy stages
     // legitimately emit zero pairs at small scale factors)
