@@ -85,6 +85,27 @@ class IvfIndexSpec extends AnyFunSuite {
         IndexStore.codedIndex(spark, tbl, centroids.length * 2, model.m)
       }
       assert(err.getMessage.contains("nlist"))
+      // repair law: a partition directory written OUTSIDE Spark (the
+      // snapshot-restore scenario) is invisible until repair = true
+      // runs recoverPartitions — without it the pruned scan silently
+      // misses the cell's vectors
+      val loc = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+          .location.toString))
+      val srcDir = loc.listFiles().filter(_.getName.startsWith("list=")).head
+      val extDir = new java.io.File(loc, "list=999")
+      extDir.mkdirs()
+      srcDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(extDir, f.getName).toPath)
+      }
+      val before = IndexStore.codedIndex(spark, tbl, centroids.length, model.m)
+        .filter(col("list") === 999).count()
+      assert(before == 0L, "unregistered external partition must be invisible")
+      val after = IndexStore.codedIndex(spark, tbl, centroids.length, model.m,
+        repair = true).filter(col("list") === 999).count()
+      assert(after > 0L, "repair = true must register the external partition")
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 }
