@@ -91,11 +91,17 @@ object StreamingIncremental {
    *                          by THIS writer instance, not batchId, so
    *                          restarts don't skip maintenance windows
    * @param maxFilesPerBucket forwarded to maintain()'s probe
+   * @param rebucketTo        forwarded to maintain(): set it when the
+   *                          index has outgrown its creation-time
+   *                          bucket count — the FIRST cadence after a
+   *                          (re)start rewrites at the new count, and
+   *                          later cadences are ordinary (maintain's
+   *                          rebucket is a no-op once counts match)
    */
   def sinkExact(stream: DataFrame, idCol: String, textCol: String,
       tableName: String, onBatch: (DataFrame, Long) => Unit = (_, _) => (),
-      maintainEvery: Long = 100,
-      maxFilesPerBucket: Int = 16): DataStreamWriter[Row] = {
+      maintainEvery: Long = 100, maxFilesPerBucket: Int = 16,
+      rebucketTo: Option[Int] = None): DataStreamWriter[Row] = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
@@ -105,7 +111,8 @@ object StreamingIncremental {
       onBatch(classified, batchId)
       IndexStore.appendExactKeepers(classified, tableName)
       if (maintainEvery > 0 && batches.incrementAndGet() % maintainEvery == 0) {
-        IndexStore.maintain(spark, tableName, maxFilesPerBucket)
+        IndexStore.maintain(spark, tableName, maxFilesPerBucket,
+          rebucketTo = rebucketTo)
         ()
       }
     }
@@ -131,8 +138,8 @@ object StreamingIncremental {
   def sinkMinhash(stream: DataFrame, idCol: String, textCol: String,
       tableName: String, onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       shingleN: Int = 3, numHashes: Int = 9, bands: Int = 3, minMatch: Int = 5,
-      maintainEvery: Long = 100,
-      maxFilesPerBucket: Int = 16): DataStreamWriter[Row] = {
+      maintainEvery: Long = 100, maxFilesPerBucket: Int = 16,
+      rebucketTo: Option[Int] = None): DataStreamWriter[Row] = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
@@ -147,7 +154,8 @@ object StreamingIncremental {
           tableName, shingleN, numHashes, bands)
       } finally scope.release()
       if (maintainEvery > 0 && batches.incrementAndGet() % maintainEvery == 0) {
-        IndexStore.maintain(spark, tableName, maxFilesPerBucket)
+        IndexStore.maintain(spark, tableName, maxFilesPerBucket,
+          rebucketTo = rebucketTo)
         ()
       }
     }

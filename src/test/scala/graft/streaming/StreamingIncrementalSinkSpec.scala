@@ -62,9 +62,12 @@ class StreamingIncrementalSinkSpec extends AnyFunSuite {
         }
 
       val input = MemoryStream[(Long, String)]
+      // rebucketTo exercises the outgrown-index path THROUGH the sink:
+      // the cadence's maintain rewrites the 1-bucket table at 2 buckets
       val q = StreamingIncremental.sinkExact(
         input.toDF().toDF("doc_id", "text"), "doc_id", "text", tbl,
-        onBatch, maintainEvery = 2, maxFilesPerBucket = 1)
+        onBatch, maintainEvery = 2, maxFilesPerBucket = 1,
+        rebucketTo = Some(2))
         .option("checkpointLocation",
           Files.createTempDirectory("graft_sink_chk").toString)
         .start()
@@ -91,10 +94,14 @@ class StreamingIncrementalSinkSpec extends AnyFunSuite {
       assert(indexRows(tbl) == converged)
       // cadence hit at batch 2 with maxFilesPerBucket=1: initial save +
       // two appends = 3 files in the single bucket, over threshold, so
-      // maintain compacted back to ONE file — without it the count
-      // would still be 3
-      assert(IndexStore.dataFileCount(spark, tbl) == 1,
+      // maintain compacted — and rebucketTo rewrote the table at TWO
+      // buckets (≤ one file each; without maintain the count stays 3)
+      assert(IndexStore.dataFileCount(spark, tbl) <= 2,
         "maintenance must compact the append-grown table on cadence")
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(tbl)).bucketSpec.get
+      assert(spec.numBuckets == 2,
+        s"the cadence's rebucketTo must rewrite the bucket count: $spec")
       q.stop()
 
       // replay: a NEW query (fresh checkpoint) re-delivers already-
