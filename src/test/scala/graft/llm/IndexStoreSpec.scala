@@ -229,6 +229,42 @@ class IndexStoreSpec extends AnyFunSuite {
     } finally Seq(tbl, tmp).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("maintain law: repeated default-path compactions re-stamp the suffix instead of compounding it") {
+    val s2 = planSession(buckets = 2)
+    val d = s2.read.parquet(s"$dir/documents.parquet")
+    val tbl = "graft_idx_suffix"
+    try {
+      IndexStore.saveExact(
+        IncrementalDedup.buildIndex(d.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text"),
+        tbl, tmpPath(tbl), buckets = 2)
+      def loc(): String = s2.sessionState.catalog.getTableMetadata(
+        s2.sessionState.sqlParser.parseTableIdentifier(tbl)).location.getPath
+      // each call brings CONTENT the index has never seen (suffix the
+      // text with the shift), so every append adds keeper files
+      def appendOnce(shift: Long): Unit = IndexStore.appendExactKeepers(
+        IncrementalDedup.classify(
+          d.filter(col("doc_id") % 2 === 1)
+            .select((col("doc_id") + shift).as("doc_id"),
+              concat(col("text"), lit(s" u$shift")).as("text")),
+          IndexStore.exactIndex(s2, tbl), "doc_id", "text")
+          .localCheckpoint(true), tbl)
+      val base = new java.io.File(loc()).getName
+      appendOnce(100000)
+      assert(IndexStore.maintain(s2, tbl, maxFilesPerBucket = 1))
+      val name1 = new java.io.File(loc()).getName
+      assert(name1.matches(java.util.regex.Pattern.quote(base) + "-compact-\\d+"),
+        s"first compaction must stamp one suffix: $name1")
+      appendOnce(200000)
+      assert(IndexStore.maintain(s2, tbl, maxFilesPerBucket = 1))
+      val name2 = new java.io.File(loc()).getName
+      assert(name2.matches(java.util.regex.Pattern.quote(base) + "-compact-\\d+"),
+        s"repeat compaction must RE-stamp, never compound (a long-running " +
+          s"maintenance loop would outgrow the filesystem name limit): $name2")
+    } finally Seq(tbl, tbl + "_compacting").foreach(
+      t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("maintain law: rebucketTo rewrites the swap at a new bucket count — contents identical, exchange-free at the new count") {
     val s2 = planSession(buckets = 8)
     val d = s2.read.parquet(s"$dir/documents.parquet")
