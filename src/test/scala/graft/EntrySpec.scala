@@ -27,6 +27,17 @@ class EntrySpec extends AnyFunSuite {
       "stale exemption: every exempt name must still be a declared query")
   }
 
+  test("pq53b executes repeatedly in one JVM — the persisted index overwrites, never leaks") {
+    val run = () => SparkEntry.queries("pq53b_ivf_pruned")(
+      TestSpark.spark, "/root/testdata/sf0.001")
+    val first = run().collect()
+    val second = run().collect() // same table/path, overwritten
+    assert(first.nonEmpty && first.length == second.length)
+    // exactly one catalog entry regardless of execution count
+    assert(TestSpark.spark.catalog.listTables().collect()
+      .count(_.name.startsWith("graft_pq53b")) == 1)
+  }
+
   test("Tables.registerAll exposes every testdata table as a view") {
     graft.sources.Tables.registerAll(TestSpark.spark, "/root/testdata/sf0.001")
     val n = TestSpark.spark.sql(
