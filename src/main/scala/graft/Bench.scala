@@ -105,14 +105,15 @@ object Bench {
     // anyway.
     val jobCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     val timedRuns = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    val jobListener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         val g = if (js.properties == null) null
           else js.properties.getProperty("spark.jobGroup.id")
         if (g != null && g.startsWith("graft-bench:"))
           jobCounts.merge(g.stripPrefix("graft-bench:"), 1L, _ + _)
       }
-    })
+    }
+    spark.sparkContext.addSparkListener(jobListener)
     def timed(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       spark.sparkContext.setJobGroup(s"graft-bench:$name", name)
@@ -239,6 +240,9 @@ object Bench {
           .map(runs => name -> jobs.toDouble / runs)
       }.toMap
     }
+    // detach: repeated runs in one JVM would otherwise accumulate stale
+    // listeners on the shared SparkContext bus
+    spark.sparkContext.removeSparkListener(jobListener)
     val details =
       detailsJson(timings, oracle, sweepTotals.toSeq, failed.toSeq, sfDir,
         floorSweeps.toSeq, queryJobs) + "\n"
@@ -385,6 +389,25 @@ object Bench {
       floorSweeps: Seq[Double] = Nil,
       queryJobs: scala.collection.Map[String, Double] = Map.empty): String = {
     val detailsOracle = oracle.fold("")(o => s""","oracle_queries":${obj(o)}""")
+    // Per-query ratios, raw and FLOORED — the floored denominator is
+    // max(oracle, job_floor × jobs): a query that needs J Spark jobs can
+    // never beat J × the scheduling floor, so a sub-millisecond DuckDB
+    // denominator reads as a structural >2x when the floored one is ~1.
+    // Archived so a round-over-round ratio drift is attributable from
+    // the artifact alone (round 15's 1.44→1.65 question).
+    val ratioFields = oracle.fold("") { o =>
+      val floor = if (floorSweeps.isEmpty) 0.0 else floorSweeps.min
+      val pairs = timings.collect {
+        case (k, v) if !k.contains('#') && o.getOrElse(k, 0.0) > 0 => (k, v, o(k))
+      }
+      val raw = scala.collection.immutable.SortedMap.from(
+        pairs.map { case (k, v, ov) => k -> v / ov })
+      val floored = scala.collection.immutable.SortedMap.from(
+        pairs.map { case (k, v, ov) =>
+          k -> v / math.max(ov, floor * queryJobs.getOrElse(k, 0.0)).max(1e-9)
+        })
+      s""","query_ratio":${obj(raw)},"query_ratio_floored":${obj(floored)}"""
+    }
     val sweeps = sweepTotals.map(num).mkString("[", ",", "]")
     val floors =
       if (floorSweeps.isEmpty) ""
@@ -401,7 +424,7 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(""","streaming_batches":{""", ",", "}")
     }
-    s"""{"queries":${obj(timings)}$detailsOracle$batches$jobs,"sweep_totals":$sweeps$floors,"failed":${arr(failed)},"sf":"$sfDir"}"""
+    s"""{"queries":${obj(timings)}$detailsOracle$ratioFields$batches$jobs,"sweep_totals":$sweeps$floors,"failed":${arr(failed)},"sf":"$sfDir"}"""
   }
 
   /** Runs tools/oracle_bench.py (DuckDB, min-of-2) over the oracle SQL for

@@ -141,19 +141,36 @@ object IndexStore {
     spark.sql(s"ALTER TABLE $tableName SET TBLPROPERTIES ($props)")
   }
 
+  /** Parameter-drift guard against the table's stamped properties.
+    * A MISSING key fails too: a table that lost its stamp (written by
+    * an older save, or an ALTER dropped it) would otherwise pass the
+    * check silently and a drifted read would return garbage — the
+    * exact failure the stamp exists to prevent. */
+  private def requireStamped(spark: SparkSession, tableName: String,
+      expected: Seq[(String, String)]): Unit = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    expected.foreach { case (k, exp) =>
+      props.get(k) match {
+        case None => throw new IllegalArgumentException(
+          s"$tableName carries no stamped $k property, so parameter drift " +
+            "cannot be checked — re-save the index through IndexStore (or " +
+            s"restore the property: ALTER TABLE $tableName SET TBLPROPERTIES " +
+            s"('$k'='<value it was built with>'))")
+        case Some(actual) => require(actual == exp,
+          s"$tableName was built with $k=$actual, but this call expects " +
+            s"$exp — rebuild the index or pass the parameters it was " +
+            "built with")
+      }
+    }
+  }
+
   /** The banded index, parameter-checked against the table's stamped
     * sketch parameters, ready for
     * [[IncrementalMinHash.classifyBanded]]. */
   def minhashIndex(spark: SparkSession, tableName: String,
       shingleN: Int = 3, numHashes: Int = 9, bands: Int = 3): DataFrame = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    minhashProps(shingleN, numHashes, bands).foreach { case (k, expected) =>
-      props.get(k).foreach(actual => require(actual == expected,
-        s"$tableName was built with $k=$actual, but this call expects " +
-          s"$expected — rebuild the index or pass the parameters it was " +
-          "built with"))
-    }
+    requireStamped(spark, tableName, minhashProps(shingleN, numHashes, bands))
     spark.table(tableName)
   }
 
@@ -237,14 +254,7 @@ object IndexStore {
   def codedIndex(spark: SparkSession, tableName: String,
       nlist: Int, m: Int, repair: Boolean = false): DataFrame = {
     if (repair) spark.catalog.recoverPartitions(tableName)
-    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    ivfProps(nlist, m).foreach { case (k, expected) =>
-      props.get(k).foreach(actual => require(actual == expected,
-        s"$tableName was built with $k=$actual, but this call expects " +
-          s"$expected — rebuild the index or pass the parameters it was " +
-          "built with"))
-    }
+    requireStamped(spark, tableName, ivfProps(nlist, m))
     spark.table(tableName)
   }
 
@@ -288,11 +298,17 @@ object IndexStore {
     *
     * CRASH RECOVERY: a crash between DROP and RENAME leaves the data
     * alive only under the `<table>_compacting` name. On entry,
-    * maintain detects that state (tmp exists, table doesn't) and
-    * completes the interrupted RENAME before probing; a stale tmp
-    * alongside a live table (crash before the DROP) is dropped AND its
-    * now-orphaned external files are deleted, so retries never leak
-    * directories.
+    * maintain runs [[recover]] — that state (tmp exists, table
+    * doesn't) completes the interrupted RENAME, and a swap marker
+    * stamped on the tmp table before the DROP records the pre-swap
+    * data directory so recovery (or a retry after a crash between
+    * RENAME and the delete) also removes the prior attempt's files; a
+    * stale tmp alongside a live table (crash before the DROP) is
+    * dropped AND its now-orphaned external files are deleted. The one
+    * window this does not cover is a crash DURING the compact write
+    * itself — the partial `-compact-<nano>` directory is not yet
+    * referenced by any catalog entry; SCALE.md's runbook carries the
+    * GC rule (delete any `-compact-*` sibling no table points at).
     *
     * REBUCKETING: `rebucketTo` rewrites the swap with a DIFFERENT
     * bucket count — the escape hatch for an index that outgrew the
@@ -309,30 +325,47 @@ object IndexStore {
       s"maxFilesPerBucket must be positive, got $maxFilesPerBucket")
     rebucketTo.foreach(b => require(b > 0, s"rebucketTo must be positive, got $b"))
     val tmp = tableName + "_compacting"
-    val hadoopConf = spark.sessionState.newHadoopConf()
-    var recovered = false
+    // crashed between DROP and RENAME: the compacted data is complete —
+    // finish the swap. Do NOT return yet: the recovered table carries
+    // the PRIOR attempt's bucket count, so a rebucketTo in THIS call
+    // still needs its own rewrite below (returning early would report a
+    // rebucket that never happened)
+    val recovered = recover(spark, tableName)
     if (spark.catalog.tableExists(tmp)) {
-      if (!spark.catalog.tableExists(tableName)) {
-        // crashed between DROP and RENAME: the compacted data is
-        // complete — finish the swap. Do NOT return yet: the recovered
-        // table carries the PRIOR attempt's bucket count, so a
-        // rebucketTo in THIS call still needs its own rewrite below
-        // (returning early would report a rebucket that never happened)
-        spark.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
-        recovered = true
-      } else {
-        // crashed before the DROP: the live table is authoritative;
-        // discard the stale attempt, files included
-        val stale = new org.apache.hadoop.fs.Path(tablePath(spark, tmp))
-        spark.sql(s"DROP TABLE $tmp")
-        stale.getFileSystem(hadoopConf).delete(stale, true)
-      }
+      // crashed before the DROP: the live table is authoritative;
+      // discard the stale attempt, files included
+      val stale = new org.apache.hadoop.fs.Path(tablePath(spark, tmp))
+      spark.sql(s"DROP TABLE $tmp")
+      stale.getFileSystem(spark.sessionState.newHadoopConf()).delete(stale, true)
     }
     val (buckets, keys) = bucketSpecOf(spark, tableName)
     val files = dataFileCount(spark, tableName)
     val rebucket = rebucketTo.exists(_ != buckets)
     if (!rebucket && files <= maxFilesPerBucket.toLong * buckets) return recovered
     val newBuckets = rebucketTo.getOrElse(buckets)
+    swapRewrite(spark, tableName, toPath) { newPath =>
+      if (keys == Seq("content_hash"))
+        compactExact(spark, tableName, tmp, newPath, newBuckets)
+      else
+        compactMinhash(spark, tableName, tmp, newPath, newBuckets)
+    }
+    true
+  }
+
+  /** The marker stamped on the compacting table just before the swap's
+    * DROP — it names the pre-swap data directory, so [[recover]] can
+    * finish the delete after a crash anywhere between DROP and the
+    * post-RENAME cleanup. Cleared once the old files are gone. */
+  private val CompactedFromKey = "graft.compactedFrom"
+
+  /** Rewrite-and-swap: `write` produces the replacement table under the
+    * `<table>_compacting` name at a fresh (or caller-chosen) path; the
+    * swap then renames it in under `tableName` and deletes the old
+    * files, with the [[CompactedFromKey]] marker making every
+    * post-write crash window recoverable by [[recover]]. */
+  private def swapRewrite(spark: SparkSession, tableName: String,
+      toPath: Option[String])(write: String => Unit): Unit = {
+    val tmp = tableName + "_compacting"
     val oldPath = tablePath(spark, tableName)
     // strip any previous "-compact-<n>" suffix before stamping a new
     // one: a long-running maintenance loop (the streaming sinks) would
@@ -343,7 +376,7 @@ object IndexStore {
       oldPath.stripSuffix("/").replaceAll("-compact-\\d+$", "") +
         s"-compact-${System.nanoTime()}")
     val oldP = new org.apache.hadoop.fs.Path(oldPath)
-    val fs = oldP.getFileSystem(hadoopConf)
+    val fs = oldP.getFileSystem(spark.sessionState.newHadoopConf())
     // reject equal AND nested locations, both directions: a toPath
     // UNDER the table's location would be deleted with the old files
     // after the swap; the table's location under toPath would be
@@ -355,14 +388,116 @@ object IndexStore {
         !oldQ.startsWith(newQ + "/"),
       s"toPath ($newQ) must not equal or nest with the table's current " +
         s"location ($oldQ): one side's files would be deleted with the other's")
-    if (keys == Seq("content_hash"))
-      compactExact(spark, tableName, tmp, newPath, newBuckets)
-    else
-      compactMinhash(spark, tableName, tmp, newPath, newBuckets)
+    write(newPath)
+    spark.sql(
+      s"ALTER TABLE $tmp SET TBLPROPERTIES ('$CompactedFromKey'='$oldQ')")
     spark.sql(s"DROP TABLE $tableName")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
     fs.delete(oldP, true)
-    true
+    spark.sql(
+      s"ALTER TABLE $tableName UNSET TBLPROPERTIES IF EXISTS ('$CompactedFromKey')")
+  }
+
+  /** Complete a [[maintain]]/[[retract]] swap interrupted by a crash —
+    * safe to call any time from the single writer (the streaming sinks
+    * run it at the top of every micro-batch so a restarted stream
+    * self-heals instead of wedging on table-not-found):
+    *
+    *  - tmp exists, table missing (crash between DROP and RENAME): the
+    *    rewritten data is complete — finish the RENAME.
+    *  - the live table still carries the [[CompactedFromKey]] marker
+    *    (crash between RENAME and the old-files delete, including a
+    *    swap just completed by the branch above): delete the pre-swap
+    *    directory it names and clear the marker.
+    *
+    * Returns true iff a half-finished swap's RENAME was completed. A
+    * stale tmp ALONGSIDE a live table is deliberately left for
+    * [[maintain]]: deleting it here would race an in-flight compaction
+    * if a reader ever called recover concurrently. */
+  def recover(spark: SparkSession, tableName: String): Boolean = {
+    val tmp = tableName + "_compacting"
+    val completed =
+      if (spark.catalog.tableExists(tmp) && !spark.catalog.tableExists(tableName)) {
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
+        true
+      } else false
+    if (spark.catalog.tableExists(tableName)) {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      meta.properties.get(CompactedFromKey).foreach { old =>
+        val oldP = new org.apache.hadoop.fs.Path(old)
+        val fs = oldP.getFileSystem(spark.sessionState.newHadoopConf())
+        val oldQ = fs.makeQualified(oldP).toString.stripSuffix("/")
+        val cur = fs.makeQualified(new org.apache.hadoop.fs.Path(
+          meta.location)).toString.stripSuffix("/")
+        // belt-and-braces: the swap's nesting guard means the marker can
+        // never name the live location, but never delete it if it does
+        if (oldQ != cur && !cur.startsWith(oldQ + "/") &&
+            !oldQ.startsWith(cur + "/"))
+          fs.delete(oldP, true)
+        spark.sql(s"ALTER TABLE $tableName UNSET TBLPROPERTIES " +
+          s"IF EXISTS ('$CompactedFromKey')")
+      }
+    }
+    completed
+  }
+
+  /**
+   * RETRACTION — the delete path the append-only indexes otherwise
+   * lack (a takedown/opt-out request for a keeper document): remove
+   * every index row whose keeper id is in `ids` and swap the rewritten
+   * table in under the same name. Dispatches exact vs minhash on the
+   * table's bucket keys; minhash sketch properties are carried through.
+   * Returns the number of index rows removed (0 = no rewrite ran).
+   *
+   * AFTER RETRACTION the content is re-acceptable: a re-submission
+   * finds no index row for its hash/bands, classifies `new`, and a
+   * fresh keeper id takes over — retraction is forgetting, not
+   * blocklisting (compose with [[Blocklist]] when re-acceptance must
+   * also be refused). `resolveKeepers` over post-retraction classify
+   * output can never emit a retracted id, because no index row carries
+   * one.
+   *
+   * COST: O(index) worst case — one bucketed scan minus a BROADCAST
+   * anti-join (takedown sets are human-scale; the membership probe is
+   * a semi-join count first, so an ids set that touches nothing costs
+   * one scan and no rewrite). At production scale, batch retractions
+   * and fold them into the compaction cadence: a retraction IS a
+   * forced compaction (same swap machinery, crash recovery, and
+   * suffix re-stamping as [[maintain]]), so running it at the moment
+   * maintain would rewrite anyway makes the delete amortized-free.
+   */
+  def retract(spark: SparkSession, tableName: String, ids: DataFrame,
+      idCol: String = "keep_id", toPath: Option[String] = None): Long = {
+    recover(spark, tableName)
+    val (buckets, keys) = bucketSpecOf(spark, tableName)
+    val retracted = broadcast(
+      ids.select(col(idCol).cast("long").as("_retract_id")).distinct())
+    val removed = spark.table(tableName)
+      .join(retracted, col("keep_id") === col("_retract_id"), "left_semi")
+      .count()
+    if (removed == 0L) return 0L
+    // the remaining rows re-bucket on the SAME keys/count, so classify
+    // plans against the retracted table stay exchange-free
+    val remaining = spark.table(tableName)
+      .join(retracted, col("keep_id") === col("_retract_id"), "left_anti")
+    val sketchProps =
+      if (keys == Seq("content_hash")) None
+      else Some(spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap)
+    val tmp = tableName + "_compacting"
+    swapRewrite(spark, tableName, toPath) { newPath =>
+      writeBucketed(remaining, tmp, newPath, buckets, keys, "overwrite")
+      sketchProps.foreach { props =>
+        val carried = minhashProps(
+          props.getOrElse("graft.shingleN", "3").toInt,
+          props.getOrElse("graft.numHashes", "9").toInt,
+          props.getOrElse("graft.bands", "3").toInt)
+          .map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
+        spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES ($carried)")
+      }
+    }
+    removed
   }
 
   // ------------------------------------------------------------------

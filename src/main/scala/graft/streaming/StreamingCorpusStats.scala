@@ -17,7 +17,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
  * cumulative distinct count possible at all without storing history).
  *
  * State is one tiny catalog table of (metric, register, value) rows —
- * 5 counters + m registers + a batch watermark — read, merged
+ * 5 counters + m registers + a batch watermark + the stamped register
+ * count m (drift in m fails fast instead of merging incompatible
+ * register sets) — read, merged
  * DRIVER-side (it is model-sized; a distributed merge would also hit
  * Spark's cannot-overwrite-what-you-read rule), and written back per
  * batch. Only the BATCH aggregation is a Spark job, and it is one
@@ -39,6 +41,19 @@ object StreamingCorpusStats {
   private val Counters = Seq(
     "n_docs", "n_null_text", "n_empty_text", "n_tokens", "n_text_docs")
   private val BatchKey = "_last_batch_id"
+  // the register count is STATE, not a free parameter: registers from
+  // sketches of different m are incompatible (merging or estimating
+  // across them is silent garbage — the rhos-fit guard only catches a
+  // SHRINKING m), so m is stamped as a state row on first write and
+  // every later applyBatch/snapshot must pass the same value — the
+  // same fail-fast discipline as IndexStore's TBLPROPERTIES stamps
+  private val MKey = "_hll_m"
+
+  private def requireSameM(stored: Option[Long], m: Int, tableName: String): Unit =
+    stored.foreach(s => require(s == m.toLong,
+      s"$tableName was built with m=$s HLL registers, but this call passes " +
+        s"m=$m — register sets of different m are incompatible; pass the " +
+        "table's m or rebuild the stats table"))
 
   /** The maintaining sink: aggregate each micro-batch, merge into the
     * stats table, skip already-applied batch ids. Caller sets
@@ -63,6 +78,7 @@ object StreamingCorpusStats {
         .map(r => (r.getString(0),
           if (r.isNullAt(1)) None else Some(r.getLong(1))) -> r.getLong(2))
         .toMap
+    requireSameM(existing.get((MKey, None)), m, tableName)
     val lastApplied = existing.getOrElse((BatchKey, None), -1L)
     if (batchId <= lastApplied) return false
 
@@ -91,13 +107,14 @@ object StreamingCorpusStats {
           (("hll", Some(r): Option[Long]),
             math.max(existing.getOrElse(("hll", Some(r)), Long.MinValue),
               regs.getOrElse(r, Long.MinValue)))
-        } :+ (((BatchKey, None: Option[Long])), batchId)
+        } :+ (((BatchKey, None: Option[Long])), batchId) :+
+        (((MKey, None: Option[Long])), m.toLong)
 
     val rows: java.util.List[Row] = java.util.Arrays.asList(
       merged.map { case ((metric, reg), v) =>
         Row(metric, reg.map(Long.box).orNull, v)
       }: _*)
-    // tiny overwrite (5 + m + 1 rows); driver-merged, so no
+    // tiny overwrite (5 + m + 2 rows); driver-merged, so no
     // read-overwrite conflict. One file is plenty.
     spark.createDataFrame(rows, Schema).coalesce(1)
       .write.mode("overwrite").format("parquet").saveAsTable(tableName)
@@ -113,6 +130,7 @@ object StreamingCorpusStats {
       .map(r => (r.getString(0),
         if (r.isNullAt(1)) None else Some(r.getLong(1))) -> r.getLong(2))
       .toMap
+    requireSameM(st.get((MKey, None)), m, tableName)
     val counters = Counters.map(n => n -> st.getOrElse((n, None), 0L).toDouble)
     val regRows = st.collect { case (("hll", Some(r)), v) => Row(r, v) }.toSeq
     val distinct =

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.llm.{IncrementalDedup, IncrementalMinHash, IndexStore, TextOps}
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
@@ -86,6 +86,23 @@ object StreamingIncremental {
    * `.start()`s it. Maintenance runs inline in the micro-batch (the
    * single-writer discipline maintain's swap requires).
    *
+   * RESTART SELF-HEALING: the first thing every micro-batch does is
+   * [[graft.llm.IndexStore.recover]] — a crash inside maintain's swap
+   * (between DROP and RENAME) otherwise leaves the table existing only
+   * under its `_compacting` name, and a restarted stream would wedge
+   * on table-not-found before the cadence's maintain (which holds the
+   * recovery logic) ever ran.
+   *
+   * RETRACTIONS: `retractions` composes a takedown feed with the loop
+   * without stopping it — called once per micro-batch (BEFORE
+   * classify, so a batch never matches a keeper being retracted in the
+   * same cycle); when it returns ids,
+   * [[graft.llm.IndexStore.retract]] rewrites the index minus those
+   * keepers. Return ids not yet applied (e.g. new arrivals on a
+   * takedown table since the last batch); returning the same ids twice
+   * is harmless — a second retract of absent ids is a probe, no
+   * rewrite.
+   *
    * @param maintainEvery     run maintain() after every N batches
    *                          (0 disables); cadence counts batches seen
    *                          by THIS writer instance, not batchId, so
@@ -97,14 +114,24 @@ object StreamingIncremental {
    *                          (re)start rewrites at the new count, and
    *                          later cadences are ordinary (maintain's
    *                          rebucket is a no-op once counts match)
+   * @param retractions       per-batch takedown feed: keeper ids to
+   *                          remove from the index before classifying
+   *                          this batch (None = nothing to retract)
    */
   def sinkExact(stream: DataFrame, idCol: String, textCol: String,
       tableName: String, onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       maintainEvery: Long = 100, maxFilesPerBucket: Int = 16,
-      rebucketTo: Option[Int] = None): DataStreamWriter[Row] = {
+      rebucketTo: Option[Int] = None,
+      retractions: (SparkSession, Long) => Option[DataFrame] = (_, _) => None)
+      : DataStreamWriter[Row] = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
+      IndexStore.recover(spark, tableName)
+      retractions(spark, batchId).foreach { ids =>
+        IndexStore.retract(spark, tableName, ids)
+        ()
+      }
       val classified = IncrementalDedup.classify(
         batch, IndexStore.exactIndex(spark, tableName), idCol, textCol)
         .localCheckpoint(true)
@@ -134,15 +161,25 @@ object StreamingIncremental {
    * appends nothing. The per-batch sketch cache classifyBanded persists
    * is scoped to the batch and released once the classified result is
    * checkpointed — a long-running stream holds no cross-batch cache.
+   * Restart self-healing ([[graft.llm.IndexStore.recover]] first thing
+   * every batch) and the `retractions` takedown feed work exactly as on
+   * [[sinkExact]].
    */
   def sinkMinhash(stream: DataFrame, idCol: String, textCol: String,
       tableName: String, onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       shingleN: Int = 3, numHashes: Int = 9, bands: Int = 3, minMatch: Int = 5,
       maintainEvery: Long = 100, maxFilesPerBucket: Int = 16,
-      rebucketTo: Option[Int] = None): DataStreamWriter[Row] = {
+      rebucketTo: Option[Int] = None,
+      retractions: (SparkSession, Long) => Option[DataFrame] = (_, _) => None)
+      : DataStreamWriter[Row] = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
+      IndexStore.recover(spark, tableName)
+      retractions(spark, batchId).foreach { ids =>
+        IndexStore.retract(spark, tableName, ids)
+        ()
+      }
       val scope = new graft.CacheScope
       try {
         val classified = IncrementalMinHash.classifyBanded(batch,

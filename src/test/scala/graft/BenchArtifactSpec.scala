@@ -63,6 +63,22 @@ class BenchArtifactSpec extends AnyFunSuite {
       .contains("query_jobs"))
   }
 
+  test("details carries per-query raw AND floored ratios — floored denominator is max(oracle, floor x jobs)") {
+    val d = Bench.detailsJson(timings, Some(oracle), Seq(3.5), Nil, "/sf",
+      floorSweeps = Seq(0.1),
+      queryJobs = Map("vq1_scan_filter" -> 3.0, "vq14_dup_identifiers" -> 1.5))
+    // raw: plain spark/oracle per query
+    assert(d.contains(""""query_ratio":{"pq18_streaming_sessionize":100.000,""" +
+      """"vq14_dup_identifiers":2.500,"vq1_scan_filter":5.000}"""))
+    // vq1: 3 jobs x 0.1 floor = 0.3 > 0.1 oracle -> 0.5/0.3; vq14's
+    // 0.15 job floor < 0.4 oracle -> unchanged; pq18 has no job count
+    // -> raw denominator
+    assert(d.contains(""""query_ratio_floored":{"pq18_streaming_sessionize":100.000,""" +
+      """"vq14_dup_identifiers":2.500,"vq1_scan_filter":1.667}"""))
+    assert(!Bench.detailsJson(timings, None, Seq(3.5), Nil, "/sf")
+      .contains("query_ratio"), "no oracle -> no ratio maps")
+  }
+
   test("oracle passes merge per-query min; one-sided passes survive") {
     val a = Map("q1" -> 1.0, "q2" -> 5.0)
     val b = Map("q1" -> 2.0, "q3" -> 0.5)

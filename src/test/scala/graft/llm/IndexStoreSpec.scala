@@ -229,6 +229,125 @@ class IndexStoreSpec extends AnyFunSuite {
     } finally Seq(tbl, tmp).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("retract law: retracted keepers leave the exact index, the content re-accepts as new, maintain preserves retraction, the plan stays exchange-free") {
+    val s2 = planSession(buckets = 8)
+    import s2.implicits._
+    val d = s2.read.parquet(s"$dir/documents.parquet")
+    val tbl = "graft_idx_retract"
+    try {
+      IndexStore.saveExact(
+        IncrementalDedup.buildIndex(d, "doc_id", "text"),
+        tbl, tmpPath(tbl), buckets = 8)
+      val before = sortedRows(IndexStore.exactIndex(s2, tbl))
+      val takedown = (0L to 9L).toDF("keep_id")
+      val removed = IndexStore.retract(s2, tbl, takedown)
+      val expectGone = before.count(_(1).asInstanceOf[Long] <= 9L)
+      assert(expectGone > 0, "fixture must actually have keepers 0-9")
+      assert(removed == expectGone, "retract must report the rows removed")
+      val after = sortedRows(IndexStore.exactIndex(s2, tbl))
+      assert(after == before.filterNot(_(1).asInstanceOf[Long] <= 9L),
+        "retraction must remove exactly the retracted keepers' rows")
+      // re-acceptance: re-submitted content finds no index row — nothing
+      // classifies dup_of_history, and resolveKeepers can never emit a
+      // retracted id because no index row carries one
+      val resub = d.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val cls = IncrementalDedup.classify(
+        resub, IndexStore.exactIndex(s2, tbl), "doc_id", "text")
+        .localCheckpoint(true)
+      assert(cls.filter(col("status") === "dup_of_history").count() == 0,
+        "content whose keeper was retracted must re-accept, not match a ghost")
+      assert(cls.filter(col("dup_of").isNotNull && col("dup_of") <= 9L).count() == 0,
+        "no classification may point at a retracted keeper")
+      // the loop continues: fresh keepers append, maintain compacts, and
+      // the retracted ids never come back
+      IndexStore.appendExactKeepers(cls, tbl)
+      assert(IndexStore.maintain(s2, tbl, maxFilesPerBucket = 1))
+      assert(IndexStore.exactIndex(s2, tbl)
+        .filter(col("keep_id") <= 9L).count() == 0,
+        "compaction must preserve retraction")
+      val plan = IncrementalDedup.classify(
+        d.select((col("doc_id") + 900000).as("doc_id"), col("text")),
+        IndexStore.exactIndex(s2, tbl), "doc_id", "text")
+        .queryExecution.executedPlan
+      assert(exchangesAboveIndexScan(plan).isEmpty,
+        s"retracted index re-shuffles:\n$plan")
+      // ids touching nothing: a probe, never a rewrite (location stable)
+      def loc(): String = s2.sessionState.catalog.getTableMetadata(
+        s2.sessionState.sqlParser.parseTableIdentifier(tbl)).location.toString
+      val before2 = loc()
+      assert(IndexStore.retract(s2, tbl, Seq(99999999L).toDF("keep_id")) == 0L)
+      assert(loc() == before2, "a no-hit retract must not rewrite the table")
+    } finally Seq(tbl, tbl + "_compacting").foreach(
+      t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("retract law: minhash rows leave by keeper id and the sketch properties survive the swap") {
+    val s2 = planSession(buckets = 8)
+    import s2.implicits._
+    val d = s2.read.parquet(s"$dir/documents.parquet")
+    val tbl = "graft_idx_mh_retract"
+    try {
+      IndexStore.saveMinhash(
+        IncrementalMinHash.buildIndex(
+          d.filter(col("doc_id") < 20), "doc_id", "text"),
+        tbl, tmpPath(tbl), buckets = 8)
+      val before = sortedRows(IndexStore.minhashIndex(s2, tbl))
+      val removed = IndexStore.retract(s2, tbl, Seq(3L, 7L).toDF("keep_id"))
+      assert(removed == before.count(r => Set(3L, 7L)(r(2).asInstanceOf[Long])))
+      assert(sortedRows(IndexStore.minhashIndex(s2, tbl)) ==
+        before.filterNot(r => Set(3L, 7L)(r(2).asInstanceOf[Long])))
+      // properties survived: drift still fails fast, and a retracted
+      // doc's near-copy now classifies new
+      intercept[IllegalArgumentException] {
+        IndexStore.minhashIndex(s2, tbl, numHashes = 18, bands = 6)
+      }
+      val resub = d.filter(col("doc_id") === 3)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val cls = IncrementalMinHash.classifyBanded(
+        resub, IndexStore.minhashIndex(s2, tbl), "doc_id", "text")
+      assert(cls.filter(col("status") === "dup_of_history").count() == 0,
+        "a retracted keeper's content must re-accept")
+    } finally Seq(tbl, tbl + "_compacting").foreach(
+      t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("recover law: a crash between DROP and RENAME heals — and the swap marker gets the PRE-SWAP directory deleted too") {
+    val s2 = planSession(buckets = 8)
+    val d = s2.read.parquet(s"$dir/documents.parquet")
+    val tbl = "graft_idx_marker"
+    val tmp = tbl + "_compacting"
+    try {
+      IndexStore.saveExact(
+        IncrementalDedup.buildIndex(d.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text"),
+        tbl, tmpPath(tbl), buckets = 8)
+      val rows = sortedRows(IndexStore.exactIndex(s2, tbl))
+      val oldLoc = s2.sessionState.catalog.getTableMetadata(
+        s2.sessionState.sqlParser.parseTableIdentifier(tbl)).location
+      // healthy table: recover is a no-op
+      assert(!IndexStore.recover(s2, tbl))
+      // simulate maintain crashing between its DROP and RENAME: the
+      // compacted tmp carries the marker maintain stamps before the DROP
+      IndexStore.compactExact(s2, tbl, tmp, tmpPath(tbl + "_v2"), buckets = 8)
+      s2.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES " +
+        s"('graft.compactedFrom'='${oldLoc.toString.stripSuffix("/")}')")
+      s2.sql(s"DROP TABLE $tbl")
+      assert(IndexStore.recover(s2, tbl), "recover must complete the RENAME")
+      assert(s2.catalog.tableExists(tbl) && !s2.catalog.tableExists(tmp))
+      assert(sortedRows(IndexStore.exactIndex(s2, tbl)) == rows)
+      val oldDir = new java.io.File(new java.net.URI(oldLoc.toString).getPath)
+      assert(!oldDir.exists || oldDir.listFiles().isEmpty,
+        "recover must delete the pre-swap directory the marker names")
+      val props = s2.sessionState.catalog.getTableMetadata(
+        s2.sessionState.sqlParser.parseTableIdentifier(tbl)).properties
+      assert(!props.contains("graft.compactedFrom"),
+        "the marker must be cleared once the old files are gone")
+      // idempotent: a second recover is a no-op
+      assert(!IndexStore.recover(s2, tbl))
+    } finally Seq(tbl, tmp).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("maintain law: repeated default-path compactions re-stamp the suffix instead of compounding it") {
     val s2 = planSession(buckets = 2)
     val d = s2.read.parquet(s"$dir/documents.parquet")

@@ -79,6 +79,30 @@ class StreamingCorpusStatsSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS graft_stream_stats")
   }
 
+  test("register count m is stamped state: a drifted m fails fast on applyBatch AND snapshot, matching m still applies") {
+    val tbl = "graft_stream_stats_m"
+    try {
+      val b1 = Seq((1L, "a b c")).toDF("doc_id", "text")
+      assert(StreamingCorpusStats.applyBatch(b1, 0L, "text", tbl, m))
+      // merging a different register count would be silent garbage —
+      // the growing direction the old rhos-fit guard could not catch
+      val e = intercept[IllegalArgumentException] {
+        StreamingCorpusStats.applyBatch(
+          Seq((2L, "d e")).toDF("doc_id", "text"), 1L, "text", tbl, m * 2)
+      }
+      assert(e.getMessage.contains(s"m=$m"))
+      intercept[IllegalArgumentException] {
+        StreamingCorpusStats.snapshot(spark, tbl, m / 2)
+      }
+      // the matching m still applies and estimates
+      assert(StreamingCorpusStats.applyBatch(
+        Seq((2L, "d e")).toDF("doc_id", "text"), 1L, "text", tbl, m))
+      val s = StreamingCorpusStats.snapshot(spark, tbl, m)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(s("n_docs") == 2.0)
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft_stream_stats_m")
+  }
+
   test("snapshot of an empty/counter-only table reports zeros, never divides by zero") {
     val tbl = "graft_stream_stats_empty"
     try {

@@ -124,6 +124,114 @@ class StreamingIncrementalSinkSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("sinkExact: a stream restarted into a half-finished swap self-heals instead of wedging") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val tbl = "graft_stream_heal_idx"
+    val tmp = tbl + "_compacting"
+    try {
+      IndexStore.saveExact(
+        IncrementalDedup.buildIndex(
+          Seq((10L, "history A")).toDF("doc_id", "text"), "doc_id", "text"),
+        tbl,
+        Files.createTempDirectory("graft_heal_idx").resolve(tbl).toString,
+        buckets = 1)
+      // simulate a crash inside maintain's swap: the table survives ONLY
+      // under its _compacting name — a restarted stream's first classify
+      // would die on table-not-found without the per-batch recover
+      IndexStore.compactExact(spark, tbl, tmp,
+        Files.createTempDirectory("graft_heal_idx2").resolve(tbl).toString,
+        buckets = 1)
+      spark.sql(s"DROP TABLE $tbl")
+      assert(!spark.catalog.tableExists(tbl) && spark.catalog.tableExists(tmp))
+
+      val out = scala.collection.mutable.Map[Long, (String, Any)]()
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingIncremental.sinkExact(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", tbl,
+        (classified, _) => out.synchronized {
+          classified.collect().foreach(r => out(r.getLong(0)) =
+            (r.getString(2), if (r.isNullAt(3)) null else r.getLong(3)))
+        }, maintainEvery = 0)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_heal_chk").toString)
+        .start()
+      input.addData((1L, "history A"), (2L, "fresh X"))
+      q.processAllAvailable()
+      assert(out.toMap == Map(
+        1L -> (("dup_of_history", 10L)), 2L -> (("new", null))),
+        "the healed stream must classify against the recovered table")
+      assert(spark.catalog.tableExists(tbl) && !spark.catalog.tableExists(tmp))
+      assert(indexRows(tbl) == Set(
+        md5hex("history A") -> 10L, md5hex("fresh X") -> 2L))
+      q.stop()
+    } finally Seq(tbl, tmp).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("sinkExact: the retraction feed composes with the loop — accept, retract, re-accept, without stopping the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val tbl = "graft_stream_retract_idx"
+    try {
+      IndexStore.saveExact(
+        IncrementalDedup.buildIndex(
+          Seq((10L, "history A")).toDF("doc_id", "text"), "doc_id", "text"),
+        tbl,
+        Files.createTempDirectory("graft_retract_idx").resolve(tbl).toString,
+        buckets = 1)
+
+      val out = scala.collection.mutable.Map[Long, (String, Any)]()
+      // the takedown feed: ids queued between batches, drained per batch
+      val pending = new java.util.concurrent.atomic.AtomicReference[Seq[Long]](Nil)
+      val input = MemoryStream[(Long, String)]
+      val writer = StreamingIncremental.sinkExact(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", tbl,
+        (classified, _) => out.synchronized {
+          classified.collect().foreach(r => out(r.getLong(0)) =
+            (r.getString(2), if (r.isNullAt(3)) null else r.getLong(3)))
+        }, maintainEvery = 0,
+        retractions = (s, _) => {
+          val ids = pending.getAndSet(Nil)
+          if (ids.isEmpty) None
+          else { import s.implicits._; Some(ids.toDF("keep_id")) }
+        })
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_retract_chk").toString)
+        .start()
+
+      // batch 1 — ACCEPT: doc 2's content is new; keeper 2 lands
+      input.addData((2L, "fresh X"))
+      writer.processAllAvailable()
+      assert(out(2L) == (("new", null)))
+      assert(indexRows(tbl) == Set(
+        md5hex("history A") -> 10L, md5hex("fresh X") -> 2L))
+
+      // batch 2 — RETRACT keeper 2 (takedown), unrelated traffic flows on
+      pending.set(Seq(2L))
+      input.addData((3L, "fresh Y"))
+      writer.processAllAvailable()
+      assert(out(3L) == (("new", null)))
+      assert(indexRows(tbl) == Set(
+        md5hex("history A") -> 10L, md5hex("fresh Y") -> 3L),
+        "the retracted keeper must be gone; the batch's own keeper lands")
+
+      // batch 3 — RE-ACCEPT: the retracted content returns and is NEW
+      // again under a fresh keeper (retraction forgets, not blocklists)
+      input.addData((9L, "fresh X"))
+      writer.processAllAvailable()
+      assert(out(9L) == (("new", null)),
+        "re-submitted retracted content must re-accept as new")
+      assert(indexRows(tbl) == Set(
+        md5hex("history A") -> 10L, md5hex("fresh Y") -> 3L,
+        md5hex("fresh X") -> 9L))
+      writer.stop()
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("sinkMinhash: batches learn near-dups through the band index, maintenance compacts, replays append nothing") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -4,9 +4,18 @@ runs each oracle_sql.json query in DuckDB over the sf tables, loads the
 Spark result parquet, sorts columns by name, and compares row-for-row.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+       python3 tools/check.py --bench <bench_details.json> [gate]
+
+--bench reads a bench_details artifact and reports the per-query RAW
+(spark/oracle) and FLOORED ratios side by side. The floored denominator
+is max(oracle, job_floor x jobs): a query needing J Spark jobs can
+never beat J scheduling floors, so DuckDB's sub-millisecond in-process
+denominators read as structural >2x raw while the floored column shows
+what the ENGINE costs above pure job scheduling. The 2x gate (override
+with [gate]) is evaluated both ways; exit is always 0 — this is a
+review aid, the driver's gate is batch_vs_oracle on the compact line.
 """
 import json, sys, glob
-import duckdb
 
 
 def norm(v):
@@ -15,7 +24,40 @@ def norm(v):
     return v
 
 
+def bench_report(path, gate=2.0):
+    d = json.load(open(path))
+    q, o = d.get("queries", {}), d.get("oracle_queries", {})
+    jobs, floor = d.get("query_jobs", {}), d.get("job_floor", 0.0)
+    streaming = {k for k in q if "streaming" in k}
+    rows = []
+    for k in sorted(q):
+        if k not in o or o[k] <= 0 or "#" in k:
+            continue
+        raw = q[k] / o[k]
+        fd = max(o[k], floor * jobs.get(k, 0.0))
+        rows.append((k, q[k], o[k], jobs.get(k, 0.0), raw, q[k] / fd))
+    hdr = f"{'query':42} {'spark':>7} {'oracle':>7} {'jobs':>5} {'raw':>7} {'floored':>7}"
+    print(hdr + "\n" + "-" * len(hdr))
+    for k, s, ov, j, raw, fl in sorted(rows, key=lambda r: -r[5]):
+        tag = " [streaming]" if k in streaming else ""
+        print(f"{k:42} {s:7.3f} {ov:7.3f} {j:5.0f} {raw:7.2f} {fl:7.2f}{tag}")
+    batch = [r for r in rows if r[0] not in streaming]
+    tot_s, tot_o = sum(r[1] for r in batch), sum(r[2] for r in batch)
+    tot_f = sum(max(r[2], floor * r[3]) for r in batch)
+    over_raw = [r[0] for r in batch if r[4] > gate]
+    over_fl = [r[0] for r in batch if r[5] > gate]
+    print(f"\nbatch: spark={tot_s:.3f}s oracle={tot_o:.3f}s floor={floor*1000:.1f}ms/job")
+    print(f"aggregate ratio: raw={tot_s/tot_o:.3f} floored={tot_s/tot_f:.3f}")
+    print(f">{gate}x raw: {len(over_raw)}/{len(batch)}; >{gate}x floored: "
+          f"{len(over_fl)}/{len(batch)} {sorted(over_fl)}")
+
+
 def main():
+    if sys.argv[1] == "--bench":
+        bench_report(sys.argv[2],
+                     float(sys.argv[3]) if len(sys.argv) > 3 else 2.0)
+        return
+    import duckdb
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
