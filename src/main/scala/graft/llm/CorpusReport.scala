@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
  * averages ROUND(4) — exact division of exact values, engine-portable
  * under rounding); metric names are stable identifiers for dashboards
  * to key on. Composition is lazy — nothing collects.
+ *
+ * EXACT vs APPROX: two `count_distinct`s in one aggregate plan in
+ * EXPAND mode — Spark replays every corpus row once per distinct
+ * column, multiplying the pass by the distinct-aggregation count.
+ * Fine at audit scale; at 100 TB the `approx = true` form is the
+ * default: `approx_count_distinct` (HyperLogLog++, mergeable partial
+ * aggregation) keeps the single non-expanded pass and bounds the two
+ * distinct-derived metrics (`n_distinct_contents`, `n_sources`, and
+ * the derived `exact_dup_rate`) to the configured relative standard
+ * deviation; every other metric stays exact. Same fixed row set, so
+ * dashboards key identically on either mode — run exact as the audit
+ * pass, approx as the recurring one.
  */
 object CorpusReport {
 
@@ -36,9 +48,17 @@ object CorpusReport {
    *                  docs, the "one crawl in a trenchcoat" number);
    *                  both report 0.0 when absent, keeping the row set
    *                  fixed
+   * @param approx    swap the two exact distinct counts for
+   *                  `approx_count_distinct` — drops the expand-mode
+   *                  replay of the corpus pass; the 100 TB default
+   *                  (exact stays the audit mode)
+   * @param rsd       maximum relative standard deviation of the approx
+   *                  distinct counts (HLL++ precision knob; ignored
+   *                  when exact)
    */
   def report(df: DataFrame, idCol: String, textCol: String,
-      sourceCol: Option[String] = None, ordered: Boolean = true): DataFrame = {
+      sourceCol: Option[String] = None, ordered: Boolean = true,
+      approx: Boolean = false, rsd: Double = 0.05): DataFrame = {
     val toks = filter(TextOps.tokens(col(textCol)), w => w =!= "")
     val base = df.select(
       col(textCol).cast("string").as("_t"),
@@ -53,8 +73,10 @@ object CorpusReport {
       count(when(col("_t").isNotNull && col("_n") === 0L, lit(1))).as("n_empty"),
       coalesce(sum("_n"), lit(0L)).as("n_tokens"),
       count(when(col("_t").isNotNull, lit(1))).as("n_text"),
-      count_distinct(col("_h")).as("n_contents"),
-      count_distinct(col("_src")).as("n_sources"))
+      (if (approx) approx_count_distinct(col("_h"), rsd)
+       else count_distinct(col("_h"))).as("n_contents"),
+      (if (approx) approx_count_distinct(col("_src"), rsd)
+       else count_distinct(col("_src"))).as("n_sources"))
     // hottest source: strata-sized groupBy branch (empty → 0)
     val maxSrc = base.filter(col("_src").isNotNull)
       .groupBy("_src").agg(count(lit(1)).as("_c"))
@@ -71,8 +93,12 @@ object CorpusReport {
             .otherwise(round(d("n_tokens") / d("n_text"), 4)).as("value")),
         struct(lit("n_distinct_contents").as("metric"), d("n_contents").as("value")),
         struct(lit("exact_dup_rate").as("metric"),
+          // clamped at 0: an approx-mode HLL overestimate of contents
+          // must not report a negative dup rate (no-op when exact —
+          // distinct contents never exceed text docs)
           when(col("n_text") === 0L, lit(0.0))
-            .otherwise(round((d("n_text") - d("n_contents")) / d("n_text"), 6))
+            .otherwise(greatest(lit(0.0),
+              round((d("n_text") - d("n_contents")) / d("n_text"), 6)))
             .as("value")),
         struct(lit("n_sources").as("metric"), d("n_sources").as("value")),
         struct(lit("max_source_share").as("metric"),

@@ -32,6 +32,19 @@ import org.apache.spark.sql.functions._
  * [[graft.sink.ReferenceResolution]]). At cluster scale each round is
  * fully partition-parallel over the edge and label sets.
  *
+ * WHY NOT PROBE LESS OFTEN: a `probeEvery = 2` cadence (compose two
+ * hop+jump rounds into one checkpointed plan, halving probe actions)
+ * was built and A/B-measured at sf0.1: ~2x SLOWER (pq23 1.81 -> 3.92 s,
+ * pq90 1.81 -> 3.30 s, back-to-back reps on one host) with only ~7%
+ * fewer jobs. Two structural reasons: (1) the jump is a SELF-join that
+ * consumes the hop output twice — on a checkpointed input that
+ * recompute is one cheap join, but on an un-checkpointed composed
+ * round it re-executes the entire prior round, doubling work per
+ * skipped probe; (2) under AQE each shuffle materializes as its own
+ * job regardless, so batching rounds barely reduces the job count the
+ * cadence was meant to cut. The per-round checkpoint IS the cheap
+ * option; the probe rides it for free.
+ *
  * Only ids that appear in at least one pair come out (singletons need
  * no canonical pick). Output: (doc_id, cluster_id), one row per
  * distinct id, cluster_id = min id of the component.

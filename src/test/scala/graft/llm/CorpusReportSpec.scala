@@ -57,6 +57,36 @@ class CorpusReportSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("approx mode: same fixed row set, exact metrics untouched, distinct metrics within HLL++ tolerance, and NO expand-mode replay in the plan") {
+    val a = CorpusReport.report(corpus, "doc_id", "text", Some("source"),
+      ordered = false, approx = true)
+    val m = a.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m.keySet == CorpusReport.Metrics.toSet,
+      "dashboards must key identically on either mode")
+    // non-distinct metrics are EXACT in approx mode too
+    assert(m("n_docs") == 6.0 && m("n_null_text") == 1.0 &&
+      m("n_empty_text") == 2.0 && m("n_tokens") == 8.0 &&
+      m("avg_tokens_per_doc") == 1.6 && m("max_source_share") == 0.5)
+    // distinct-derived metrics bounded by the rsd (generous 4-sigma
+    // band — tiny-cardinality HLL++ is exact in practice, but the law
+    // is the bound, not the luck)
+    assert(math.abs(m("n_distinct_contents") - 4.0) <= 4.0 * 0.05 * 4.0)
+    assert(math.abs(m("n_sources") - 2.0) <= 2.0 * 0.05 * 4.0)
+    assert(m("exact_dup_rate") >= 0.0, "HLL overestimate must clamp, never report negative dup")
+    // THE SCALE POINT: exact mode's two count_distincts plan as expand
+    // mode (the corpus pass replayed per distinct column); approx mode
+    // must plan WITHOUT an Expand — one non-replayed pass
+    // logical plan, not executedPlan: AQE wraps the physical tree and
+    // hides the ExpandExec from a pre-execution traversal
+    def hasExpand(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Expand])
+    assert(hasExpand(CorpusReport.report(corpus, "doc_id", "text",
+      Some("source"), ordered = false)),
+      "exact mode is expected to pay expand — if this stops holding, re-examine the approx default")
+    assert(!hasExpand(a), "approx mode must not replay the corpus pass (no Expand)")
+  }
+
   test("degenerate corpora: all-null and empty inputs report zeros, not NaN/null") {
     val allNull = TestSpark.df("doc_id bigint, text string", Seq(
       Row(1L, null), Row(2L, null)))
