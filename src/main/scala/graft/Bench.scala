@@ -157,9 +157,33 @@ object Bench {
       spark.range(1).write.format("noop").mode("overwrite").save()
       floorSweeps += (System.nanoTime() - t0) / 1e9
     }
+    // The HOST-SPEED REFERENCE: a fixed single-threaded integer spin
+    // (xorshift64*, constant iteration count) timed once per sweep.
+    // The workload never changes, so round-over-round cpu_ref drift IS
+    // host-speed drift: rounds 14→15→16 showed a diffuse MULTIPLICATIVE
+    // slowdown (median per-query ratio 1.056 then 1.064, job_floor
+    // +12%, the DuckDB denominator itself swinging ±9%) across queries
+    // with zero code change — attributable only by inference until this
+    // number sat in the artifact. Divide a round's ratio drift by the
+    // cpu_ref drift before hunting for a regression.
+    val cpuRefSweeps = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var cpuRefSink = 0L // observable sink so the spin can't dead-code away
+    def timedCpuRef(): Unit = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 200_000_000L) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        x *= 0x2545F4914F6CDD1DL
+        i += 1
+      }
+      cpuRefSweeps += (System.nanoTime() - t0) / 1e9
+      cpuRefSink ^= x
+    }
     spark.range(1).write.format("noop").mode("overwrite").save() // floor warmup
+    timedCpuRef(); cpuRefSweeps.clear() // JIT warmup, sample dropped
     if (reps > 1) {
-      timedFloor()
+      timedFloor(); timedCpuRef()
       // profiling mode: every run visible, back-to-back per query
       names.foreach { name =>
         attempt(name) {
@@ -176,7 +200,7 @@ object Bench {
         attempt(name)(runOnce(SparkEntry.queries(name), warmDir))
       }
       def sweep(): Unit = {
-        timedFloor()
+        timedFloor(); timedCpuRef()
         var total = 0.0
         names.foreach { name =>
           if (!failed.contains(name)) attempt(name) {
@@ -245,7 +269,7 @@ object Bench {
     spark.sparkContext.removeSparkListener(jobListener)
     val details =
       detailsJson(timings, oracle, sweepTotals.toSeq, failed.toSeq, sfDir,
-        floorSweeps.toSeq, queryJobs) + "\n"
+        floorSweeps.toSeq, queryJobs, cpuRefSweeps.toSeq) + "\n"
     val detailsWritten =
       try {
         java.nio.file.Files.writeString(java.nio.file.Paths.get(detailsPath), details)
@@ -291,7 +315,8 @@ object Bench {
       else if (detailsPath.startsWith(cwd + "/")) detailsPath.drop(cwd.length + 1)
       else detailsPath
     val line = compactLine(timings, oracle, sweepTotals.toSeq, failed.toSeq, sfDir,
-      details = detailsRef, floorSweeps = floorSweeps.toSeq)
+      details = detailsRef, floorSweeps = floorSweeps.toSeq,
+      cpuRefSweeps = cpuRefSweeps.toSeq)
     // the same line as a file, immune to sbt's [info] prefix and any
     // stdout capture truncation
     try java.nio.file.Files.writeString(
@@ -341,7 +366,8 @@ object Bench {
       failed: Seq[String],
       sfDir: String,
       details: String = "bench_details.json",
-      floorSweeps: Seq[Double] = Nil): String = {
+      floorSweeps: Seq[Double] = Nil,
+      cpuRefSweeps: Seq[Double] = Nil): String = {
     val (total, batchTotal, streamingTotal) = split(timings)
     // min across sweeps, same estimator as the per-query timings
     val floor = if (floorSweeps.isEmpty) 0.0 else floorSweeps.min
@@ -372,7 +398,12 @@ object Bench {
     }
     val sweeps = sweepTotals.map(num).mkString("[", ",", "]")
     val floorField = if (floorSweeps.isEmpty) "" else s""","job_floor":${num(floor)}"""
-    s"""{"metric":"batch_total","value":${num(batchTotal)},"unit":"sec","total":${num(total)},"batch_total":${num(batchTotal)},"streaming_total":${num(streamingTotal)},"sweep_totals":$sweeps$floorField$oracleFields,"failed":${arr(failed)},"sf":"$sfDir","details":${JsonStr.quote(details)}}"""
+    // fixed single-thread spin: round-over-round drift in this number
+    // is host-speed drift, never engine drift (see main)
+    val cpuRefField =
+      if (cpuRefSweeps.isEmpty) ""
+      else s""","cpu_ref":${num(cpuRefSweeps.min)}"""
+    s"""{"metric":"batch_total","value":${num(batchTotal)},"unit":"sec","total":${num(total)},"batch_total":${num(batchTotal)},"streaming_total":${num(streamingTotal)},"sweep_totals":$sweeps$floorField$cpuRefField$oracleFields,"failed":${arr(failed)},"sf":"$sfDir","details":${JsonStr.quote(details)}}"""
   }
 
   /** The side-file JSON carrying what the compact line deliberately
@@ -387,7 +418,8 @@ object Bench {
       failed: Seq[String],
       sfDir: String,
       floorSweeps: Seq[Double] = Nil,
-      queryJobs: scala.collection.Map[String, Double] = Map.empty): String = {
+      queryJobs: scala.collection.Map[String, Double] = Map.empty,
+      cpuRefSweeps: Seq[Double] = Nil): String = {
     val detailsOracle = oracle.fold("")(o => s""","oracle_queries":${obj(o)}""")
     // Per-query ratios, raw and FLOORED — the floored denominator is
     // max(oracle, job_floor × jobs): a query that needs J Spark jobs can
@@ -413,6 +445,10 @@ object Bench {
       if (floorSweeps.isEmpty) ""
       else floorSweeps.map(num).mkString(""","job_floor_sweeps":[""", ",", "]") +
         s""","job_floor":${num(floorSweeps.min)}"""
+    val cpuRef =
+      if (cpuRefSweeps.isEmpty) ""
+      else cpuRefSweeps.map(num).mkString(""","cpu_ref_sweeps":[""", ",", "]") +
+        s""","cpu_ref":${num(cpuRefSweeps.min)}"""
     val jobs =
       if (queryJobs.isEmpty) ""
       else s""","query_jobs":${obj(scala.collection.immutable.SortedMap.from(queryJobs))}"""
@@ -424,7 +460,7 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(""","streaming_batches":{""", ",", "}")
     }
-    s"""{"queries":${obj(timings)}$detailsOracle$ratioFields$batches$jobs,"sweep_totals":$sweeps$floors,"failed":${arr(failed)},"sf":"$sfDir"}"""
+    s"""{"queries":${obj(timings)}$detailsOracle$ratioFields$batches$jobs,"sweep_totals":$sweeps$floors$cpuRef,"failed":${arr(failed)},"sf":"$sfDir"}"""
   }
 
   /** Runs tools/oracle_bench.py (DuckDB, min-of-2) over the oracle SQL for

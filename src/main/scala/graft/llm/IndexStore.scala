@@ -500,6 +500,93 @@ object IndexStore {
     removed
   }
 
+  /**
+   * RETRACTION for the cell-partitioned IVF-PQ index — [[retract]]'s
+   * sibling for [[saveCoded]] tables (a takedown that removes a
+   * document's content hash but leaves its VECTOR searchable is only
+   * half a takedown). Removes every coded row whose id is in `ids`
+   * and returns the number of rows removed (0 = nothing written).
+   *
+   * SCALE SHAPE — this is where the cell layout pays again: the only
+   * full pass is a two-column (id, list) probe scan that finds the
+   * AFFECTED CELLS (driver-sized: at most nlist rows come back).
+   * The rewrite then reads and rewrites ONLY those cells' directories
+   * — a dynamic-partition-overwrite insert whose source is
+   * partition-pruned to the affected `list` values — so a takedown
+   * touching 3 of 4096 cells rewrites 3 directories, not the index.
+   * Centroids and codebooks are data-independent parameters and are
+   * untouched; a probe of an emptied cell simply scores zero rows.
+   *
+   * A cell whose every row is retracted is dropped from the catalog
+   * and its directory deleted (dynamic overwrite alone cannot express
+   * "this partition is now empty" — it only overwrites partitions the
+   * source still has rows for).
+   *
+   * CRASH SAFETY: the insert commits per-partition through Spark's
+   * staging protocol, so original cell data survives a mid-write
+   * crash; a crash AFTER the insert but before the empty-cell drop
+   * leaves fully-retracted cells' rows in place — re-running the same
+   * retraction converges (those rows still match `ids`, the re-run
+   * rewrites/drops them; a retraction is idempotent by construction).
+   *
+   * Like [[retract]], this FORGETS: re-submitting a retracted vector
+   * id re-indexes it. Compose with [[Blocklist]] upstream when
+   * re-acceptance must also be refused.
+   */
+  def retractCoded(spark: SparkSession, tableName: String, ids: DataFrame,
+      idCol: String, nlist: Int, m: Int): Long = {
+    requireStamped(spark, tableName, ivfProps(nlist, m))
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    require(meta.partitionColumnNames == Seq("list"),
+      s"$tableName is not a saveCoded cell-partitioned index " +
+        s"(partitions: ${meta.partitionColumnNames.mkString(",")})")
+    val table = spark.table(tableName)
+    val idType = table.schema(table.schema.fieldIndex(idCol)).dataType
+    val retracted = broadcast(
+      ids.select(col(idCol).cast(idType).as("_retract_id")).distinct())
+    // one (id, list) probe pass: affected cells + removed count together
+    val affected = table
+      .join(retracted, table(idCol) === col("_retract_id"), "left_semi")
+      .groupBy("list").agg(count(lit(1)).as("_n")).collect()
+    if (affected.isEmpty) return 0L
+    val removed = affected.map(_.getLong(1)).sum
+    val cells = affected.map(_.getInt(0)).toSeq
+    // survivors of the affected cells only — localCheckpoint breaks the
+    // lineage back to the table so the insert is not a read-from-
+    // overwritten-path plan (the StreamingIncremental append
+    // discipline); sized O(affected cells), spills via block manager
+    val remaining = table
+      .filter(col("list").isin(cells.map(Int.box): _*))
+      .join(retracted, table(idCol) === col("_retract_id"), "left_anti")
+      .select(table.columns.map(col).toIndexedSeq: _*) // insertInto is positional
+      .localCheckpoint(true)
+    // dynamic mode via SESSION conf: the per-write option is honored on
+    // the path-based save() route but NOT on the catalog insertInto
+    // route, where static mode would silently clobber every unaffected
+    // cell (observed: a 2-cell retraction left a 1-cell table)
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try remaining.write.mode("overwrite").insertInto(tableName)
+    finally prevMode.fold(spark.conf.unset(modeKey))(spark.conf.set(modeKey, _))
+    // cells with no survivors never appear in `remaining`, so the
+    // dynamic overwrite left their rows untouched: drop + delete them
+    val survivors =
+      remaining.select("list").distinct().collect().map(_.getInt(0)).toSet
+    val emptied = cells.filterNot(survivors)
+    if (emptied.nonEmpty) {
+      spark.sql(s"ALTER TABLE $tableName DROP IF EXISTS " +
+        emptied.map(c => s"PARTITION (list=$c)").mkString(", "))
+      val root = new org.apache.hadoop.fs.Path(tablePath(spark, tableName))
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      emptied.foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"list=$c"), true)
+      }
+    }
+    removed
+  }
+
   // ------------------------------------------------------------------
 
   private def bucketSpecOf(spark: SparkSession, tableName: String): (Int, Seq[String]) = {

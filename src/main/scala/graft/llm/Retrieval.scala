@@ -100,4 +100,58 @@ object Retrieval {
         .orderBy(col("score").desc, col(idCol).asc))).cast("long").as("rnk"),
       col(idCol), col("matched"), col("score"))
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack et al., RRF) over two or more
+   * ranked retrieval lists — the standard score-free way to combine
+   * heterogeneous retrievers (dense ANN + lexical BM25, or an ensemble
+   * of ANN indexes): each list contributes 1/(c + rank) per candidate,
+   * summed across lists; candidates ranked by the fused score. Scores
+   * need no calibration because only RANKS enter — which is exactly
+   * why RRF is the default fusion for rankers whose score scales are
+   * incomparable (an ADC distance and a cosine can't be averaged; their
+   * ranks can).
+   *
+   * CONTRACT: every input carries (qid, cid, rnk) — the shape
+   * [[Similarity.cosineTopK]], [[ProductQuant.adcTopK]]/ivfAdcTopK*,
+   * and [[Ivf.topK]] all emit (adapt [[bm25TopK]]'s single-query
+   * output by adding a literal qid). A candidate absent from a list
+   * simply contributes nothing (`n_lists` reports how many lists
+   * surfaced it — the agreement signal).
+   *
+   * SCALE SHAPE: inputs are already top-k-bounded (≤ |Q|·k rows each),
+   * so fusion is model-sized regardless of corpus scale — one union,
+   * one keyed aggregate, one window over ≤ lists·k rows per qid
+   * (bounded per-key cardinality, NOT a Zipf-keyed window). The heavy
+   * lifting stays in the retrievers. The per-candidate sum folds over
+   * the SORTED rank list (sort_array + aggregate), so every double is
+   * partitioning-invariant — the pq54/pq72 double-fold discipline —
+   * and the fused score is ROUND(6) BEFORE ranking so the rank order
+   * is engine-portable.
+   *
+   * @param c rank damping (Cormack's 60): higher flattens the
+   *          difference between rank 1 and rank k
+   * @return (qid, rnk, cid, rrf, n_lists), top `k` per qid, ties on
+   *         the fused score broken by cid
+   */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60,
+      ordered: Boolean = true): DataFrame = {
+    require(rankings.size >= 2, s"rrfFuse: need >= 2 lists, got ${rankings.size}")
+    require(k >= 1 && c >= 0, s"rrfFuse: need k >= 1, c >= 0; got k=$k c=$c")
+    val u = rankings.map(_.select(col("qid"), col("cid"),
+      col("rnk").cast("int").as("_r"))).reduce(_ unionByName _)
+    val fused = u.groupBy("qid", "cid")
+      .agg(sort_array(collect_list(col("_r"))).as("_rs"))
+      .select(col("qid"), col("cid"),
+        round(aggregate(col("_rs"), lit(0.0),
+          (acc, r) => acc + lit(1.0) / (lit(c.toDouble) + r.cast("double"))),
+          6).as("rrf"),
+        size(col("_rs")).cast("long").as("n_lists"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("rrf").desc, col("cid"))
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("rrf"), col("n_lists"))
+      .transform(Presented(_, ordered, "qid", "rnk"))
+  }
 }

@@ -27,6 +27,18 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(line.length < 500, s"compact line must stay tail-capture-safe, was ${line.length}")
   }
 
+  test("cpu_ref: min of the sweep samples lands in both artifacts; absent when not measured") {
+    val line = Bench.compactLine(timings, Some(oracle), Seq(3.5), Nil, "/sf",
+      floorSweeps = Seq(0.03), cpuRefSweeps = Seq(0.41, 0.39, 0.44))
+    assert(line.contains(""""cpu_ref":0.390"""))
+    assert(!Bench.compactLine(timings, Some(oracle), Seq(3.5), Nil, "/sf")
+      .contains("cpu_ref"))
+    val d = Bench.detailsJson(timings, Some(oracle), Seq(3.5), Nil, "/sf",
+      cpuRefSweeps = Seq(0.41, 0.39))
+    assert(d.contains(""""cpu_ref_sweeps":[0.410,0.390]""") &&
+      d.contains(""""cpu_ref":0.390"""))
+  }
+
   test("compact line without oracle omits the denominator fields") {
     val line = Bench.compactLine(timings, None, Seq(3.5), Nil, "/sf")
     assert(!line.contains("oracle") && line.contains(""""metric":"batch_total""""))

@@ -108,4 +108,90 @@ class IvfIndexSpec extends AnyFunSuite {
       assert(after > 0L, "repair = true must register the external partition")
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("retractCoded: removes exactly the ids, rewrites ONLY affected cells, drops emptied cells, search never returns a retracted id") {
+    val spark = TestSpark.spark.newSession()
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val coded = ProductQuant.buildCodedIndex(e, "vec_id", "embedding",
+      centroids, model, ordered = false)
+    val tbl = "graft_ivf_retract"
+    try {
+      IndexStore.saveCoded(coded, tbl,
+        java.nio.file.Files.createTempDirectory("graft_ivfr").resolve(tbl).toString,
+        nlist = centroids.length, m = model.m)
+      val loc = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+          .location.toString))
+      def cellFiles(): Map[String, Set[(String, Long)]] =
+        loc.listFiles().filter(_.getName.startsWith("list=")).map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.lastModified())).toSet
+        }.toMap
+      val table0 = spark.table(tbl)
+      // pick the retract set: all ids of ONE cell (it must empty and
+      // drop) plus a couple of ids from another (it must rewrite)
+      val byCell = table0.groupBy("list").agg(count(lit(1)).as("n"))
+        .orderBy("list").collect().map(r => r.getInt(0) -> r.getLong(1))
+      assert(byCell.length >= 3, "fixture needs >= 3 populated cells")
+      val emptyCell = byCell.minBy(_._2)._1
+      val rewriteCell = byCell.filter(_._1 != emptyCell).maxBy(_._2)._1
+      val emptyIds = table0.filter(col("list") === emptyCell)
+        .select("vec_id").collect().map(_.getLong(0))
+      val someIds = table0.filter(col("list") === rewriteCell)
+        .select("vec_id").limit(2).collect().map(_.getLong(0))
+      val retractIds = (emptyIds ++ someIds).toSet
+      // structural projection: the codes column is an Array (reference
+      // equality) — compare (id, list, codes-as-List) sets instead
+      def rows(df: DataFrame): Set[(Long, Int, Seq[Int])] =
+        df.collect().map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[Int]("list"),
+          r.getSeq[Int](r.fieldIndex("codes")).toList: Seq[Int])).toSet
+      val expected = rows(
+        table0.filter(!col("vec_id").isin(retractIds.toSeq.map(Long.box): _*)))
+      val filesBefore = cellFiles()
+
+      // no-hit probe: nothing removed, nothing written
+      import spark.implicits._
+      assert(IndexStore.retractCoded(spark, tbl,
+        Seq(-1L, -2L).toDF("vec_id"), "vec_id", centroids.length, model.m) == 0L)
+      assert(cellFiles() == filesBefore, "a no-hit retraction must not write")
+
+      val removed = IndexStore.retractCoded(spark, tbl,
+        retractIds.toSeq.toDF("vec_id"), "vec_id", centroids.length, model.m)
+      assert(removed == retractIds.size)
+      // survivors are bit-identical to a filter of the original table
+      assert(rows(spark.table(tbl)) == expected)
+      // the emptied cell is gone from catalog AND disk
+      val filesAfter = cellFiles()
+      assert(!filesAfter.contains(s"list=$emptyCell"),
+        "a fully-retracted cell's directory must be deleted")
+      assert(spark.table(tbl).filter(col("list") === emptyCell).count() == 0L)
+      // PARTITION ISOLATION: every unaffected cell's files are untouched
+      filesBefore.keys.filterNot(d =>
+          d == s"list=$emptyCell" || d == s"list=$rewriteCell")
+        .foreach { d =>
+          assert(filesAfter(d) == filesBefore(d),
+            s"unaffected cell $d must not be rewritten")
+        }
+      assert(filesAfter(s"list=$rewriteCell") != filesBefore(s"list=$rewriteCell"),
+        "the affected cell must actually rewrite")
+      // search law: pruned == unpruned over the retracted table, never
+      // a retracted id, and full probing == ADC over the filtered corpus
+      val q = e.filter(col("vec_id") < 5)
+      val post = ProductQuant.ivfAdcTopKPruned(spark.table(tbl), q,
+        "vec_id", "embedding", centroids, model, k = 5,
+        nprobe = centroids.length, ordered = false)
+      val postRows = post.collect()
+      assert(postRows.nonEmpty)
+      assert(!postRows.exists(r => retractIds.contains(r.getLong(2))),
+        "search must never return a retracted id")
+      assert(sortedRows(post) == sortedRows(ProductQuant.adcTopK(
+        e.filter(!col("vec_id").isin(retractIds.toSeq.map(Long.box): _*)),
+        q, "vec_id", "embedding", model, k = 5, ordered = false)))
+      // idempotence: re-running the same retraction removes nothing
+      assert(IndexStore.retractCoded(spark, tbl,
+        retractIds.toSeq.toDF("vec_id"), "vec_id", centroids.length, model.m) == 0L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }

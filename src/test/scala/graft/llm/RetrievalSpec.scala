@@ -71,6 +71,48 @@ class RetrievalSpec extends AnyFunSuite {
     assert(run(docs.repartition(1)) == run(docs.repartition(13)))
   }
 
+  test("rrfFuse closed form: hand-computed fusion, agreement count, single-list candidates, tie to lower cid") {
+    // two rank lists for one query: docs 10/11 in both (different
+    // ranks), 12 only in list A, 13 only in list B
+    val a = TestSpark.df("qid bigint, cid bigint, rnk bigint", Seq(
+      Row(1L, 10L, 1L), Row(1L, 11L, 2L), Row(1L, 12L, 3L)))
+    val b = TestSpark.df("qid bigint, cid bigint, rnk bigint", Seq(
+      Row(1L, 11L, 1L), Row(1L, 10L, 2L), Row(1L, 13L, 3L)))
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 4, c = 60, ordered = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).sortBy(_._2)
+    def rr(rs: Int*) = BigDecimal(rs.map(r => 1.0 / (60 + r)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 10: 1/61 + 1/62; 11: 1/62 + 1/61 — IDENTICAL fused score, tie
+    // breaks to the lower cid; 12: 1/63; 13: 1/63 — same score again,
+    // cid order
+    assert(got.toSeq == Seq(
+      (1L, 1L, 10L, rr(1, 2), 2L),
+      (1L, 2L, 11L, rr(1, 2), 2L),
+      (1L, 3L, 12L, rr(3), 1L),
+      (1L, 4L, 13L, rr(3), 1L)))
+  }
+
+  test("rrfFuse: k bound respected per query, >= 2 lists enforced, three-list fold is partitioning-invariant") {
+    val a = TestSpark.df("qid bigint, cid bigint, rnk bigint",
+      (1 to 10).map(i => Row(1L, i.toLong, i.toLong)) ++
+        (1 to 10).map(i => Row(2L, (100 + i).toLong, i.toLong)))
+    val b = TestSpark.df("qid bigint, cid bigint, rnk bigint",
+      (1 to 10).map(i => Row(1L, (11 - i).toLong, i.toLong)))
+    val c3 = TestSpark.df("qid bigint, cid bigint, rnk bigint",
+      (1 to 10).map(i => Row(1L, i.toLong, ((i * 7) % 10 + 1).toLong)))
+    val fused = Retrieval.rrfFuse(Seq(a, b, c3), k = 3, ordered = false).collect()
+    assert(fused.count(_.getLong(0) == 1L) == 3 &&
+      fused.count(_.getLong(0) == 2L) == 3)
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq(a), k = 3) }
+    // sorted-fold determinism: identical bits under repartitioning
+    def run(parts: Int) = Retrieval.rrfFuse(
+      Seq(a.repartition(parts), b.repartition(parts), c3.repartition(parts)),
+      k = 10, ordered = false)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(run(1) == run(13))
+  }
+
   test("edges: absent terms -> empty; case-folded matching; blank terms refuse") {
     assert(Retrieval.bm25Scores(corpus, "doc_id", "text",
       Seq("zzabsent"), ordered = false).count() == 0)
