@@ -102,6 +102,62 @@ object Retrieval {
   }
 
   /**
+   * Ranking-quality evaluation — recall@k, reciprocal rank, and binary
+   * NDCG@k per query — the audit loop every retrieval stack needs:
+   * after building an index ([[graft.llm.ProductQuant]], [[Ivf]]) or a
+   * fusion ([[rrfFuse]]), this is how its quality is measured against
+   * labeled relevant pairs (and how nprobe/bands/k knobs are tuned on
+   * real numbers instead of vibes).
+   *
+   * Inputs: `results` carries (qid, cid, rnk) ranked lists (rows with
+   * rnk > k are ignored, so feeding a deeper list evaluates the top-k
+   * cut); `truth` carries (qid, cid) relevant pairs (deduplicated
+   * here). Output, one row per qid IN TRUTH (a query with no truth has
+   * no defined metrics; a query with truth but no results scores 0):
+   *
+   *  - `n_truth`, `n_hits`: relevant total / relevant retrieved in top-k
+   *  - `recall_at_k` = n_hits / n_truth
+   *  - `rr` = 1/rank of the first relevant result (0 when none) — the
+   *    mean over queries is MRR
+   *  - `ndcg_at_k`: binary gains, DCG = Σ 1/log2(1+rank) over relevant
+   *    retrieved, normalized by the ideal DCG for min(n_truth, k) hits
+   *
+   * SCALE SHAPE: results are top-k-bounded and truth is eval-sized, so
+   * everything is model-sized — one dedup, one join on (qid, cid), two
+   * keyed aggregates. Double sums fold over SORTED rank arrays
+   * (partitioning-invariant); gains use ln(2)/ln(1+r) so both engines
+   * compute the same libm expression (log2 differs by ulps across
+   * implementations); all ratios ROUND(6).
+   */
+  def evalRanking(results: DataFrame, truth: DataFrame, k: Int,
+      ordered: Boolean = true): DataFrame = {
+    require(k >= 1, s"evalRanking: k >= 1, got $k")
+    val res = results.filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("rnk").cast("long").as("_r"))
+    val t = truth.select(col("qid"), col("cid")).distinct()
+    val nTruth = t.groupBy("qid").agg(count(lit(1)).as("n_truth"))
+    val perQ = res.join(t, Seq("qid", "cid"))
+      .groupBy("qid").agg(
+        count(lit(1)).as("_nh"),
+        min(col("_r")).as("_first"),
+        sort_array(collect_list(col("_r"))).as("_hr"))
+    val ln2 = math.log(2.0)
+    val dcg = aggregate(col("_hr"), lit(0.0),
+      (acc, r) => acc + lit(ln2) / log(r.cast("double") + 1.0))
+    val idcg = aggregate(sequence(lit(1L), least(col("n_truth"), lit(k.toLong))),
+      lit(0.0), (acc, i) => acc + lit(ln2) / log(i.cast("double") + 1.0))
+    nTruth.join(perQ, Seq("qid"), "left")
+      .select(col("qid"), col("n_truth"),
+        coalesce(col("_nh"), lit(0L)).as("n_hits"),
+        round(coalesce(col("_nh"), lit(0L)).cast("double") / col("n_truth"), 6)
+          .as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("_first"), lit(0.0)), 6).as("rr"),
+        round(when(col("_nh").isNull, 0.0).otherwise(dcg / idcg), 6)
+          .as("ndcg_at_k"))
+      .transform(Presented(_, ordered, "qid"))
+  }
+
+  /**
    * Reciprocal-rank fusion (Cormack et al., RRF) over two or more
    * ranked retrieval lists — the standard score-free way to combine
    * heterogeneous retrievers (dense ANN + lexical BM25, or an ensemble

@@ -113,6 +113,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(run(1) == run(13))
   }
 
+  test("evalRanking closed form: recall/RR/NDCG hand-computed; rnk > k ignored; zero-hit and no-result queries score 0; duplicate truth deduped") {
+    val results = TestSpark.df("qid bigint, cid bigint, rnk bigint", Seq(
+      Row(1L, 10L, 1L), Row(1L, 99L, 2L), Row(1L, 11L, 3L),
+      Row(1L, 98L, 4L), Row(1L, 97L, 5L),
+      Row(1L, 12L, 6L), // a hit BEYOND k — must not count at k = 5
+      Row(2L, 77L, 1L), Row(2L, 78L, 2L))) // no relevant results
+    val truth = TestSpark.df("qid bigint, cid bigint", Seq(
+      Row(1L, 10L), Row(1L, 11L), Row(1L, 12L), Row(1L, 10L), // dup row
+      Row(2L, 20L),
+      Row(3L, 30L))) // query with truth but NO results at all
+    val got = Retrieval.evalRanking(results, truth, k = 5, ordered = false)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def g(rank: Int) = math.log(2.0) / math.log(1.0 + rank)
+    // q1: hits at ranks 1 and 3 (the rank-6 hit is past k), 3 truth
+    val ndcg1 = (g(1) + g(3)) / (g(1) + g(2) + g(3))
+    assert(got(1L) == ((3L, 2L, r6(2.0 / 3), 1.0, r6(ndcg1))))
+    assert(got(2L) == ((1L, 0L, 0.0, 0.0, 0.0)))
+    assert(got(3L) == ((1L, 0L, 0.0, 0.0, 0.0)))
+    assert(got.size == 3, "one row per qid IN TRUTH, nothing else")
+  }
+
   test("edges: absent terms -> empty; case-folded matching; blank terms refuse") {
     assert(Retrieval.bm25Scores(corpus, "doc_id", "text",
       Seq("zzabsent"), ordered = false).count() == 0)
