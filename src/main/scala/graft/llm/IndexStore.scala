@@ -243,6 +243,75 @@ object IndexStore {
     spark.sql(s"ALTER TABLE $tableName SET TBLPROPERTIES ($props)")
   }
 
+  /**
+   * O(batch) append into the cell-partitioned coded index — the write
+   * half of a STREAMING vector index: each batch's vectors are
+   * IVF-assigned + PQ-encoded upstream
+   * ([[ProductQuant.buildCodedIndex]] with the index's own centroids/
+   * model) and inserted into their cells' directories. Parameters are
+   * checked against the stamped (nlist, m) first — appending rows
+   * encoded under a different codebook would silently corrupt every
+   * ADC distance in the touched cells. Appends add roughly one file
+   * per task per touched cell per batch; run [[compactCoded]] on a
+   * cadence (the [[maintain]] discipline, per-cell instead of
+   * per-bucket).
+   */
+  def appendCoded(coded: DataFrame, tableName: String,
+      nlist: Int, m: Int): Unit = {
+    val spark = coded.sparkSession
+    requireStamped(spark, tableName, ivfProps(nlist, m))
+    coded.select(spark.table(tableName).columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(tableName)
+  }
+
+  /** Parquet data files per cell directory — [[compactCoded]]'s probe
+    * and the growth monitor for streaming appends. */
+  def cellFileCounts(spark: SparkSession, tableName: String): Map[Int, Int] = {
+    val root = new org.apache.hadoop.fs.Path(tablePath(spark, tableName))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Map.empty
+    fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("list=")).map { d =>
+      d.getPath.getName.stripPrefix("list=").toInt ->
+        fs.listStatus(d.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    }.toMap
+  }
+
+  /**
+   * Compact the cells whose file count exceeds `maxFilesPerCell` back
+   * to ~one file each — the per-cell sibling of [[maintain]] for the
+   * partitioned coded index. Uses [[retractCoded]]'s machinery in
+   * reverse: the source is partition-pruned to the overgrown cells,
+   * repartitioned onto the cell key (≈ one task per cell ⇒ one file
+   * per cell), and swapped in with a dynamic-partition-overwrite
+   * insert — cells under the threshold are untouched, and a crash
+   * mid-write leaves the original files in place (per-partition
+   * commit). Returns the number of cells compacted.
+   */
+  def compactCoded(spark: SparkSession, tableName: String,
+      nlist: Int, m: Int, maxFilesPerCell: Int = 16): Int = {
+    require(maxFilesPerCell >= 1,
+      s"maxFilesPerCell must be >= 1, got $maxFilesPerCell")
+    requireStamped(spark, tableName, ivfProps(nlist, m))
+    val over = cellFileCounts(spark, tableName)
+      .collect { case (cell, files) if files > maxFilesPerCell => cell }
+      .toSeq.sorted
+    if (over.isEmpty) return 0
+    val table = spark.table(tableName)
+    val rewritten = table
+      .filter(col("list").isin(over.map(Int.box): _*))
+      .select(table.columns.map(col).toIndexedSeq: _*)
+      .repartition(over.length, col("list"))
+      .localCheckpoint(true)
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try rewritten.write.mode("overwrite").insertInto(tableName)
+    finally prevMode.fold(spark.conf.unset(modeKey))(spark.conf.set(modeKey, _))
+    over.length
+  }
+
   /** The cell-partitioned coded index, parameter-checked against the
     * stamped (nlist, m), ready for [[ProductQuant.ivfAdcTopKPruned]].
     * Pass `repair = true` after partition directories were written by

@@ -197,4 +197,90 @@ object StreamingIncremental {
       }
     }
   }
+
+  /**
+   * The VECTOR sibling of [[sinkExact]]: a maintaining streaming sink
+   * for the cell-partitioned IVF-PQ index
+   * ([[graft.llm.IndexStore.saveCoded]]). Each micro-batch's vectors
+   * are IVF-assigned + PQ-encoded with the INDEX'S OWN centroids and
+   * codebooks (an ANN index is only coherent under one quantizer —
+   * appending rows encoded differently corrupts every ADC distance,
+   * which is why [[graft.llm.IndexStore.appendCoded]] fail-fasts on
+   * the stamped (nlist, m)), then appended O(batch) into their cells'
+   * directories. Searches against the table see batch N's vectors from
+   * batch N+1 on (same-session readers should `refreshTable`).
+   *
+   * REPLAY-IDEMPOTENT: before appending, the batch's ids are probed
+   * against the table PARTITION-PRUNED to the batch's own cells (the
+   * batch's cells are known from its encoding — the probe reads
+   * ~|batch cells|/nlist of the index, never a full scan); rows whose
+   * id is already present classify `already_indexed` and are not
+   * re-appended, so a re-delivered batch converges to identical index
+   * contents. `onBatch` receives (id, list, codes, status) with
+   * status ∈ {new, already_indexed}.
+   *
+   * RETRACTIONS: the takedown feed applies
+   * [[graft.llm.IndexStore.retractCoded]] per batch BEFORE the encode/
+   * probe — composing vector takedowns with the loop without stopping
+   * it, mirroring [[sinkExact]]'s feed. Note retraction FORGETS: a
+   * retracted id arriving again in a later batch re-indexes as `new`.
+   *
+   * MAINTENANCE: every `maintainEvery` batches,
+   * [[graft.llm.IndexStore.compactCoded]] rewrites cells that have
+   * accumulated more than `maxFilesPerCell` files back to ~one file
+   * each (partition-pruned dynamic overwrite — untouched cells keep
+   * their files byte-identical).
+   *
+   * Re-training the quantizer (drifted corpus ⇒ stale centroids) is
+   * deliberately NOT a streaming concern: build a new table with
+   * [[graft.llm.ProductQuant.buildCodedIndex]] + saveCoded and point a
+   * new sink at it — the stamped parameters make a mixed-quantizer
+   * append impossible by construction.
+   */
+  def sinkCoded(stream: DataFrame, idCol: String, vecCol: String,
+      tableName: String, centroids: Array[Array[Long]],
+      model: graft.llm.ProductQuant.PqModel,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      maintainEvery: Long = 100, maxFilesPerCell: Int = 16,
+      retractions: (SparkSession, Long) => Option[DataFrame] = (_, _) => None)
+      : DataStreamWriter[Row] = {
+    val nlist = centroids.length
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      retractions(spark, batchId).foreach { ids =>
+        IndexStore.retractCoded(spark, tableName, ids, idCol, nlist, model.m)
+        ()
+      }
+      // eager checkpoint: the encode must run exactly once, BEFORE the
+      // append starts adding files to the table the probe reads
+      val coded = graft.llm.ProductQuant.buildCodedIndex(
+        batch, idCol, vecCol, centroids, model, ordered = false)
+        .localCheckpoint(true)
+      val cells = coded.select("list").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (cells.nonEmpty) {
+        spark.catalog.refreshTable(tableName)
+        val seen = spark.table(tableName)
+          .filter(col("list").isin(cells.map(Int.box): _*))
+          .select(col(idCol).as("_seen_id"))
+        val classified = coded
+          .join(seen, coded(idCol) === col("_seen_id"), "left")
+          .select(coded(idCol), col("list"), col("codes"),
+            when(col("_seen_id").isNotNull, lit("already_indexed"))
+              .otherwise(lit("new")).as("status"))
+          .localCheckpoint(true)
+        onBatch(classified, batchId)
+        val fresh = classified.filter(col("status") === "new")
+          .drop("status")
+        if (!fresh.isEmpty)
+          IndexStore.appendCoded(fresh, tableName, nlist, model.m)
+      } else onBatch(coded.withColumn("status", lit("new")), batchId)
+      if (maintainEvery > 0 && batches.incrementAndGet() % maintainEvery == 0) {
+        IndexStore.compactCoded(spark, tableName, nlist, model.m,
+          maxFilesPerCell)
+        ()
+      }
+    }
+  }
 }

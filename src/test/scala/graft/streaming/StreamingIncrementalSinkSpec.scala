@@ -308,4 +308,119 @@ class StreamingIncrementalSinkSpec extends AnyFunSuite {
       q2.stop()
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("sinkCoded: batches append into cells, replays and duplicates don't double-index, compaction on cadence, retraction feed composes, search stays exact") {
+    import graft.llm.{Clustering, ProductQuant}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = ProductQuant.train(e, "vec_id", "embedding", m = 16, ksub = 16, iters = 2)
+    val centroids = Clustering.train(e, "vec_id", "embedding", k = 4, iters = 3).centroids
+    val vecs: Map[Long, Seq[Float]] = e.filter(col("vec_id") < 120)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+
+    val tbl = "graft_stream_coded_idx"
+    try {
+      // initial index: vectors 100-119 only
+      IndexStore.saveCoded(
+        ProductQuant.buildCodedIndex(
+          e.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+          "vec_id", "embedding", centroids, model, ordered = false),
+        tbl,
+        Files.createTempDirectory("graft_coded_sink").resolve(tbl).toString,
+        nlist = centroids.length, m = model.m)
+
+      val out = scala.collection.mutable.Map[Long, String]()
+      def onBatch(classified: DataFrame, batchId: Long): Unit =
+        out.synchronized {
+          classified.collect().foreach(r => out(r.getLong(0)) = r.getString(3))
+        }
+      def indexedIds(): Seq[Long] = {
+        spark.catalog.refreshTable(tbl)
+        spark.table(tbl).select("vec_id").collect().map(_.getLong(0)).toSeq
+      }
+
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = StreamingIncremental.sinkCoded(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        tbl, centroids, model, onBatch,
+        maintainEvery = 2, maxFilesPerCell = 1)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_coded_chk").toString)
+        .start()
+
+      // batch 1: five new vectors
+      input.addData((0L to 4L).map(i => i -> vecs(i)): _*)
+      q.processAllAvailable()
+      assert((0L to 4L).forall(out(_) == "new"))
+      assert(indexedIds().sorted == ((0L to 4L) ++ (100L to 119L)).sorted)
+
+      // batch 2: overlap 3-4 (already indexed through the table) + new
+      // 5-7; cadence (every 2) compacts the overgrown cells
+      input.addData((3L to 7L).map(i => i -> vecs(i)): _*)
+      q.processAllAvailable()
+      assert(out(3L) == "already_indexed" && out(4L) == "already_indexed")
+      assert((5L to 7L).forall(out(_) == "new"))
+      val converged = ((0L to 7L) ++ (100L to 119L)).sorted
+      assert(indexedIds().sorted == converged,
+        "overlapping delivery must not double-index")
+      assert(IndexStore.cellFileCounts(spark, tbl).values.forall(_ <= 1),
+        "the cadence's compactCoded must rewrite overgrown cells to ~1 file")
+      q.stop()
+
+      // replay on a fresh checkpoint: everything already indexed
+      val replay = MemoryStream[(Long, Seq[Float])]
+      val q2 = StreamingIncremental.sinkCoded(
+        replay.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        tbl, centroids, model, onBatch, maintainEvery = 0)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_coded_chk2").toString)
+        .start()
+      replay.addData((0L to 7L).map(i => i -> vecs(i)): _*)
+      q2.processAllAvailable()
+      assert((0L to 7L).forall(out(_) == "already_indexed"))
+      assert(indexedIds().sorted == converged,
+        "a replayed batch must append nothing")
+      q2.stop()
+
+      // retraction feed: takedown id 3 in the same cycle its
+      // re-submission arrives — retract runs BEFORE the probe, so the
+      // arrival re-indexes as new (retraction FORGETS); exactly one
+      // row for id 3 afterwards
+      val third = MemoryStream[(Long, Seq[Float])]
+      val q3 = StreamingIncremental.sinkCoded(
+        third.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        tbl, centroids, model, onBatch, maintainEvery = 0,
+        retractions = (s, _) => { import s.implicits._
+          Some(Seq(3L).toDF("vec_id")) })
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_coded_chk3").toString)
+        .start()
+      third.addData(3L -> vecs(3L))
+      q3.processAllAvailable()
+      assert(out(3L) == "new", "a retracted id must re-accept as new")
+      assert(indexedIds().sorted == converged,
+        "retract + re-accept must converge to the same id set")
+      assert(indexedIds().count(_ == 3L) == 1)
+      q3.stop()
+
+      // search law: full probing over the streamed table equals the
+      // whole-corpus ADC scan over the equivalent static corpus
+      spark.catalog.refreshTable(tbl)
+      val corpus = e.filter((col("vec_id") < 8) ||
+        (col("vec_id") >= 100 && col("vec_id") < 120))
+      val queries = e.filter(col("vec_id") < 3)
+      def sorted(df: DataFrame) =
+        df.collect().map(_.toSeq.toVector).toSeq.sortBy(_.mkString("|"))
+      assert(sorted(ProductQuant.ivfAdcTopKPruned(spark.table(tbl), queries,
+        "vec_id", "embedding", centroids, model, k = 5,
+        nprobe = centroids.length, ordered = false)) ==
+        sorted(ProductQuant.adcTopK(corpus, queries, "vec_id", "embedding",
+          model, k = 5, ordered = false)),
+        "the streamed index must search exactly like a batch-built one")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
