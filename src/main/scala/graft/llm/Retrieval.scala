@@ -158,6 +158,43 @@ object Retrieval {
   }
 
   /**
+   * Hard-negative mining (the DPR/ANCE recipe): top-ranked retrieved
+   * candidates that are NOT labeled positives are the hard negatives a
+   * contrastive trainer needs — random negatives are too easy, and
+   * everything the retriever ranks highly but the labels reject is
+   * exactly the decision boundary. Emits one row per negative:
+   * (qid, cid, rnk, neg_rank) with `rnk` the retriever's original rank
+   * and `neg_rank` a dense 1-based rank over the negatives.
+   *
+   * `skipTop` drops the first positions of each list entirely
+   * (positives AND negatives): the very top of a strong retriever is
+   * where UNLABELED TRUE positives concentrate, and mining them as
+   * negatives poisons the training signal — skipping rank 1 (or a few)
+   * is the standard mitigation when labels are sparse.
+   *
+   * Only queries PRESENT IN TRUTH are mined: a query with no labeled
+   * positive gives no signal about which candidates are safe to call
+   * negative. Scale shape: results are top-k-bounded, truth is
+   * eval-sized — one semi-join, one anti-join, one bounded-cardinality
+   * window. Model-sized at any corpus scale.
+   */
+  def hardNegatives(results: DataFrame, truth: DataFrame, k: Int,
+      skipTop: Int = 0, ordered: Boolean = true): DataFrame = {
+    require(k >= 1 && skipTop >= 0 && skipTop < k,
+      s"hardNegatives: need k >= 1 and 0 <= skipTop < k; got k=$k skipTop=$skipTop")
+    val res = results.filter(col("rnk") <= k && col("rnk") > skipTop)
+      .select(col("qid"), col("cid"), col("rnk").cast("long").as("rnk"))
+    val t = truth.select(col("qid"), col("cid")).distinct()
+    val negs = res
+      .join(t.select("qid").distinct(), Seq("qid"), "left_semi")
+      .join(t, Seq("qid", "cid"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("rnk"), col("cid"))
+    negs.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .transform(Presented(_, ordered, "qid", "neg_rank"))
+  }
+
+  /**
    * Reciprocal-rank fusion (Cormack et al., RRF) over two or more
    * ranked retrieval lists — the standard score-free way to combine
    * heterogeneous retrievers (dense ANN + lexical BM25, or an ensemble

@@ -137,6 +137,32 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.size == 3, "one row per qid IN TRUTH, nothing else")
   }
 
+  test("hardNegatives: positives excluded, skipTop drops the head, unlabeled queries unmined, dense neg_rank; bad knobs refuse") {
+    val results = TestSpark.df("qid bigint, cid bigint, rnk bigint", Seq(
+      Row(1L, 10L, 1L), // positive at rank 1 — skipped by skipTop anyway
+      Row(1L, 50L, 2L), // negative
+      Row(1L, 11L, 3L), // positive — never mined
+      Row(1L, 51L, 4L), // negative
+      Row(1L, 52L, 5L),
+      Row(1L, 53L, 6L), // beyond k
+      Row(9L, 70L, 1L), Row(9L, 71L, 2L))) // qid 9 has NO truth — unmined
+    val truth = TestSpark.df("qid bigint, cid bigint", Seq(
+      Row(1L, 10L), Row(1L, 11L)))
+    val got = Retrieval.hardNegatives(results, truth, k = 5, skipTop = 1,
+      ordered = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._4)
+    assert(got.toSeq == Seq((1L, 50L, 2L, 1L), (1L, 51L, 4L, 2L),
+      (1L, 52L, 5L, 3L)))
+    // skipTop = 0 keeps a rank-1 NEGATIVE but still never mines positives
+    val all = Retrieval.hardNegatives(results, truth, k = 5, ordered = false)
+      .collect().map(_.getLong(1)).toSet
+    assert(all == Set(50L, 51L, 52L))
+    intercept[IllegalArgumentException] {
+      Retrieval.hardNegatives(results, truth, k = 5, skipTop = 5)
+    }
+  }
+
   test("edges: absent terms -> empty; case-folded matching; blank terms refuse") {
     assert(Retrieval.bm25Scores(corpus, "doc_id", "text",
       Seq("zzabsent"), ordered = false).count() == 0)
