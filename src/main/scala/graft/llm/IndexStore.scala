@@ -233,9 +233,25 @@ object IndexStore {
    * so directory pruning, not bucketing, is the right physical layout.
    */
   def saveCoded(coded: DataFrame, tableName: String, path: String,
-      nlist: Int, m: Int): Unit = {
+      nlist: Int, m: Int, tasksPerCell: Int = 1): Unit = {
+    require(tasksPerCell >= 1, s"tasksPerCell must be >= 1, got $tasksPerCell")
     val spark = coded.sparkSession
-    coded.write.partitionBy("list")
+    // Repartition onto the cell key before the partitioned write — the
+    // writeBucketed lesson applied to cells: without it, every write
+    // task emits a file into every cell it happens to hold, so an
+    // N-task bulk build writes up to N × nlist files (the object-store
+    // small-files failure mode, and a slow commit). On the cell key
+    // alone each cell lands in exactly ONE task → one file per cell;
+    // for extreme bulk builds where a single cell is too big for one
+    // task, tasksPerCell > 1 salts the shuffle with a content hash,
+    // bounding files-per-cell at tasksPerCell while restoring write
+    // parallelism.
+    val out =
+      if (tasksPerCell == 1) coded.repartition(col("list"))
+      else coded.repartition(col("list"),
+        pmod(xxhash64(coded.columns.filterNot(_ == "list").map(col)
+          .toIndexedSeq: _*), lit(tasksPerCell)))
+    out.write.partitionBy("list")
       .option("path", path).mode("overwrite").format("parquet")
       .saveAsTable(tableName)
     val props = ivfProps(nlist, m)

@@ -109,6 +109,32 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("saveCoded write layout: one file per cell by default; tasksPerCell bounds the fan-out for bulk builds") {
+    val spark = TestSpark.spark.newSession()
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(8) // a multi-task source — the layout must not leak it
+    val coded = ProductQuant.buildCodedIndex(e, "vec_id", "embedding",
+      centroids, model, ordered = false)
+    def filesPerCell(tbl: String): Map[String, Int] =
+      IndexStore.cellFileCounts(spark, tbl).map { case (k, v) => k.toString -> v }
+    val tbl = "graft_ivf_layout"
+    try {
+      IndexStore.saveCoded(coded, tbl,
+        java.nio.file.Files.createTempDirectory("graft_ivfl").resolve(tbl).toString,
+        nlist = centroids.length, m = model.m)
+      assert(filesPerCell(tbl).values.forall(_ == 1),
+        s"default layout must be ONE file per cell, got ${filesPerCell(tbl)}")
+      IndexStore.saveCoded(coded, tbl,
+        java.nio.file.Files.createTempDirectory("graft_ivfl2").resolve(tbl).toString,
+        nlist = centroids.length, m = model.m, tasksPerCell = 3)
+      assert(filesPerCell(tbl).values.forall(c => c >= 1 && c <= 3),
+        s"tasksPerCell = 3 must bound files per cell at 3, got ${filesPerCell(tbl)}")
+      intercept[IllegalArgumentException] {
+        IndexStore.saveCoded(coded, tbl, "/tmp/never", 1, 1, tasksPerCell = 0)
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("retractCoded: removes exactly the ids, rewrites ONLY affected cells, drops emptied cells, search never returns a retracted id") {
     val spark = TestSpark.spark.newSession()
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
