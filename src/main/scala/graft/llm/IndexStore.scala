@@ -280,6 +280,26 @@ object IndexStore {
       .write.mode("append").insertInto(tableName)
   }
 
+  /**
+   * Delete leftover `.spark-staging-*` directories under the coded
+   * table's location — the residue of a dynamic-partition-overwrite
+   * ([[retractCoded]]/[[compactCoded]]) killed mid-write. Committed
+   * data is never under a staging dir, so this is pure garbage
+   * collection — but ONLY safe when no write is in flight, which the
+   * single-writer discipline guarantees at the top of a sink batch
+   * ([[graft.streaming.StreamingIncremental.sinkCoded]] runs it there,
+   * the coded analogue of `recover`). Returns directories deleted.
+   */
+  def cleanStagingDirs(spark: SparkSession, tableName: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(tablePath(spark, tableName))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return 0
+    val stale = fs.listStatus(root).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith(".spark-staging"))
+    stale.foreach(s => fs.delete(s.getPath, true))
+    stale.length
+  }
+
   /** Parquet data files per cell directory — [[compactCoded]]'s probe
     * and the growth monitor for streaming appends. */
   def cellFileCounts(spark: SparkSession, tableName: String): Map[Int, Int] = {

@@ -248,6 +248,11 @@ object StreamingIncremental {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
+      // the coded analogue of recover(): a retract/compact killed
+      // mid-write leaves a .spark-staging dir under the table path;
+      // single-writer at batch start is the one moment deleting it is
+      // provably safe
+      IndexStore.cleanStagingDirs(spark, tableName)
       retractions(spark, batchId).foreach { ids =>
         IndexStore.retractCoded(spark, tableName, ids, idCol, nlist, model.m)
         ()

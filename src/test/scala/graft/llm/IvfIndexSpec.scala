@@ -132,6 +132,20 @@ class IvfIndexSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         IndexStore.saveCoded(coded, tbl, "/tmp/never", 1, 1, tasksPerCell = 0)
       }
+      // staging GC: a crashed dynamic-overwrite's leftover staging dir
+      // is deleted; committed cell data is untouched
+      val loc = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+          .location.toString))
+      val staging = new java.io.File(loc, ".spark-staging-deadbeef")
+      staging.mkdirs()
+      new java.io.File(staging, "orphan.parquet").createNewFile()
+      val before = filesPerCell(tbl)
+      assert(IndexStore.cleanStagingDirs(spark, tbl) == 1)
+      assert(!staging.exists, "the stale staging dir must be deleted")
+      assert(filesPerCell(tbl) == before, "committed cells must be untouched")
+      assert(IndexStore.cleanStagingDirs(spark, tbl) == 0)
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
