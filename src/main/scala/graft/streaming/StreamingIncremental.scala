@@ -276,8 +276,13 @@ object StreamingIncremental {
               .otherwise(lit("new")).as("status"))
           .localCheckpoint(true)
         onBatch(classified, batchId)
+        // in-batch id dedup: the table probe can't see a duplicate id
+        // arriving twice in the SAME batch — without this, both rows
+        // append and the id is double-indexed forever. Per-batch id
+        // uniqueness is the caller contract; this keeps one row per id
+        // as defense (rows are identical when the contract holds)
         val fresh = classified.filter(col("status") === "new")
-          .drop("status")
+          .drop("status").dropDuplicates(idCol)
         if (!fresh.isEmpty)
           IndexStore.appendCoded(fresh, tableName, nlist, model.m)
       } else onBatch(coded.withColumn("status", lit("new")), batchId)

@@ -352,11 +352,14 @@ class StreamingIncrementalSinkSpec extends AnyFunSuite {
           Files.createTempDirectory("graft_coded_chk").toString)
         .start()
 
-      // batch 1: five new vectors
-      input.addData((0L to 4L).map(i => i -> vecs(i)): _*)
+      // batch 1: five new vectors, one of them delivered TWICE in the
+      // same batch (the table probe can't see in-batch dups — the
+      // sink's own dedup must)
+      input.addData(((0L to 4L) :+ 2L).map(i => i -> vecs(i)): _*)
       q.processAllAvailable()
       assert((0L to 4L).forall(out(_) == "new"))
-      assert(indexedIds().sorted == ((0L to 4L) ++ (100L to 119L)).sorted)
+      assert(indexedIds().sorted == ((0L to 4L) ++ (100L to 119L)).sorted,
+        "an id duplicated within one batch must index exactly once")
 
       // batch 2: overlap 3-4 (already indexed through the table) + new
       // 5-7; cadence (every 2) compacts the overgrown cells
