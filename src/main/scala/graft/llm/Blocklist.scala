@@ -41,7 +41,16 @@ object Blocklist {
     val (bigrams, singles) = folded.partition(_.contains(" "))
     require(bigrams.forall(_.split(" ").length == 2),
       s"score: only 1- and 2-word terms are matchable; got ${bigrams.filter(_.split(" ").length > 2)}")
-    val toks = transform(filter(TextOps.tokens(col(textCol)), t => t =!= ""), lower _)
+    // Two-level select: the tokenize/lower/filter chain feeds FOUR
+    // consumers (n_tokens, single hits, both bigram zip sides), and
+    // higher-order lambdas block codegen subexpression elimination —
+    // inlined, the regex split ran once per consumer per row.
+    // Materializing `_toks` in a lower projection forces one
+    // evaluation: CollapseProject refuses to merge a multiply-
+    // referenced non-cheap expression. Measured at sf0.1 interleaved
+    // best-of-5: baseline 0.954 s → 0.596/0.563 s over two spaced
+    // variant runs (−40%); output oracle-identical (pq61).
+    val toks = col("_toks")
     val singleHits =
       if (singles.isEmpty) lit(0)
       else size(filter(toks, t => t.isin(singles.map(lit(_)): _*)))
@@ -52,9 +61,11 @@ object Blocklist {
           (a, b) => concat(a, lit(" "), b)),
         g => g.isin(bigrams.map(lit(_)): _*)))
     df.select(col(idCol),
-      coalesce(size(filter(TextOps.tokens(col(textCol)), t => t =!= "")), lit(0))
-        .cast("long").as("n_tokens"),
-      coalesce(singleHits + bigramHits, lit(0)).cast("long").as("hits"))
+        transform(filter(TextOps.tokens(col(textCol)), t => t =!= ""), lower _)
+          .as("_toks"))
+      .select(col(idCol),
+        coalesce(size(toks), lit(0)).cast("long").as("n_tokens"),
+        coalesce(singleHits + bigramHits, lit(0)).cast("long").as("hits"))
       .withColumn("pass",
         col("hits") * maxHitRatioDenom <= col("n_tokens") * maxHitRatioNum)
       .transform(Presented(_, ordered, idCol))

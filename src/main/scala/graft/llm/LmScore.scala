@@ -101,12 +101,20 @@ object LmScore {
     * count. */
   def bigramCounts(docs: DataFrame, textCol: String,
       ordered: Boolean = true): DataFrame = {
-    val toks = filter(TextOps.tokens(col(textCol)), w => w =!= "")
+    // `_toks` materialized in a lower projection: the pairs expression
+    // references the tokenize chain FIVE times (two sizes, two slices,
+    // the zip input) inside a Generate, where codegen subexpression
+    // elimination does not apply — inlined, the regex split ran five
+    // times per row. CollapseProject keeps the split single-evaluated
+    // (it refuses to merge a multiply-referenced non-cheap expression)
+    // — the Blocklist.score lesson.
+    val toks = col("_toks")
     val pairs = when(size(toks) >= 2,
       zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
     docs.filter(col(textCol).isNotNull)
+      .select(filter(TextOps.tokens(col(textCol)), w => w =!= "").as("_toks"))
       .select(explode(pairs).as("_p"))
       .select(col("_p.w1"), col("_p.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))

@@ -44,9 +44,13 @@ object Retrieval {
       .filter(_.nonEmpty).distinct
     require(termsLc.nonEmpty, "bm25Scores: terms are all empty/blank")
     val toks = filter(TextOps.tokens(col(textCol)), w => w =!= "")
+    // `_toks` materialized below explode: size + explode reference the
+    // tokenize chain twice inside a Generate (no codegen subexpression
+    // elimination there) — the Blocklist.score / bigramCounts lesson
     val docs = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("_id"), size(toks).cast("long").as("_len"),
-        explode(toks).as("_w0"))
+      .select(col(idCol).as("_id"), toks.as("_toks"))
+      .select(col("_id"), size(col("_toks")).cast("long").as("_len"),
+        explode(col("_toks")).as("_w0"))
       .select(col("_id"), col("_len"), lower(col("_w0")).as("_w"))
     val hits = docs.filter(col("_w").isin(termsLc: _*))
     // corpus scalars (N docs, average length) as a broadcast one-row
