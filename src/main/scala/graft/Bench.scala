@@ -267,6 +267,13 @@ object Bench {
     // detach: repeated runs in one JVM would otherwise accumulate stale
     // listeners on the shared SparkContext bus
     spark.sparkContext.removeSparkListener(jobListener)
+    // the spin's result must OBSERVABLY escape: without a consumed read,
+    // a JIT that scalar-replaces the captured sink var could hollow out
+    // the timed loop and flatten the host-speed signal. One bit suffices
+    // to anchor the whole xorshift dependence chain.
+    if (cpuRefSweeps.nonEmpty)
+      System.err.println(
+        s"[bench] cpu_ref=${num(cpuRefSweeps.min)} sink_bit=${cpuRefSink & 1L}")
     val details =
       detailsJson(timings, oracle, sweepTotals.toSeq, failed.toSeq, sfDir,
         floorSweeps.toSeq, queryJobs, cpuRefSweeps.toSeq) + "\n"

@@ -115,8 +115,9 @@ object Retrieval {
    *
    * Inputs: `results` carries (qid, cid, rnk) ranked lists (rows with
    * rnk > k are ignored, so feeding a deeper list evaluates the top-k
-   * cut); `truth` carries (qid, cid) relevant pairs (deduplicated
-   * here). Output, one row per qid IN TRUTH (a query with no truth has
+   * cut; a candidate appearing at multiple ranks is min-rank
+   * deduplicated so it counts as one hit); `truth` carries (qid, cid)
+   * relevant pairs (deduplicated here). Output, one row per qid IN TRUTH (a query with no truth has
    * no defined metrics; a query with truth but no results scores 0):
    *
    *  - `n_truth`, `n_hits`: relevant total / relevant retrieved in top-k
@@ -136,8 +137,14 @@ object Retrieval {
   def evalRanking(results: DataFrame, truth: DataFrame, k: Int,
       ordered: Boolean = true): DataFrame = {
     require(k >= 1, s"evalRanking: k >= 1, got $k")
+    // min-rank dedup on (qid, cid): a candidate listed at two ranks (an
+    // upstream union/fusion that skipped its own dedup) must count as ONE
+    // hit at its best rank — without this, n_hits double-counts and
+    // recall/ndcg can exceed 1.0. A no-op (same plan cardinality) when the
+    // input honors the one-row-per-candidate shape the retrievers emit.
     val res = results.filter(col("rnk") <= k)
       .select(col("qid"), col("cid"), col("rnk").cast("long").as("_r"))
+      .groupBy("qid", "cid").agg(min(col("_r")).as("_r"))
     val t = truth.select(col("qid"), col("cid")).distinct()
     val nTruth = t.groupBy("qid").agg(count(lit(1)).as("n_truth"))
     val perQ = res.join(t, Seq("qid", "cid"))
@@ -235,8 +242,15 @@ object Retrieval {
       ordered: Boolean = true): DataFrame = {
     require(rankings.size >= 2, s"rrfFuse: need >= 2 lists, got ${rankings.size}")
     require(k >= 1 && c >= 0, s"rrfFuse: need k >= 1, c >= 0; got k=$k c=$c")
+    // min-rank dedup PER LIST before the union: a list carrying one
+    // candidate at two ranks would otherwise contribute 1/(c+r) twice
+    // (and inflate n_lists past the list count). Model-sized inputs make
+    // the extra keyed aggregate per list free; a no-op on the
+    // one-row-per-candidate shape the retrievers emit.
     val u = rankings.map(_.select(col("qid"), col("cid"),
-      col("rnk").cast("int").as("_r"))).reduce(_ unionByName _)
+        col("rnk").cast("int").as("_r"))
+      .groupBy("qid", "cid").agg(min(col("_r")).as("_r")))
+      .reduce(_ unionByName _)
     val fused = u.groupBy("qid", "cid")
       .agg(sort_array(collect_list(col("_r"))).as("_rs"))
       .select(col("qid"), col("cid"),

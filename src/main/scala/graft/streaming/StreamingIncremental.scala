@@ -210,13 +210,23 @@ object StreamingIncremental {
    * directories. Searches against the table see batch N's vectors from
    * batch N+1 on (same-session readers should `refreshTable`).
    *
-   * REPLAY-IDEMPOTENT: before appending, the batch's ids are probed
-   * against the table PARTITION-PRUNED to the batch's own cells (the
-   * batch's cells are known from its encoding — the probe reads
-   * ~|batch cells|/nlist of the index, never a full scan); rows whose
-   * id is already present classify `already_indexed` and are not
-   * re-appended, so a re-delivered batch converges to identical index
-   * contents. `onBatch` receives (id, list, codes, status) with
+   * REPLAY-IDEMPOTENT — under the ONE-IMMUTABLE-VECTOR-PER-ID
+   * contract: before appending, the batch's ids are probed against the
+   * table PARTITION-PRUNED to the batch's own cells (the batch's cells
+   * are known from its encoding — the probe reads ~|batch cells|/nlist
+   * of the index, never a full scan); rows whose id is already present
+   * classify `already_indexed` and are not re-appended, so a
+   * re-delivered batch converges to identical index contents. That
+   * convergence REQUIRES each id's vector to be immutable across
+   * deliveries (the same in-batch-uniqueness discipline, across
+   * batches): a re-arrival carrying a CHANGED vector can IVF-assign to
+   * a different cell, where the cell-pruned probe cannot see the old
+   * row — it classifies `new` and the id is indexed twice (a search
+   * can then return the same id as two neighbors). This sink is an
+   * insert-only index: route updates as a retraction of the old id
+   * (the `retractions` feed) followed by a re-submission, or probe by
+   * id across all cells yourself upstream when an update path is
+   * unavoidable. `onBatch` receives (id, list, codes, status) with
    * status ∈ {new, already_indexed}.
    *
    * RETRACTIONS: the takedown feed applies
@@ -224,6 +234,16 @@ object StreamingIncremental {
    * probe — composing vector takedowns with the loop without stopping
    * it, mirroring [[sinkExact]]'s feed. Note retraction FORGETS: a
    * retracted id arriving again in a later batch re-indexes as `new`.
+   * KEEP RETURNING ids until the takedown is OBSERVED applied (a
+   * retractCoded probe of absent ids costs one pruned scan, no
+   * rewrite — re-delivery is harmless): the stakes are higher here
+   * than on [[sinkExact]] because retractCoded's documented
+   * insert-then-drop window means a crash after the dynamic-overwrite
+   * insert but before the batch commits can leave fully-retracted
+   * cells' rows in place, and only the feed re-delivering those ids on
+   * the replayed batch completes the takedown. A feed that marks ids
+   * "applied" the moment it hands them over re-opens that window;
+   * mark them only after the batch that retracted them has committed.
    *
    * MAINTENANCE: every `maintainEvery` batches,
    * [[graft.llm.IndexStore.compactCoded]] rewrites cells that have

@@ -137,6 +137,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.size == 3, "one row per qid IN TRUTH, nothing else")
   }
 
+  test("duplicate-candidate inputs are min-rank deduped: evalRanking never exceeds 1.0, rrfFuse counts a list once") {
+    // cid 10 relevant and listed at ranks 1 AND 3 (an upstream union
+    // that skipped its own dedup): it must count as ONE hit at rank 1,
+    // not inflate n_hits/recall/ndcg past their 1.0 ceilings
+    val dupRes = TestSpark.df("qid bigint, cid bigint, rnk bigint", Seq(
+      Row(1L, 10L, 1L), Row(1L, 10L, 3L)))
+    val truth = TestSpark.df("qid bigint, cid bigint", Seq(Row(1L, 10L)))
+    val got = Retrieval.evalRanking(dupRes, truth, k = 5, ordered = false)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq((1L, 1L, 1.0, 1.0, 1.0)))
+    // one list carrying cid 10 twice: contributes 1/(60+1) ONCE (best
+    // rank), and n_lists stays at the true list count 2
+    val a = TestSpark.df("qid bigint, cid bigint, rnk bigint", Seq(
+      Row(1L, 10L, 1L), Row(1L, 10L, 2L)))
+    val b = TestSpark.df("qid bigint, cid bigint, rnk bigint", Seq(
+      Row(1L, 10L, 1L)))
+    val fused = Retrieval.rrfFuse(Seq(a, b), k = 3, c = 60, ordered = false)
+      .collect().map(r => (r.getLong(2), r.getDouble(3), r.getLong(4)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(fused.toSeq == Seq((10L, r6(2.0 / 61), 2L)))
+  }
+
   test("hardNegatives: positives excluded, skipTop drops the head, unlabeled queries unmined, dense neg_rank; bad knobs refuse") {
     val results = TestSpark.df("qid bigint, cid bigint, rnk bigint", Seq(
       Row(1L, 10L, 1L), // positive at rank 1 — skipped by skipTop anyway
