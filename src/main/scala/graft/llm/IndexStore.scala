@@ -84,9 +84,12 @@ object IndexStore {
         col("keep_id")),
       tableName, path, buckets, Seq("content_hash"), "overwrite")
 
-  /** The bucketed exact index, ready for [[IncrementalDedup.classify]]. */
+  /** The bucketed exact index, ready for [[IncrementalDedup.classify]]
+    * — minus any pending [[tombstone]] ids (anti-joined broadcast, so
+    * the bucketed partitioning survives and classify plans stay
+    * exchange-free on the index side). */
   def exactIndex(spark: SparkSession, tableName: String): DataFrame =
-    spark.table(tableName)
+    tombstoneFiltered(spark, tableName, spark.table(tableName))
 
   /** O(batch) index maintenance: append the batch's accepted keepers
     * (`status = new` rows of a [[IncrementalDedup.classify]] result
@@ -105,14 +108,15 @@ object IndexStore {
   }
 
   /** Rewrite the (append-accumulated) exact index into `toTable` with
-    * one file per bucket. Contents are identical rows (the append
-    * invariant keeps content_hash unique; this is a file-layout
-    * compaction, not a merge) — pinned by the compaction law spec.
-    * Writes to a NEW table/path: Spark cannot overwrite a table from a
-    * plan that reads it; swap names afterwards if desired. */
+    * one file per bucket. Contents are identical rows MINUS any
+    * pending [[tombstone]] ids, which the rewrite folds (the append
+    * invariant keeps content_hash unique; with no tombstones this is
+    * a pure file-layout compaction) — pinned by the compaction law
+    * spec. Writes to a NEW table/path: Spark cannot overwrite a table
+    * from a plan that reads it; swap names afterwards if desired. */
   def compactExact(spark: SparkSession, fromTable: String, toTable: String,
       toPath: String, buckets: Int = 32): Unit =
-    saveExact(spark.table(fromTable), toTable, toPath, buckets)
+    saveExact(exactIndex(spark, fromTable), toTable, toPath, buckets)
 
   // ------------------------------------------------------------------
   // MinHash banded index: (band_idx, band_key, keep_id, sig),
@@ -166,12 +170,12 @@ object IndexStore {
   }
 
   /** The banded index, parameter-checked against the table's stamped
-    * sketch parameters, ready for
-    * [[IncrementalMinHash.classifyBanded]]. */
+    * sketch parameters, ready for [[IncrementalMinHash.classifyBanded]]
+    * — minus any pending [[tombstone]] ids (see [[exactIndex]]). */
   def minhashIndex(spark: SparkSession, tableName: String,
       shingleN: Int = 3, numHashes: Int = 9, bands: Int = 3): DataFrame = {
     requireStamped(spark, tableName, minhashProps(shingleN, numHashes, bands))
-    spark.table(tableName)
+    tombstoneFiltered(spark, tableName, spark.table(tableName))
   }
 
   /** O(batch) index maintenance for the sketch index: append the banded
@@ -196,12 +200,15 @@ object IndexStore {
       tableName, tablePath(spark, tableName), buckets, keys, "append")
   }
 
-  /** File-layout compaction for the banded index — see [[compactExact]]. */
+  /** File-layout compaction (+ tombstone fold) for the banded index —
+    * see [[compactExact]]. */
   def compactMinhash(spark: SparkSession, fromTable: String, toTable: String,
       toPath: String, buckets: Int = 32): Unit = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $fromTable").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    writeBucketed(spark.table(fromTable), toTable, toPath, buckets,
+    writeBucketed(
+      tombstoneFiltered(spark, fromTable, spark.table(fromTable)),
+      toTable, toPath, buckets,
       Seq("band_idx", "band_key"), "overwrite")
     val carried = minhashProps(
       props.getOrElse("graft.shingleN", "3").toInt,
@@ -281,14 +288,21 @@ object IndexStore {
   }
 
   /**
-   * Delete leftover `.spark-staging-*` directories under the coded
-   * table's location — the residue of a dynamic-partition-overwrite
-   * ([[retractCoded]]/[[compactCoded]]) killed mid-write. Committed
-   * data is never under a staging dir, so this is pure garbage
-   * collection — but ONLY safe when no write is in flight, which the
-   * single-writer discipline guarantees at the top of a sink batch
+   * Garbage-collect crash residue under the coded table's location —
+   * ONLY safe when no write is in flight, which the single-writer
+   * discipline guarantees at the top of a sink batch
    * ([[graft.streaming.StreamingIncremental.sinkCoded]] runs it there,
-   * the coded analogue of `recover`). Returns directories deleted.
+   * the coded analogue of `recover`). Two kinds of residue:
+   *
+   *  - `.spark-staging-*` directories (an append killed mid-write);
+   *  - ORPHANED versioned cell directories — `.v<nano>/list=<c>` dirs
+   *    a [[rewriteCells]] wrote but crashed before repointing: they
+   *    are neither a current partition location nor on the retired
+   *    list, so nothing will ever read or vacuum them. A version
+   *    shell whose every cell is gone is removed too.
+   *
+   * Committed data is never touched: current and retired locations are
+   * both excluded. Returns directories deleted (shells uncounted).
    */
   def cleanStagingDirs(spark: SparkSession, tableName: String): Int = {
     val root = new org.apache.hadoop.fs.Path(tablePath(spark, tableName))
@@ -297,36 +311,118 @@ object IndexStore {
     val stale = fs.listStatus(root).filter(s => s.isDirectory &&
       s.getPath.getName.startsWith(".spark-staging"))
     stale.foreach(s => fs.delete(s.getPath, true))
-    stale.length
+    var cleaned = stale.length
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val referenced = liveLocations(spark, tableName) ++
+      retiredEntries(meta).map(e => qualify(spark, e._2))
+    fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.matches("\\.v\\d+")).foreach { v =>
+      def cellDirs() = fs.listStatus(v.getPath).filter(c =>
+        c.isDirectory && c.getPath.getName.startsWith("list="))
+      cellDirs().filterNot(c =>
+          referenced.contains(qualify(spark, c.getPath.toString)))
+        .foreach { c => fs.delete(c.getPath, true); cleaned += 1 }
+      if (cellDirs().isEmpty) fs.delete(v.getPath, true)
+    }
+    cleaned
   }
 
-  /** Parquet data files per cell directory — [[compactCoded]]'s probe
-    * and the growth monitor for streaming appends. */
+  /** Parquet data files per cell — [[compactCoded]]'s probe and the
+    * growth monitor for streaming appends. Reads each cell's CURRENT
+    * location from the catalog (a rewritten cell's directory is
+    * versioned under the root, not `list=<c>` — see [[rewriteCells]]). */
   def cellFileCounts(spark: SparkSession, tableName: String): Map[Int, Int] = {
-    val root = new org.apache.hadoop.fs.Path(tablePath(spark, tableName))
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) return Map.empty
-    fs.listStatus(root).filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith("list=")).map { d =>
-      d.getPath.getName.stripPrefix("list=").toInt ->
-        fs.listStatus(d.getPath)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val fs = new org.apache.hadoop.fs.Path(tablePath(spark, tableName))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    spark.sessionState.catalog.listPartitions(ident).flatMap { p =>
+      p.spec.get("list").map { c =>
+        val d = new org.apache.hadoop.fs.Path(p.location)
+        c.toInt -> (if (fs.exists(d)) fs.listStatus(d)
           .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        else 0)
+      }
     }.toMap
+  }
+
+  /**
+   * The cell-rewrite engine behind [[retractCoded]] and
+   * [[compactCoded]] — SNAPSHOT-SAFE and per-cell ATOMIC:
+   *
+   *  1. The affected cells' rows are read (partition-pruned), passed
+   *     through `transform`, repartitioned onto the cell key (≈ one
+   *     task per cell ⇒ one file per cell), and written to a fresh
+   *     VERSIONED staging directory `<root>/.v<nano>/list=<c>` — a NEW
+   *     path, so the read is never from an overwritten location (no
+   *     checkpoint needed) and the original files stay untouched for
+   *     in-flight readers.
+   *  2. Each surviving cell is repointed with one
+   *     `ALTER TABLE ... PARTITION (list=c) SET LOCATION` — a single
+   *     catalog op per cell, so every cell transitions atomically from
+   *     its complete old data to its complete new data. A cell whose
+   *     every row was dropped by `transform` is `DROP PARTITION`ed
+   *     (also one op). There is no in-place overwrite anywhere.
+   *  3. The cells' pre-rewrite directories are RETIRED (recorded
+   *     before step 2 — a crash in between leaves entries naming live
+   *     locations, which [[vacuum]]'s guard drops harmlessly) and
+   *     reclaimed by vacuum after `graceMs`.
+   *
+   * CRASH ANYWHERE converges: un-repointed cells keep their complete
+   * old data (a re-run sees and rewrites them again); repointed cells
+   * are complete new data; orphaned staging cells (written but never
+   * repointed) are swept by [[cleanStagingDirs]] under the
+   * single-writer discipline.
+   */
+  private def rewriteCells(spark: SparkSession, tableName: String,
+      cells: Seq[Int], graceMs: Long)(transform: DataFrame => DataFrame): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val cat = spark.sessionState.catalog
+    val table = spark.table(tableName)
+    val cellSet = cells.toSet
+    val oldDirs = cat.listPartitions(ident).collect {
+      case p if p.spec.get("list").exists(c => cellSet(c.toInt)) =>
+        p.location.toString
+    }
+    val root = tablePath(spark, tableName).stripSuffix("/")
+    val stagingRoot = s"$root/.v${System.nanoTime()}"
+    val survivors = transform(
+      table.filter(col("list").isin(cells.map(Int.box): _*))
+        .select(table.columns.map(col).toIndexedSeq: _*))
+      .repartition(cells.length, col("list"))
+    survivors.write.partitionBy("list").mode("overwrite").parquet(stagingRoot)
+    // cells with survivors = the staging write's list= children
+    // (driver-side listing, ≤ |cells| entries)
+    val stP = new org.apache.hadoop.fs.Path(stagingRoot)
+    val fs = stP.getFileSystem(spark.sessionState.newHadoopConf())
+    val present =
+      if (!fs.exists(stP)) Set.empty[Int]
+      else fs.listStatus(stP).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("list="))
+        .map(_.getPath.getName.stripPrefix("list=").toInt).toSet
+    retire(spark, tableName, oldDirs)
+    cells.foreach { c =>
+      if (present(c))
+        spark.sql(s"ALTER TABLE $tableName PARTITION (list=$c) " +
+          s"SET LOCATION '$stagingRoot/list=$c'")
+      else
+        spark.sql(s"ALTER TABLE $tableName DROP IF EXISTS PARTITION (list=$c)")
+    }
+    spark.catalog.refreshTable(tableName)
+    vacuum(spark, tableName, graceMs)
   }
 
   /**
    * Compact the cells whose file count exceeds `maxFilesPerCell` back
    * to ~one file each — the per-cell sibling of [[maintain]] for the
-   * partitioned coded index. Uses [[retractCoded]]'s machinery in
-   * reverse: the source is partition-pruned to the overgrown cells,
-   * repartitioned onto the cell key (≈ one task per cell ⇒ one file
-   * per cell), and swapped in with a dynamic-partition-overwrite
-   * insert — cells under the threshold are untouched, and a crash
-   * mid-write leaves the original files in place (per-partition
-   * commit). Returns the number of cells compacted.
+   * partitioned coded index, via [[rewriteCells]] with an identity
+   * transform: cells under the threshold are untouched byte-for-byte,
+   * each overgrown cell swaps atomically to its compacted directory,
+   * and the old files stay for `graceMs` so concurrent searches never
+   * error. Returns the number of cells compacted.
    */
   def compactCoded(spark: SparkSession, tableName: String,
-      nlist: Int, m: Int, maxFilesPerCell: Int = 16): Int = {
+      nlist: Int, m: Int, maxFilesPerCell: Int = 16, graceMs: Long = 0L): Int = {
     require(maxFilesPerCell >= 1,
       s"maxFilesPerCell must be >= 1, got $maxFilesPerCell")
     requireStamped(spark, tableName, ivfProps(nlist, m))
@@ -334,17 +430,7 @@ object IndexStore {
       .collect { case (cell, files) if files > maxFilesPerCell => cell }
       .toSeq.sorted
     if (over.isEmpty) return 0
-    val table = spark.table(tableName)
-    val rewritten = table
-      .filter(col("list").isin(over.map(Int.box): _*))
-      .select(table.columns.map(col).toIndexedSeq: _*)
-      .repartition(over.length, col("list"))
-      .localCheckpoint(true)
-    val modeKey = "spark.sql.sources.partitionOverwriteMode"
-    val prevMode = spark.conf.getOption(modeKey)
-    spark.conf.set(modeKey, "dynamic")
-    try rewritten.write.mode("overwrite").insertInto(tableName)
-    finally prevMode.fold(spark.conf.unset(modeKey))(spark.conf.set(modeKey, _))
+    rewriteCells(spark, tableName, over, graceMs)(identity)
     over.length
   }
 
@@ -361,6 +447,136 @@ object IndexStore {
     if (repair) spark.catalog.recoverPartitions(tableName)
     requireStamped(spark, tableName, ivfProps(nlist, m))
     spark.table(tableName)
+  }
+
+  // ------------------------------------------------------------------
+  // Snapshot retention: retired directories + grace-period vacuum
+  // ------------------------------------------------------------------
+
+  /** Table property listing directories RETIRED by a swap/rewrite but
+    * retained on disk so in-flight readers finish against them —
+    * `<epochMillis>:<path>` entries joined by `;` (paths are URIs; `;`
+    * never appears in ours). [[vacuum]] deletes entries once their
+    * grace elapses. */
+  private val RetiredKey = "graft.retired"
+
+  private def qualify(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toString.stripSuffix("/")
+  }
+
+  private def retiredEntries(meta: org.apache.spark.sql.catalyst.catalog.CatalogTable)
+      : Seq[(Long, String)] =
+    meta.properties.get(RetiredKey).toSeq.flatMap(_.split(";"))
+      .filter(_.nonEmpty).map { e =>
+        val i = e.indexOf(':')
+        (e.take(i).toLong, e.drop(i + 1))
+      }
+
+  /** Set the retired list via the catalog API (not SQL ALTER) — paths
+    * need no quoting and the update is one catalog op. */
+  private def writeRetired(spark: SparkSession, tableName: String,
+      entries: Seq[(Long, String)]): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(ident)
+    val props =
+      if (entries.isEmpty) meta.properties - RetiredKey
+      else meta.properties + (RetiredKey ->
+        entries.map { case (ts, p) => s"$ts:$p" }.mkString(";"))
+    cat.alterTable(meta.copy(properties = props))
+  }
+
+  /** Record `dirs` as retired NOW: they stay on disk until a
+    * [[vacuum]] whose grace has elapsed deletes them. Called BEFORE
+    * the catalog op that stops referencing them — a crash in between
+    * leaves an entry naming still-live data, which vacuum's
+    * live-location guard drops (entry only) instead of deleting. */
+  private def retire(spark: SparkSession, tableName: String,
+      dirs: Seq[String]): Unit = {
+    if (dirs.isEmpty) return
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val now = System.currentTimeMillis()
+    writeRetired(spark, tableName,
+      retiredEntries(meta) ++ dirs.map(d => (now, qualify(spark, d))))
+  }
+
+  /** Every location the table currently references: the root plus, for
+    * a partitioned table, each partition's (possibly versioned)
+    * directory. The guard set for [[vacuum]] and the staging GC. */
+  private def liveLocations(spark: SparkSession, tableName: String): Set[String] = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(ident)
+    val parts =
+      if (meta.partitionColumnNames.isEmpty) Nil
+      else cat.listPartitions(ident).map(_.location.toString)
+    (meta.location.toString +: parts).map(qualify(spark, _)).toSet
+  }
+
+  /**
+   * Delete retired directories whose grace has elapsed — the MVCC-style
+   * reclamation that makes index reads SNAPSHOT-SAFE across
+   * [[maintain]]/[[retract]]/[[retractCoded]]/[[compactCoded]]: a
+   * rewrite never deletes the files a concurrent reader's listing
+   * points at; it retires them, and reclamation happens here, after
+   * `graceMs` — set it longer than the longest concurrent read (the
+   * rewriters call this with their own `graceMs` at entry and exit, so
+   * a steady maintenance cadence reclaims the previous round's files).
+   * `graceMs = 0` reclaims immediately (the pre-retention behavior —
+   * single-writer-single-reader deployments that never overlap reads
+   * with maintenance lose nothing).
+   *
+   * Entries naming a location the table STILL references (the
+   * crash-between-retire-and-swap window) are dropped from the list
+   * without deleting anything. Returns directories deleted.
+   */
+  def vacuum(spark: SparkSession, tableName: String, graceMs: Long = 0L): Int = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val entries = retiredEntries(meta)
+    if (entries.isEmpty) return 0
+    val live = liveLocations(spark, tableName)
+    val now = System.currentTimeMillis()
+    var deleted = 0
+    val kept = entries.filter { case (ts, path) =>
+      val q = qualify(spark, path)
+      // live = the entry IS a referenced location, or deleting it would
+      // take one down with it (it's an ancestor of one). An entry merely
+      // NESTED UNDER the root is the normal case — a retired cell
+      // directory lives under the partitioned table's root.
+      val isLive = live.exists(l => q == l || l.startsWith(q + "/"))
+      if (isLive) false // aborted swap: drop the entry, never the files
+      else if (now - ts >= graceMs) {
+        val p = new org.apache.hadoop.fs.Path(q)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        deleted += 1
+        false
+      } else true
+    }
+    if (kept.size != entries.size) writeRetired(spark, tableName, kept)
+    deleted
+  }
+
+  /** Drop a stale `<table>_compacting` entry left by a crash. When it
+    * points at a DIFFERENT path than the live table (crash before the
+    * swap took effect), the attempt's files go too; when it points at
+    * the SAME path (crash between [[locationSwap]]'s ALTER and its
+    * DROP), the files ARE the live data — metadata drop only. */
+  private def dropStaleTmp(spark: SparkSession, tableName: String): Unit = {
+    val tmp = tableName + "_compacting"
+    if (!spark.catalog.tableExists(tmp) || !spark.catalog.tableExists(tableName))
+      return
+    val staleQ = qualify(spark, tablePath(spark, tmp))
+    val liveQ = qualify(spark, tablePath(spark, tableName))
+    spark.sql(s"DROP TABLE $tmp")
+    if (staleQ != liveQ && !liveQ.startsWith(staleQ + "/") &&
+        !staleQ.startsWith(liveQ + "/")) {
+      val p = new org.apache.hadoop.fs.Path(staleQ)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
   }
 
   // ------------------------------------------------------------------
@@ -425,7 +641,7 @@ object IndexStore {
     * batch side co-partitioned too. */
   def maintain(spark: SparkSession, tableName: String,
       maxFilesPerBucket: Int = 16, toPath: Option[String] = None,
-      rebucketTo: Option[Int] = None): Boolean = {
+      rebucketTo: Option[Int] = None, graceMs: Long = 0L): Boolean = {
     require(maxFilesPerBucket > 0,
       s"maxFilesPerBucket must be positive, got $maxFilesPerBucket")
     rebucketTo.foreach(b => require(b > 0, s"rebucketTo must be positive, got $b"))
@@ -436,24 +652,34 @@ object IndexStore {
     // still needs its own rewrite below (returning early would report a
     // rebucket that never happened)
     val recovered = recover(spark, tableName)
-    if (spark.catalog.tableExists(tmp)) {
-      // crashed before the DROP: the live table is authoritative;
-      // discard the stale attempt, files included
-      val stale = new org.apache.hadoop.fs.Path(tablePath(spark, tmp))
-      spark.sql(s"DROP TABLE $tmp")
-      stale.getFileSystem(spark.sessionState.newHadoopConf()).delete(stale, true)
-    }
+    // crashed before/inside a swap: discard a stale attempt (files too,
+    // unless its path IS the live data — the post-ALTER crash window)
+    dropStaleTmp(spark, tableName)
+    // reclaim the PREVIOUS round's retired directories once their
+    // grace elapsed — the steady-state reclamation cadence
+    vacuum(spark, tableName, graceMs)
     val (buckets, keys) = bucketSpecOf(spark, tableName)
     val files = dataFileCount(spark, tableName)
     val rebucket = rebucketTo.exists(_ != buckets)
     if (!rebucket && files <= maxFilesPerBucket.toLong * buckets) return recovered
     val newBuckets = rebucketTo.getOrElse(buckets)
-    swapRewrite(spark, tableName, toPath) { newPath =>
+    def compactInto(newPath: String): Unit =
       if (keys == Seq("content_hash"))
         compactExact(spark, tableName, tmp, newPath, newBuckets)
       else
         compactMinhash(spark, tableName, tmp, newPath, newBuckets)
-    }
+    // same-count compaction swaps ATOMICALLY (one ALTER ... SET
+    // LOCATION — no missing-table window, old files retained under the
+    // grace); a REBUCKET must replace the table metadata itself (there
+    // is no ALTER for a bucket spec), so it keeps the DROP+RENAME
+    // route, whose two-op window recover() heals
+    if (rebucket) swapRewrite(spark, tableName, toPath)(compactInto)
+    else locationSwap(spark, tableName, toPath, graceMs)(compactInto)
+    // the rewrite read through the tombstone-filtered index, so any
+    // pending tombstones are now folded — physically gone; clear the
+    // sidecar (a crash before this line is benign: the anti-join of
+    // already-absent ids is a no-op and the next rewrite re-clears)
+    clearTombstones(spark, tableName)
     true
   }
 
@@ -468,31 +694,71 @@ object IndexStore {
     * swap then renames it in under `tableName` and deletes the old
     * files, with the [[CompactedFromKey]] marker making every
     * post-write crash window recoverable by [[recover]]. */
-  private def swapRewrite(spark: SparkSession, tableName: String,
-      toPath: Option[String])(write: String => Unit): Unit = {
-    val tmp = tableName + "_compacting"
+  /** The fresh swap destination: caller-chosen, or the current path
+    * with its `-compact-<n>` suffix RE-stamped (never compounded — a
+    * long-running maintenance loop would otherwise outgrow the
+    * filesystem's 255-byte name limit). Validated against equal/nested
+    * locations both directions: a toPath UNDER the table's location
+    * would be deleted with the old files after the swap; the location
+    * under toPath would be destroyed by the overwrite-mode write while
+    * still being read. Returns (newPath, qualified old, qualified new). */
+  private def swapTarget(spark: SparkSession, tableName: String,
+      toPath: Option[String]): (String, String, String) = {
     val oldPath = tablePath(spark, tableName)
-    // strip any previous "-compact-<n>" suffix before stamping a new
-    // one: a long-running maintenance loop (the streaming sinks) would
-    // otherwise COMPOUND suffixes each round until the path component
-    // passes the filesystem's 255-byte name limit and the compact
-    // write dies mid-swap
     val newPath = toPath.getOrElse(
       oldPath.stripSuffix("/").replaceAll("-compact-\\d+$", "") +
         s"-compact-${System.nanoTime()}")
-    val oldP = new org.apache.hadoop.fs.Path(oldPath)
-    val fs = oldP.getFileSystem(spark.sessionState.newHadoopConf())
-    // reject equal AND nested locations, both directions: a toPath
-    // UNDER the table's location would be deleted with the old files
-    // after the swap; the table's location under toPath would be
-    // destroyed by the overwrite-mode write while still being read
-    val oldQ = fs.makeQualified(oldP).toString.stripSuffix("/")
-    val newQ = fs.makeQualified(
-      new org.apache.hadoop.fs.Path(newPath)).toString.stripSuffix("/")
+    val oldQ = qualify(spark, oldPath)
+    val newQ = qualify(spark, newPath)
     require(oldQ != newQ && !newQ.startsWith(oldQ + "/") &&
         !oldQ.startsWith(newQ + "/"),
       s"toPath ($newQ) must not equal or nest with the table's current " +
         s"location ($oldQ): one side's files would be deleted with the other's")
+    (newPath, oldQ, newQ)
+  }
+
+  /**
+   * The SNAPSHOT-SAFE swap: `write` produces the replacement table
+   * under the `<table>_compacting` name at a fresh path; the swap is
+   * then ONE atomic catalog op — `ALTER TABLE ... SET LOCATION` — so a
+   * concurrent reader resolving the table never sees it missing (the
+   * DROP+RENAME window [[swapRewrite]] carries), and the pre-swap
+   * directory is RETIRED rather than deleted, so a reader whose file
+   * listing predates the swap finishes against retained files.
+   * Reclamation happens via [[vacuum]] after `graceMs`.
+   *
+   * Only valid when the replacement carries the SAME table metadata
+   * (bucket spec) as the original — a rebucket must go through
+   * [[swapRewrite]].
+   *
+   * CRASH WINDOWS (all converge without data loss):
+   *  - after `write`, before retire: tmp alongside live →
+   *    [[dropStaleTmp]] discards the attempt, files included.
+   *  - after retire, before ALTER: the retired entry names the LIVE
+   *    location → vacuum's guard drops the entry, never the files;
+   *    tmp discarded as above.
+   *  - after ALTER, before DROP tmp: tmp's path IS the live data →
+   *    [[dropStaleTmp]] drops metadata only; the old dir is already
+   *    retired and vacuums on cadence.
+   */
+  private def locationSwap(spark: SparkSession, tableName: String,
+      toPath: Option[String], graceMs: Long)(write: String => Unit): Unit = {
+    val tmp = tableName + "_compacting"
+    val (newPath, oldQ, newQ) = swapTarget(spark, tableName, toPath)
+    write(newPath)
+    retire(spark, tableName, Seq(oldQ))
+    spark.sql(s"ALTER TABLE $tableName SET LOCATION '$newQ'")
+    spark.sql(s"DROP TABLE $tmp") // external: its files are now the live data
+    spark.catalog.refreshTable(tableName)
+    vacuum(spark, tableName, graceMs)
+  }
+
+  private def swapRewrite(spark: SparkSession, tableName: String,
+      toPath: Option[String])(write: String => Unit): Unit = {
+    val tmp = tableName + "_compacting"
+    val (newPath, oldQ, _) = swapTarget(spark, tableName, toPath)
+    val oldP = new org.apache.hadoop.fs.Path(oldQ)
+    val fs = oldP.getFileSystem(spark.sessionState.newHadoopConf())
     write(newPath)
     spark.sql(
       s"ALTER TABLE $tmp SET TBLPROPERTIES ('$CompactedFromKey'='$oldQ')")
@@ -547,6 +813,96 @@ object IndexStore {
     completed
   }
 
+  // ------------------------------------------------------------------
+  // Tombstones: O(ids) takedown latency for the bucketed indexes
+  // ------------------------------------------------------------------
+
+  private def tombstoneTable(tableName: String): String =
+    tableName + "_tombstones"
+
+  /** Anti-join `df` against the table's pending tombstones when the
+    * sidecar exists — broadcast (takedown sets are human-scale), so
+    * the index side's bucketed partitioning is preserved and classify
+    * plans stay exchange-free above the index scan. */
+  private def tombstoneFiltered(spark: SparkSession, tableName: String,
+      df: DataFrame): DataFrame = {
+    val tt = tombstoneTable(tableName)
+    if (!spark.catalog.tableExists(tt)) df
+    else df.join(
+      broadcast(spark.table(tt).select(col("keep_id").as("_ts_id"))),
+      df("keep_id") === col("_ts_id"), "left_anti")
+  }
+
+  /**
+   * O(ids) TAKEDOWN for the bucketed exact/minhash indexes — the
+   * latency fix for [[retract]]'s O(index) rewrite: buckets (unlike
+   * the coded index's cells) are not partitions, so a physical delete
+   * always rewrites the whole table. This instead appends the ids to
+   * a tiny `<table>_tombstones` sidecar; [[exactIndex]] and
+   * [[minhashIndex]] anti-join it, so every classify/resolve built on
+   * them behaves as if the rows were gone THE MOMENT this returns —
+   * takedown latency is O(ids), independent of index size. The
+   * physical rows leave at the next rewrite: [[maintain]]'s
+   * compaction and [[retract]] both FOLD pending tombstones and clear
+   * the sidecar (a maintain below its file threshold leaves them
+   * pending — the anti-join keeps hiding the rows, so nothing is
+   * observable either way).
+   *
+   * Semantics match [[retract]]: FORGETTING, not blocklisting — a
+   * re-submission of tombstoned content classifies `new` under a
+   * fresh keeper (the old row is hidden, so its content hash is
+   * re-acceptable; the RAW table transiently holds both rows, every
+   * read through exactIndex/minhashIndex sees only the new one, and
+   * the fold removes the old one physically). `resolveKeepers` can
+   * never emit a tombstoned id because classify never sees one.
+   *
+   * Idempotent and self-deduplicating: ids already in the sidecar are
+   * not re-appended. Returns the number of NEW ids recorded.
+   */
+  def tombstone(spark: SparkSession, tableName: String, ids: DataFrame,
+      idCol: String = "keep_id"): Long = {
+    // fail fast if the main table is not an IndexStore bucketed index
+    bucketSpecOf(spark, tableName)
+    val tt = tombstoneTable(tableName)
+    val incoming = ids.select(col(idCol).cast("long").as("keep_id")).distinct()
+    val fresh =
+      if (spark.catalog.tableExists(tt))
+        incoming.join(spark.table(tt), Seq("keep_id"), "left_anti")
+      else incoming
+    val staged = fresh.localCheckpoint(true) // count + write, one evaluation
+    val n = staged.count()
+    if (n > 0L) {
+      if (spark.catalog.tableExists(tt))
+        staged.write.mode("append").insertInto(tt)
+      else {
+        // sidecar beside the index's ORIGINAL path (suffix-stripped:
+        // the main location moves across compaction swaps)
+        val path = tablePath(spark, tableName).stripSuffix("/")
+          .replaceAll("-compact-\\d+$", "") + "_tombstones"
+        staged.write.option("path", path).format("parquet").saveAsTable(tt)
+      }
+    }
+    n
+  }
+
+  /** Pending tombstoned keeper ids (empty frame when none). */
+  def pendingTombstones(spark: SparkSession, tableName: String): DataFrame = {
+    val tt = tombstoneTable(tableName)
+    if (spark.catalog.tableExists(tt)) spark.table(tt)
+    else spark.range(0).select(col("id").as("keep_id"))
+  }
+
+  /** Drop the sidecar after a rewrite folded its ids — metadata and
+    * files. Safe under the single-writer discipline (the same writer
+    * tombstones, rewrites, clears). */
+  private def clearTombstones(spark: SparkSession, tableName: String): Unit = {
+    val tt = tombstoneTable(tableName)
+    if (!spark.catalog.tableExists(tt)) return
+    val p = new org.apache.hadoop.fs.Path(tablePath(spark, tt))
+    spark.sql(s"DROP TABLE $tt")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
+
   /**
    * RETRACTION — the delete path the append-only indexes otherwise
    * lack (a takedown/opt-out request for a keeper document): remove
@@ -566,42 +922,49 @@ object IndexStore {
    * COST: O(index) worst case — one bucketed scan minus a BROADCAST
    * anti-join (takedown sets are human-scale; the membership probe is
    * a semi-join count first, so an ids set that touches nothing costs
-   * one scan and no rewrite). At production scale, batch retractions
-   * and fold them into the compaction cadence: a retraction IS a
-   * forced compaction (same swap machinery, crash recovery, and
-   * suffix re-stamping as [[maintain]]), so running it at the moment
-   * maintain would rewrite anyway makes the delete amortized-free.
+   * one scan and no rewrite). When takedown LATENCY must not pay a
+   * full rewrite, use [[tombstone]] instead — O(ids) immediately,
+   * physically folded by the next rewrite (this call folds pending
+   * tombstones too, and clears the sidecar). At production scale,
+   * batch retractions and fold them into the compaction cadence: a
+   * retraction IS a forced compaction (same swap machinery, crash
+   * recovery, and suffix re-stamping as [[maintain]]), so running it
+   * at the moment maintain would rewrite anyway makes the delete
+   * amortized-free.
+   *
+   * SNAPSHOT-SAFE: the swap is one atomic `ALTER ... SET LOCATION`
+   * and the pre-swap files are retained for `graceMs` ([[vacuum]]) —
+   * a search running concurrently with the retraction never errors;
+   * it reads either the pre- or post-retraction snapshot.
    */
   def retract(spark: SparkSession, tableName: String, ids: DataFrame,
-      idCol: String = "keep_id", toPath: Option[String] = None): Long = {
+      idCol: String = "keep_id", toPath: Option[String] = None,
+      graceMs: Long = 0L): Long = {
     recover(spark, tableName)
+    dropStaleTmp(spark, tableName)
+    vacuum(spark, tableName, graceMs)
     val (buckets, keys) = bucketSpecOf(spark, tableName)
     val retracted = broadcast(
       ids.select(col(idCol).cast("long").as("_retract_id")).distinct())
-    val removed = spark.table(tableName)
+    // the base is the tombstone-FILTERED view: ids already hidden by a
+    // tombstone count as gone (they are, observably), and the rewrite
+    // folds any pending tombstones alongside this retraction
+    val base = tombstoneFiltered(spark, tableName, spark.table(tableName))
+    val removed = base
       .join(retracted, col("keep_id") === col("_retract_id"), "left_semi")
       .count()
     if (removed == 0L) return 0L
     // the remaining rows re-bucket on the SAME keys/count, so classify
     // plans against the retracted table stay exchange-free
-    val remaining = spark.table(tableName)
+    val remaining = base
       .join(retracted, col("keep_id") === col("_retract_id"), "left_anti")
-    val sketchProps =
-      if (keys == Seq("content_hash")) None
-      else Some(spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
-        .map(r => r.getString(0) -> r.getString(1)).toMap)
     val tmp = tableName + "_compacting"
-    swapRewrite(spark, tableName, toPath) { newPath =>
+    // no sketch-prop carrying needed: the location swap keeps the main
+    // table's metadata (props included) — only the files move
+    locationSwap(spark, tableName, toPath, graceMs) { newPath =>
       writeBucketed(remaining, tmp, newPath, buckets, keys, "overwrite")
-      sketchProps.foreach { props =>
-        val carried = minhashProps(
-          props.getOrElse("graft.shingleN", "3").toInt,
-          props.getOrElse("graft.numHashes", "9").toInt,
-          props.getOrElse("graft.bands", "3").toInt)
-          .map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
-        spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES ($carried)")
-      }
     }
+    clearTombstones(spark, tableName)
     removed
   }
 
@@ -615,37 +978,38 @@ object IndexStore {
    * SCALE SHAPE — this is where the cell layout pays again: the only
    * full pass is a two-column (id, list) probe scan that finds the
    * AFFECTED CELLS (driver-sized: at most nlist rows come back).
-   * The rewrite then reads and rewrites ONLY those cells' directories
-   * — a dynamic-partition-overwrite insert whose source is
-   * partition-pruned to the affected `list` values — so a takedown
-   * touching 3 of 4096 cells rewrites 3 directories, not the index.
-   * Centroids and codebooks are data-independent parameters and are
-   * untouched; a probe of an emptied cell simply scores zero rows.
+   * The rewrite ([[rewriteCells]]) then reads ONLY those cells'
+   * directories, writes their survivors to fresh versioned
+   * directories, and repoints each cell with one catalog op — so a
+   * takedown touching 3 of 4096 cells rewrites 3 directories, not the
+   * index. Centroids and codebooks are data-independent parameters
+   * and are untouched; a probe of an emptied cell (DROP PARTITIONed)
+   * simply scores zero rows.
    *
-   * A cell whose every row is retracted is dropped from the catalog
-   * and its directory deleted (dynamic overwrite alone cannot express
-   * "this partition is now empty" — it only overwrites partitions the
-   * source still has rows for).
-   *
-   * CRASH SAFETY: the insert commits per-partition through Spark's
-   * staging protocol, so original cell data survives a mid-write
-   * crash; a crash AFTER the insert but before the empty-cell drop
-   * leaves fully-retracted cells' rows in place — re-running the same
-   * retraction converges (those rows still match `ids`, the re-run
-   * rewrites/drops them; a retraction is idempotent by construction).
+   * SNAPSHOT-SAFE + per-cell ATOMIC: a search running concurrently
+   * with the retraction never errors — the old files are retained for
+   * `graceMs` — and each cell transitions in one catalog op from its
+   * complete old data to its complete new data, so there is no
+   * partially-rewritten cell and no insert-then-drop window: a crash
+   * leaves every cell either fully pre- or fully post-retraction, and
+   * re-running the same retraction converges (ids still present are
+   * found by the probe and rewritten; a retraction is idempotent by
+   * construction — the re-delivering-feed discipline is a
+   * belt-and-braces convention, not a correctness requirement).
    *
    * Like [[retract]], this FORGETS: re-submitting a retracted vector
    * id re-indexes it. Compose with [[Blocklist]] upstream when
    * re-acceptance must also be refused.
    */
   def retractCoded(spark: SparkSession, tableName: String, ids: DataFrame,
-      idCol: String, nlist: Int, m: Int): Long = {
+      idCol: String, nlist: Int, m: Int, graceMs: Long = 0L): Long = {
     requireStamped(spark, tableName, ivfProps(nlist, m))
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     require(meta.partitionColumnNames == Seq("list"),
       s"$tableName is not a saveCoded cell-partitioned index " +
         s"(partitions: ${meta.partitionColumnNames.mkString(",")})")
+    vacuum(spark, tableName, graceMs)
     val table = spark.table(tableName)
     val idType = table.schema(table.schema.fieldIndex(idCol)).dataType
     val retracted = broadcast(
@@ -657,37 +1021,8 @@ object IndexStore {
     if (affected.isEmpty) return 0L
     val removed = affected.map(_.getLong(1)).sum
     val cells = affected.map(_.getInt(0)).toSeq
-    // survivors of the affected cells only — localCheckpoint breaks the
-    // lineage back to the table so the insert is not a read-from-
-    // overwritten-path plan (the StreamingIncremental append
-    // discipline); sized O(affected cells), spills via block manager
-    val remaining = table
-      .filter(col("list").isin(cells.map(Int.box): _*))
-      .join(retracted, table(idCol) === col("_retract_id"), "left_anti")
-      .select(table.columns.map(col).toIndexedSeq: _*) // insertInto is positional
-      .localCheckpoint(true)
-    // dynamic mode via SESSION conf: the per-write option is honored on
-    // the path-based save() route but NOT on the catalog insertInto
-    // route, where static mode would silently clobber every unaffected
-    // cell (observed: a 2-cell retraction left a 1-cell table)
-    val modeKey = "spark.sql.sources.partitionOverwriteMode"
-    val prevMode = spark.conf.getOption(modeKey)
-    spark.conf.set(modeKey, "dynamic")
-    try remaining.write.mode("overwrite").insertInto(tableName)
-    finally prevMode.fold(spark.conf.unset(modeKey))(spark.conf.set(modeKey, _))
-    // cells with no survivors never appear in `remaining`, so the
-    // dynamic overwrite left their rows untouched: drop + delete them
-    val survivors =
-      remaining.select("list").distinct().collect().map(_.getInt(0)).toSet
-    val emptied = cells.filterNot(survivors)
-    if (emptied.nonEmpty) {
-      spark.sql(s"ALTER TABLE $tableName DROP IF EXISTS " +
-        emptied.map(c => s"PARTITION (list=$c)").mkString(", "))
-      val root = new org.apache.hadoop.fs.Path(tablePath(spark, tableName))
-      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      emptied.foreach { c =>
-        fs.delete(new org.apache.hadoop.fs.Path(root, s"list=$c"), true)
-      }
+    rewriteCells(spark, tableName, cells, graceMs) { pruned =>
+      pruned.join(retracted, pruned(idCol) === col("_retract_id"), "left_anti")
     }
     removed
   }

@@ -98,10 +98,14 @@ object StreamingIncremental {
    * classify, so a batch never matches a keeper being retracted in the
    * same cycle); when it returns ids,
    * [[graft.llm.IndexStore.retract]] rewrites the index minus those
-   * keepers. Return ids not yet applied (e.g. new arrivals on a
-   * takedown table since the last batch); returning the same ids twice
-   * is harmless — a second retract of absent ids is a probe, no
-   * rewrite.
+   * keepers — or, with `tombstoneRetractions = true`,
+   * [[graft.llm.IndexStore.tombstone]] records them O(ids) and the
+   * cadence's maintain folds them physically (the right mode when the
+   * feed fires often and the index is large: takedown latency stays
+   * independent of index size). Return ids not yet applied (e.g. new
+   * arrivals on a takedown table since the last batch); returning the
+   * same ids twice is harmless — a second retract of absent ids is a
+   * probe (and a re-tombstone a dedup), no rewrite.
    *
    * @param maintainEvery     run maintain() after every N batches
    *                          (0 disables); cadence counts batches seen
@@ -117,19 +121,31 @@ object StreamingIncremental {
    * @param retractions       per-batch takedown feed: keeper ids to
    *                          remove from the index before classifying
    *                          this batch (None = nothing to retract)
+   * @param tombstoneRetractions route the feed through tombstone()
+   *                          (O(ids) latency, folded at the cadence)
+   *                          instead of retract()'s full rewrite
+   * @param graceMs           snapshot-retention grace forwarded to
+   *                          retract/maintain/vacuum: pre-swap index
+   *                          files stay on disk this long so searches
+   *                          in OTHER sessions running concurrently
+   *                          with maintenance never hit deleted files
+   *                          (set it above the longest concurrent
+   *                          read; 0 reclaims immediately)
    */
   def sinkExact(stream: DataFrame, idCol: String, textCol: String,
       tableName: String, onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       maintainEvery: Long = 100, maxFilesPerBucket: Int = 16,
       rebucketTo: Option[Int] = None,
-      retractions: (SparkSession, Long) => Option[DataFrame] = (_, _) => None)
+      retractions: (SparkSession, Long) => Option[DataFrame] = (_, _) => None,
+      graceMs: Long = 0L, tombstoneRetractions: Boolean = false)
       : DataStreamWriter[Row] = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       IndexStore.recover(spark, tableName)
       retractions(spark, batchId).foreach { ids =>
-        IndexStore.retract(spark, tableName, ids)
+        if (tombstoneRetractions) IndexStore.tombstone(spark, tableName, ids)
+        else IndexStore.retract(spark, tableName, ids, graceMs = graceMs)
         ()
       }
       val classified = IncrementalDedup.classify(
@@ -139,7 +155,7 @@ object StreamingIncremental {
       IndexStore.appendExactKeepers(classified, tableName)
       if (maintainEvery > 0 && batches.incrementAndGet() % maintainEvery == 0) {
         IndexStore.maintain(spark, tableName, maxFilesPerBucket,
-          rebucketTo = rebucketTo)
+          rebucketTo = rebucketTo, graceMs = graceMs)
         ()
       }
     }
@@ -170,14 +186,16 @@ object StreamingIncremental {
       shingleN: Int = 3, numHashes: Int = 9, bands: Int = 3, minMatch: Int = 5,
       maintainEvery: Long = 100, maxFilesPerBucket: Int = 16,
       rebucketTo: Option[Int] = None,
-      retractions: (SparkSession, Long) => Option[DataFrame] = (_, _) => None)
+      retractions: (SparkSession, Long) => Option[DataFrame] = (_, _) => None,
+      graceMs: Long = 0L, tombstoneRetractions: Boolean = false)
       : DataStreamWriter[Row] = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       IndexStore.recover(spark, tableName)
       retractions(spark, batchId).foreach { ids =>
-        IndexStore.retract(spark, tableName, ids)
+        if (tombstoneRetractions) IndexStore.tombstone(spark, tableName, ids)
+        else IndexStore.retract(spark, tableName, ids, graceMs = graceMs)
         ()
       }
       val scope = new graft.CacheScope
@@ -192,7 +210,7 @@ object StreamingIncremental {
       } finally scope.release()
       if (maintainEvery > 0 && batches.incrementAndGet() % maintainEvery == 0) {
         IndexStore.maintain(spark, tableName, maxFilesPerBucket,
-          rebucketTo = rebucketTo)
+          rebucketTo = rebucketTo, graceMs = graceMs)
         ()
       }
     }
@@ -236,14 +254,13 @@ object StreamingIncremental {
    * retracted id arriving again in a later batch re-indexes as `new`.
    * KEEP RETURNING ids until the takedown is OBSERVED applied (a
    * retractCoded probe of absent ids costs one pruned scan, no
-   * rewrite — re-delivery is harmless): the stakes are higher here
-   * than on [[sinkExact]] because retractCoded's documented
-   * insert-then-drop window means a crash after the dynamic-overwrite
-   * insert but before the batch commits can leave fully-retracted
-   * cells' rows in place, and only the feed re-delivering those ids on
-   * the replayed batch completes the takedown. A feed that marks ids
-   * "applied" the moment it hands them over re-opens that window;
-   * mark them only after the batch that retracted them has committed.
+   * rewrite — re-delivery is harmless): retractCoded's cell swaps are
+   * per-cell atomic, so a crash mid-retraction leaves every cell
+   * either fully pre- or fully post-takedown, and the re-delivered
+   * ids on the replayed batch complete exactly the cells that missed
+   * their swap. Mark ids "applied" only after the batch that
+   * retracted them has committed — takedown compliance should rest on
+   * the feed's persistence, not on a crash never happening.
    *
    * MAINTENANCE: every `maintainEvery` batches,
    * [[graft.llm.IndexStore.compactCoded]] rewrites cells that have
@@ -262,7 +279,8 @@ object StreamingIncremental {
       model: graft.llm.ProductQuant.PqModel,
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       maintainEvery: Long = 100, maxFilesPerCell: Int = 16,
-      retractions: (SparkSession, Long) => Option[DataFrame] = (_, _) => None)
+      retractions: (SparkSession, Long) => Option[DataFrame] = (_, _) => None,
+      graceMs: Long = 0L)
       : DataStreamWriter[Row] = {
     val nlist = centroids.length
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -274,7 +292,8 @@ object StreamingIncremental {
       // provably safe
       IndexStore.cleanStagingDirs(spark, tableName)
       retractions(spark, batchId).foreach { ids =>
-        IndexStore.retractCoded(spark, tableName, ids, idCol, nlist, model.m)
+        IndexStore.retractCoded(spark, tableName, ids, idCol, nlist, model.m,
+          graceMs = graceMs)
         ()
       }
       // eager checkpoint: the encode must run exactly once, BEFORE the
@@ -308,7 +327,7 @@ object StreamingIncremental {
       } else onBatch(coded.withColumn("status", lit("new")), batchId)
       if (maintainEvery > 0 && batches.incrementAndGet() % maintainEvery == 0) {
         IndexStore.compactCoded(spark, tableName, nlist, model.m,
-          maxFilesPerCell)
+          maxFilesPerCell, graceMs = graceMs)
         ()
       }
     }

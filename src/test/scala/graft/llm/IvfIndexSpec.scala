@@ -163,10 +163,17 @@ class IvfIndexSpec extends AnyFunSuite {
         spark.sessionState.catalog.getTableMetadata(
           spark.sessionState.sqlParser.parseTableIdentifier(tbl))
           .location.toString))
-      def cellFiles(): Map[String, Set[(String, Long)]] =
-        loc.listFiles().filter(_.getName.startsWith("list=")).map { d =>
-          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
-            .map(f => (f.getName, f.lastModified())).toSet
+      // cell → (current catalog location, its parquet files+mtimes):
+      // a rewritten cell's files move to a fresh VERSIONED directory
+      // (snapshot safety), so the byte-identity pin must follow the
+      // partition's registered location, not root/list=<c>
+      def cellFiles(): Map[String, (String, Set[(String, Long)])] =
+        spark.sessionState.catalog.listPartitions(
+          spark.sessionState.sqlParser.parseTableIdentifier(tbl)).map { p =>
+          val d = new java.io.File(new java.net.URI(p.location.toString))
+          s"list=${p.spec("list")}" -> (d.getPath ->
+            d.listFiles().filter(_.getName.endsWith(".parquet"))
+              .map(f => (f.getName, f.lastModified())).toSet)
         }.toMap
       val table0 = spark.table(tbl)
       // pick the retract set: all ids of ONE cell (it must empty and
@@ -202,12 +209,16 @@ class IvfIndexSpec extends AnyFunSuite {
       assert(removed == retractIds.size)
       // survivors are bit-identical to a filter of the original table
       assert(rows(spark.table(tbl)) == expected)
-      // the emptied cell is gone from catalog AND disk
+      // the emptied cell is gone from catalog AND disk (graceMs = 0
+      // vacuums its retired directory immediately)
       val filesAfter = cellFiles()
       assert(!filesAfter.contains(s"list=$emptyCell"),
-        "a fully-retracted cell's directory must be deleted")
+        "a fully-retracted cell must leave the catalog")
+      assert(!new java.io.File(loc, s"list=$emptyCell").exists,
+        "a fully-retracted cell's directory must be deleted at grace 0")
       assert(spark.table(tbl).filter(col("list") === emptyCell).count() == 0L)
-      // PARTITION ISOLATION: every unaffected cell's files are untouched
+      // PARTITION ISOLATION: every unaffected cell's location AND files
+      // are untouched
       filesBefore.keys.filterNot(d =>
           d == s"list=$emptyCell" || d == s"list=$rewriteCell")
         .foreach { d =>
@@ -216,6 +227,13 @@ class IvfIndexSpec extends AnyFunSuite {
         }
       assert(filesAfter(s"list=$rewriteCell") != filesBefore(s"list=$rewriteCell"),
         "the affected cell must actually rewrite")
+      // the rewritten cell swapped to a versioned directory and its
+      // pre-rewrite directory was vacuumed at grace 0
+      assert(filesAfter(s"list=$rewriteCell")._1 !=
+        filesBefore(s"list=$rewriteCell")._1,
+        "the affected cell must repoint to a fresh versioned directory")
+      assert(!new java.io.File(filesBefore(s"list=$rewriteCell")._1).exists,
+        "the pre-rewrite directory must be vacuumed at grace 0")
       // search law: pruned == unpruned over the retracted table, never
       // a retracted id, and full probing == ADC over the filtered corpus
       val q = e.filter(col("vec_id") < 5)

@@ -4,7 +4,8 @@ runs each oracle_sql.json query in DuckDB over the sf tables, loads the
 Spark result parquet, sorts columns by name, and compares row-for-row.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
-       python3 tools/check.py --bench <bench_details.json> [gate]
+       python3 tools/check.py --bench <bench_details.json> [gate] \
+           [--vs <other_bench_details.json>]
 
 --bench reads a bench_details artifact and reports the per-query RAW
 (spark/oracle) and FLOORED ratios side by side. The floored denominator
@@ -14,8 +15,22 @@ denominators read as structural >2x raw while the floored column shows
 what the ENGINE costs above pure job scheduling. The 2x gate (override
 with [gate]) is evaluated both ways; exit is always 0 — this is a
 review aid, the driver's gate is batch_vs_oracle on the compact line.
+
+HOST NORMALIZATION: the artifact's `cpu_ref` (a fixed single-thread
+spin, min over sweeps) is divided by the PINNED reference CPU_REF_PIN
+(see BENCH_NOTES.md) to estimate the host-speed factor of the run; the
+report prints the aggregate ratio normalized by that factor. With
+--vs OTHER, two artifacts are compared and the ratio delta is
+decomposed: how much of it the cpu_ref drift explains vs what survives
+normalization (only the survivor is worth a per-query hunt).
 """
 import json, sys, glob
+
+# The pinned host-speed reference for cpu_ref normalization: the
+# round-14..16 observed band was 0.469-0.541 s (BENCH_NOTES.md's
+# four-run table); 0.50 is its center. cpu_ref/PIN ~ how much slower
+# this run's host was than the pinned baseline.
+CPU_REF_PIN = 0.50
 
 
 def norm(v):
@@ -24,7 +39,9 @@ def norm(v):
     return v
 
 
-def bench_report(path, gate=2.0):
+def _bench_rows(path):
+    """(rows, streaming, floor, cpu_ref): rows = (query, spark, oracle,
+    jobs, raw_ratio, floored_ratio)."""
     d = json.load(open(path))
     q, o = d.get("queries", {}), d.get("oracle_queries", {})
     jobs, floor = d.get("query_jobs", {}), d.get("job_floor", 0.0)
@@ -36,6 +53,12 @@ def bench_report(path, gate=2.0):
         raw = q[k] / o[k]
         fd = max(o[k], floor * jobs.get(k, 0.0))
         rows.append((k, q[k], o[k], jobs.get(k, 0.0), raw, q[k] / fd))
+    return rows, streaming, floor, d.get("cpu_ref")
+
+
+def bench_report(path, gate=2.0, vs=None):
+    rows, streaming, floor, cpu = _bench_rows(path)
+    host = cpu / CPU_REF_PIN if cpu else None
     hdr = f"{'query':42} {'spark':>7} {'oracle':>7} {'jobs':>5} {'raw':>7} {'floored':>7}"
     print(hdr + "\n" + "-" * len(hdr))
     for k, s, ov, j, raw, fl in sorted(rows, key=lambda r: -r[5]):
@@ -48,14 +71,61 @@ def bench_report(path, gate=2.0):
     over_fl = [r[0] for r in batch if r[5] > gate]
     print(f"\nbatch: spark={tot_s:.3f}s oracle={tot_o:.3f}s floor={floor*1000:.1f}ms/job")
     print(f"aggregate ratio: raw={tot_s/tot_o:.3f} floored={tot_s/tot_f:.3f}")
+    if host:
+        print(f"host: cpu_ref={cpu:.3f}s vs pinned {CPU_REF_PIN:.3f}s -> "
+              f"{host:.2f}x pin; host-normalized aggregate: "
+              f"raw={tot_s/tot_o/host:.3f} floored={tot_s/tot_f/host:.3f}")
+    else:
+        print("host: no cpu_ref in artifact (pre-round-16) — "
+              "normalization unavailable")
     print(f">{gate}x raw: {len(over_raw)}/{len(batch)}; >{gate}x floored: "
           f"{len(over_fl)}/{len(batch)} {sorted(over_fl)}")
+    if vs:
+        bench_compare(path, vs)
+
+
+def bench_compare(path_a, path_b):
+    """Round-over-round drift attribution: decompose the aggregate
+    raw-ratio delta (COMMON batch queries only, so new rows never read
+    as drift) into what the cpu_ref host-speed drift explains and what
+    survives normalization — only the survivor is engine change."""
+    rows_a, streaming_a, _, cpu_a = _bench_rows(path_a)
+    rows_b, streaming_b, _, cpu_b = _bench_rows(path_b)
+    common = ({r[0] for r in rows_a} & {r[0] for r in rows_b}) \
+        - streaming_a - streaming_b
+    a = {r[0]: r for r in rows_a if r[0] in common}
+    b = {r[0]: r for r in rows_b if r[0] in common}
+    ra = sum(v[1] for v in a.values()) / sum(v[2] for v in a.values())
+    rb = sum(v[1] for v in b.values()) / sum(v[2] for v in b.values())
+    print(f"\n--vs {path_b} ({len(common)} common batch queries)")
+    print(f"aggregate raw: this={ra:.3f} other={rb:.3f} delta={ra-rb:+.3f}")
+    if not (cpu_a and cpu_b):
+        print("one artifact lacks cpu_ref — attribution unavailable")
+        return
+    na, nb = ra / (cpu_a / CPU_REF_PIN), rb / (cpu_b / CPU_REF_PIN)
+    print(f"cpu_ref: this={cpu_a:.3f}s other={cpu_b:.3f}s "
+          f"(host {cpu_a / cpu_b:.2f}x other)")
+    print(f"host-normalized raw: this={na:.3f} other={nb:.3f} "
+          f"delta={na-nb:+.3f}")
+    if abs(ra - rb) > 1e-9:
+        pct = max(0.0, min(100.0, (1 - abs(na - nb) / abs(ra - rb)) * 100))
+        print(f"verdict: host-drift explains ~{pct:.0f}% of the delta; "
+              f"{abs(na-nb):.3f} survives normalization"
+              + (" — worth a per-query hunt" if abs(na - nb) > 0.05
+                 else " — inside the noise band, no hunt warranted"))
+    else:
+        print("verdict: no delta to attribute")
 
 
 def main():
     if sys.argv[1] == "--bench":
-        bench_report(sys.argv[2],
-                     float(sys.argv[3]) if len(sys.argv) > 3 else 2.0)
+        args = sys.argv[2:]
+        vs = None
+        if "--vs" in args:
+            i = args.index("--vs")
+            vs = args[i + 1]
+            args = args[:i] + args[i + 2:]
+        bench_report(args[0], float(args[1]) if len(args) > 1 else 2.0, vs=vs)
         return
     import duckdb
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
