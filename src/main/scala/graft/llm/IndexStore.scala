@@ -579,6 +579,81 @@ object IndexStore {
     }
   }
 
+  /**
+   * QUANTIZER REBUILD — the orchestrated migration for a drifted coded
+   * index. An IVF-PQ index is only coherent under ONE quantizer, so
+   * re-training on a drifted corpus was documented as "build a new
+   * table and repoint everything"; this performs that migration under
+   * the SAME table name: train fresh coarse centroids and PQ codebooks
+   * from the corpus vectors of the index's LIVE ids, bulk re-encode,
+   * write the replacement to a fresh versioned location, and swap it
+   * in with updated (nlist, m) stamps. Returns the new
+   * (centroids, model) — restart [[graft.streaming.StreamingIncremental.sinkCoded]]
+   * with them; its stamp fail-fast accepts the post-swap state and
+   * keeps rejecting only MIXED writes.
+   *
+   * MEMBERSHIP, not content, comes from the index: `vectors` is the
+   * corpus source of truth (PQ codes are lossy — codes cannot be
+   * re-encoded, only original vectors can), semi-joined to the
+   * index's current ids. An id taken down before the reindex is NOT
+   * resurrected even when `vectors` still carries it; an id whose
+   * vector is gone from `vectors` cannot be re-encoded and is
+   * dropped (logged by the caller's own diff if needed). One row per
+   * id in `vectors` is the caller contract (the sinkCoded
+   * one-immutable-vector-per-id discipline).
+   *
+   * COST: the live semi-join is checkpointed once (corpus-sized,
+   * block-manager backed) and then read three times — two
+   * driver-sample trains and one full encode — so the migration is
+   * ~one materialization plus one encode pass, the honest minimum.
+   *
+   * SWAP: whole-table metadata must change (partition set, stamps),
+   * so this is the DROP+RENAME route (the rebucket-class caveat: a
+   * reader resolving between the two ops sees a missing table —
+   * run it from the single writer with the sink stopped). The old
+   * root is RETIRED (stamped on the replacement before the swap, so
+   * the entry survives the rename) and reclaimed by [[vacuum]] after
+   * `graceMs`; readers mid-scan on the old files finish. Crash
+   * windows: before DROP → stale tmp discarded at the next entry;
+   * between DROP and RENAME → [[recover]] completes the rename (the
+   * coded sink runs it every batch).
+   */
+  def reindexCoded(spark: SparkSession, tableName: String,
+      vectors: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, m: Int, newNlist: Int, newM: Int, ksub: Int = 256,
+      kmeansIters: Int = 5, pqIters: Int = 5, sampleN: Int = 4096,
+      tasksPerCell: Int = 1, graceMs: Long = 0L)
+      : (Array[Array[Long]], ProductQuant.PqModel) = {
+    recover(spark, tableName)
+    dropStaleTmp(spark, tableName)
+    requireStamped(spark, tableName, ivfProps(nlist, m))
+    vacuum(spark, tableName, graceMs)
+    val tmp = tableName + "_compacting"
+    val live = vectors
+      .join(spark.table(tableName).select(col(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .localCheckpoint(true)
+    val ck = graft.CacheScope.checkpointRdd(live)
+    try {
+      val centroids = Clustering.train(live, idCol, vecCol, newNlist,
+        kmeansIters, sampleN).centroids
+      val model = ProductQuant.train(live, idCol, vecCol, newM, ksub,
+        pqIters, sampleN)
+      val coded = ProductQuant.buildCodedIndex(live, idCol, vecCol,
+        centroids, model, ordered = false)
+      val (newPath, oldQ, _) = swapTarget(spark, tableName, None)
+      saveCoded(coded, tmp, newPath, newNlist, newM, tasksPerCell)
+      // retire the old root ON THE REPLACEMENT so the entry survives
+      // the rename; a crash after DROP leaves it for vacuum via recover
+      writeRetired(spark, tmp, Seq((System.currentTimeMillis(), oldQ)))
+      spark.sql(s"DROP TABLE $tableName")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
+      spark.catalog.refreshTable(tableName)
+      vacuum(spark, tableName, graceMs)
+      (centroids, model)
+    } finally ck.foreach(_.unpersist(blocking = false))
+  }
+
   // ------------------------------------------------------------------
   // Maintenance: files-per-bucket probe + compact + name swap
   // ------------------------------------------------------------------

@@ -238,6 +238,75 @@ object Retrieval {
    * @return (qid, rnk, cid, rrf, n_lists), top `k` per qid, ties on
    *         the fused score broken by cid
    */
+  /** [[tuneNprobe]]'s result: the chosen knob, its measured mean
+    * recall@k, and every (nprobe, recall) the search evaluated —
+    * the audit trail a tuning decision should ship with. */
+  final case class NprobeTuning(nprobe: Int, recall: Double,
+      sweep: Seq[(Int, Double)])
+
+  /**
+   * ANN knob auto-tuning on measured ranking quality — the
+   * SCALE.md retrieval tuning loop as code instead of prose: find the
+   * SMALLEST `nprobe` whose mean recall@k against `truth` meets
+   * `targetRecall`, by running [[ProductQuant.ivfAdcTopKPruned]]
+   * searches and scoring them with [[evalRanking]].
+   *
+   * The sweep is a galloping upper probe + binary search, not a linear
+   * walk: the cap is evaluated first (ONE search refuses an
+   * unreachable target before any sweep work — recall at the cap is
+   * the best this index can do), then lower-bound binary search over
+   * [1, cap] costs O(log cap) searches — at nlist = 4096 that is ~12
+   * evaluations, not 4096. Correctness of the binary search rests on
+   * recall being monotone in nprobe; structurally, more probes score a
+   * SUPERSET of candidates (AnnRecallSpec pins per-query monotonicity
+   * for the probe machinery), though a closer false neighbor entering
+   * the top-k can in principle dip a query's recall — if that
+   * pathological corpus materializes, the returned knob still MEETS
+   * the target (its recall was measured, and is returned), it just may
+   * not be the global minimum.
+   *
+   * Scale shape: each evaluation is one partition-pruned search over
+   * the probed cells plus a model-sized evalRanking — the sweep never
+   * touches more than the searches a serving deployment would run
+   * anyway. `truth` is (qid, cid) labeled relevant pairs, eval-sized.
+   *
+   * @throws IllegalArgumentException when even nprobe = cap misses
+   *         `targetRecall` — raise k, add a refine stage, retrain the
+   *         quantizer, or lower the target
+   */
+  def tuneNprobe(index: DataFrame, queries: DataFrame, truth: DataFrame,
+      idCol: String, vecCol: String, centroids: Array[Array[Long]],
+      model: ProductQuant.PqModel, k: Int, targetRecall: Double,
+      maxNprobe: Int = 0): NprobeTuning = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"tuneNprobe: need 0 < targetRecall <= 1, got $targetRecall")
+    require(k >= 1, s"tuneNprobe: k >= 1, got $k")
+    val cap =
+      if (maxNprobe >= 1) math.min(maxNprobe, centroids.length)
+      else centroids.length
+    require(!truth.isEmpty, "tuneNprobe: truth must carry labeled pairs")
+    val evaluated = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
+    def recallAt(np: Int): Double = evaluated.getOrElseUpdate(np, {
+      val res = ProductQuant.ivfAdcTopKPruned(index, queries, idCol, vecCol,
+        centroids, model, k, np, ordered = false)
+      evalRanking(res, truth, k, ordered = false)
+        .agg(avg(col("recall_at_k"))).collect()(0).getDouble(0)
+    })
+    val atCap = recallAt(cap)
+    if (atCap < targetRecall - 1e-9)
+      throw new IllegalArgumentException(
+        f"tuneNprobe: target recall $targetRecall%.3f unreachable — " +
+          f"nprobe=$cap (the cap) measures $atCap%.3f; raise k, add a " +
+          "refine stage, retrain the quantizer, or lower the target")
+    var lo = 1
+    var hi = cap
+    while (lo < hi) {
+      val mid = lo + (hi - lo) / 2
+      if (recallAt(mid) >= targetRecall - 1e-9) hi = mid else lo = mid + 1
+    }
+    NprobeTuning(lo, evaluated(lo), evaluated.toSeq.sortBy(_._1))
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60,
       ordered: Boolean = true): DataFrame = {
     require(rankings.size >= 2, s"rrfFuse: need >= 2 lists, got ${rankings.size}")

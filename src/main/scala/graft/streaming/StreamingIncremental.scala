@@ -286,10 +286,15 @@ object StreamingIncremental {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      // the coded analogue of recover(): a retract/compact killed
-      // mid-write leaves a .spark-staging dir under the table path;
-      // single-writer at batch start is the one moment deleting it is
-      // provably safe
+      // self-heal first: a reindexCoded crashed between its DROP and
+      // RENAME leaves the table only under the _compacting name —
+      // recover() completes the rename so a restarted sink never
+      // wedges on table-not-found (the sinkExact discipline)
+      IndexStore.recover(spark, tableName)
+      // then GC crash residue: a retract/compact killed mid-write
+      // leaves a .spark-staging or orphaned .v* dir under the table
+      // path; single-writer at batch start is the one moment deleting
+      // them is provably safe
       IndexStore.cleanStagingDirs(spark, tableName)
       retractions(spark, batchId).foreach { ids =>
         IndexStore.retractCoded(spark, tableName, ids, idCol, nlist, model.m,

@@ -103,4 +103,61 @@ class AnnRecallSpec extends AnyFunSuite {
         s"nprobe=$hi lost recall vs nprobe=$lo on queries $regressed")
     }
   }
+
+  test("tuneNprobe: returns the minimal knob meeting the target, sweep is O(log) searches, unreachable targets refuse with one evaluation") {
+    val spark2 = spark
+    import spark2.implicits._
+    val model = ProductQuant.train(e, "vec_id", "embedding",
+      m = 16, ksub = 16, iters = 2)
+    val centroids = Clustering.train(e, "vec_id", "embedding",
+      k = 8, iters = 3).centroids
+    val coded = ProductQuant.buildCodedIndex(e, "vec_id", "embedding",
+      centroids, model, ordered = false).localCheckpoint(true)
+    // truth = the FULL-probe answers: recall at the cap is 1.0 by the
+    // pq53 full-probe ≡ ADC law, so target 1.0 is reachable and the
+    // tuner's minimality claim can be checked exhaustively below
+    val truth = ProductQuant.ivfAdcTopKPruned(coded, q, "vec_id",
+      "embedding", centroids, model, k = K, nprobe = centroids.length,
+      ordered = false).select(col("qid"), col("cid"))
+      .localCheckpoint(true)
+    def recallOf(np: Int): Double = Retrieval.evalRanking(
+      ProductQuant.ivfAdcTopKPruned(coded, q, "vec_id", "embedding",
+        centroids, model, k = K, nprobe = np, ordered = false),
+      truth, K, ordered = false)
+      .agg(org.apache.spark.sql.functions.avg(col("recall_at_k")))
+      .collect()(0).getDouble(0)
+    val curve = (1 to centroids.length).map(np => np -> recallOf(np))
+    info(curve.map { case (np, r) => f"$np:$r%.3f" }.mkString("recall curve ", " ", ""))
+    assert(curve.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a - 1e-12 },
+      s"fixture curve must be monotone for the minimality pin: $curve")
+
+    for (target <- Seq(0.5, 0.9, 1.0)) {
+      val tuned = Retrieval.tuneNprobe(coded, q, truth, "vec_id",
+        "embedding", centroids, model, K, target)
+      assert(tuned.recall >= target - 1e-9,
+        s"returned knob must meet the target: $tuned vs $target")
+      val minimal = curve.collectFirst {
+        case (np, r) if r >= target - 1e-9 => np
+      }.get
+      assert(tuned.nprobe == minimal,
+        s"target $target: tuner returned ${tuned.nprobe}, linear-scan minimal is $minimal")
+      // sweep cost: binary search evaluates O(log cap) knobs, plus the
+      // cap probe — never the linear walk
+      assert(tuned.sweep.size <= 2 + (math.log(centroids.length) / math.log(2)).ceil.toInt,
+        s"sweep must stay O(log): ${tuned.sweep}")
+    }
+
+    // unreachable: a truth pair no search can return caps recall < 1
+    val poisoned = truth.union(Seq((0L, -999L)).toDF("qid", "cid"))
+    val err = intercept[IllegalArgumentException] {
+      Retrieval.tuneNprobe(coded, q, poisoned, "vec_id", "embedding",
+        centroids, model, K, targetRecall = 1.0)
+    }
+    assert(err.getMessage.contains("unreachable"))
+    // bad knobs refuse before any work
+    intercept[IllegalArgumentException] {
+      Retrieval.tuneNprobe(coded, q, truth, "vec_id", "embedding",
+        centroids, model, K, targetRecall = 1.5)
+    }
+  }
 }

@@ -426,4 +426,101 @@ class StreamingIncrementalSinkSpec extends AnyFunSuite {
         "the streamed index must search exactly like a batch-built one")
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("reindexCoded: quantizer rebuild between batches — membership preserved (takedowns not resurrected, missing vectors dropped), sink resumes under the new stamps, search law on the new quantizer") {
+    import graft.llm.{Clustering, ProductQuant}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = ProductQuant.train(e, "vec_id", "embedding", m = 16, ksub = 16, iters = 2)
+    val centroids = Clustering.train(e, "vec_id", "embedding", k = 4, iters = 3).centroids
+    val vecs: Map[Long, Seq[Float]] = e.filter(col("vec_id") < 120)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val tbl = "graft_reindex_coded_idx"
+    try {
+      IndexStore.saveCoded(
+        ProductQuant.buildCodedIndex(
+          e.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+          "vec_id", "embedding", centroids, model, ordered = false),
+        tbl,
+        Files.createTempDirectory("graft_reindex").resolve(tbl).toString,
+        nlist = centroids.length, m = model.m)
+
+      // batch 1 under the OLD quantizer: ids 0-4
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = StreamingIncremental.sinkCoded(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        tbl, centroids, model, maintainEvery = 0)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_reindex_chk").toString)
+        .start()
+      input.addData((0L to 4L).map(i => i -> vecs(i)): _*)
+      q.processAllAvailable()
+      q.stop()
+
+      // a takedown BEFORE the reindex — it must survive it
+      spark.catalog.refreshTable(tbl)
+      assert(IndexStore.retractCoded(spark, tbl, Seq(100L).toDF("vec_id"),
+        "vec_id", centroids.length, model.m) == 1L)
+
+      // the reindex: new quantizer shape (6 cells, m = 8); the corpus
+      // feed deliberately LACKS id 101 (its vector is gone — the id
+      // cannot be re-encoded) and still CARRIES id 100 (retracted —
+      // must not resurrect)
+      val (c2, m2) = IndexStore.reindexCoded(spark, tbl,
+        e.filter(col("vec_id") =!= 101L), "vec_id", "embedding",
+        nlist = centroids.length, m = model.m,
+        newNlist = 6, newM = 8, ksub = 16, kmeansIters = 2, pqIters = 2)
+      assert(c2.length == 6 && m2.m == 8)
+      spark.catalog.refreshTable(tbl)
+      // new stamps accepted, old stamps rejected (only MIXED writes fail)
+      IndexStore.codedIndex(spark, tbl, 6, 8)
+      intercept[IllegalArgumentException] {
+        IndexStore.codedIndex(spark, tbl, centroids.length, model.m)
+      }
+      val wantLive = ((0L to 4L) ++ (102L to 119L)).sorted
+      assert(spark.table(tbl).select("vec_id").collect().map(_.getLong(0))
+        .sorted.toSeq == wantLive,
+        "membership = old index ids minus the takedown (100) minus the missing vector (101)")
+
+      // the sink RESUMES under the new quantizer/stamps: batch 2
+      val input2 = MemoryStream[(Long, Seq[Float])]
+      val q2 = StreamingIncremental.sinkCoded(
+        input2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        tbl, c2, m2, maintainEvery = 0)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_reindex_chk2").toString)
+        .start()
+      input2.addData((5L to 7L).map(i => i -> vecs(i)): _*)
+      q2.processAllAvailable()
+      q2.stop()
+      // a MIXED write (old quantizer against the new stamps) still
+      // fails fast
+      intercept[IllegalArgumentException] {
+        IndexStore.appendCoded(
+          ProductQuant.buildCodedIndex(e.filter(col("vec_id") === 8L),
+            "vec_id", "embedding", centroids, model, ordered = false),
+          tbl, centroids.length, model.m)
+      }
+
+      // search law on the NEW quantizer: streamed-across-reindex index
+      // == batch-built ADC over the equivalent static corpus
+      spark.catalog.refreshTable(tbl)
+      val corpus = e.filter(col("vec_id").isin(
+        (wantLive ++ (5L to 7L)).map(Long.box): _*))
+      val queries = e.filter(col("vec_id") < 3)
+      def sorted(df: DataFrame) =
+        df.collect().map(_.toSeq.toVector).toSeq.sortBy(_.mkString("|"))
+      assert(sorted(ProductQuant.ivfAdcTopKPruned(spark.table(tbl), queries,
+        "vec_id", "embedding", c2, m2, k = 5,
+        nprobe = c2.length, ordered = false)) ==
+        sorted(ProductQuant.adcTopK(corpus, queries, "vec_id", "embedding",
+          m2, k = 5, ordered = false)),
+        "the reindexed-and-resumed index must search exactly like a batch-built one")
+    } finally Seq(tbl, tbl + "_compacting")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
