@@ -151,6 +151,146 @@ object Decontamination {
 
   /** The shared containment tail: distinct the train shingle keys, left
     * join the eval shingles, aggregate per eval doc over the id spine. */
+  // ------------------------------------------------------------------
+  // Incremental decontamination: persisted eval-shingle index,
+  // audited one corpus batch at a time (pq21/pq44 discipline on pq25)
+  // ------------------------------------------------------------------
+
+  /**
+   * Persist the eval set's shingle keys as a bucketed
+   * [[IndexStore]]-style table so corpus batches can be audited
+   * INCREMENTALLY — [[containment]] rescans the whole corpus per
+   * audit, which is wrong-shaped once the corpus arrives in batches
+   * and the audit runs continuously.
+   *
+   * Schema: (_id, _sh) — one row per distinct eval-doc shingle, plus
+   * one `_sh = NULL` spine row per shingle-less doc (so
+   * [[containmentState]] emits every eval doc, the [[containment]]
+   * contract). Bucketed by `_sh` (the audit's join key): the per-batch
+   * audit join plans with ZERO exchange above the eval-index scan —
+   * only batch-derived shingles shuffle. `shingleN` is stamped as a
+   * table property; a drifted audit fails fast.
+   */
+  def saveEvalShingleIndex(eval: DataFrame, idCol: String, textCol: String,
+      tableName: String, path: String, shingleN: Int = 3,
+      buckets: Int = 32): Unit = {
+    val spark = eval.sparkSession
+    IndexStore.writeBucketed(evalShingleRows(eval, idCol, textCol, shingleN),
+      tableName, path, buckets, Seq("_sh"), "overwrite")
+    spark.sql(s"ALTER TABLE $tableName SET TBLPROPERTIES " +
+      s"('graft.shingleN'='$shingleN')")
+  }
+
+  /** New eval docs (a benchmark release) join the index O(new docs):
+    * their shingle rows append into the bucketed table. Caller
+    * contract: ids are NEW (re-appending an existing doc duplicates
+    * its rows). Containment for the new docs counts only batches
+    * audited FROM NOW ON — run a one-off [[containment]] against the
+    * historical corpus if the past matters. */
+  def appendEvalDocs(newEval: DataFrame, idCol: String, textCol: String,
+      tableName: String): Unit = {
+    val spark = newEval.sparkSession
+    val (buckets, keys) = IndexStore.bucketSpecOf(spark, tableName)
+    require(keys == Seq("_sh"),
+      s"$tableName is not an eval-shingle index (bucket keys $keys)")
+    val shingleN = stampedShingleN(spark, tableName)
+    IndexStore.writeBucketed(
+      evalShingleRows(newEval, idCol, textCol, shingleN),
+      tableName, IndexStore.tablePath(spark, tableName), buckets, keys,
+      "append")
+  }
+
+  /**
+   * Audit ONE corpus batch: which eval shingles does it hit that
+   * nothing hit before? Newly matched (_id, _sh) pairs are appended to
+   * the `matchedTable` state (created at `matchedPath` on first use) —
+   * eval-sized, never corpus-sized — and the count returned. After
+   * auditing batches B1..Bn, [[containmentState]] equals
+   * [[containment]](B1 ∪ ... ∪ Bn) exactly (the law the spec pins),
+   * with NO rescan of earlier batches ever.
+   *
+   * O(batch) shape: the batch's distinct shingles shuffle once into
+   * the index's bucket count; the bucketed eval-index scan joins
+   * exchange-free; the anti-join against the matched state is
+   * eval-sized. Replay-idempotent: a re-audited batch finds its hits
+   * already in the state and appends zero rows.
+   */
+  def auditBatch(batch: DataFrame, idCol: String, textCol: String,
+      tableName: String, matchedTable: String, matchedPath: String): Long = {
+    val spark = batch.sparkSession
+    val shingleN = stampedShingleN(spark, tableName)
+    val batchSh = TextOps.shingleIndex(batch, idCol, textCol, shingleN)
+      .select("_sh").distinct()
+    val hits = spark.table(tableName).filter(col("_sh").isNotNull)
+      .join(batchSh, Seq("_sh"), "left_semi")
+    val existing =
+      if (spark.catalog.tableExists(matchedTable))
+        spark.table(matchedTable)
+      else hits.limit(0)
+    // eager checkpoint: the anti-join reads the very table the append
+    // below writes (the appendExactKeepers discipline)
+    val newly = hits.join(existing, Seq("_id", "_sh"), "left_anti")
+      .localCheckpoint(true)
+    val n = newly.count()
+    if (n > 0L) {
+      if (spark.catalog.tableExists(matchedTable))
+        newly.select(spark.table(matchedTable).columns.map(col).toIndexedSeq: _*)
+          .write.mode("append").insertInto(matchedTable)
+      else
+        newly.write.option("path", matchedPath).format("parquet")
+          .saveAsTable(matchedTable)
+    }
+    n
+  }
+
+  /** The audit's running answer — (doc_id, n_shingles, n_matched,
+    * containment) per eval doc, [[containment]]'s exact schema and
+    * semantics over every batch audited so far. Reads only the two
+    * eval-sized tables; the corpus is never touched. */
+  def containmentState(spark: org.apache.spark.sql.SparkSession,
+      tableName: String, matchedTable: String,
+      ordered: Boolean = true): DataFrame = {
+    val totals = spark.table(tableName).groupBy("_id")
+      .agg(count(col("_sh")).as("n_shingles")) // nulls (spine rows) count 0
+    val matched =
+      if (spark.catalog.tableExists(matchedTable))
+        spark.table(matchedTable).groupBy("_id")
+          .agg(count(lit(1)).as("n_matched"))
+      else totals.select(col("_id"), lit(0L).as("n_matched")).limit(0)
+    totals.join(matched, Seq("_id"), "left")
+      .select(
+        col("_id").as("doc_id"),
+        col("n_shingles"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("n_matched"), lit(0L)).cast("double") /
+            col("n_shingles"), 3))
+          .as("containment"))
+      .transform(Presented(_, ordered, "doc_id"))
+  }
+
+  /** Distinct shingle rows plus a NULL-spine row per shingle-less doc
+    * — the persisted form of the eval side of [[finish]]. */
+  private def evalShingleRows(eval: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame = {
+    val sh = TextOps.shingleIndex(eval, idCol, textCol, shingleN)
+    val spine = eval.select(col(idCol).as("_id")).distinct()
+      .join(sh.select("_id").distinct(), Seq("_id"), "left_anti")
+      .withColumn("_sh", lit(null).cast("long"))
+    sh.select(col("_id"), col("_sh")).unionByName(spine)
+  }
+
+  private def stampedShingleN(spark: org.apache.spark.sql.SparkSession,
+      tableName: String): Int = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    props.get("graft.shingleN").map(_.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName carries no stamped graft.shingleN — not an " +
+          "eval-shingle index, or the stamp was lost; re-save through " +
+          "saveEvalShingleIndex"))
+  }
+
   private def finish(trainShingleKeys: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, shingleN: Int,
       ordered: Boolean): DataFrame = {

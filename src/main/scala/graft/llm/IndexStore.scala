@@ -46,7 +46,7 @@ import org.apache.spark.sql.functions._
  */
 object IndexStore {
 
-  private def writeBucketed(df: DataFrame, tableName: String, path: String,
+  private[llm] def writeBucketed(df: DataFrame, tableName: String, path: String,
       buckets: Int, keys: Seq[String], mode: String): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     // Repartition on the bucket keys into exactly `buckets` partitions:
@@ -150,7 +150,7 @@ object IndexStore {
     * an older save, or an ALTER dropped it) would otherwise pass the
     * check silently and a drifted read would return garbage — the
     * exact failure the stamp exists to prevent. */
-  private def requireStamped(spark: SparkSession, tableName: String,
+  private[llm] def requireStamped(spark: SparkSession, tableName: String,
       expected: Seq[(String, String)]): Unit = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -1104,7 +1104,7 @@ object IndexStore {
 
   // ------------------------------------------------------------------
 
-  private def bucketSpecOf(spark: SparkSession, tableName: String): (Int, Seq[String]) = {
+  private[llm] def bucketSpecOf(spark: SparkSession, tableName: String): (Int, Seq[String]) = {
     val cat = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
     val spec = cat.getTableMetadata(ident).bucketSpec.getOrElse(
@@ -1112,7 +1112,7 @@ object IndexStore {
     (spec.numBuckets, spec.bucketColumnNames)
   }
 
-  private def tablePath(spark: SparkSession, tableName: String): String = {
+  private[llm] def tablePath(spark: SparkSession, tableName: String): String = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
     spark.sessionState.catalog.getTableMetadata(ident).location.toString
   }
