@@ -1,0 +1,90 @@
+package graft.llm
+
+import graft.Presented
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Model-based quality filtering — the linear-classifier gate modern
+ * pretraining pipelines run beside the heuristic one (a
+ * fastText-style model scoring "does this look like reference-quality
+ * text", the DCLM / FineWeb-Edu recipe; cf. reference heuristics in
+ * `ncpi-whistler`'s value-cleaning filters, which gate on FORM — this
+ * gates on learned CONTENT weights). The engine side is pure
+ * inference: a trained weight vector is applied over hashed
+ * bag-of-words features at corpus scale. Training stays wherever the
+ * labels are; what must scale is the scoring pass.
+ *
+ * SCALE SHAPE — zero shuffle, zero UDF: tokens come from the shared
+ * [[TextOps.tokens]] column expression, each token feature-hashes to
+ * a bucket (top-32-bits-of-md5 mod dim — the engine's cross-engine
+ * hash discipline), the weight lookup is `element_at` into ONE array
+ * literal (the weight vector rides the plan as a single `Literal`,
+ * never a join), and the per-document fold is a codegen'd
+ * higher-order `aggregate`. A corpus scan scores in place; the plan
+ * is projection-only, so it pipelines into whatever filter/write
+ * follows.
+ *
+ * DETERMINISM: hashed weights are exact dyadics when the caller's
+ * vector is (any IEEE double works, but sums are then order-free ONLY
+ * up to ulps); the per-doc fold runs in token order, which is
+ * partition-invariant because the tokens array itself is. `score` is
+ * rounded to 6, `prob` (sigmoid) to 4 — the pq54 discipline for
+ * libm-crossing values.
+ *
+ * Output: (doc_id, n_tokens, score, prob). Null/empty texts score the
+ * bias alone with n_tokens 0 — every document gets exactly one row.
+ */
+object QualityClassifier {
+
+  /** Feature-hash a token to [0, dim): top 32 bits of md5, mod dim —
+    * SQL-expressible on both engines (the determinism-playbook hash). */
+  private def bucket(tok: Column, dim: Int): Column =
+    pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"), lit(dim.toLong))
+
+  /**
+   * Score every document under the hashed linear model:
+   * `score = bias + Σ_tokens w[hash(token)]`, `prob = sigmoid(score)`.
+   *
+   * @param weights the trained weight vector; its length IS the
+   *                feature dimension (hash buckets)
+   */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      weights: Array[Double], bias: Double = 0.0,
+      ordered: Boolean = true): DataFrame = {
+    require(weights.nonEmpty, "score: weights must be non-empty")
+    val dim = weights.length
+    val w = typedLit(weights.toSeq)
+    val toks = coalesce(
+      filter(TextOps.tokens(col(textCol)), t => t =!= ""),
+      array())
+    val raw = aggregate(toks, lit(bias),
+      (acc, t) => acc + element_at(w, (bucket(t, dim) + 1).cast("int")))
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      round(raw, 6).as("score"),
+      round(lit(1.0) / (lit(1.0) + exp(-raw)), 4).as("prob"))
+      .transform(Presented(_, ordered, "doc_id"))
+  }
+
+  /**
+   * The gate: keep documents whose classifier probability reaches
+   * `threshold` (inclusive — compared on the ROUNDED `prob` so the
+   * keep/drop decision is engine-portable, the contaminationReport
+   * discipline). Returns the kept documents with their score columns
+   * attached; compose with [[TextAnalysis.qualityGate]] for the
+   * heuristic+model double gate.
+   */
+  def gate(docs: DataFrame, idCol: String, textCol: String,
+      weights: Array[Double], bias: Double = 0.0, threshold: Double = 0.5,
+      ordered: Boolean = true): DataFrame = {
+    require(threshold >= 0 && threshold <= 1,
+      s"gate: threshold in [0, 1], got $threshold")
+    val scored = score(docs, idCol, textCol, weights, bias, ordered = false)
+      .filter(col("prob") >= threshold)
+    docs.join(scored, docs(idCol) === scored("doc_id"))
+      .drop(scored("doc_id"))
+      .transform(Presented(_, ordered, idCol))
+  }
+}
