@@ -817,15 +817,33 @@ object IndexStore {
    *    retired and vacuums on cadence.
    */
   private def locationSwap(spark: SparkSession, tableName: String,
-      toPath: Option[String], graceMs: Long)(write: String => Unit): Unit = {
+      toPath: Option[String], graceMs: Long)(write: String => Unit): Unit =
+    locationSwapAbortable(spark, tableName, toPath, graceMs) { p =>
+      write(p); true
+    }
+
+  /** [[locationSwap]] whose `write` decides AFTER writing whether to
+    * commit (true) or abort (false). An abort discards the attempt
+    * exactly as [[dropStaleTmp]] discards a crashed one — tmp metadata
+    * and files dropped, live table untouched — so callers that can
+    * only learn "this rewrite changed nothing" from the rewrite pass
+    * itself (an [[org.apache.spark.sql.Observation]] on the write)
+    * keep the no-op-leaves-the-table-alone contract. */
+  private def locationSwapAbortable(spark: SparkSession, tableName: String,
+      toPath: Option[String], graceMs: Long)
+      (write: String => Boolean): Boolean = {
     val tmp = tableName + "_compacting"
     val (newPath, oldQ, newQ) = swapTarget(spark, tableName, toPath)
-    write(newPath)
+    if (!write(newPath)) {
+      dropStaleTmp(spark, tableName)
+      return false
+    }
     retire(spark, tableName, Seq(oldQ))
     spark.sql(s"ALTER TABLE $tableName SET LOCATION '$newQ'")
     spark.sql(s"DROP TABLE $tmp") // external: its files are now the live data
     spark.catalog.refreshTable(tableName)
     vacuum(spark, tableName, graceMs)
+    true
   }
 
   private def swapRewrite(spark: SparkSession, tableName: String,
@@ -994,10 +1012,14 @@ object IndexStore {
    * output can never emit a retracted id, because no index row carries
    * one.
    *
-   * COST: O(index) worst case — one bucketed scan minus a BROADCAST
-   * anti-join (takedown sets are human-scale; the membership probe is
-   * a semi-join count first, so an ids set that touches nothing costs
-   * one scan and no rewrite). When takedown LATENCY must not pay a
+   * COST: ONE bucketed scan minus a BROADCAST anti-join (takedown
+   * sets are human-scale) — the removed count is observed on the
+   * rewrite pass itself, not probed in a separate scan. An ids set
+   * that touches nothing still leaves the table untouched (the swap
+   * aborts and the written attempt is discarded), but it pays the
+   * rewrite-sized pass to find that out — issue membership-unknown
+   * takedowns through [[tombstone]], where a no-op costs O(ids).
+   * When takedown LATENCY must not pay a
    * full rewrite, use [[tombstone]] instead — O(ids) immediately,
    * physically folded by the next rewrite (this call folds pending
    * tombstones too, and clears the sidecar). At production scale,
@@ -1025,21 +1047,33 @@ object IndexStore {
     // tombstone count as gone (they are, observably), and the rewrite
     // folds any pending tombstones alongside this retraction
     val base = tombstoneFiltered(spark, tableName, spark.table(tableName))
-    val removed = base
-      .join(retracted, col("keep_id") === col("_retract_id"), "left_semi")
-      .count()
-    if (removed == 0L) return 0L
+    // ONE pass computes the survivors AND the removed count: observe
+    // the row count above and below the anti-join on the rewrite plan
+    // itself (removed = total − kept), instead of a separate semi-join
+    // probe scan — at index scale the saved scan is the whole point of
+    // the fold. The no-op contract survives via the abortable swap:
+    // removed == 0 discards the written attempt and leaves the live
+    // table (and its location) untouched.
+    val obsAll = org.apache.spark.sql.Observation()
+    val obsKept = org.apache.spark.sql.Observation()
     // the remaining rows re-bucket on the SAME keys/count, so classify
     // plans against the retracted table stay exchange-free
     val remaining = base
+      .observe(obsAll, count(lit(1)).as("n"))
       .join(retracted, col("keep_id") === col("_retract_id"), "left_anti")
+      .observe(obsKept, count(lit(1)).as("n"))
     val tmp = tableName + "_compacting"
+    var removed = 0L
     // no sketch-prop carrying needed: the location swap keeps the main
     // table's metadata (props included) — only the files move
-    locationSwap(spark, tableName, toPath, graceMs) { newPath =>
-      writeBucketed(remaining, tmp, newPath, buckets, keys, "overwrite")
-    }
-    clearTombstones(spark, tableName)
+    val committed =
+      locationSwapAbortable(spark, tableName, toPath, graceMs) { newPath =>
+        writeBucketed(remaining, tmp, newPath, buckets, keys, "overwrite")
+        removed = obsAll.get("n").asInstanceOf[Long] -
+          obsKept.get("n").asInstanceOf[Long]
+        removed != 0L
+      }
+    if (committed) clearTombstones(spark, tableName)
     removed
   }
 
