@@ -38,8 +38,10 @@ import org.apache.spark.sql.functions._
 object QualityClassifier {
 
   /** Feature-hash a token to [0, dim): top 32 bits of md5, mod dim —
-    * SQL-expressible on both engines (the determinism-playbook hash). */
-  private def bucket(tok: Column, dim: Int): Column =
+    * SQL-expressible on both engines (the determinism-playbook hash).
+    * Shared with [[QualityTrainer]] so training and inference can
+    * never disagree on the feature space. */
+  private[llm] def bucket(tok: Column, dim: Int): Column =
     pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"), lit(dim.toLong))
 
   /**

@@ -1,0 +1,115 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Training for the hashed linear quality model [[QualityClassifier]]
+ * scores — the other half of the DCLM/fastText recipe (the reference's
+ * quality gates are hand-written heuristics; a learned gate needs its
+ * weights to come from somewhere). Full-batch logistic regression by
+ * gradient descent over hashed bag-of-words counts:
+ *
+ *   w_j ← w_j + lr · Σ_docs residual(doc) · count_j(doc)
+ *   b   ← b   + lr · Σ_docs residual(doc),  residual = y − sigmoid(score)
+ *
+ * SCALE SHAPE — ONE job per iteration, model-sized driver state: the
+ * per-doc score/residual is the same zero-shuffle fold inference uses
+ * (weights ride the plan as one array `Literal`), token occurrences
+ * explode to (bucket, residual) and aggregate map-side-combined into
+ * at most `dim`+1 groups — the only shuffle is dim-bounded,
+ * independent of corpus size. The bias gradient, the (pre-update)
+ * logistic loss, and the label sanity check ride the SAME aggregate
+ * as a per-doc sentinel row, so nothing costs a second scan. The
+ * driver holds only the dim-sized weight vector (the
+ * k-means/PQ-codebook discipline): 10^6 hash buckets is 8 MB.
+ *
+ * DETERMINISM: iteration 1 from zero init is EXACT — sigmoid(0) is
+ * 0.5 by IEEE definition, so residuals are the dyadics y − 0.5 and
+ * every gradient sum is order-free exact (the pq100 oracle pins this
+ * bit-for-bit through a scoring pass). Later iterations cross libm
+ * (sigmoid of non-zero scores), so their weights are reproducible on
+ * a fixed layout but only ulp-stable across layouts — train/serve
+ * skew is avoided by shipping the TRAINED VECTOR, never by
+ * re-training (the [[QualityClassifier]] contract).
+ *
+ * Labels are the caller's problem by design (human ratings, LLM
+ * judgments, "is this a reference document" — whatever the recipe
+ * distills); they arrive as a 0/1 double column on the corpus frame.
+ */
+object QualityTrainer {
+
+  /** Trained model + the pre-update logistic loss observed at each
+    * iteration (losses(0) is the loss of the INIT weights; a training
+    * run that helps shows a decreasing sequence). */
+  final case class Trained(weights: Array[Double], bias: Double,
+      losses: Array[Double]) {
+    /** Inference with the trained model — [[QualityClassifier.score]]. */
+    def score(docs: DataFrame, idCol: String, textCol: String,
+        ordered: Boolean = true): DataFrame =
+      QualityClassifier.score(docs, idCol, textCol, weights, bias, ordered)
+  }
+
+  /**
+   * Train `iters` full-batch GD steps from `init` (zeros by default).
+   *
+   * @param labelCol 0.0/1.0 double column (1 = quality). Null labels
+   *                 are refused up front — a silently-skipped row is a
+   *                 training bug nobody finds.
+   * @param dim      hash-bucket count; the returned weight vector's
+   *                 length. Collisions are the usual hashing-trick
+   *                 trade: more buckets, less aliasing, bigger literal.
+   */
+  def train(docs: DataFrame, textCol: String, labelCol: String,
+      dim: Int, iters: Int = 5, lr: Double = 0.5,
+      init: Option[Array[Double]] = None, initBias: Double = 0.0): Trained = {
+    require(dim > 0, s"train: dim must be positive, got $dim")
+    require(iters >= 1, s"train: iters must be >= 1, got $iters")
+    require(init.forall(_.length == dim),
+      s"train: init length must equal dim=$dim")
+    val w = init.map(_.clone()).getOrElse(Array.fill(dim)(0.0))
+    var b = initBias
+    val losses = new Array[Double](iters)
+    val y = col(labelCol).cast("double")
+    val toks = coalesce(
+      filter(TextOps.tokens(col(textCol)), t => t =!= ""), array())
+    for (i <- 0 until iters) {
+      val wLit = typedLit(w.toSeq)
+      val score = aggregate(toks, lit(b), (acc, t) =>
+        acc + element_at(wLit, (QualityClassifier.bucket(t, dim) + 1).cast("int")))
+      // stable logistic loss: max(s,0) − s·y + log1p(exp(−|s|))
+      val loss = greatest(score, lit(0.0)) - score * y +
+        log1p(exp(-abs(score)))
+      // ONE aggregate carries everything: each doc's token occurrences
+      // (multiplicity = the count feature) plus one SENTINEL null-token
+      // row per doc, exploded together and grouped by bucket — the
+      // sentinel group (-1) accumulates the bias gradient, the loss,
+      // and the bad-label count, so no second pass and no Observation
+      // (whose metrics silently vanish when the optimizer collapses a
+      // folded-local plan to a jobless LocalTableScan). The shuffle is
+      // dim+1 groups, map-side combined — corpus-size-independent.
+      val bad = col("_y").isNull || (col("_y") =!= 0.0 && col("_y") =!= 1.0)
+      val rows = docs
+        .select(y.as("_y"), (y - lit(1.0) / (lit(1.0) + exp(-score))).as("_r"),
+          loss.as("_loss"),
+          explode(concat(toks, array(lit(null).cast("string")))).as("_tok"))
+        .groupBy(when(col("_tok").isNull, lit(-1L))
+          .otherwise(QualityClassifier.bucket(col("_tok"), dim)).as("_bkt"))
+        .agg(sum(col("_r")).as("_g"),
+          sum(when(col("_tok").isNull, col("_loss"))).as("_l"),
+          count(when(col("_tok").isNull && bad, 1)).as("_bad"))
+        .collect()
+      val sentinel = rows.find(_.getLong(0) == -1L).getOrElse(
+        sys.error("train: empty corpus — nothing to fit"))
+      require(sentinel.getLong(3) == 0L,
+        s"train: $labelCol must be 0.0/1.0 and non-null " +
+          s"(${sentinel.getLong(3)} offending rows)")
+      losses(i) = sentinel.getDouble(2)
+      rows.foreach { r =>
+        if (r.getLong(0) >= 0L) w(r.getLong(0).toInt) += lr * r.getDouble(1)
+      }
+      b += lr * sentinel.getDouble(1)
+    }
+    Trained(w, b, losses)
+  }
+}
