@@ -67,4 +67,11 @@ class ContrastiveMiningSpec extends AnyFunSuite {
       ContrastiveMining.triplets(pairs, results, negK = 0)
     }
   }
+
+  test("plan: no cartesian product anywhere in the triplet join chain") {
+    val (pairs, results) = fixture()
+    val plan = ContrastiveMining.triplets(pairs, results, negK = 2,
+      ordered = false).queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"triplets went all-pairs:\n$plan")
+  }
 }

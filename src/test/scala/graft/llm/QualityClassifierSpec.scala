@@ -67,6 +67,16 @@ class QualityClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("plan: score is projection-only — zero shuffle, no join (weights ride as a literal), no explode") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val plan = QualityClassifier.score(d, "doc_id", "text", weights, bias,
+      ordered = false).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"score shuffled:\n$plan")
+    assert(!plan.contains("Join"), s"weights must not arrive by join:\n$plan")
+    assert(!plan.contains("Generate"), s"score must not explode tokens:\n$plan")
+  }
+
   test("gate: inclusive threshold, original columns kept, monotone in threshold") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
