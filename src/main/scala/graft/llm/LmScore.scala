@@ -198,4 +198,54 @@ object LmScore {
           .otherwise(col("_lpsum") / col("n_tokens")).as("logprob"))
       .transform(Presented(_, ordered, idCol))
   }
+
+  /**
+   * CCNet's head/middle/tail split: bucket every document by its LM
+   * perplexity RELATIVE TO ITS GROUP (per language in the original —
+   * a ppl that is "tail" for English prose is routine for code), via
+   * per-group percentile CUTOFFS, not a rank window. That distinction
+   * is the scale shape: `ntile` needs a total order per group — a
+   * corpus-wide sort under every language key, exactly the Zipf-keyed
+   * window this engine bans — while the cutoff form is one
+   * partial+final percentile aggregate (group-count-sized result)
+   * broadcast back for a comparison projection. Swap `percentile` for
+   * `percentile_approx` at sketch scale; the plan is identical.
+   *
+   * Buckets are 1..cuts.size+1 ascending in perplexity (1 = head =
+   * most LM-like). Comparisons are engine-portable by the playbook
+   * discipline: ppl = ROUND(exp(−ROUND(logprob, 4)), 4) (the pq54
+   * value), cutoffs interpolated over those rounded ppls and ROUND(6)
+   * before the strict `>` — both engines compare identical doubles.
+   * Token-free docs score logprob 0 → ppl 1, the head of any real
+   * group; gate them upstream ([[TextAnalysis.qualityGate]]) when
+   * that is not wanted.
+   *
+   * Output: (idCol, groupCol, n_tokens, ppl, bucket).
+   */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, lm: DataFrame,
+      cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+      saltBuckets: Int = 8, ordered: Boolean = true): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted &&
+      cuts.forall(c => c > 0 && c < 1) && cuts.distinct == cuts,
+      s"perplexityBuckets: cuts must be distinct, ascending, in (0,1): $cuts")
+    val scored = unigramLogProb(docs, idCol, textCol, lm, saltBuckets,
+      ordered = false)
+    val base = scored
+      .select(col(idCol), col("n_tokens"),
+        round(exp(-round(col("logprob"), 4)), 4).as("ppl"))
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+    val cutCols = cuts.zipWithIndex.map { case (q, i) =>
+      round(percentile(col("ppl"), lit(q)), 6).as(s"_c$i")
+    }
+    val cutoffs = base.groupBy(col(groupCol))
+      .agg(cutCols.head, cutCols.tail: _*)
+    val bucket = cuts.indices.foldLeft(lit(1)) { (acc, i) =>
+      acc + (col("ppl") > col(s"_c$i")).cast("int")
+    }
+    base.join(broadcast(cutoffs), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("n_tokens"), col("ppl"),
+        bucket.cast("long").as("bucket"))
+      .transform(Presented(_, ordered, idCol))
+  }
 }

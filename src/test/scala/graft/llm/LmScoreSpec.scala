@@ -44,6 +44,53 @@ class LmScoreSpec extends AnyFunSuite {
     assert(score(docs.repartition(1)) == score(docs.repartition(13)))
   }
 
+  test("perplexityBuckets: per-group terciles, cutoff-inclusive head, no rank window in the plan") {
+    // two groups with hand-placed perplexity spreads: the SAME text in
+    // a different group can land in a different bucket (the CCNet
+    // point — ppl is judged relative to the group)
+    val f = TestSpark.df("doc_id bigint, text string, lang string", Seq(
+      Row(1L, "zzq1", "a"), Row(2L, "zzq1 zzq1", "a"), Row(3L, "zzq2", "a"),
+      Row(4L, "zzq3", "a"), Row(5L, "zzq4 zzq4 zzq4", "a"), Row(6L, "zzq5", "a"),
+      Row(10L, "zzq1", "b"), Row(11L, "common common common", "b")))
+    val ref = TestSpark.df("doc_id bigint, text string", Seq(
+      Row(100L, "common common common common zzq1")))
+    val refLm = Bpe.wordCounts(ref, "text", ordered = false)
+    val out = LmScore.perplexityBuckets(f, "doc_id", "text", "lang", refLm,
+      ordered = false)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "lang", "n_tokens", "ppl", "bucket"))
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getLong(4)))).toMap
+    // buckets partition each group into 1..3 and are monotone in ppl
+    val byBucket = rows.collect { case (id, (p, b)) if id <= 6 => (b, p) }
+    assert(byBucket.map(_._1).toSet.subsetOf(Set(1L, 2L, 3L)))
+    for ((b1, p1) <- byBucket; (b2, p2) <- byBucket if b1 < b2)
+      assert(p1 <= p2, s"bucket $b1 (ppl $p1) must not exceed bucket $b2 ($p2)")
+    // group-relative: doc 10's text equals doc 1's, but group b's only
+    // other member is far more LM-like, so 10 lands in b's tail while
+    // 1 sits under a's head cutoff
+    assert(rows(10L)._2 == 3L && rows(1L)._2 == 1L,
+      s"same text, different group, different bucket: $rows")
+    // a ppl EQUAL to a cutoff stays in the LOWER bucket (strict >):
+    // group a's 2/3 cutoff interpolates between two OOV docs, i.e.
+    // equals their ppl exactly — they must read bucket 2, not 3
+    assert(Seq(3L, 4L, 5L, 6L).forall(id => rows(id)._2 == 2L),
+      s"cutoff-equal ppl must stay below the cut: $rows")
+    // scale shape: cutoffs come from an aggregate, never a rank window
+    val plan = LmScore.perplexityBuckets(f, "doc_id", "text", "lang", refLm,
+      ordered = false).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window ["), s"bucketing must not sort per group:\n$plan")
+    // deterministic under repartitioning
+    val re = LmScore.perplexityBuckets(f.repartition(7), "doc_id", "text",
+      "lang", refLm, ordered = false).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getLong(4)))).toMap
+    assert(re == rows)
+    intercept[IllegalArgumentException] {
+      LmScore.perplexityBuckets(f, "doc_id", "text", "lang", refLm,
+        cuts = Seq(0.8, 0.2))
+    }
+  }
+
   test("composition is LAZY: building a score plan runs zero Spark jobs") {
     // Count ONLY this test's jobs: sbt runs suites in parallel on one
     // SparkContext, so a global job counter races with whatever another
