@@ -173,4 +173,61 @@ object Clustering {
     }
     KMeansModel(centroids, costs.result())
   }
+
+  /**
+   * Embedding-drift report between two corpus snapshots under a FIXED
+   * coarse quantizer — the SIGNAL for [[graft.llm.IndexStore.reindexCoded]]:
+   * a coded index stays sharp only while the corpus still looks like
+   * what the quantizer was trained on. Per cell: old/new occupancy and
+   * the cosine between the cell's old and new MEAN vectors. A healthy
+   * cell reads cos_shift ≈ 1 and count_ratio ≈ corpus growth; cells
+   * drifting below ~0.98 cosine or emptying/flooding are the retrain
+   * cue (runbook in SCALE.md).
+   *
+   * EXACT BY CONSTRUCTION: both snapshots assign with the broadcast
+   * argmin pass (no shuffle), then ONE map-side-combined aggregate per
+   * snapshot produces exact BIGINT per-(cell, dim) component sums —
+   * and cos(mean_old, mean_new) = cos(sum_old, sum_new) because the
+   * 1/n factors cancel, so the cosine is computed on exact integer
+   * sums with a single final double op: bit-deterministic under any
+   * partitioning, no double-summation order anywhere. Everything after
+   * assignment is k·dim-bounded (model-sized), never corpus-sized.
+   *
+   * Contracts: snapshots share the quantization scale and vector dim.
+   * Component sums must fit BIGINT — |v| ≤ v_max quantized units and
+   * n rows per cell need n·v_max < ~3e9/√dim (raise nlist or rescale
+   * past ~10M rows/cell at the default 10^3 scale).
+   *
+   * Output: (list, n_old, n_new, count_ratio ROUND(6), cos_shift
+   * ROUND(4)). One-sided cells keep their occupancy facts: an emptied
+   * cell reads count_ratio 0 with a null cosine; a brand-new cell
+   * reads a null ratio (nothing to divide by) and a null cosine.
+   */
+  def snapshotDrift(oldVecs: DataFrame, newVecs: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Long]],
+      ordered: Boolean = true): DataFrame = {
+    def sums(df: DataFrame, s: String, n: String) =
+      assigned(df, idCol, vecCol, centroids)
+        .select(col("_cluster"), posexplode(col("_v")).as(Seq("_pos", "_val")))
+        .groupBy(col("_cluster").cast("long").as("list"), col("_pos"))
+        .agg(sum("_val").as(s),
+          sum(when(col("_pos") === 0, lit(1L)).otherwise(lit(0L))).as(n))
+    sums(oldVecs, "_so", "_no").join(
+        sums(newVecs, "_sn", "_nn"), Seq("list", "_pos"), "full_outer")
+      .groupBy("list")
+      .agg(
+        sum(coalesce(col("_no"), lit(0L))).as("n_old"),
+        sum(coalesce(col("_nn"), lit(0L))).as("n_new"),
+        sum(col("_so") * col("_sn")).as("_dot"),
+        sum(col("_so") * col("_so")).as("_o2"),
+        sum(col("_sn") * col("_sn")).as("_n2"))
+      .select(col("list"), col("n_old"), col("n_new"),
+        round(when(col("n_old") > 0,
+          col("n_new").cast("double") / col("n_old")), 6).as("count_ratio"),
+        round(when(col("_dot").isNotNull && col("_o2") > 0 && col("_n2") > 0,
+          col("_dot").cast("double") /
+            sqrt(col("_o2").cast("double") * col("_n2").cast("double"))), 4)
+          .as("cos_shift"))
+      .transform(Presented(_, ordered, "list"))
+  }
 }

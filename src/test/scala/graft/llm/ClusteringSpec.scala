@@ -103,4 +103,48 @@ class ClusteringSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a1 == a13)
   }
+
+  test("snapshotDrift: identity reads 1.0/1.0, inversion reads -1.0, one-sided cells carry nulls") {
+    // two well-separated cells in quantized units
+    val cents = Array(Array(100L, 0L), Array(0L, 100L))
+    def df(rows: Seq[Row]) =
+      TestSpark.df("vec_id bigint, embedding array<float>", rows)
+    val old = df(Seq(
+      Row(1L, Seq(0.09f, 0.005f)), Row(2L, Seq(0.08f, 0.01f)), // cell 0
+      Row(3L, Seq(0.005f, 0.09f))))                            // cell 1
+    // identical snapshots: no drift anywhere
+    val same = Clustering.snapshotDrift(old, old, "vec_id", "embedding",
+      cents, ordered = false).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(same(0L) == ((2L, 2L, 1.0, 1.0)) && same(1L) == ((1L, 1L, 1.0, 1.0)))
+    // cell 0 doubles and keeps its direction EXACTLY (same members
+    // twice → sum vector scales; cosine of collinear sums is 1.0);
+    // cell 1 empties out → occupancy facts with null ratio/cosine
+    val grown = df(Seq(
+      Row(1L, Seq(0.09f, 0.005f)), Row(2L, Seq(0.08f, 0.01f)),
+      Row(11L, Seq(0.09f, 0.005f)), Row(12L, Seq(0.08f, 0.01f))))
+    val g = Clustering.snapshotDrift(old, grown, "vec_id", "embedding",
+      cents, ordered = false).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(g(0L).getDouble(3) == 2.0 && g(0L).getDouble(4) == 1.0)
+    assert(g(1L).getLong(1) == 1L && g(1L).getLong(2) == 0L &&
+      g(1L).getDouble(3) == 0.0 && g(1L).isNullAt(4),
+      s"an emptied cell reads ratio 0 and a null cosine: ${g(1L)}")
+    // a corpus against its exact negation: the cell's sum vectors are
+    // antipodal, so the integer-sum cosine is exactly −1
+    val twoDocs = df(Seq(Row(1L, Seq(0.09f, 0.005f)),
+      Row(2L, Seq(0.08f, 0.01f))))
+    val flipped = df(Seq(Row(1L, Seq(-0.09f, -0.005f)),
+      Row(2L, Seq(-0.08f, -0.01f))))
+    val f = Clustering.snapshotDrift(twoDocs, flipped, "vec_id", "embedding",
+      Array(Array(85L, 8L)), ordered = false).collect()
+    assert(f.length == 1 && f.head.getDouble(4) == -1.0, f.mkString(","))
+    // bit-identical under repartitioning (integer sums all the way)
+    val re = Clustering.snapshotDrift(old.repartition(5),
+      grown.repartition(7), "vec_id", "embedding", cents, ordered = false)
+      .collect().map(r => r.toSeq).toSet
+    assert(re == Clustering.snapshotDrift(old, grown, "vec_id", "embedding",
+      cents, ordered = false).collect().map(_.toSeq).toSet)
+  }
 }
