@@ -112,4 +112,48 @@ object QualityTrainer {
     }
     Trained(w, b, losses)
   }
+
+  private val DimKey = "graft.qc.dim"
+  private val BiasKey = "graft.qc.bias"
+
+  /**
+   * Persist a trained model as a tiny catalog table — one (bucket,
+   * weight) row per hash bucket, with dim and bias STAMPED as table
+   * properties (the IndexStore discipline: a missing or drifted stamp
+   * fails fast instead of silently mis-scoring). Bias round-trips
+   * through `Double.toString`/`parseDouble`, which is exact for every
+   * IEEE double, so save → load → [[Trained.score]] is bit-identical
+   * to scoring with the in-memory model. Training-loss history is a
+   * training artifact, not the model — it is not persisted.
+   */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Trained,
+      tableName: String, path: String): Unit = {
+    import spark.implicits._
+    model.weights.zipWithIndex.map { case (w, j) => (j, w) }.toSeq
+      .toDF("bucket", "weight")
+      .repartition(1)
+      .write.option("path", path).mode("overwrite").format("parquet")
+      .saveAsTable(tableName)
+    spark.sql(s"ALTER TABLE $tableName SET TBLPROPERTIES " +
+      s"('$DimKey'='${model.weights.length}', '$BiasKey'='${model.bias}')")
+  }
+
+  /** Load a [[saveModel]] table back into a scoring-ready [[Trained]].
+    * Fails fast on a missing stamp (a table this code did not write)
+    * or a row count that disagrees with the stamped dim. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      tableName: String): Trained = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val dim = props.getOrElse(DimKey, sys.error(
+      s"$tableName carries no $DimKey stamp — not a saveModel table")).toInt
+    val bias = java.lang.Double.parseDouble(props.getOrElse(BiasKey,
+      sys.error(s"$tableName carries no $BiasKey stamp")))
+    val rows = spark.table(tableName).collect()
+    require(rows.length == dim,
+      s"$tableName: stamped dim=$dim but ${rows.length} weight rows")
+    val w = new Array[Double](dim)
+    rows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
+    Trained(w, bias, Array.empty)
+  }
 }

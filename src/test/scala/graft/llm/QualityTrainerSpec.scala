@@ -98,4 +98,53 @@ class QualityTrainerSpec extends AnyFunSuite {
       QualityTrainer.train(blank, "text", "y", dim = 0, iters = 1)
     }
   }
+
+  test("saveModel/loadModel round-trips bit-exactly; foreign tables and row-count drift fail fast") {
+    val tbl = "graft_qc_model"
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc_model")
+    try {
+      val trained = QualityTrainer.train(corpus(), "text", "y", dim,
+        iters = 3, lr = 0.5)
+      QualityTrainer.saveModel(spark, trained, tbl, s"$dir/m")
+      val back = QualityTrainer.loadModel(spark, tbl)
+      assert(back.bias == trained.bias &&
+        back.weights.sameElements(trained.weights))
+      // scoring with the loaded model is bit-identical
+      val a = trained.score(corpus(), "doc_id", "text", ordered = false)
+        .collect().map(_.toSeq).toSet
+      val b = back.score(corpus(), "doc_id", "text", ordered = false)
+        .collect().map(_.toSeq).toSet
+      assert(a == b)
+      // a table this code did not stamp is refused
+      spark.sql(s"ALTER TABLE $tbl UNSET TBLPROPERTIES ('graft.qc.dim')")
+      intercept[RuntimeException] { QualityTrainer.loadModel(spark, tbl) }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("streamed scoring equals batch scoring (projection-only composes with readStream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val trained = QualityTrainer.train(corpus(), "text", "y", dim,
+      iters = 2, lr = 0.5)
+    val input = MemoryStream[(Long, String)]
+    val q = trained.score(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", ordered = false)
+      .writeStream.format("memory").queryName("graft_qc_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "good clean prose good"), (2L, "spam junk spam junk"))
+      q.processAllAvailable()
+      input.addData((3L, null: String))
+      q.processAllAvailable()
+      val streamed = spark.table("graft_qc_stream").collect()
+        .map(_.toSeq).toSet
+      val batch = trained.score(
+        TestSpark.df("doc_id bigint, text string", Seq(
+          Row(1L, "good clean prose good"), Row(2L, "spam junk spam junk"),
+          Row(3L, null))),
+        "doc_id", "text", ordered = false).collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
 }
