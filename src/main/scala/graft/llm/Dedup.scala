@@ -438,3 +438,49 @@ object SimHashNearDup {
       .transform(Presented(_, ordered, "doc_a", "doc_b"))
   }
 }
+
+/**
+ * Dedup-quality evaluation — the knob-tuning loop for near-dup methods,
+ * the pair-space sibling of [[Retrieval.evalRanking]]: given a method's
+ * predicted duplicate pairs and a labeled (or exact-method) truth set,
+ * report precision / recall / F1. This is how bands-vs-hashes,
+ * Hamming radius, or bucket-bits choices get MEASURED instead of
+ * guessed — run the candidate method at several knob settings against
+ * one truth set and read the curve.
+ *
+ * SCALE SHAPE: both sides canonicalize (unordered pairs — either
+ * orientation counts once) and distinct in one shuffle each, then ONE
+ * full-outer equi-join on the pair key feeds a single global aggregate
+ * — no driver-side pair sets, no second scan of either input. Counts
+ * are exact BIGINTs; precision/recall/F1 are single divisions of
+ * exact longs (F1 = 2·hit/(pred+truth), the harmonic identity, so no
+ * compounded rounding), ROUND(6) — engine-portable.
+ *
+ * Output: ONE row (n_pred, n_truth, n_hit, precision, recall, f1);
+ * an empty side nulls its ratio rather than dividing by zero.
+ */
+object DedupEval {
+
+  def evalPairs(predicted: DataFrame, truth: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    def canon(df: DataFrame, tag: String) = df
+      .select(least(col(aCol), col(bCol)).as("_a"),
+        greatest(col(aCol), col(bCol)).as("_b"))
+      .distinct()
+      .withColumn(tag, lit(1L))
+    canon(predicted, "_p").join(canon(truth, "_t"), Seq("_a", "_b"), "full_outer")
+      .agg(
+        coalesce(sum(col("_p")), lit(0L)).as("n_pred"),
+        coalesce(sum(col("_t")), lit(0L)).as("n_truth"),
+        coalesce(sum(when(col("_p").isNotNull && col("_t").isNotNull, 1L)),
+          lit(0L)).as("n_hit"))
+      .select(col("n_pred"), col("n_truth"), col("n_hit"),
+        round(when(col("n_pred") > 0,
+          col("n_hit").cast("double") / col("n_pred")), 6).as("precision"),
+        round(when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth")), 6).as("recall"),
+        round(when(col("n_pred") + col("n_truth") > 0,
+          lit(2.0) * col("n_hit") / (col("n_pred") + col("n_truth")).cast("double")),
+          6).as("f1"))
+  }
+}
