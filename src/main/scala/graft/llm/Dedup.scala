@@ -483,4 +483,54 @@ object DedupEval {
           lit(2.0) * col("n_hit") / (col("n_pred") + col("n_truth")).cast("double")),
           6).as("f1"))
   }
+
+  /**
+   * The whole tuning CURVE in one pass: evaluate `scored`'s pairs at
+   * EVERY threshold against one truth set, without re-running the
+   * method per knob value (a threshold only filters the already-scored
+   * candidates — recomputing candidates |thresholds| times is the
+   * naive loop this replaces). Pairs canonicalize keeping the MAX
+   * score per unordered pair, full-outer join the truth ONCE, then
+   * each row fans out over the (small, literal) threshold list into a
+   * |thresholds|-group map-side-combined aggregate — the fan-out is
+   * bounded by the knob grid, never the corpus.
+   *
+   * Output: one [[evalPairs]]-shaped row PER threshold, ordered by
+   * threshold. Empty inputs yield an empty curve. Sweep on the score
+   * your method REPORTS (e.g. the ROUND(3) jaccard the near-dup
+   * operators emit) so curve membership is engine-portable.
+   */
+  def sweepThresholds(scored: DataFrame, truth: DataFrame, scoreCol: String,
+      thresholds: Seq[Double], aCol: String = "doc_a", bCol: String = "doc_b",
+      ordered: Boolean = true): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted &&
+      thresholds.distinct == thresholds,
+      s"sweepThresholds: thresholds must be distinct ascending: $thresholds")
+    val p = scored
+      .select(least(col(aCol), col(bCol)).as("_a"),
+        greatest(col(aCol), col(bCol)).as("_b"), col(scoreCol).as("_s"))
+      .groupBy("_a", "_b").agg(max(col("_s")).as("_s"))
+    val t = truth
+      .select(least(col(aCol), col(bCol)).as("_a"),
+        greatest(col(aCol), col(bCol)).as("_b"))
+      .distinct().withColumn("_t", lit(1L))
+    p.join(t, Seq("_a", "_b"), "full_outer")
+      .select(col("_s"), col("_t"),
+        explode(typedLit(thresholds)).as("threshold"))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("_s") >= col("threshold"), 1L).otherwise(0L)).as("n_pred"),
+        coalesce(sum(col("_t")), lit(0L)).as("n_truth"),
+        sum(when(col("_s") >= col("threshold") && col("_t").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .select(col("threshold"), col("n_pred"), col("n_truth"), col("n_hit"),
+        round(when(col("n_pred") > 0,
+          col("n_hit").cast("double") / col("n_pred")), 6).as("precision"),
+        round(when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth")), 6).as("recall"),
+        round(when(col("n_pred") + col("n_truth") > 0,
+          lit(2.0) * col("n_hit") / (col("n_pred") + col("n_truth")).cast("double")),
+          6).as("f1"))
+      .transform(graft.Presented(_, ordered, "threshold"))
+  }
 }

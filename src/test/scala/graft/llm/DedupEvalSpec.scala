@@ -48,6 +48,31 @@ class DedupEvalSpec extends AnyFunSuite {
       empty.isNullAt(5))
   }
 
+  test("sweepThresholds: one pass yields the whole monotone curve; max-score canonicalization") {
+    val scored = TestSpark.df("doc_a bigint, doc_b bigint, score double", Seq(
+      Row(1L, 2L, 0.9), Row(2L, 1L, 0.6), // same pair — max wins (0.9)
+      Row(3L, 4L, 0.75), Row(5L, 6L, 0.5)))
+    val truth = pairs((1L, 2L), (3L, 4L), (7L, 8L))
+    val curve = DedupEval.sweepThresholds(scored, truth, "score",
+      Seq(0.5, 0.7, 0.8), ordered = true).collect()
+      .map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(curve(0.5) == ((3L, 3L, 2L))) // all three pairs predicted
+    assert(curve(0.7) == ((2L, 3L, 2L))) // 0.5 drops out; (1,2) kept at 0.9
+    assert(curve(0.8) == ((1L, 3L, 1L))) // only (1,2) survives
+    // n_pred is monotone non-increasing in threshold; n_truth constant
+    val byT = curve.toSeq.sortBy(_._1).map(_._2)
+    assert(byT.sliding(2).forall { case Seq(a, b) => b._1 <= a._1 })
+    assert(byT.map(_._2).distinct == Seq(3L))
+    // at-threshold membership is inclusive (>=): a 0.75 score at cut 0.75
+    val inc = DedupEval.sweepThresholds(scored, truth, "score",
+      Seq(0.75), ordered = false).collect().head
+    assert(inc.getLong(1) == 2L, s"0.75 >= 0.75 must predict: $inc")
+    intercept[IllegalArgumentException] {
+      DedupEval.sweepThresholds(scored, truth, "score", Seq(0.8, 0.7))
+    }
+  }
+
   test("self-evaluation is perfect: a method against itself reads 1/1/1") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val mh = MinHashNearDup(d, "doc_id", "text", shingleN = 3,
