@@ -60,13 +60,20 @@ object QualityClassifier {
     val toks = coalesce(
       filter(TextOps.tokens(col(textCol)), t => t =!= ""),
       array())
-    val raw = aggregate(toks, lit(bias),
-      (acc, t) => acc + element_at(w, (bucket(t, dim) + 1).cast("int")))
-    docs.select(
-      col(idCol).as("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      round(raw, 6).as("score"),
-      round(lit(1.0) / (lit(1.0) + exp(-raw)), 4).as("prob"))
+    // fold materialized in a lower projection: HOF lambdas get no
+    // codegen CSE, and `score`/`prob` both read the fold — staged
+    // selects are a CollapseProject barrier, so the tokenize+md5 fold
+    // runs once per doc, not once per consumer
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("_tk"))
+      .select(col("doc_id"), col("_tk"),
+        aggregate(col("_tk"), lit(bias), (acc, t) =>
+          acc + element_at(w, (bucket(t, dim) + 1).cast("int"))).as("_raw"))
+      .select(
+        col("doc_id"),
+        size(col("_tk")).cast("long").as("n_tokens"),
+        round(col("_raw"), 6).as("score"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("_raw"))), 4).as("prob"))
       .transform(Presented(_, ordered, "doc_id"))
   }
 

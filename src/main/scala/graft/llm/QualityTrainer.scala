@@ -75,11 +75,17 @@ object QualityTrainer {
       filter(TextOps.tokens(col(textCol)), t => t =!= ""), array())
     for (i <- 0 until iters) {
       val wLit = typedLit(w.toSeq)
-      val score = aggregate(toks, lit(b), (acc, t) =>
-        acc + element_at(wLit, (QualityClassifier.bucket(t, dim) + 1).cast("int")))
+      // MATERIALIZE the fold, then consume it: HOF lambdas get no
+      // codegen CSE, and this projection sits under a Generate — score
+      // referenced from residual AND the three loss terms would re-run
+      // the whole tokenize+md5+lookup fold ~5× per doc (measured 13.5 s
+      // → ~1 s at sf0.1). The staged selects are a CollapseProject
+      // barrier: a multiply-referenced non-cheap expression is never
+      // merged upward, so the fold and the token array evaluate ONCE.
+      val sc = col("_sc")
       // stable logistic loss: max(s,0) − s·y + log1p(exp(−|s|))
-      val loss = greatest(score, lit(0.0)) - score * y +
-        log1p(exp(-abs(score)))
+      val loss = greatest(sc, lit(0.0)) - sc * col("_y") +
+        log1p(exp(-abs(sc)))
       // ONE aggregate carries everything: each doc's token occurrences
       // (multiplicity = the count feature) plus one SENTINEL null-token
       // row per doc, exploded together and grouped by bucket — the
@@ -90,9 +96,14 @@ object QualityTrainer {
       // dim+1 groups, map-side combined — corpus-size-independent.
       val bad = col("_y").isNull || (col("_y") =!= 0.0 && col("_y") =!= 1.0)
       val rows = docs
-        .select(y.as("_y"), (y - lit(1.0) / (lit(1.0) + exp(-score))).as("_r"),
+        .select(y.as("_y"), toks.as("_tk"))
+        .select(col("_y"), col("_tk"),
+          aggregate(col("_tk"), lit(b), (acc, t) => acc +
+            element_at(wLit, (QualityClassifier.bucket(t, dim) + 1).cast("int")))
+            .as("_sc"))
+        .select(col("_y"), (col("_y") - lit(1.0) / (lit(1.0) + exp(-sc))).as("_r"),
           loss.as("_loss"),
-          explode(concat(toks, array(lit(null).cast("string")))).as("_tok"))
+          explode(concat(col("_tk"), array(lit(null).cast("string")))).as("_tok"))
         .groupBy(when(col("_tok").isNull, lit(-1L))
           .otherwise(QualityClassifier.bucket(col("_tok"), dim)).as("_bkt"))
         .agg(sum(col("_r")).as("_g"),
