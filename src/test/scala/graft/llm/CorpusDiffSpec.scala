@@ -67,4 +67,45 @@ class CorpusDiffSpec extends AnyFunSuite {
       .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     assert(plain == prio)
   }
+
+  test("distributionShift: identity PSI is exactly 0, shifts register per group only, hand-computed value") {
+    val edges = Seq(10.0, 20.0)
+    def snap(rows: Seq[Row]) =
+      TestSpark.df("doc_id bigint, src string, len bigint", rows)
+    val old = snap(Seq(
+      Row(1L, "a", 5L), Row(2L, "a", 15L), Row(3L, "a", 25L),
+      Row(4L, "b", 5L), Row(5L, "b", 15L)))
+    // identity: p == q per bucket, every term an exact 0.0
+    val same = CorpusDiff.distributionShift(old, old, "src", "len", edges,
+      ordered = false).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(same("a") == ((3L, 3L, 0.0)) && same("b") == ((2L, 2L, 0.0)))
+    // group b's shape shifts (both docs move to bucket 1); group a
+    // unchanged — PSI must register ONLY for b, with the hand value
+    val neu = snap(Seq(
+      Row(1L, "a", 5L), Row(2L, "a", 15L), Row(3L, "a", 25L),
+      Row(4L, "b", 5L), Row(5L, "b", 6L)))
+    val got = CorpusDiff.distributionShift(old, neu, "src", "len", edges,
+      ordered = false).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got("a") == ((3L, 3L, 0.0)))
+    // b: counts old (1,1,0) new (2,0,0), totals 2, B=3 → p=(2/5,2/5,1/5),
+    // q=(3/5,1/5,1/5) smoothed; psi = Σ (p−q)·ln(p/q)
+    val p = Seq(2.0 / 5, 2.0 / 5, 1.0 / 5)
+    val q = Seq(3.0 / 5, 1.0 / 5, 1.0 / 5)
+    val hand = BigDecimal(p.indices.map(i =>
+      (p(i) - q(i)) * math.log(p(i) / q(i))).sum)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("b")._3 == hand && hand > 0.0)
+    // deterministic under repartitioning
+    val re = CorpusDiff.distributionShift(old.repartition(5),
+      neu.repartition(3), "src", "len", edges, ordered = false).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(re == got.map { case (k, v) => k -> v._3 })
+    intercept[IllegalArgumentException] {
+      CorpusDiff.distributionShift(old, neu, "src", "len", Seq(20.0, 10.0))
+    }
+  }
 }
