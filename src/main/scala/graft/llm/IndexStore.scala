@@ -315,7 +315,7 @@ object IndexStore {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val referenced = liveLocations(spark, tableName) ++
-      retiredEntries(meta).map(e => qualify(spark, e._2))
+      retiredEntries(meta).map(e => qualify(spark, e._3))
     fs.listStatus(root).filter(s => s.isDirectory &&
         s.getPath.getName.matches("\\.v\\d+")).foreach { v =>
       def cellDirs() = fs.listStatus(v.getPath).filter(c =>
@@ -385,7 +385,16 @@ object IndexStore {
         p.location.toString
     }
     val root = tablePath(spark, tableName).stripSuffix("/")
-    val stagingRoot = s"$root/.v${System.nanoTime()}"
+    val rootFs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // nanoTime's origin is arbitrary per JVM, so a collision with an
+    // existing .v directory — possibly a CURRENT versioned partition
+    // location — is unlikely but not impossible, and mode("overwrite")
+    // would destroy committed live data. Probe-and-retry instead.
+    val stagingRoot = Iterator.iterate(System.nanoTime())(_ + 1)
+      .map(v => s"$root/.v$v")
+      .find(p => !rootFs.exists(new org.apache.hadoop.fs.Path(p)))
+      .get
     val survivors = transform(
       table.filter(col("list").isin(cells.map(Int.box): _*))
         .select(table.columns.map(col).toIndexedSeq: _*))
@@ -400,7 +409,7 @@ object IndexStore {
       else fs.listStatus(stP).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("list="))
         .map(_.getPath.getName.stripPrefix("list=").toInt).toSet
-    retire(spark, tableName, oldDirs)
+    retire(spark, tableName, oldDirs, graceMs)
     cells.foreach { c =>
       if (present(c))
         spark.sql(s"ALTER TABLE $tableName PARTITION (list=$c) " +
@@ -409,7 +418,7 @@ object IndexStore {
         spark.sql(s"ALTER TABLE $tableName DROP IF EXISTS PARTITION (list=$c)")
     }
     spark.catalog.refreshTable(tableName)
-    vacuum(spark, tableName, graceMs)
+    vacuum(spark, tableName)
   }
 
   /**
@@ -453,12 +462,21 @@ object IndexStore {
   // Snapshot retention: retired directories + grace-period vacuum
   // ------------------------------------------------------------------
 
-  /** Table property listing directories RETIRED by a swap/rewrite but
+  /** Table properties listing directories RETIRED by a swap/rewrite but
     * retained on disk so in-flight readers finish against them —
-    * `<epochMillis>:<path>` entries joined by `;` (paths are URIs; `;`
-    * never appears in ours). [[vacuum]] deletes entries once their
-    * grace elapses. */
+    * `<epochMillis>:<graceMs>:<path>` entries joined by `;` (paths are
+    * URIs validated `;`-free at [[retire]] time), CHUNKED across
+    * numbered keys `graft.retired.0`, `graft.retired.1`, … so no single
+    * property value exceeds [[RetiredChunkLen]]: Hive-compatible
+    * metastores cap property values (commonly ~4000 chars), and a
+    * retraction touching many cells would otherwise overflow — breaking
+    * retention exactly when it is most loaded. The unnumbered legacy
+    * key `graft.retired` (`<epochMillis>:<path>`, no grace) is still
+    * READ — its entries carry grace 0 — and is rewritten into the
+    * chunked form on the next update. [[vacuum]] deletes entries once
+    * their stamped grace elapses. */
   private val RetiredKey = "graft.retired"
+  private[llm] val RetiredChunkLen = 3000
 
   private def qualify(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -466,41 +484,81 @@ object IndexStore {
       .makeQualified(p).toString.stripSuffix("/")
   }
 
-  private def retiredEntries(meta: org.apache.spark.sql.catalyst.catalog.CatalogTable)
-      : Seq[(Long, String)] =
-    meta.properties.get(RetiredKey).toSeq.flatMap(_.split(";"))
-      .filter(_.nonEmpty).map { e =>
-        val i = e.indexOf(':')
-        (e.take(i).toLong, e.drop(i + 1))
-      }
+  private def isRetiredProp(key: String): Boolean =
+    key == RetiredKey ||
+      (key.startsWith(RetiredKey + ".") &&
+        key.drop(RetiredKey.length + 1).forall(_.isDigit))
+
+  /** (retiredAtMillis, graceMs, path) per entry. Numbered chunks are
+    * read in index order so the list round-trips stably; legacy
+    * unnumbered entries (no grace field) parse as grace 0. */
+  private[llm] def retiredEntries(meta: org.apache.spark.sql.catalyst.catalog.CatalogTable)
+      : Seq[(Long, Long, String)] = {
+    val chunks =
+      meta.properties.get(RetiredKey).toSeq ++
+        meta.properties.collect {
+          case (k, v) if k != RetiredKey && isRetiredProp(k) =>
+            (k.drop(RetiredKey.length + 1).toInt, v)
+        }.toSeq.sortBy(_._1).map(_._2)
+    chunks.flatMap(_.split(";")).filter(_.nonEmpty).map { e =>
+      val i = e.indexOf(':')
+      val ts = e.take(i).toLong
+      val rest = e.drop(i + 1)
+      val j = rest.indexOf(':')
+      // a grace field is all-digits up to the next ':'; a legacy entry's
+      // first segment is a URI scheme or path start, never all-digits
+      if (j > 0 && rest.take(j).forall(_.isDigit))
+        (ts, rest.take(j).toLong, rest.drop(j + 1))
+      else (ts, 0L, rest)
+    }
+  }
 
   /** Set the retired list via the catalog API (not SQL ALTER) — paths
-    * need no quoting and the update is one catalog op. */
-  private def writeRetired(spark: SparkSession, tableName: String,
-      entries: Seq[(Long, String)]): Unit = {
+    * need no quoting and the update is one catalog op. Entries are
+    * packed into as few ≤[[RetiredChunkLen]] chunks as fit; stale
+    * numbered keys beyond the new chunk count (and the legacy
+    * unnumbered key) are removed in the same op. */
+  private[llm] def writeRetired(spark: SparkSession, tableName: String,
+      entries: Seq[(Long, Long, String)]): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
     val cat = spark.sessionState.catalog
     val meta = cat.getTableMetadata(ident)
-    val props =
-      if (entries.isEmpty) meta.properties - RetiredKey
-      else meta.properties + (RetiredKey ->
-        entries.map { case (ts, p) => s"$ts:$p" }.mkString(";"))
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    entries.foreach { case (ts, grace, p) =>
+      val e = s"$ts:$grace:$p"
+      if (cur.nonEmpty && cur.length + 1 + e.length > RetiredChunkLen) {
+        chunks += cur.result(); cur.clear()
+      }
+      if (cur.nonEmpty) cur += ';'
+      cur ++= e
+    }
+    if (cur.nonEmpty) chunks += cur.result()
+    val props = meta.properties.filterNot { case (k, _) => isRetiredProp(k) } ++
+      chunks.zipWithIndex.map { case (c, i) => s"$RetiredKey.$i" -> c }
     cat.alterTable(meta.copy(properties = props))
   }
 
-  /** Record `dirs` as retired NOW: they stay on disk until a
-    * [[vacuum]] whose grace has elapsed deletes them. Called BEFORE
+  /** Record `dirs` as retired NOW with the rewrite's own `graceMs`
+    * stamped on each entry, so retention is SELF-DESCRIBING: a later
+    * maintenance call made with a different (or default) grace never
+    * collapses the snapshot window these directories were retired
+    * expecting. They stay on disk until a [[vacuum]] sees their stamped
+    * grace elapsed (or an explicit operator override). Called BEFORE
     * the catalog op that stops referencing them — a crash in between
     * leaves an entry naming still-live data, which vacuum's
     * live-location guard drops (entry only) instead of deleting. */
-  private def retire(spark: SparkSession, tableName: String,
-      dirs: Seq[String]): Unit = {
+  private[llm] def retire(spark: SparkSession, tableName: String,
+      dirs: Seq[String], graceMs: Long): Unit = {
     if (dirs.isEmpty) return
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val now = System.currentTimeMillis()
+    val qualified = dirs.map(qualify(spark, _))
+    qualified.foreach(q => require(!q.contains(";"),
+      s"cannot retire a path containing ';' (the entry separator): $q"))
     writeRetired(spark, tableName,
-      retiredEntries(meta) ++ dirs.map(d => (now, qualify(spark, d))))
+      retiredEntries(meta) ++ qualified.map(q => (now, graceMs max 0L, q)))
   }
 
   /** Every location the table currently references: the root plus, for
@@ -516,24 +574,35 @@ object IndexStore {
     (meta.location.toString +: parts).map(qualify(spark, _)).toSet
   }
 
+  /** Sentinel for [[vacuum]]'s `graceMs`: honor each entry's own
+    * stamped grace (the default, self-describing retention). */
+  val PerEntryGrace: Long = -1L
+
   /**
    * Delete retired directories whose grace has elapsed — the MVCC-style
    * reclamation that makes index reads SNAPSHOT-SAFE across
    * [[maintain]]/[[retract]]/[[retractCoded]]/[[compactCoded]]: a
    * rewrite never deletes the files a concurrent reader's listing
-   * points at; it retires them, and reclamation happens here, after
-   * `graceMs` — set it longer than the longest concurrent read (the
-   * rewriters call this with their own `graceMs` at entry and exit, so
-   * a steady maintenance cadence reclaims the previous round's files).
-   * `graceMs = 0` reclaims immediately (the pre-retention behavior —
-   * single-writer-single-reader deployments that never overlap reads
-   * with maintenance lose nothing).
+   * points at; it retires them stamped with the rewrite's own grace,
+   * and reclamation happens here once that stamped grace has elapsed —
+   * set each rewrite's `graceMs` longer than the longest concurrent
+   * read. The rewriters vacuum at entry and exit, so a steady
+   * maintenance cadence reclaims the previous round's files; because
+   * each entry carries its OWN grace, those entry/exit vacuums can
+   * never collapse a longer window some earlier rewrite promised its
+   * readers (`graceMs` here defaults to [[PerEntryGrace]]).
+   *
+   * Passing `graceMs >= 0` is an explicit OPERATOR OVERRIDE that
+   * ignores the stamps: `vacuum(spark, t, 0L)` reclaims everything now
+   * (safe only when no reads are in flight — forced cleanup, tests,
+   * decommissioning).
    *
    * Entries naming a location the table STILL references (the
    * crash-between-retire-and-swap window) are dropped from the list
    * without deleting anything. Returns directories deleted.
    */
-  def vacuum(spark: SparkSession, tableName: String, graceMs: Long = 0L): Int = {
+  def vacuum(spark: SparkSession, tableName: String,
+      graceMs: Long = PerEntryGrace): Int = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val entries = retiredEntries(meta)
@@ -541,15 +610,16 @@ object IndexStore {
     val live = liveLocations(spark, tableName)
     val now = System.currentTimeMillis()
     var deleted = 0
-    val kept = entries.filter { case (ts, path) =>
+    val kept = entries.filter { case (ts, stamped, path) =>
       val q = qualify(spark, path)
+      val grace = if (graceMs >= 0L) graceMs else stamped
       // live = the entry IS a referenced location, or deleting it would
       // take one down with it (it's an ancestor of one). An entry merely
       // NESTED UNDER the root is the normal case — a retired cell
       // directory lives under the partitioned table's root.
       val isLive = live.exists(l => q == l || l.startsWith(q + "/"))
       if (isLive) false // aborted swap: drop the entry, never the files
-      else if (now - ts >= graceMs) {
+      else if (now - ts >= grace) {
         val p = new org.apache.hadoop.fs.Path(q)
         p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
         deleted += 1
@@ -627,7 +697,7 @@ object IndexStore {
     recover(spark, tableName)
     dropStaleTmp(spark, tableName)
     requireStamped(spark, tableName, ivfProps(nlist, m))
-    vacuum(spark, tableName, graceMs)
+    vacuum(spark, tableName)
     val tmp = tableName + "_compacting"
     val live = vectors
       .join(spark.table(tableName).select(col(idCol)).distinct(),
@@ -645,11 +715,12 @@ object IndexStore {
       saveCoded(coded, tmp, newPath, newNlist, newM, tasksPerCell)
       // retire the old root ON THE REPLACEMENT so the entry survives
       // the rename; a crash after DROP leaves it for vacuum via recover
-      writeRetired(spark, tmp, Seq((System.currentTimeMillis(), oldQ)))
+      writeRetired(spark, tmp,
+        Seq((System.currentTimeMillis(), graceMs max 0L, oldQ)))
       spark.sql(s"DROP TABLE $tableName")
       spark.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
       spark.catalog.refreshTable(tableName)
-      vacuum(spark, tableName, graceMs)
+      vacuum(spark, tableName)
       (centroids, model)
     } finally ck.foreach(_.unpersist(blocking = false))
   }
@@ -732,7 +803,7 @@ object IndexStore {
     dropStaleTmp(spark, tableName)
     // reclaim the PREVIOUS round's retired directories once their
     // grace elapsed — the steady-state reclamation cadence
-    vacuum(spark, tableName, graceMs)
+    vacuum(spark, tableName)
     val (buckets, keys) = bucketSpecOf(spark, tableName)
     val files = dataFileCount(spark, tableName)
     val rebucket = rebucketTo.exists(_ != buckets)
@@ -780,9 +851,19 @@ object IndexStore {
   private def swapTarget(spark: SparkSession, tableName: String,
       toPath: Option[String]): (String, String, String) = {
     val oldPath = tablePath(spark, tableName)
-    val newPath = toPath.getOrElse(
-      oldPath.stripSuffix("/").replaceAll("-compact-\\d+$", "") +
-        s"-compact-${System.nanoTime()}")
+    // probe-and-retry: nanoTime's origin is arbitrary per JVM, so the
+    // generated path could collide with an existing -compact-N dir
+    // (e.g. one retired but not yet vacuumed, with readers mid-scan)
+    // that the overwrite-mode write would destroy
+    val newPath = toPath.getOrElse {
+      val base = oldPath.stripSuffix("/").replaceAll("-compact-\\d+$", "")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      Iterator.iterate(System.nanoTime())(_ + 1)
+        .map(v => s"$base-compact-$v")
+        .find(p => !fs.exists(new org.apache.hadoop.fs.Path(p)))
+        .get
+    }
     val oldQ = qualify(spark, oldPath)
     val newQ = qualify(spark, newPath)
     require(oldQ != newQ && !newQ.startsWith(oldQ + "/") &&
@@ -838,11 +919,11 @@ object IndexStore {
       dropStaleTmp(spark, tableName)
       return false
     }
-    retire(spark, tableName, Seq(oldQ))
+    retire(spark, tableName, Seq(oldQ), graceMs)
     spark.sql(s"ALTER TABLE $tableName SET LOCATION '$newQ'")
     spark.sql(s"DROP TABLE $tmp") // external: its files are now the live data
     spark.catalog.refreshTable(tableName)
-    vacuum(spark, tableName, graceMs)
+    vacuum(spark, tableName)
     true
   }
 
@@ -1039,7 +1120,7 @@ object IndexStore {
       graceMs: Long = 0L): Long = {
     recover(spark, tableName)
     dropStaleTmp(spark, tableName)
-    vacuum(spark, tableName, graceMs)
+    vacuum(spark, tableName)
     val (buckets, keys) = bucketSpecOf(spark, tableName)
     val retracted = broadcast(
       ids.select(col(idCol).cast("long").as("_retract_id")).distinct())
@@ -1118,7 +1199,7 @@ object IndexStore {
     require(meta.partitionColumnNames == Seq("list"),
       s"$tableName is not a saveCoded cell-partitioned index " +
         s"(partitions: ${meta.partitionColumnNames.mkString(",")})")
-    vacuum(spark, tableName, graceMs)
+    vacuum(spark, tableName)
     val table = spark.table(tableName)
     val idType = table.schema(table.schema.fieldIndex(idCol)).dataType
     val retracted = broadcast(

@@ -95,8 +95,17 @@ def bench_compare(path_a, path_b):
         - streaming_a - streaming_b
     a = {r[0]: r for r in rows_a if r[0] in common}
     b = {r[0]: r for r in rows_b if r[0] in common}
-    ra = sum(v[1] for v in a.values()) / sum(v[2] for v in a.values())
-    rb = sum(v[1] for v in b.values()) / sum(v[2] for v in b.values())
+    if not common:
+        print(f"\n--vs {path_b}: no common batch queries — "
+              "comparison unavailable")
+        return
+    oa, ob = sum(v[2] for v in a.values()), sum(v[2] for v in b.values())
+    if oa == 0 or ob == 0:
+        print(f"\n--vs {path_b}: zero oracle time over the "
+              f"{len(common)}-query common set — comparison unavailable")
+        return
+    ra = sum(v[1] for v in a.values()) / oa
+    rb = sum(v[1] for v in b.values()) / ob
     print(f"\n--vs {path_b} ({len(common)} common batch queries)")
     print(f"aggregate raw: this={ra:.3f} other={rb:.3f} delta={ra-rb:+.3f}")
     if not (cpu_a and cpu_b):
