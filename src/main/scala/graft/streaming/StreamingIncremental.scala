@@ -240,12 +240,29 @@ object StreamingIncremental {
    * batches): a re-arrival carrying a CHANGED vector can IVF-assign to
    * a different cell, where the cell-pruned probe cannot see the old
    * row — it classifies `new` and the id is indexed twice (a search
-   * can then return the same id as two neighbors). This sink is an
-   * insert-only index: route updates as a retraction of the old id
-   * (the `retractions` feed) followed by a re-submission, or probe by
-   * id across all cells yourself upstream when an update path is
-   * unavoidable. `onBatch` receives (id, list, codes, status) with
-   * status ∈ {new, already_indexed}.
+   * can then return the same id as two neighbors). By default this
+   * sink is therefore an insert-only index: route updates as a
+   * retraction of the old id (the `retractions` feed) followed by a
+   * re-submission — or set `allowUpdates = true` for a true
+   * update-in-place path (below). `onBatch` receives
+   * (id, list, codes, status) with status ∈ {new, already_indexed}
+   * (+ `updated` when `allowUpdates`).
+   *
+   * UPDATES (`allowUpdates = true`): the probe switches from
+   * cell-pruned to a BY-ID probe across all cells — the index is
+   * semi-joined against the batch's broadcast id set (one un-pruned
+   * pass over the index's (id, list, codes) columns, no shuffle of
+   * the index side), so a re-delivered id is found wherever its old
+   * row lives. An id whose re-arrival encodes to the same (cell,
+   * codes) classifies `already_indexed` (a replay — appends nothing);
+   * one whose encoding CHANGED classifies `updated` and is handled as
+   * retract-old-rows + append-new-row inside the batch, so a search
+   * never returns one id twice, and a pre-existing double-indexed id
+   * self-heals to one row on its next update. The cost is the full
+   * index read each batch (the pruned probe reads ~|batch cells|/
+   * nlist of it) — the right trade only when the feed genuinely
+   * carries updates; a crash between the retract and the append
+   * replays as `new` and converges identically.
    *
    * RETRACTIONS: the takedown feed applies
    * [[graft.llm.IndexStore.retractCoded]] per batch BEFORE the encode/
@@ -280,7 +297,7 @@ object StreamingIncremental {
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       maintainEvery: Long = 100, maxFilesPerCell: Int = 16,
       retractions: (SparkSession, Long) => Option[DataFrame] = (_, _) => None,
-      graceMs: Long = 0L)
+      graceMs: Long = 0L, allowUpdates: Boolean = false)
       : DataStreamWriter[Row] = {
     val nlist = centroids.length
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -310,22 +327,50 @@ object StreamingIncremental {
         .collect().map(_.getInt(0)).toSeq
       if (cells.nonEmpty) {
         spark.catalog.refreshTable(tableName)
-        val seen = spark.table(tableName)
-          .filter(col("list").isin(cells.map(Int.box): _*))
-          .select(col(idCol).as("_seen_id"))
-        val classified = coded
-          .join(seen, coded(idCol) === col("_seen_id"), "left")
-          .select(coded(idCol), col("list"), col("codes"),
-            when(col("_seen_id").isNotNull, lit("already_indexed"))
-              .otherwise(lit("new")).as("status"))
-          .localCheckpoint(true)
+        val classified = (if (allowUpdates) {
+          // by-id probe across ALL cells: the only probe that can see
+          // a changed vector's old row in its old cell. Index side is
+          // semi-joined against the broadcast batch ids — one un-pruned
+          // read, no index shuffle.
+          val batchIds = broadcast(
+            coded.select(col(idCol).as("_probe_id")).distinct())
+          val matches = spark.table(tableName)
+            .join(batchIds, col(idCol) === col("_probe_id"), "left_semi")
+            .select(col(idCol).as("_seen_id"), col("list").as("_old_list"),
+              col("codes").as("_old_codes"))
+          coded.join(matches, coded(idCol) === col("_seen_id"), "left")
+            .select(coded(idCol), col("list"), col("codes"),
+              when(col("_seen_id").isNull, lit("new"))
+                .when(col("_old_list") === col("list") &&
+                  col("_old_codes") === col("codes"), lit("already_indexed"))
+                .otherwise(lit("updated")).as("status"))
+        } else {
+          val seen = spark.table(tableName)
+            .filter(col("list").isin(cells.map(Int.box): _*))
+            .select(col(idCol).as("_seen_id"))
+          coded.join(seen, coded(idCol) === col("_seen_id"), "left")
+            .select(coded(idCol), col("list"), col("codes"),
+              when(col("_seen_id").isNotNull, lit("already_indexed"))
+                .otherwise(lit("new")).as("status"))
+        }).localCheckpoint(true)
         onBatch(classified, batchId)
+        // update-in-place: drop every old row of the changed ids first
+        // (retractCoded rewrites only the affected cells), then append
+        // their new rows with the fresh ones below
+        val updatedIds = classified.filter(col("status") === "updated")
+          .select(col(idCol)).distinct()
+        if (allowUpdates && !updatedIds.isEmpty) {
+          IndexStore.retractCoded(spark, tableName, updatedIds, idCol,
+            nlist, model.m, graceMs = graceMs)
+          ()
+        }
         // in-batch id dedup: the table probe can't see a duplicate id
         // arriving twice in the SAME batch — without this, both rows
         // append and the id is double-indexed forever. Per-batch id
         // uniqueness is the caller contract; this keeps one row per id
         // as defense (rows are identical when the contract holds)
-        val fresh = classified.filter(col("status") === "new")
+        val fresh = classified
+          .filter(col("status") === "new" || col("status") === "updated")
           .drop("status").dropDuplicates(idCol)
         if (!fresh.isEmpty)
           IndexStore.appendCoded(fresh, tableName, nlist, model.m)

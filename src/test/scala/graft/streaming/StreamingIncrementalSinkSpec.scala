@@ -427,6 +427,119 @@ class StreamingIncrementalSinkSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("sinkCoded allowUpdates: a re-delivered id with a changed vector updates in place — one row per id always, replay converges, pre-existing double-index self-heals") {
+    import graft.llm.{Clustering, ProductQuant}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, lit}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = ProductQuant.train(e, "vec_id", "embedding", m = 16, ksub = 16, iters = 2)
+    val centroids = Clustering.train(e, "vec_id", "embedding", k = 4, iters = 3).centroids
+    val vecs: Map[Long, Seq[Float]] = e.filter(col("vec_id") < 120)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // two source vectors that IVF-assign to DIFFERENT cells — the exact
+    // shape of the default path's documented hole
+    val cellOf: Map[Long, Int] = ProductQuant.buildCodedIndex(
+      e.filter(col("vec_id") < 120), "vec_id", "embedding",
+      centroids, model, ordered = false)
+      .select("vec_id", "list").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val va = 0L
+    val vb = (1L until 120L).find(i => cellOf(i) != cellOf(va)).get
+
+    val tbl = "graft_stream_coded_upd"
+    try {
+      IndexStore.saveCoded(
+        ProductQuant.buildCodedIndex(
+          e.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+          "vec_id", "embedding", centroids, model, ordered = false),
+        tbl,
+        Files.createTempDirectory("graft_coded_upd").resolve(tbl).toString,
+        nlist = centroids.length, m = model.m)
+
+      val out = scala.collection.mutable.Map[Long, String]()
+      def onBatch(classified: DataFrame, batchId: Long): Unit =
+        out.synchronized {
+          classified.collect().foreach(r => out(r.getLong(0)) = r.getString(3))
+        }
+      def rowsOf(id: Long): Seq[Int] = {
+        spark.catalog.refreshTable(tbl)
+        spark.table(tbl).filter(col("vec_id") === id)
+          .select("list").collect().map(_.getInt(0)).toSeq
+      }
+
+      // seed a PRE-EXISTING double-indexed id (77 in two cells) — what
+      // the default path leaves behind when its contract is violated;
+      // appendCoded itself never probes
+      IndexStore.appendCoded(
+        ProductQuant.buildCodedIndex(
+          e.filter(col("vec_id") === va)
+            .select(lit(77L).as("vec_id"), col("embedding")),
+          "vec_id", "embedding", centroids, model, ordered = false), tbl,
+        centroids.length, model.m)
+      IndexStore.appendCoded(
+        ProductQuant.buildCodedIndex(
+          e.filter(col("vec_id") === vb)
+            .select(lit(77L).as("vec_id"), col("embedding")),
+          "vec_id", "embedding", centroids, model, ordered = false), tbl,
+        centroids.length, model.m)
+      assert(rowsOf(77L).size == 2, "the seeded hole must exist to be healed")
+
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = StreamingIncremental.sinkCoded(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        tbl, centroids, model, onBatch, maintainEvery = 0,
+        allowUpdates = true)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_coded_upd_chk").toString)
+        .start()
+
+      // batch 1: fresh id 42 with vector va
+      input.addData(42L -> vecs(va))
+      q.processAllAvailable()
+      assert(out(42L) == "new")
+      assert(rowsOf(42L) == Seq(cellOf(va)))
+
+      // batch 2: SAME id, CHANGED vector landing in a different cell —
+      // the default path would double-index; updates must not
+      input.addData(42L -> vecs(vb))
+      q.processAllAvailable()
+      assert(out(42L) == "updated",
+        "a changed-vector re-delivery must classify updated")
+      assert(rowsOf(42L) == Seq(cellOf(vb)),
+        "the update must move the id's ONE row to the new cell")
+
+      // batch 3: exact replay of the update — idempotent
+      input.addData(42L -> vecs(vb))
+      q.processAllAvailable()
+      assert(out(42L) == "already_indexed",
+        "replaying an applied update must append nothing")
+      assert(rowsOf(42L) == Seq(cellOf(vb)))
+
+      // batch 4: update the seeded double-indexed id — self-heals to one
+      input.addData(77L -> vecs(vb))
+      q.processAllAvailable()
+      assert(rowsOf(77L) == Seq(cellOf(vb)),
+        "an update of a double-indexed id must heal it to one row")
+      q.stop()
+
+      // search law: a full probe never returns one id twice (query id
+      // outside the corpus — the search excludes self-matches)
+      spark.catalog.refreshTable(tbl)
+      val hits = ProductQuant.ivfAdcTopKPruned(spark.table(tbl),
+        e.filter(col("vec_id") === vb)
+          .select(lit(999999L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", centroids, model, k = 10,
+        nprobe = centroids.length, ordered = false)
+        .collect().map(_.getLong(2))
+      assert(hits.length == hits.distinct.length,
+        "a search must never return the same id as two neighbors")
+      assert(hits.contains(42L))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("reindexCoded: quantizer rebuild between batches — membership preserved (takedowns not resurrected, missing vectors dropped), sink resumes under the new stamps, search law on the new quantizer") {
     import graft.llm.{Clustering, ProductQuant}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
