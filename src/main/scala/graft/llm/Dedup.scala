@@ -65,6 +65,47 @@ object ExactDedup {
 }
 
 /**
+ * Soft dedup: keep ONE copy per duplicate group but carry the group
+ * size as a training WEIGHT instead of silently dropping the mass —
+ * the recipe family where duplication frequency is signal (a document
+ * mirrored 40 times is "worth" 40 epochs of itself, up to the
+ * trainer's cap) rather than noise to discard. Output is always
+ * (keep_id, weight) with the law Σ weight = input rows: soft dedup
+ * redistributes mass, never loses it.
+ *
+ * Both modes are keyed aggregates — one shuffle, map-side combined,
+ * never a window over the (Zipfian) duplicate-group key.
+ */
+object SoftDedup {
+
+  /** Exact-duplicate weighting: one row per distinct content,
+    * keeper = min id, weight = copies of that content. A projection
+    * of [[ExactDedup]]'s already-aggregated output — same plan. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    ExactDedup(df, idCol, textCol)
+      .select(col("keep_id"), col("n_copies").as("weight"))
+
+  /** Near-duplicate weighting over a resolved cluster assignment
+    * ([[DupClusters]] output — (doc_id, cluster_id), one row per doc
+    * that appears in a near-dup pair): keeper = min id of each
+    * cluster (= its cluster_id, [[DupClusters]]' canonical label),
+    * weight = cluster size; docs in NO pair are their own keepers at
+    * weight 1 (broadcast-friendly anti-join — the cluster table is
+    * pair-bounded, far smaller than the corpus). */
+  def fromClusters(docs: DataFrame, clusters: DataFrame,
+      idCol: String): DataFrame = {
+    val grouped = clusters.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("weight"))
+      .select(col("keep_id"), col("weight"))
+    val singletons = docs.select(col(idCol).as("keep_id"))
+      .join(clusters.select(col("doc_id").as("keep_id")),
+        Seq("keep_id"), "left_anti")
+      .select(col("keep_id"), lit(1L).as("weight"))
+    grouped.unionByName(singletons)
+  }
+}
+
+/**
  * Exact n-gram Jaccard near-duplicate pairs via an inverted-index join —
  * the deterministic sibling of [[MinHashNearDup]] (which trades exactness
  * for a constant-size signature). Jaccard is computed over each document's
