@@ -10,24 +10,42 @@ import org.apache.spark.sql.DataFrame
  *   1. Unicode NFC normalization ([[TextNormalize]]) so hashing sees
  *      one spelling;
  *   2. optional HTML strip ([[TextClean]]) for crawled input;
- *   3. C4/Gopher quality gate ([[TextAnalysis.qualityGate]]);
- *   4. exact dedup keep-first ([[ExactDedup]], keeper semi-join);
- *   5. deterministic hash sample at `sampleRate` ([[Sampling]]);
- *   6. fixed-token sequence packing in deterministic shard order
+ *   3. C4/Gopher heuristic quality gate ([[TextAnalysis.qualityGate]]);
+ *   4. optional LEARNED quality gate ([[QualityClassifier]] inference
+ *      with a [[QualityTrainer]]-trained weight vector — the DCLM
+ *      recipe's second filter; zero shuffle, the weights ride the plan
+ *      as one array literal);
+ *   5. optional DECONTAMINATION against a held-out eval set: a doc
+ *      whose shingle containment in the eval set reaches
+ *      `decontamThreshold` is dropped ([[Decontamination.containment]]
+ *      with the eval set as the REFERENCE side — benchmark-sized, so
+ *      its shingle set broadcasts and the corpus never shuffles for
+ *      the match join; the corpus-side cost is its own shingle
+ *      projection + one per-doc aggregate);
+ *   6. exact dedup keep-first ([[ExactDedup]], keeper semi-join);
+ *   7. deterministic hash sample at `sampleRate` ([[Sampling]]);
+ *   8. fixed-token sequence packing in deterministic shard order
  *      ([[Packing.packSequences]]).
  *
- * Every stage is individually oracle-pinned (pq63/68/41/1/27/34/35);
- * this composition adds NO new semantics — its spec pins the
+ * Every stage is individually oracle-pinned (pq63/68/41/99/25/1/27/34/
+ * 35); this composition adds NO new semantics — its spec pins the
  * end-to-end laws (provenance: every emitted sequence traces to a doc
  * that passed each stage computed independently; determinism under
- * partitioning). Each hand-off is keyed on the id column, so the
+ * partitioning), and pq107 pins the full chain with both optional
+ * stages enabled. Each hand-off is keyed on the id column, so the
  * composition introduces only the stages' own shuffles — nothing is
  * collected to the driver at any point.
  */
 object Pipeline {
 
   /** Knobs for [[buildTrainingSet]] — gate thresholds mirror
-    * [[TextAnalysis.qualityGate]]'s defaults. */
+    * [[TextAnalysis.qualityGate]]'s defaults. `classifierWeights`
+    * enables the learned gate (stage 4): keep docs with
+    * sigmoid(score) ≥ `classifierThreshold`. The decontamination
+    * stage (5) is enabled by passing `evalSet` to
+    * [[buildTrainingSet]]; `decontamShingleN`/`decontamThreshold`
+    * configure it (≥ threshold on the containment the operator
+    * reports — ROUND(3), inclusive, the pq25 convention). */
   final case class Config(
       stripHtml: Boolean = false,
       minTokens: Long = 50,
@@ -41,14 +59,28 @@ object Pipeline {
       sampleRate: Double = 1.0,
       targetTokens: Int = 1024,
       shards: Int = 64,
-      salt: String = "graft")
+      salt: String = "graft",
+      classifierWeights: Option[Array[Double]] = None,
+      classifierBias: Double = 0.0,
+      classifierThreshold: Double = 0.5,
+      decontamShingleN: Int = 3,
+      decontamThreshold: Double = 0.8)
 
   /** docs(idCol, textCol) → packed training sequences
     * (shard, seq, doc_id, tok_start, tok_end, ...) in deterministic
     * shard order — [[Packing.packSequences]]'s layout over the cleaned,
-    * gated, deduplicated, sampled corpus. */
+    * gated, decontaminated, deduplicated, sampled corpus.
+    *
+    * @param evalSet held-out benchmark docs carrying the SAME
+    *                (idCol, textCol) column names; when present, any
+    *                corpus doc whose (normalized-text) shingle
+    *                containment in this set reaches
+    *                `cfg.decontamThreshold` is dropped before dedup —
+    *                the training set never ships eval content. None
+    *                skips the stage. */
   def buildTrainingSet(df: DataFrame, idCol: String, textCol: String,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config(),
+      evalSet: Option[DataFrame] = None): DataFrame = {
     val base = df.select(col(idCol), col(textCol).cast("string"))
       .filter(col(idCol).isNotNull)
     val normalized = TextNormalize.nfc(base, idCol, textCol, ordered = false)
@@ -66,9 +98,36 @@ object Pipeline {
         maxTopBigramFrac = cfg.maxTopBigramFrac, ordered = false)
       .filter(col("pass")).select(col("doc_id").as(idCol))
     val gated = cleaned.join(gateIds, idCol)
-    val keepers = ExactDedup(gated, idCol, "text")
+    // learned gate: pure inference (one projection, weights as a
+    // literal) — runs BEFORE decontamination so the shingle pass only
+    // sees docs that survive both quality filters
+    val learned = cfg.classifierWeights match {
+      case Some(w) =>
+        val keep = QualityClassifier.score(gated, idCol, "text", w,
+            cfg.classifierBias, ordered = false)
+          .filter(col("prob") >= cfg.classifierThreshold)
+          .select(col("doc_id").as(idCol))
+        gated.join(keep, idCol)
+      case None => gated
+    }
+    // decontamination: the EVAL SET is the reference side (its shingle
+    // set is benchmark-sized and broadcasts); each surviving corpus
+    // doc's containment in it decides the drop. ≥ threshold on the
+    // operator's ROUNDED containment — inclusive, the pq25 convention.
+    val decontaminated = evalSet match {
+      case Some(ev) =>
+        val dropIds = Decontamination.containment(
+            ev.select(col(idCol), col(textCol).cast("string").as("text")),
+            learned, idCol, "text",
+            shingleN = cfg.decontamShingleN, ordered = false)
+          .filter(col("containment") >= cfg.decontamThreshold)
+          .select(col("doc_id").as(idCol))
+        learned.join(dropIds, Seq(idCol), "left_anti")
+      case None => learned
+    }
+    val keepers = ExactDedup(decontaminated, idCol, "text")
       .select(col("keep_id").as(idCol))
-    val deduped = gated.join(keepers, idCol)
+    val deduped = decontaminated.join(keepers, idCol)
     val sampled = Sampling.hashSample(deduped, idCol, cfg.sampleRate, cfg.salt)
     Packing.packSequences(sampled, idCol, "text", cfg.targetTokens, cfg.shards,
       cfg.salt)

@@ -78,6 +78,76 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("learned gate + decontamination: provenance extends, stages drop what their standalone operators drop") {
+    val weights = Array.tabulate(64)(j =>
+      ((j * 2654435761L) % 4294967296L).toDouble / 4294967296.0 - 0.5)
+    // eval set = exact copies of doc_id < 10 — containment 1.0, must drop
+    val eval = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 90000).as("doc_id"), col("text"))
+    val full = cfg.copy(salt = "psf",
+      classifierWeights = Some(weights), classifierBias = 0.25,
+      classifierThreshold = 0.5, decontamThreshold = 0.8)
+    val packedIds = Pipeline.buildTrainingSet(docs, "doc_id", "text", full,
+        evalSet = Some(eval))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+
+    // independently-computed survivors with the two new stages spliced in
+    val normalized = TextNormalize.normalize(
+        docs.select(col("doc_id"), col("text").cast("string"))
+          .filter(col("doc_id").isNotNull),
+        "doc_id", "text", ordered = false)
+      .select(col("doc_id"), col("nfc").as("text"))
+    val pass = TextAnalysis.qualityGate(normalized, "doc_id", "text",
+        minTokens = full.minTokens, maxTokens = full.maxTokens,
+        minMeanWlen = full.minMeanWlen, maxMeanWlen = full.maxMeanWlen,
+        minStopRatio = full.minStopRatio, minTtr = full.minTtr,
+        maxDupBigramFrac = full.maxDupBigramFrac,
+        maxTopBigramFrac = full.maxTopBigramFrac, ordered = false)
+      .filter(col("pass")).collect().map(_.getLong(0)).toSet
+    val gated = normalized.filter(col("doc_id").isin(pass.toSeq: _*))
+    val learnedIds = QualityClassifier.gate(gated, "doc_id", "text",
+        weights, bias = full.classifierBias,
+        threshold = full.classifierThreshold, ordered = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val learned = gated.filter(col("doc_id").isin(learnedIds.toSeq: _*))
+    val contaminatedIds = Decontamination.containment(eval, learned,
+        "doc_id", "text", shingleN = full.decontamShingleN, ordered = false)
+      .filter(col("containment") >= full.decontamThreshold)
+      .collect().map(_.getLong(0)).toSet
+    val decontaminated =
+      learned.filter(!col("doc_id").isin(contaminatedIds.toSeq: _*))
+    val keepers = ExactDedup(decontaminated, "doc_id", "text")
+      .collect().map(_.getLong(1)).toSet
+    val expect = Sampling.hashSample(
+        decontaminated.filter(col("doc_id").isin(keepers.toSeq: _*)),
+        "doc_id", full.sampleRate, full.salt)
+      .collect().map(_.getLong(0)).toSet
+
+    assert(learnedIds.size < pass.size,
+      "the learned gate must actually drop docs in this fixture")
+    assert(contaminatedIds.nonEmpty,
+      "exact eval copies must register as contaminated")
+    assert(packedIds == expect)
+    assert(packedIds.intersect(contaminatedIds).isEmpty,
+      "no contaminated doc may reach the packed output")
+  }
+
+  test("learned gate + decontamination: deterministic across partitionings") {
+    val weights = Array.tabulate(64)(j =>
+      ((j * 2654435761L) % 4294967296L).toDouble / 4294967296.0 - 0.5)
+    val eval = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 90000).as("doc_id"), col("text"))
+    val full = cfg.copy(salt = "psf",
+      classifierWeights = Some(weights), classifierBias = 0.25)
+    def run(parts: Int) = Pipeline.buildTrainingSet(
+        docs.repartition(parts), "doc_id", "text", full,
+        evalSet = Some(eval.repartition(parts)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val one = run(1)
+    assert(one == run(13) && one.nonEmpty)
+  }
+
   test("stripHtml variant: markup never reaches the gate") {
     val wrapped = docs.select(col("doc_id"),
       concat(lit("<html><body><p>"), col("text"),
