@@ -1,0 +1,192 @@
+package graft.llm
+
+import graft.Presented
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multiclass domain routing — the K-class hashed-softmax sibling of
+ * [[QualityClassifier]]/[[QualityTrainer]] (which are binary by
+ * construction). The DoReMi/domain-mixing input: route every document
+ * to a learned domain, then feed the predicted stratum to
+ * [[Sampling.mixtureRates]]/[[Sampling.temperatureMixtureRates]]
+ * instead of assuming the label column already exists.
+ *
+ *   score_k(doc) = b_k + Σ_tokens W[k][hash(token)]
+ *   p = softmax(score),  pred = argmax_k score_k (ties → lowest k)
+ *
+ * SCALE SHAPE (inference): zero shuffle — the K×dim weight matrix
+ * rides the plan as ONE flattened array literal (bucket-major, so a
+ * token's per-class weight vector is one `slice`), the per-doc fold
+ * accumulates a K-vector, and every output column is a projection.
+ * 10^6 buckets × 8 domains is 64 MB of literal — ship it broadcast
+ * via the plan exactly like the binary classifier's vector.
+ *
+ * SCALE SHAPE (training): ONE job per iteration, (dim·K)-bounded
+ * state — the per-doc softmax residual vector rides each exploded
+ * token occurrence, the aggregate groups by bucket with K sum columns
+ * (map-side combined, dim+1 groups), and the bias gradients / loss /
+ * label sanity check ride a per-doc SENTINEL row in the SAME
+ * aggregate (the [[QualityTrainer]] design, vectorized over classes).
+ *
+ * DETERMINISM: iteration 1 from zero init is EXACT when K is a power
+ * of two — softmax(0) = 1/K is then a dyadic (exp(0) = 1 and the
+ * K-term sum are IEEE-exact), so residuals (1[y=k] − 1/K) and every
+ * gradient sum are order-free exact; pq108 pins one K = 4 step
+ * bit-for-bit through a scoring pass. Later iterations cross libm —
+ * ship the trained matrix, never re-train per site (the
+ * [[QualityClassifier]] contract).
+ */
+object DomainRouter {
+
+  /** Trained router + pre-update cross-entropy loss per iteration. */
+  final case class TrainedRouter(weights: Array[Array[Double]],
+      biases: Array[Double], losses: Array[Double]) {
+    def score(docs: DataFrame, idCol: String, textCol: String,
+        ordered: Boolean = true): DataFrame =
+      DomainRouter.score(docs, idCol, textCol, weights, biases, ordered)
+  }
+
+  /** Flatten K×dim to bucket-major (flat[bucket·K + k]) so one `slice`
+    * fetches a token's K-vector. */
+  private def flatten(weights: Array[Array[Double]]): Array[Double] = {
+    val k = weights.length
+    val dim = weights(0).length
+    Array.tabulate(dim * k)(i => weights(i % k)(i / k))
+  }
+
+  /** Fold the staged token-array column into the K-vector of class
+    * scores (one pass; the weight matrix is the `wLit` literal). */
+  private def foldScores(tokArr: Column, flat: Array[Double],
+      biases: Array[Double], dim: Int): Column = {
+    val k = biases.length
+    val wLit = typedLit(flat.toSeq)
+    aggregate(tokArr, typedLit(biases.toSeq), (acc, t) =>
+      zip_with(acc,
+        slice(wLit, (QualityClassifier.bucket(t, dim) * k + 1).cast("int"),
+          lit(k)),
+        (a, b) => a + b))
+  }
+
+  /**
+   * Score every document under the hashed softmax model. Output:
+   * (doc_id, n_tokens, score_0..score_{K−1} ROUND(6),
+   * prob_0..prob_{K−1} ROUND(4), pred) — flat columns, one row per
+   * doc. `pred` is the argmax of the EXACT scores (ties → lowest
+   * class), so routing never depends on libm; probs cross exp and are
+   * reported rounded (the pq54 discipline).
+   *
+   * @param weights K rows (classes) × dim columns (hash buckets)
+   * @param biases  length-K per-class bias
+   */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      weights: Array[Array[Double]], biases: Array[Double],
+      ordered: Boolean = true): DataFrame = {
+    val k = weights.length
+    require(k >= 2, s"score: need >= 2 classes, got $k")
+    require(biases.length == k, s"score: ${biases.length} biases, $k classes")
+    val dim = weights(0).length
+    require(dim > 0 && weights.forall(_.length == dim),
+      "score: every class row must have the same positive dim")
+    // staged selects: the fold, then max/denominator, then consumers —
+    // HOF lambdas get no codegen CSE, and CollapseProject never merges
+    // a multiply-referenced non-cheap expression upward, so each stage
+    // evaluates once per doc (the QualityClassifier discipline)
+    val stable = transform(col("_sv"), s => exp(s - col("_mx")))
+    docs
+      .select(col(idCol).as("doc_id"),
+        coalesce(filter(TextOps.tokens(col(textCol)), t => t =!= ""), array())
+          .as("_tk"))
+      .select(col("doc_id"), col("_tk"),
+        foldScores(col("_tk"), flatten(weights), biases, dim).as("_sv"))
+      .select(col("doc_id"), col("_tk"), col("_sv"),
+        array_max(col("_sv")).as("_mx"))
+      .select(col("doc_id"), col("_tk"), col("_sv"), stable.as("_ex"))
+      .select(col("doc_id"), col("_tk"), col("_sv"), col("_ex"),
+        aggregate(col("_ex"), lit(0.0), (a, b) => a + b).as("_den"))
+      .select(
+        Seq(col("doc_id"), size(col("_tk")).cast("long").as("n_tokens")) ++
+        (0 until k).map(i =>
+          round(element_at(col("_sv"), i + 1), 6).as(s"score_$i")) ++
+        (0 until k).map(i =>
+          round(element_at(col("_ex"), i + 1) / col("_den"), 4)
+            .as(s"prob_$i")) :+
+        (array_position(col("_sv"), array_max(col("_sv"))) - 1)
+          .cast("long").as("pred"): _*)
+      .transform(Presented(_, ordered, "doc_id"))
+  }
+
+  /**
+   * Train `iters` full-batch softmax-GD steps from zero init:
+   *
+   *   W[k][j] ← W[k][j] + lr · Σ_docs (1[y=k] − p_k) · count_j(doc)
+   *   b_k     ← b_k     + lr · Σ_docs (1[y=k] − p_k)
+   *
+   * @param labelCol integer class in [0, k). Null / out-of-range /
+   *                 non-integer labels are refused up front via the
+   *                 sentinel group — a silently-skipped row is a
+   *                 training bug nobody finds.
+   */
+  def train(docs: DataFrame, textCol: String, labelCol: String,
+      k: Int, dim: Int, iters: Int = 5, lr: Double = 0.5): TrainedRouter = {
+    require(k >= 2, s"train: need >= 2 classes, got $k")
+    require(dim > 0, s"train: dim must be positive, got $dim")
+    require(iters >= 1, s"train: iters must be >= 1, got $iters")
+    val w = Array.fill(k, dim)(0.0)
+    val b = Array.fill(k)(0.0)
+    val losses = new Array[Double](iters)
+    val y = col(labelCol).cast("double")
+    for (i <- 0 until iters) {
+      val bad = col("_y").isNull || col("_y") < 0.0 || col("_y") >= k ||
+        col("_y") =!= floor(col("_y"))
+      // residual K-vector: (1[y=cls] − p_cls); the stable softmax
+      // stages mirror inference's
+      val resid = zip_with(
+        transform(sequence(lit(0), lit(k - 1)),
+          c => when(col("_y") === c.cast("double"), 1.0).otherwise(0.0)),
+        transform(col("_ex"), e => e / col("_den")),
+        (ind, p) => ind - p)
+      // cross-entropy −log p_y = log Σ exp(s − mx) + mx − s_y,
+      // bad-label rows contribute 0 (refused via the count anyway)
+      val loss = when(bad, lit(0.0)).otherwise(
+        log(col("_den")) + col("_mx") -
+          element_at(col("_sv"), (col("_y") + 1).cast("int")))
+      val rows = docs
+        .select(y.as("_y"),
+          coalesce(filter(TextOps.tokens(col(textCol)), t => t =!= ""),
+            array()).as("_tk"))
+        .select(col("_y"), col("_tk"),
+          foldScores(col("_tk"), flatten(w), b, dim).as("_sv"))
+        .select(col("_y"), col("_tk"), col("_sv"),
+          array_max(col("_sv")).as("_mx"))
+        .select(col("_y"), col("_tk"), col("_sv"), col("_mx"),
+          transform(col("_sv"), s => exp(s - col("_mx"))).as("_ex"))
+        .select(col("_y"), col("_tk"), col("_sv"), col("_mx"), col("_ex"),
+          aggregate(col("_ex"), lit(0.0), (a, c) => a + c).as("_den"))
+        .select(resid.as("_r"), loss.as("_loss"), bad.as("_bad"),
+          explode(concat(col("_tk"), array(lit(null).cast("string"))))
+            .as("_tok"))
+        .groupBy(when(col("_tok").isNull, lit(-1L))
+          .otherwise(QualityClassifier.bucket(col("_tok"), dim)).as("_bkt"))
+        .agg(sum(element_at(col("_r"), 1)).as("_g0"),
+          (1 until k).map(c =>
+            sum(element_at(col("_r"), c + 1)).as(s"_g$c")) ++
+          Seq(sum(when(col("_tok").isNull, col("_loss"))).as("_l"),
+            count(when(col("_tok").isNull && col("_bad"), 1)).as("_nbad")): _*)
+        .collect()
+      val sentinel = rows.find(_.getLong(0) == -1L).getOrElse(
+        sys.error("train: empty corpus — nothing to fit"))
+      require(sentinel.getLong(k + 2) == 0L,
+        s"train: $labelCol must be an integer in [0, $k) and non-null " +
+          s"(${sentinel.getLong(k + 2)} offending rows)")
+      losses(i) = sentinel.getDouble(k + 1)
+      rows.foreach { r =>
+        val bkt = r.getLong(0)
+        if (bkt >= 0L)
+          (0 until k).foreach(c => w(c)(bkt.toInt) += lr * r.getDouble(c + 1))
+      }
+      (0 until k).foreach(c => b(c) += lr * sentinel.getDouble(c + 1))
+    }
+    TrainedRouter(w, b, losses)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.llm
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * K-class hashed-softmax domain router laws:
+ *
+ *  - one GD step from zero init is EXACT for power-of-two K
+ *    (softmax(0) = 1/K dyadic) — hand-computed weights match
+ *    bit-for-bit;
+ *  - training is partition-invariant on the exact first step;
+ *  - separable domains route to their own class after a few steps,
+ *    and the loss decreases;
+ *  - pred is the argmax of the exact scores with ties to the lowest
+ *    class; probs are a distribution;
+ *  - bad labels are refused, never skipped.
+ */
+class DomainRouterSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** The operator's feature hash, replicated JVM-side: top 32 bits of
+    * md5(token) mod dim (the determinism-playbook hash). */
+  private def bucketJvm(tok: String, dim: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8"))
+    val hex = d.take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % dim).toInt
+  }
+
+  test("one step from zero init matches the hand computation exactly (K = 4)") {
+    val dim = 8
+    val lr = 0.5
+    val docs = Seq(
+      (1L, "a b", 0.0), (2L, "b c", 1.0), (3L, "c", 2.0), (4L, "a", 3.0))
+      .toDF("doc_id", "text", "y")
+    val trained = DomainRouter.train(docs, "text", "y", k = 4, dim = dim,
+      iters = 1, lr = lr)
+
+    // softmax(0,0,0,0) = 1/4 exactly: residual = 1[y=k] - 0.25
+    val expectedW = Array.fill(4, dim)(0.0)
+    val expectedB = Array.fill(4)(0.0)
+    val corpus = Seq((Seq("a", "b"), 0), (Seq("b", "c"), 1),
+      (Seq("c"), 2), (Seq("a"), 3))
+    corpus.foreach { case (toks, y) =>
+      (0 until 4).foreach { k =>
+        val r = (if (y == k) 1.0 else 0.0) - 0.25
+        toks.foreach(t => expectedW(k)(bucketJvm(t, dim)) += lr * r)
+        expectedB(k) += lr * r
+      }
+    }
+    (0 until 4).foreach { k =>
+      assert(trained.weights(k).toSeq == expectedW(k).toSeq,
+        s"class $k weights must match the hand computation bit-for-bit")
+    }
+    assert(trained.biases.toSeq == expectedB.toSeq)
+  }
+
+  test("the exact first step is partition-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        pmod(col("doc_id"), lit(4)).cast("double").as("y"))
+    def run(parts: Int) = DomainRouter.train(docs.repartition(parts),
+      "text", "y", k = 4, dim = 64, iters = 1, lr = 0.5)
+    val a = run(1)
+    val b = run(13)
+    (0 until 4).foreach(k =>
+      assert(a.weights(k).toSeq == b.weights(k).toSeq))
+    assert(a.biases.toSeq == b.biases.toSeq)
+    // the loss is a sum of per-doc log terms — identical per doc but
+    // summed in partition order, so only ulp-stable across layouts
+    assert(math.abs(a.losses(0) - b.losses(0)) < 1e-9 * math.abs(a.losses(0)))
+  }
+
+  test("separable domains: routing recovers the class; loss decreases") {
+    val docs = (0 until 200).map { i =>
+      val cls = i % 3
+      val text = cls match {
+        case 0 => "stock market earnings dividend portfolio"
+        case 1 => "protein enzyme cell membrane nucleus"
+        case _ => "goal striker penalty midfield referee"
+      }
+      (i.toLong, s"$text filler$i", cls.toDouble)
+    }.toDF("doc_id", "text", "y")
+    val trained = DomainRouter.train(docs, "text", "y", k = 3, dim = 512,
+      iters = 6, lr = 0.5)
+    assert(trained.losses.head > trained.losses.last,
+      s"loss must decrease on separable data: ${trained.losses.toSeq}")
+    val preds = trained.score(docs, "doc_id", "text", ordered = false)
+      .select("doc_id", "pred").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val acc = (0 until 200).count(i => preds(i.toLong) == i % 3)
+    assert(acc >= 190, s"separable domains must route correctly ($acc/200)")
+  }
+
+  test("pred = argmax of exact scores, ties to the lowest class; probs are a distribution") {
+    val w = Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 2.0))
+    val docs = Seq((1L, "x y z"), (2L, "")).toDF("doc_id", "text")
+    val rows = DomainRouter.score(docs, "doc_id", "text", w,
+        biases = Array(0.0, 0.0, 0.0), ordered = false)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 2 has no tokens: scores = biases = (0,0,0) → tie → class 0
+    assert(rows(2L).getLong(rows(2L).length - 1) == 0L)
+    val r1 = rows(1L)
+    val probs = (0 until 3).map(i => r1.getDouble(r1.fieldIndex(s"prob_$i")))
+    assert(math.abs(probs.sum - 1.0) < 1e-3, s"probs must sum to 1: $probs")
+    val scores = (0 until 3).map(i => r1.getDouble(r1.fieldIndex(s"score_$i")))
+    assert(r1.getLong(r1.fieldIndex("pred")) == scores.indexOf(scores.max))
+  }
+
+  test("bad labels are refused, never skipped") {
+    def mk(y: Double) = Seq((1L, "a", 0.0), (2L, "b", y))
+      .toDF("doc_id", "text", "y")
+    Seq(4.0, -1.0, 1.5).foreach { y =>
+      val e = intercept[Exception] {
+        DomainRouter.train(mk(y), "text", "y", k = 4, dim = 8, iters = 1)
+      }
+      assert(e.getMessage.contains("must be an integer in [0, 4)"))
+    }
+    val nullLab = Seq((1L, "a", Some(0.0)), (2L, "b", None))
+      .toDF("doc_id", "text", "y")
+    val e = intercept[Exception] {
+      DomainRouter.train(nullLab, "text", "y", k = 4, dim = 8, iters = 1)
+    }
+    assert(e.getMessage.contains("non-null"))
+  }
+}
