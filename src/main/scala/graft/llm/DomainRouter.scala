@@ -116,6 +116,61 @@ object DomainRouter {
       .transform(Presented(_, ordered, "doc_id"))
   }
 
+  private val KKey = "graft.router.k"
+  private val DimKey = "graft.router.dim"
+  private val BiasKey = "graft.router.biases"
+
+  /**
+   * Persist a trained router as a tiny catalog table — one (class,
+   * bucket, weight) row per matrix cell, with K, dim, and the biases
+   * STAMPED as table properties (the [[QualityTrainer.saveModel]]
+   * discipline: a missing or drifted stamp fails fast instead of
+   * silently mis-routing). Biases round-trip through
+   * `Double.toString`/`parseDouble` (exact for every IEEE double), so
+   * save → load → [[TrainedRouter.score]] is bit-identical to scoring
+   * in memory. Loss history is a training artifact, not the model —
+   * not persisted.
+   */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+      model: TrainedRouter, tableName: String, path: String): Unit = {
+    import spark.implicits._
+    val k = model.weights.length
+    val rows = for {
+      c <- 0 until k
+      j <- model.weights(c).indices
+    } yield (c, j, model.weights(c)(j))
+    rows.toDF("class", "bucket", "weight")
+      .repartition(1)
+      .write.option("path", path).mode("overwrite").format("parquet")
+      .saveAsTable(tableName)
+    spark.sql(s"ALTER TABLE $tableName SET TBLPROPERTIES " +
+      s"('$KKey'='$k', '$DimKey'='${model.weights(0).length}', " +
+      s"'$BiasKey'='${model.biases.map(_.toString).mkString(",")}')")
+  }
+
+  /** Load a [[saveModel]] table back into a scoring-ready
+    * [[TrainedRouter]]. Fails fast on a missing stamp (a table this
+    * code did not write) or a row count that disagrees with K×dim. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      tableName: String): TrainedRouter = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def stamp(key: String): String = props.getOrElse(key, sys.error(
+      s"$tableName carries no $key stamp — not a DomainRouter.saveModel table"))
+    val k = stamp(KKey).toInt
+    val dim = stamp(DimKey).toInt
+    val biases = stamp(BiasKey).split(",")
+      .map(java.lang.Double.parseDouble)
+    require(biases.length == k,
+      s"$tableName: stamped k=$k but ${biases.length} biases")
+    val rows = spark.table(tableName).collect()
+    require(rows.length == k * dim,
+      s"$tableName: stamped k*dim=${k * dim} but ${rows.length} weight rows")
+    val w = Array.fill(k, dim)(0.0)
+    rows.foreach(r => w(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    TrainedRouter(w, biases, Array.empty)
+  }
+
   /**
    * Train `iters` full-batch softmax-GD steps from zero init:
    *

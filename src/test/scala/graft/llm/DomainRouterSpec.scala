@@ -110,6 +110,34 @@ class DomainRouterSpec extends AnyFunSuite {
     assert(r1.getLong(r1.fieldIndex("pred")) == scores.indexOf(scores.max))
   }
 
+  test("saveModel -> loadModel -> score is bit-identical to scoring in memory") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        pmod(col("doc_id"), lit(3)).cast("double").as("y"))
+    val trained = DomainRouter.train(docs, "text", "y", k = 3, dim = 32,
+      iters = 2, lr = 0.5)
+    val tbl = "graft_router_model"
+    try {
+      DomainRouter.saveModel(spark, trained, tbl,
+        java.nio.file.Files.createTempDirectory("graft_router")
+          .resolve(tbl).toString)
+      val loaded = DomainRouter.loadModel(spark, tbl)
+      (0 until 3).foreach(k =>
+        assert(loaded.weights(k).toSeq == trained.weights(k).toSeq))
+      assert(loaded.biases.toSeq == trained.biases.toSeq)
+      val a = trained.score(docs, "doc_id", "text", ordered = true)
+        .collect().map(_.toSeq).toSeq
+      val b = loaded.score(docs, "doc_id", "text", ordered = true)
+        .collect().map(_.toSeq).toSeq
+      assert(a == b)
+      // a foreign table without the stamps is refused
+      val e = intercept[Exception] {
+        DomainRouter.loadModel(spark, tbl + "_missing")
+      }
+      assert(e.getMessage.nonEmpty)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("bad labels are refused, never skipped") {
     def mk(y: Double) = Seq((1L, "a", 0.0), (2L, "b", y))
       .toDF("doc_id", "text", "y")
