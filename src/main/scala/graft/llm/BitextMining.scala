@@ -49,9 +49,13 @@ object BitextMining {
       vecCol: String, k: Int = 4, minMargin: Double = 1.0,
       ordered: Boolean = true): DataFrame = {
     require(k >= 1, s"marginTopPairs: k must be >= 1, got $k")
-    // forward: per source, top-k targets with the pinned rounded cos
+    // forward: per source, top-k targets with the pinned rounded cos.
+    // Eagerly checkpointed — three plan branches consume it (xavg, the
+    // backward candidate set, the scored join), and without the cut the
+    // full target-corpus pass would recompute per branch; the frame is
+    // |src|·k rows, block-manager sized.
     val fwd = Similarity.cosineTopK(tgt, src, idCol, vecCol, k,
-      ordered = false)
+      ordered = false).localCheckpoint(true)
     // mean of the top-k cosines, folded in rank order (k-bounded)
     def neighborhoodAvg(topk: DataFrame, as: String): DataFrame =
       topk.groupBy(col("qid"))

@@ -478,6 +478,16 @@ object IndexStore {
   private val RetiredKey = "graft.retired"
   private[llm] val RetiredChunkLen = 3000
 
+  /** Grace assigned to LEGACY (unnumbered, grace-less) retired entries.
+    * Parsing them as grace 0 would let the first post-upgrade cadence
+    * vacuum delete directories that pre-upgrade code retired expecting
+    * the caller-supplied window — a reader mid-scan would die 2 minutes
+    * into a promised 10-minute grace. One hour from the entry's retire
+    * timestamp comfortably exceeds any realistic read; entries retired
+    * long before the upgrade reclaim immediately (their hour has long
+    * elapsed), and `vacuum(table, 0L)` remains the explicit force. */
+  private[llm] val LegacyGraceMs: Long = 60L * 60L * 1000L
+
   private def qualify(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -509,7 +519,7 @@ object IndexStore {
       // first segment is a URI scheme or path start, never all-digits
       if (j > 0 && rest.take(j).forall(_.isDigit))
         (ts, rest.take(j).toLong, rest.drop(j + 1))
-      else (ts, 0L, rest)
+      else (ts, LegacyGraceMs, rest)
     }
   }
 
@@ -527,6 +537,11 @@ object IndexStore {
     val cur = new StringBuilder
     entries.foreach { case (ts, grace, p) =>
       val e = s"$ts:$grace:$p"
+      // a single over-cap entry would ship as one oversized chunk and
+      // re-expose the metastore value cap the chunking exists to avoid
+      require(e.length <= RetiredChunkLen,
+        s"cannot retire a path whose entry exceeds $RetiredChunkLen chars " +
+          s"(${e.length}): $p")
       if (cur.nonEmpty && cur.length + 1 + e.length > RetiredChunkLen) {
         chunks += cur.result(); cur.clear()
       }

@@ -114,11 +114,18 @@ object Pipeline {
     // set is benchmark-sized and broadcasts); each surviving corpus
     // doc's containment in it decides the drop. ≥ threshold on the
     // operator's ROUNDED containment — inclusive, the pq25 convention.
+    // The eval text is NFC-normalized through the SAME stage the corpus
+    // went through: shingle hashes are spelling-sensitive, and an eval
+    // doc differing only in Unicode normalization would otherwise
+    // silently escape the drop.
     val decontaminated = evalSet match {
       case Some(ev) =>
+        val evNorm = TextNormalize.nfc(
+            ev.select(col(idCol), col(textCol).cast("string").as(textCol)),
+            idCol, textCol, ordered = false)
+          .select(col(idCol), col("nfc").as("text"))
         val dropIds = Decontamination.containment(
-            ev.select(col(idCol), col(textCol).cast("string").as("text")),
-            learned, idCol, "text",
+            evNorm, learned, idCol, "text",
             shingleN = cfg.decontamShingleN, ordered = false)
           .filter(col("containment") >= cfg.decontamThreshold)
           .select(col("doc_id").as(idCol))

@@ -338,12 +338,20 @@ object StreamingIncremental {
             .join(batchIds, col(idCol) === col("_probe_id"), "left_semi")
             .select(col(idCol).as("_seen_id"), col("list").as("_old_list"),
               col("codes").as("_old_codes"))
+          // one status row per (id, encoding): a pre-existing
+          // double-indexed id matches TWO old rows and would otherwise
+          // hand onBatch contradictory statuses for one id — 'updated'
+          // (= some old row must be rewritten) wins the fold, which
+          // max() gives directly ('updated' > 'new' > 'already_indexed',
+          // and new never co-occurs with a match)
           coded.join(matches, coded(idCol) === col("_seen_id"), "left")
             .select(coded(idCol), col("list"), col("codes"),
               when(col("_seen_id").isNull, lit("new"))
                 .when(col("_old_list") === col("list") &&
                   col("_old_codes") === col("codes"), lit("already_indexed"))
                 .otherwise(lit("updated")).as("status"))
+            .groupBy(col(idCol), col("list"), col("codes"))
+            .agg(max(col("status")).as("status"))
         } else {
           val seen = spark.table(tableName)
             .filter(col("list").isin(cells.map(Int.box): _*))

@@ -44,7 +44,15 @@ object StreamingSample {
     val cand = Sampling.topKPerStratum(slim, keyCol, strataCol, k, salt)
     val merged =
       if (spark.catalog.tableExists(tableName)) {
-        requireStamps(spark, tableName, k, salt)
+        // crash recovery: the overwrite below recreates the table and a
+        // separate ALTER re-stamps it, so a crash in between leaves a
+        // stamp-LESS table — our own committed merge, not foreign data.
+        // Refusing it would wedge every replay (mergeBatch is the only
+        // thing that can re-create the stamps); merging through it is
+        // safe because the semilattice law makes re-merging converge.
+        // A PARTIAL or MISMATCHED stamp is still genuine drift → refuse.
+        if (readStamps(spark, tableName).nonEmpty)
+          requireStamps(spark, tableName, k, salt)
         spark.catalog.refreshTable(tableName)
         Sampling.topKPerStratum(
           spark.table(tableName).unionByName(cand)
@@ -83,10 +91,17 @@ object StreamingSample {
         batchId)
     }
 
+  /** The (salt, k) stamps present on the table — empty right after a
+    * crash between [[mergeBatch]]'s overwrite and its re-ALTER. */
+  private def readStamps(spark: SparkSession,
+      tableName: String): Map[String, String] =
+    spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .filter { case (key, _) => key == SaltKey || key == KKey }
+
   private def requireStamps(spark: SparkSession, tableName: String,
       k: Int, salt: String): Unit = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val props = readStamps(spark, tableName)
     def stamp(key: String): String = props.getOrElse(key, sys.error(
       s"$tableName carries no $key stamp — not a StreamingSample table; " +
         "re-create through mergeBatch"))

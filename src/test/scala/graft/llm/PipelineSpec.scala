@@ -110,7 +110,10 @@ class PipelineSpec extends AnyFunSuite {
         threshold = full.classifierThreshold, ordered = false)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val learned = gated.filter(col("doc_id").isin(learnedIds.toSeq: _*))
-    val contaminatedIds = Decontamination.containment(eval, learned,
+    val evalNorm = TextNormalize.normalize(eval, "doc_id", "text",
+        ordered = false)
+      .select(col("doc_id"), col("nfc").as("text"))
+    val contaminatedIds = Decontamination.containment(evalNorm, learned,
         "doc_id", "text", shingleN = full.decontamShingleN, ordered = false)
       .filter(col("containment") >= full.decontamThreshold)
       .collect().map(_.getLong(0)).toSet
@@ -130,6 +133,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(packedIds == expect)
     assert(packedIds.intersect(contaminatedIds).isEmpty,
       "no contaminated doc may reach the packed output")
+  }
+
+  test("decontamination catches eval content that differs only in Unicode normalization") {
+    import spark.implicits._
+    // corpus doc in COMPOSED form (NFC); eval copy in DECOMPOSED form
+    // (e + combining acute). Without normalizing the eval side, every
+    // shingle hash differs and the leaked doc would ship.
+    val leakText = "caf\u00e9 menu price list appears verbatim in this doc"
+    val evalText = "cafe\u0301 menu price list appears verbatim in this doc"
+    assert(leakText != evalText &&
+      java.text.Normalizer.normalize(evalText,
+        java.text.Normalizer.Form.NFC) == leakText)
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(Seq((990000L, leakText)).toDF("doc_id", "text"))
+    val eval = Seq((1L, evalText)).toDF("doc_id", "text")
+    val packedIds = Pipeline.buildTrainingSet(corpus, "doc_id", "text",
+        cfg.copy(salt = "psn"), evalSet = Some(eval))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!packedIds.contains(990000L),
+      "a doc leaking decomposed-Unicode eval content must be dropped")
   }
 
   test("learned gate + decontamination: deterministic across partitionings") {

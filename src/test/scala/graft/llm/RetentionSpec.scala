@@ -92,25 +92,34 @@ class RetentionSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     val tbl = freshTable("graft_ret_legacy")
     try {
-      val Seq(legacyDir) = mkDirs(1)
-      val legacyQ = "file:" + legacyDir
+      val Seq(oldLegacy, freshLegacy) = mkDirs(2)
+      val oldQ = "file:" + oldLegacy
+      val freshQ = "file:" + freshLegacy
+      val now = System.currentTimeMillis()
       spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
-        s"('graft.retired'='123:$legacyQ')")
+        s"('graft.retired'='123:$oldQ;$now:$freshQ')")
       val ident = spark.sessionState.sqlParser.parseTableIdentifier(tbl)
       val entries = IndexStore.retiredEntries(
         spark.sessionState.catalog.getTableMetadata(ident))
-      assert(entries == Seq((123L, 0L, legacyQ)))
-      // the next retire folds the legacy entry into the chunked keys
+      // legacy entries carry the conservative migration grace, never 0:
+      // the first post-upgrade cadence vacuum must not collapse a
+      // window pre-upgrade code promised its readers
+      assert(entries == Seq((123L, IndexStore.LegacyGraceMs, oldQ),
+        (now, IndexStore.LegacyGraceMs, freshQ)))
+      // the next retire folds the legacy entries into the chunked keys
       val Seq(newDir) = mkDirs(1)
       IndexStore.retire(spark, tbl, Seq(newDir), graceMs = 5000L)
       val ps = props(tbl)
       assert(!ps.contains("graft.retired"),
         "the legacy key must be rewritten away")
       assert(ps.contains("graft.retired.0"))
-      // legacy grace-0 entry reclaims on a default vacuum; the fresh
-      // 5s-grace entry survives it
+      // the ancient legacy entry's hour has long elapsed → reclaimed;
+      // the JUST-retired legacy entry is inside its migration grace and
+      // MUST survive the post-upgrade cadence vacuum (the upgrade law)
       assert(IndexStore.vacuum(spark, tbl) == 1)
-      assert(IndexStore.vacuum(spark, tbl, graceMs = 0L) == 1)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(freshLegacy)),
+        "a recent legacy entry must survive the first post-upgrade vacuum")
+      assert(IndexStore.vacuum(spark, tbl, graceMs = 0L) == 2)
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 

@@ -460,9 +460,13 @@ class StreamingIncrementalSinkSpec extends AnyFunSuite {
         nlist = centroids.length, m = model.m)
 
       val out = scala.collection.mutable.Map[Long, String]()
+      val delivered = scala.collection.mutable.ArrayBuffer[(Long, String)]()
       def onBatch(classified: DataFrame, batchId: Long): Unit =
         out.synchronized {
-          classified.collect().foreach(r => out(r.getLong(0)) = r.getString(3))
+          classified.collect().foreach { r =>
+            out(r.getLong(0)) = r.getString(3)
+            delivered += ((r.getLong(0), r.getString(3)))
+          }
         }
       def rowsOf(id: Long): Seq[Int] = {
         spark.catalog.refreshTable(tbl)
@@ -523,6 +527,10 @@ class StreamingIncrementalSinkSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(rowsOf(77L) == Seq(cellOf(vb)),
         "an update of a double-indexed id must heal it to one row")
+      assert(delivered.count(_._1 == 77L) == 1 &&
+        out(77L) == "updated",
+        "onBatch must see ONE status row for a double-indexed id, and " +
+          "'updated' must win over 'already_indexed'")
       q.stop()
 
       // search law: a full probe never returns one id twice (query id

@@ -79,6 +79,24 @@ class StreamingSampleSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("a crash between overwrite and re-stamp does not wedge the replay") {
+    val tbl = "graft_ssample_crash"
+    try {
+      StreamingSample.mergeBatch(docs, "doc_id", "source", k = 5,
+        salt = "ss4", tbl, tmp(tbl))
+      // simulate the crash window: table committed, stamps never written
+      spark.sql(s"ALTER TABLE $tbl UNSET TBLPROPERTIES " +
+        "('graft.sample.salt', 'graft.sample.k')")
+      // the replayed merge must go through (our own committed data) and
+      // restore the stamps; the semilattice law keeps the result exact
+      StreamingSample.mergeBatch(docs, "doc_id", "source", k = 5,
+        salt = "ss4", tbl, tmp(tbl))
+      val expect = rows(Sampling.topKPerStratum(docs, "doc_id", "source",
+        k = 5, salt = "ss4"))
+      assert(rows(StreamingSample.sample(spark, tbl, 5, "ss4")) == expect)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("knob drift is refused by the stamps") {
     val tbl = "graft_ssample_drift"
     try {
