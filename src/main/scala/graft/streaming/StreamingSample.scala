@@ -41,7 +41,12 @@ object StreamingSample {
       k: Int, salt: String, tableName: String, path: String): Long = {
     val spark = batch.sparkSession
     val slim = batch.select(col(keyCol), col(strataCol))
-    val cand = Sampling.topKPerStratum(slim, keyCol, strataCol, k, salt)
+    // ONE ranking pass over (existing ∪ batch): the union operand is
+    // batch-sized regardless (the table is strata×k rows), so
+    // pre-ranking the batch separately would just run the exact
+    // sampler's machinery twice for the same O(batch) result. The
+    // (key, stratum) dedup collapses replays — an existing key
+    // re-delivered would otherwise crowd the min-k window with copies.
     val merged =
       if (spark.catalog.tableExists(tableName)) {
         // crash recovery: the overwrite below recreates the table and a
@@ -55,10 +60,10 @@ object StreamingSample {
           requireStamps(spark, tableName, k, salt)
         spark.catalog.refreshTable(tableName)
         Sampling.topKPerStratum(
-          spark.table(tableName).unionByName(cand)
+          spark.table(tableName).unionByName(slim)
             .dropDuplicates(keyCol, strataCol),
           keyCol, strataCol, k, salt)
-      } else cand
+      } else Sampling.topKPerStratum(slim, keyCol, strataCol, k, salt)
     // eager checkpoint: the overwrite replaces the very table the
     // merge reads (the appendExactKeepers discipline)
     val out = merged.localCheckpoint(true)
