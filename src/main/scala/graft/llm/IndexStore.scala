@@ -472,7 +472,7 @@ object IndexStore {
     * retraction touching many cells would otherwise overflow — breaking
     * retention exactly when it is most loaded. The unnumbered legacy
     * key `graft.retired` (`<epochMillis>:<path>`, no grace) is still
-    * READ — its entries carry grace 0 — and is rewritten into the
+    * READ — its entries carry [[LegacyGraceMs]] — and is rewritten into the
     * chunked form on the next update. [[vacuum]] deletes entries once
     * their stamped grace elapses. */
   private val RetiredKey = "graft.retired"
@@ -501,7 +501,7 @@ object IndexStore {
 
   /** (retiredAtMillis, graceMs, path) per entry. Numbered chunks are
     * read in index order so the list round-trips stably; legacy
-    * unnumbered entries (no grace field) parse as grace 0. */
+    * unnumbered entries (no grace field) parse with [[LegacyGraceMs]]. */
   private[llm] def retiredEntries(meta: org.apache.spark.sql.catalyst.catalog.CatalogTable)
       : Seq[(Long, Long, String)] = {
     val chunks =
@@ -537,11 +537,12 @@ object IndexStore {
     val cur = new StringBuilder
     entries.foreach { case (ts, grace, p) =>
       val e = s"$ts:$grace:$p"
-      // a single over-cap entry would ship as one oversized chunk and
-      // re-expose the metastore value cap the chunking exists to avoid
-      require(e.length <= RetiredChunkLen,
-        s"cannot retire a path whose entry exceeds $RetiredChunkLen chars " +
-          s"(${e.length}): $p")
+      // an over-cap entry (a pre-guard legacy path) ships as its own
+      // oversized chunk — the pre-chunking risk, but confined to that
+      // one entry. NEW entries are refused at retire() time; throwing
+      // HERE would wedge every retire and vacuum of the table (vacuum
+      // round-trips the kept list after deleting files) until the
+      // oversized entry's grace elapsed.
       if (cur.nonEmpty && cur.length + 1 + e.length > RetiredChunkLen) {
         chunks += cur.result(); cur.clear()
       }
@@ -570,8 +571,17 @@ object IndexStore {
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val now = System.currentTimeMillis()
     val qualified = dirs.map(qualify(spark, _))
-    qualified.foreach(q => require(!q.contains(";"),
-      s"cannot retire a path containing ';' (the entry separator): $q"))
+    qualified.foreach { q =>
+      require(!q.contains(";"),
+        s"cannot retire a path containing ';' (the entry separator): $q")
+      // serialized as "<ts>:<grace>:<path>" — refuse NEW entries that
+      // could not fit one chunk (writeRetired tolerates pre-existing
+      // oversized entries rather than wedging the table, so this guard
+      // is the only thing keeping them from ever appearing)
+      require(q.length + 32 <= RetiredChunkLen,
+        s"cannot retire a path whose entry would exceed the " +
+          s"$RetiredChunkLen-char metastore-safe chunk cap: $q")
+    }
     writeRetired(spark, tableName,
       retiredEntries(meta) ++ qualified.map(q => (now, graceMs max 0L, q)))
   }

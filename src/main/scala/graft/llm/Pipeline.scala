@@ -114,18 +114,25 @@ object Pipeline {
     // set is benchmark-sized and broadcasts); each surviving corpus
     // doc's containment in it decides the drop. ≥ threshold on the
     // operator's ROUNDED containment — inclusive, the pq25 convention.
-    // The eval text is NFC-normalized through the SAME stage the corpus
-    // went through: shingle hashes are spelling-sensitive, and an eval
-    // doc differing only in Unicode normalization would otherwise
-    // silently escape the drop.
+    // The eval text goes through the SAME cleaning stages the corpus
+    // went through (NFC normalization, and the HTML strip when
+    // enabled): shingle hashes are spelling-sensitive, and eval
+    // content differing only in normalization or markup would
+    // otherwise silently escape the drop.
     val decontaminated = evalSet match {
       case Some(ev) =>
-        val evNorm = TextNormalize.nfc(
+        val evNfc = TextNormalize.nfc(
             ev.select(col(idCol), col(textCol).cast("string").as(textCol)),
             idCol, textCol, ordered = false)
           .select(col(idCol), col("nfc").as("text"))
+        val evClean =
+          if (cfg.stripHtml)
+            TextClean.stripHtml(
+              evNfc.select(col(idCol), col("text").as("html")),
+              idCol, "html", ordered = false)
+          else evNfc
         val dropIds = Decontamination.containment(
-            evNorm, learned, idCol, "text",
+            evClean, learned, idCol, "text",
             shingleN = cfg.decontamShingleN, ordered = false)
           .filter(col("containment") >= cfg.decontamThreshold)
           .select(col("doc_id").as(idCol))

@@ -79,21 +79,49 @@ class StreamingSampleSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
-  test("a crash between overwrite and re-stamp does not wedge the replay") {
-    val tbl = "graft_ssample_crash"
+  test("merges swap locations, never drop the table: stamps survive, one prior generation is retained, older ones reclaim") {
+    val tbl = "graft_ssample_swap"
+    val base = tmp(tbl)
+    def gens(): Set[String] = {
+      val parent = new java.io.File(base).getParentFile
+      parent.listFiles().map(_.getName)
+        .filter(n => n == tbl || n.startsWith(tbl + "-v")).toSet
+    }
     try {
-      StreamingSample.mergeBatch(docs, "doc_id", "source", k = 5,
-        salt = "ss4", tbl, tmp(tbl))
-      // simulate the crash window: table committed, stamps never written
-      spark.sql(s"ALTER TABLE $tbl UNSET TBLPROPERTIES " +
-        "('graft.sample.salt', 'graft.sample.k')")
-      // the replayed merge must go through (our own committed data) and
-      // restore the stamps; the semilattice law keeps the result exact
-      StreamingSample.mergeBatch(docs, "doc_id", "source", k = 5,
-        salt = "ss4", tbl, tmp(tbl))
+      StreamingSample.mergeBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "source", k = 5, salt = "ss4", tbl, base)
+      StreamingSample.mergeBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+        "doc_id", "source", k = 5, salt = "ss4", tbl, base)
+      // second merge wrote a -v sibling and retained the first gen
+      assert(gens().size == 2, s"one prior generation retained: ${gens()}")
+      StreamingSample.mergeBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2),
+        "doc_id", "source", k = 5, salt = "ss4", tbl, base)
+      // third merge reclaimed the first gen: current + previous only
+      assert(gens().size == 2, s"older generations must reclaim: ${gens()}")
+      assert(!gens().contains(tbl),
+        "the first-generation directory is two merges old and must be gone")
+      // the table was never dropped, so the creation stamps survived
+      // every swap and the final sample equals the one-shot law
       val expect = rows(Sampling.topKPerStratum(docs, "doc_id", "source",
         k = 5, salt = "ss4"))
       assert(rows(StreamingSample.sample(spark, tbl, 5, "ss4")) == expect)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("a stamp-less table is refused as foreign — merges can no longer create that state") {
+    import spark.implicits._
+    val tbl = "graft_ssample_foreign"
+    try {
+      Seq((1L, "src0")).toDF("doc_id", "source")
+        .write.option("path", tmp(tbl)).format("parquet").saveAsTable(tbl)
+      val e = intercept[Exception] {
+        StreamingSample.mergeBatch(docs, "doc_id", "source", k = 5,
+          salt = "ss5", tbl, tmp(tbl))
+      }
+      assert(e.getMessage.contains("not a StreamingSample table"))
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
