@@ -81,12 +81,19 @@ object BitextMining {
         when(denom =!= 0.0, col("cos") / denom))
       .filter(col("margin").isNotNull)
     val w = Window.partitionBy("qid").orderBy(col("margin").desc, col("cid"))
-    scored
+    // materialize the (≤ |src|-row) result off the fwd checkpoint, then
+    // release fwd's |src|·k blocks — the GraphRank discipline: without
+    // the release every call pins its candidate frame in the block
+    // manager for the session's lifetime
+    val result = scored
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1 &&
         round(col("margin"), 6) >= minMargin)
       .select(col("qid"), col("cid"), col("cos"),
         round(col("margin"), 6).as("margin"))
-      .transform(Presented(_, ordered, "qid"))
+      .localCheckpoint(true)
+    graft.CacheScope.checkpointRdd(fwd)
+      .foreach(_.unpersist(blocking = false))
+    result.transform(Presented(_, ordered, "qid"))
   }
 }

@@ -577,8 +577,12 @@ object IndexStore {
       // serialized as "<ts>:<grace>:<path>" — refuse NEW entries that
       // could not fit one chunk (writeRetired tolerates pre-existing
       // oversized entries rather than wedging the table, so this guard
-      // is the only thing keeping them from ever appearing)
-      require(q.length + 32 <= RetiredChunkLen,
+      // is the only thing keeping them from ever appearing). The
+      // reserve is the ACTUAL serialized prefix for this entry, not a
+      // fixed allowance: a 13-digit epoch plus a pathological 19-digit
+      // grace is 34 chars with the colons, past any round guess.
+      val prefixLen = s"$now:${graceMs max 0L}:".length
+      require(prefixLen + q.length <= RetiredChunkLen,
         s"cannot retire a path whose entry would exceed the " +
           s"$RetiredChunkLen-char metastore-safe chunk cap: $q")
     }
@@ -739,9 +743,12 @@ object IndexStore {
       val (newPath, oldQ, _) = swapTarget(spark, tableName, None)
       saveCoded(coded, tmp, newPath, newNlist, newM, tasksPerCell)
       // retire the old root ON THE REPLACEMENT so the entry survives
-      // the rename; a crash after DROP leaves it for vacuum via recover
-      writeRetired(spark, tmp,
-        Seq((System.currentTimeMillis(), graceMs max 0L, oldQ)))
+      // the rename; a crash after DROP leaves it for vacuum via
+      // recover. Routed through retire() so this path gets the same
+      // ';'/chunk-length validation as every other retirement — a raw
+      // writeRetired here would be the one way an invalid entry could
+      // ever enter a table.
+      retire(spark, tmp, Seq(oldQ), graceMs)
       spark.sql(s"DROP TABLE $tableName")
       spark.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
       spark.catalog.refreshTable(tableName)

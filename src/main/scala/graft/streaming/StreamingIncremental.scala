@@ -341,9 +341,14 @@ object StreamingIncremental {
           // one status row per (id, encoding): a pre-existing
           // double-indexed id matches TWO old rows and would otherwise
           // hand onBatch contradictory statuses for one id — 'updated'
-          // (= some old row must be rewritten) wins the fold, which
-          // max() gives directly ('updated' > 'new' > 'already_indexed',
-          // and new never co-occurs with a match)
+          // (= some old row must be rewritten) wins the fold. The
+          // precedence is an EXPLICIT integer priority (updated=2 >
+          // new=1 > already_indexed=0) declared by `statuses` order —
+          // NOT string max(), whose precedence was a lexicographic
+          // accident a renamed label would silently reorder, leaving a
+          // double-indexed id unretracted ('new' never co-occurs with
+          // a match, so the fold only ever arbitrates the other two)
+          val statuses = Seq("already_indexed", "new", "updated")
           coded.join(matches, coded(idCol) === col("_seen_id"), "left")
             .select(coded(idCol), col("list"), col("codes"),
               when(col("_seen_id").isNull, lit("new"))
@@ -351,7 +356,12 @@ object StreamingIncremental {
                   col("_old_codes") === col("codes"), lit("already_indexed"))
                 .otherwise(lit("updated")).as("status"))
             .groupBy(col(idCol), col("list"), col("codes"))
-            .agg(max(col("status")).as("status"))
+            .agg(max(statuses.zipWithIndex.foldLeft(lit(null).cast("int")) {
+              case (acc, (s, p)) => when(col("status") === s, lit(p)).otherwise(acc)
+            }).as("_prio"))
+            .select(col(idCol), col("list"), col("codes"),
+              element_at(
+                array(statuses.map(lit): _*), col("_prio") + 1).as("status"))
         } else {
           val seen = spark.table(tableName)
             .filter(col("list").isin(cells.map(Int.box): _*))
