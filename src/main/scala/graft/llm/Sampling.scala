@@ -109,6 +109,18 @@ object Sampling {
       samplePredicate(key, defaultRate, salt)))
   }
 
+  /** Per-row token mass for the mixture aggregates: `tokens` or, with
+    * a weight column, `tokens × weight` — weights are COUNT-valued
+    * (long; [[graft.llm.SoftDedup]]'s duplicate multiplicities), and a
+    * null weight counts 1 so unweighted rows pass through unchanged.
+    * Long arithmetic keeps n_tokens exact and its schema BIGINT. */
+  private def weightedTokens(tokensCol: String,
+      weightCol: Option[String]): Column = weightCol match {
+    case Some(w) =>
+      col(tokensCol).cast("long") * coalesce(col(w).cast("long"), lit(1L))
+    case None => col(tokensCol).cast("long")
+  }
+
   /**
    * Per-stratum sampling rates that hit a target token mixture under a
    * budget — the data-mixing step in front of [[stratifiedSample]]:
@@ -128,9 +140,21 @@ object Sampling {
    * capped=true when its share is positive) instead of silently
    * disappearing, so callers watching `capped` see the undershoot. The
    * result is strata-sized. Output: (stratum, n_tokens, rate, capped).
+   *
+   * `weightCol` makes the token mass WEIGHT-AWARE: each row counts
+   * `tokens × weight` instead of `tokens`, for count-valued weights
+   * like [[graft.llm.SoftDedup]]'s duplicate multiplicities (the
+   * weight is cast to long — fractional weights are not this
+   * operator's contract; null weights count 1, i.e. unweighted). The
+   * law this preserves ([[SoftDedupSpec]]): mixture rates computed
+   * over the soft-deduped corpus with its weights equal the rates over
+   * the un-deduped corpus — exact duplicates carry identical token
+   * counts, so `Σ tokens·weight` over keepers = `Σ tokens` over all
+   * copies, stratum by stratum.
    */
   def mixtureRates(df: DataFrame, strataCol: String, tokensCol: String,
-      targetShares: Map[String, Double], budgetTokens: Long): DataFrame = {
+      targetShares: Map[String, Double], budgetTokens: Long,
+      weightCol: Option[String] = None): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     require(targetShares.values.forall(s => s >= 0 && s <= 1),
       s"target shares must be in [0, 1]: $targetShares")
@@ -146,7 +170,8 @@ object Sampling {
       // coalesce: an all-null token column must read as zero tokens, not
       // poison the division into a null that least() would skip (turning
       // the rate into 1.0 — the opposite of "nothing to sample")
-      .agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L)).as("n_tokens"))
+      .agg(coalesce(sum(weightedTokens(tokensCol, weightCol)), lit(0L))
+        .as("n_tokens"))
       // full-outer against the target keys: absent targeted strata get a
       // zero-token row; a null-stratum aggregate row passes through (null
       // never equi-joins) and rates 0 via the share dispatch's default.
@@ -179,14 +204,20 @@ object Sampling {
    * (the cross-engine pow/round discipline: values, never
    * membership). A null stratum mixes as its own group, the
    * [[topKPerStratum]] convention.
+   *
+   * `weightCol` weighs each row's tokens by a count-valued multiplier
+   * (see [[mixtureRates]]) — the [[graft.llm.SoftDedup]] composition:
+   * Σ n^α over WEIGHTED per-stratum counts, so temperature shares over
+   * the soft-deduped corpus equal shares over the un-deduped corpus.
    */
   def temperatureMixtureRates(df: DataFrame, strataCol: String,
       tokensCol: String, alpha: Double, budgetTokens: Long,
-      ordered: Boolean = true): DataFrame = {
+      ordered: Boolean = true, weightCol: Option[String] = None): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     val counts = df.groupBy(col(strataCol).as("stratum"))
-      .agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L)).as("n_tokens"))
+      .agg(coalesce(sum(weightedTokens(tokensCol, weightCol)), lit(0L))
+        .as("n_tokens"))
     // Σ n^alpha as a broadcast one-row aggregate over a SORTED fold:
     // summing 20 doubles in partition order would make the last ulp —
     // and a rounding boundary with it — depend on layout
