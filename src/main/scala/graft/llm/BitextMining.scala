@@ -47,6 +47,27 @@ object BitextMining {
 
   def marginTopPairs(src: DataFrame, tgt: DataFrame, idCol: String,
       vecCol: String, k: Int = 4, minMargin: Double = 1.0,
+      ordered: Boolean = true): DataFrame =
+    marginTopPairsWith(src, tgt, idCol,
+      (corpus, queries) => Similarity.cosineTopK(corpus, queries, idCol,
+        vecCol, k, ordered = false),
+      k, minMargin, ordered)
+
+  /**
+   * [[marginTopPairs]] under a CALLER-SUPPLIED retriever — the scale
+   * arm made concrete: `retrieve(corpus, queries)` must return the
+   * (qid, rnk, cid, cos) frame of [[Similarity.cosineTopK]]'s contract
+   * (top-`k` per query, pinned rounded cos, rnk 1-based). Pass the
+   * bucketed/IVF retriever at corpus×corpus scale; at full-coverage
+   * knobs (IVF nprobe = nlist — the pq19 law) the margin tail emits
+   * pairs IDENTICAL to the brute-force arm, which pq111b pins against
+   * pq111's oracle verbatim. The retriever is invoked once per
+   * direction; the backward invocation's corpus side is already
+   * semi-joined down to the forward candidates.
+   */
+  def marginTopPairsWith(src: DataFrame, tgt: DataFrame, idCol: String,
+      retrieve: (DataFrame, DataFrame) => DataFrame,
+      k: Int, minMargin: Double = 1.0,
       ordered: Boolean = true): DataFrame = {
     require(k >= 1, s"marginTopPairs: k must be >= 1, got $k")
     // forward: per source, top-k targets with the pinned rounded cos.
@@ -54,8 +75,7 @@ object BitextMining {
     // backward candidate set, the scored join), and without the cut the
     // full target-corpus pass would recompute per branch; the frame is
     // |src|·k rows, block-manager sized.
-    val fwd = Similarity.cosineTopK(tgt, src, idCol, vecCol, k,
-      ordered = false).localCheckpoint(true)
+    val fwd = retrieve(tgt, src).localCheckpoint(true)
     // mean of the top-k cosines, folded in rank order (k-bounded)
     def neighborhoodAvg(topk: DataFrame, as: String): DataFrame =
       topk.groupBy(col("qid"))
@@ -68,9 +88,8 @@ object BitextMining {
     // backward: only the candidate targets re-score against the source
     // side (|src|·k bounded — never the whole target corpus)
     val cands = fwd.select(col("cid")).distinct()
-    val bwd = Similarity.cosineTopK(src,
-      tgt.join(cands, tgt(idCol) === cands("cid"), "left_semi"),
-      idCol, vecCol, k, ordered = false)
+    val bwd = retrieve(src,
+      tgt.join(cands, tgt(idCol) === cands("cid"), "left_semi"))
     val yavg = neighborhoodAvg(bwd, "_yavg")
       .withColumnRenamed("qid", "cid")
     val denom = lit(0.5) * (col("_xavg") + col("_yavg"))

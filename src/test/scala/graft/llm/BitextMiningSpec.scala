@@ -137,4 +137,24 @@ class BitextMiningSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
     assert(repart.toSet == kept.toSet)
   }
+
+  test("retriever-agnostic: the margin tail over the full-probe IVF retriever emits pairs identical to the brute-force arm") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val src = e.filter(col("vec_id") < 10)
+    val tgt = e.filter(col("vec_id") >= 10)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    val brute = rows(BitextMining.marginTopPairs(src, tgt, "vec_id",
+      "embedding", k = 4, minMargin = 1.0, ordered = false))
+    // nprobe = nlist probes every cell — the pq19 law: candidates,
+    // cosines, ranks all identical, so the margin tail must be too
+    val ivf = rows(BitextMining.marginTopPairsWith(src, tgt, "vec_id",
+      (corpus, queries) => Ivf.topK(corpus, queries, "vec_id", "embedding",
+        k = 4, nlist = 8, nprobe = 8, ordered = false),
+      k = 4, minMargin = 1.0, ordered = false))
+    assert(ivf == brute)
+    assert(brute.nonEmpty)
+  }
 }
