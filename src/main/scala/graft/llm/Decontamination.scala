@@ -243,6 +243,32 @@ object Decontamination {
     n
   }
 
+  /**
+   * Per-CORPUS-DOC containment against the PERSISTED eval-shingle
+   * index — the drop-side twin of [[auditBatch]]: for each doc in
+   * `batch`, the fraction of its distinct shingles that occur in the
+   * indexed eval set, [[containment]]'s exact schema and rounding with
+   * the persisted table standing in for the re-shingled eval text.
+   * This is what makes decontamination batch-decomposable: a doc's
+   * containment in a FIXED eval set depends on nothing but the doc, so
+   * [[IncrementalPipeline]] can gate batch N without ever re-shingling
+   * the eval set (stamped `shingleN` keeps a drifted caller from
+   * silently comparing different-width shingles).
+   *
+   * O(batch) shape: the table's non-null `_sh` keys come off the
+   * bucketed scan (the distinct inside the shared tail collapses
+   * without a corpus-side cost — the index is eval-sized); only
+   * batch-derived shingles shuffle.
+   */
+  def containmentAgainstIndex(batch: DataFrame, idCol: String,
+      textCol: String, tableName: String,
+      ordered: Boolean = true): DataFrame = {
+    val spark = batch.sparkSession
+    val shingleN = stampedShingleN(spark, tableName)
+    finish(spark.table(tableName).filter(col("_sh").isNotNull).select("_sh"),
+      batch, idCol, textCol, shingleN, ordered)
+  }
+
   /** The audit's running answer — (doc_id, n_shingles, n_matched,
     * containment) per eval doc, [[containment]]'s exact schema and
     * semantics over every batch audited so far. Reads only the two

@@ -590,6 +590,15 @@ object IndexStore {
       retiredEntries(meta) ++ qualified.map(q => (now, graceMs max 0L, q)))
   }
 
+  /** Public form of [[retire]] for swap-style maintainers OUTSIDE this
+    * store (e.g. [[SwapTable]], backing
+    * [[graft.streaming.StreamingSample]]'s generations and
+    * [[IncrementalPipeline]]'s cursor state): same `;`/chunk-length
+    * guards, same per-entry grace stamps, same [[vacuum]] contract. */
+  def retireLocations(spark: SparkSession, tableName: String,
+      dirs: Seq[String], graceMs: Long): Unit =
+    retire(spark, tableName, dirs, graceMs)
+
   /** Every location the table currently references: the root plus, for
     * a partitioned table, each partition's (possibly versioned)
     * directory. The guard set for [[vacuum]] and the staging GC. */

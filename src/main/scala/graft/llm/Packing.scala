@@ -26,6 +26,17 @@ object Packing {
       md5(concat(lit(salt), key.cast("string")).cast("binary")), 1, 8),
       16, 10).cast("long")
 
+  /** The shard a key lands in — EXACTLY [[shardShuffle]]/
+    * [[packSequences]]'s assignment hash, exposed so callers that
+    * stratify state BY SHARD (e.g. [[IncrementalPipeline]]'s
+    * maintaining sample table) provably agree with the packer's
+    * assignment instead of re-deriving it. */
+  def shardOf(key: org.apache.spark.sql.Column, shards: Int,
+      salt: String = "graft"): org.apache.spark.sql.Column = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    pmod(hash32(key, salt + ":s"), lit(shards))
+  }
+
   /**
    * Deterministic reshuffle: each row lands in shard
    * `hash(salt:s, id) % shards` at position `rank of hash(salt:o, id)`
@@ -119,6 +130,35 @@ object Packing {
       .select(col(idCol).as("doc_id"),
         size(TextOps.tokens(col(textCol).cast("string"))).cast("long").as("_n")),
       targetTokens, shards, salt)
+
+  /**
+   * [[packSequences]] RESUMED from per-shard token cursors — the
+   * incremental form: each shard's running offset starts at that
+   * shard's `base` (tokens already packed by earlier batches) instead
+   * of 0, so a batch's spans continue exactly where the previous
+   * batch's emission stopped — including CONTINUING a partial final
+   * sequence (seq_id = base / targetTokens with its in-sequence offset
+   * already consumed), the pack-and-mask layout across batch
+   * boundaries. With an empty/zero `bases` this IS [[packSequences]]
+   * (the law the spec pins); concatenating per-batch emissions equals
+   * one packing of the union ordered by (arrival batch, order-hash,
+   * id) within each shard — [[IncrementalPipeline]]'s oracle shape.
+   *
+   * `bases`: (shard, base) with base = Σ tokens previously packed into
+   * that shard; shards absent from it start at 0. Shards-sized by
+   * contract, so the join broadcasts — the plan stays [[packSequences]]
+   * plus one broadcast hash join.
+   */
+  def packSequencesFrom(df: DataFrame, idCol: String, textCol: String,
+      targetTokens: Int, shards: Int, bases: DataFrame,
+      salt: String = "graft"): DataFrame =
+    packCounted(df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(TextOps.tokens(col(textCol).cast("string"))).cast("long").as("_n")),
+      targetTokens, shards, salt,
+      Some(bases.select(col("shard").cast("long").as("shard"),
+        col("base").cast("long").as("base"))))
 
   /**
    * [[packSequences]] with a PRECOMPUTED token-count column — the
@@ -217,16 +257,25 @@ object Packing {
   /** The shared layout pipeline over (doc_id, _n): shard/order hashes,
     * per-shard running offset, span projection + explode. */
   private def packCounted(counted: DataFrame, targetTokens: Int,
-      shards: Int, salt: String): DataFrame = {
+      shards: Int, salt: String,
+      cursorBases: Option[DataFrame] = None): DataFrame = {
     require(targetTokens > 0, s"targetTokens must be positive, got $targetTokens")
     require(shards > 0, s"shards must be positive, got $shards")
-    val base = counted
+    val sharded = counted
       .withColumn("shard", pmod(hash32(col("doc_id"), salt + ":s"), lit(shards)))
       .withColumn("_h2", hash32(col("doc_id"), salt + ":o"))
+    val base = cursorBases match {
+      case Some(b) => sharded // shards-sized by contract: broadcast
+        .join(broadcast(b.select(col("shard"), col("base").as("_base"))),
+          Seq("shard"), "left")
+        .withColumn("_base", coalesce(col("_base"), lit(0L)))
+      case None => sharded.withColumn("_base", lit(0L))
+    }
     val w = Window.partitionBy("shard").orderBy(col("_h2"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val spans = base
-      .withColumn("_cb", sum(col("_n")).over(w) - col("_n")) // tokens before this doc
+      .withColumn("_cb", // tokens before this doc (incl. cursor base)
+        col("_base") + sum(col("_n")).over(w) - col("_n"))
       .withColumn("seq_id",
         explode(sequence(floor(col("_cb") / targetTokens),
           floor((col("_cb") + greatest(col("_n"), lit(1L)) - 1) / targetTokens))))

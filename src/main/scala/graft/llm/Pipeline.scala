@@ -66,6 +66,53 @@ object Pipeline {
       decontamShingleN: Int = 3,
       decontamThreshold: Double = 0.8)
 
+  /** Stages 1-2 (NFC normalization + optional HTML strip) as one
+    * reusable hand-off: (idCol, text). Shared verbatim by
+    * [[buildTrainingSet]]'s corpus and eval sides and by
+    * [[IncrementalPipeline]]'s per-batch chain, so the two builders
+    * cannot drift in what "cleaned text" means (shingle hashes are
+    * spelling-sensitive — a drift here silently changes dedup AND
+    * decontamination). */
+  private[llm] def cleanStage(df: DataFrame, idCol: String, textCol: String,
+      cfg: Config): DataFrame = {
+    val base = df.select(col(idCol), col(textCol).cast("string"))
+      .filter(col(idCol).isNotNull)
+    val normalized = TextNormalize.nfc(base, idCol, textCol, ordered = false)
+      .select(col(idCol), col("nfc").as("text"))
+    if (cfg.stripHtml)
+      TextClean.stripHtml(normalized.select(col(idCol), col("text").as("html")),
+        idCol, "html", ordered = false)
+    else normalized
+  }
+
+  /** Stages 3-4 (heuristic quality gate + optional learned gate) over
+    * a [[cleanStage]] output — keyed semi-joins only, per-doc
+    * decisions, so the stage is batch-decomposable by construction
+    * (the property [[IncrementalPipeline]] relies on). */
+  private[llm] def gateStage(cleaned: DataFrame, idCol: String,
+      cfg: Config): DataFrame = {
+    val gateIds = TextAnalysis.qualityGate(cleaned, idCol, "text",
+        minTokens = cfg.minTokens, maxTokens = cfg.maxTokens,
+        minMeanWlen = cfg.minMeanWlen, maxMeanWlen = cfg.maxMeanWlen,
+        minStopRatio = cfg.minStopRatio, minTtr = cfg.minTtr,
+        maxDupBigramFrac = cfg.maxDupBigramFrac,
+        maxTopBigramFrac = cfg.maxTopBigramFrac, ordered = false)
+      .filter(col("pass")).select(col("doc_id").as(idCol))
+    val gated = cleaned.join(gateIds, idCol)
+    // learned gate: pure inference (one projection, weights as a
+    // literal) — runs BEFORE decontamination so the shingle pass only
+    // sees docs that survive both quality filters
+    cfg.classifierWeights match {
+      case Some(w) =>
+        val keep = QualityClassifier.score(gated, idCol, "text", w,
+            cfg.classifierBias, ordered = false)
+          .filter(col("prob") >= cfg.classifierThreshold)
+          .select(col("doc_id").as(idCol))
+        gated.join(keep, idCol)
+      case None => gated
+    }
+  }
+
   /** docs(idCol, textCol) → packed training sequences
     * (shard, seq, doc_id, tok_start, tok_end, ...) in deterministic
     * shard order — [[Packing.packSequences]]'s layout over the cleaned,
@@ -81,35 +128,7 @@ object Pipeline {
   def buildTrainingSet(df: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config(),
       evalSet: Option[DataFrame] = None): DataFrame = {
-    val base = df.select(col(idCol), col(textCol).cast("string"))
-      .filter(col(idCol).isNotNull)
-    val normalized = TextNormalize.nfc(base, idCol, textCol, ordered = false)
-      .select(col(idCol), col("nfc").as("text"))
-    val cleaned =
-      if (cfg.stripHtml)
-        TextClean.stripHtml(normalized.select(col(idCol), col("text").as("html")),
-          idCol, "html", ordered = false)
-      else normalized
-    val gateIds = TextAnalysis.qualityGate(cleaned, idCol, "text",
-        minTokens = cfg.minTokens, maxTokens = cfg.maxTokens,
-        minMeanWlen = cfg.minMeanWlen, maxMeanWlen = cfg.maxMeanWlen,
-        minStopRatio = cfg.minStopRatio, minTtr = cfg.minTtr,
-        maxDupBigramFrac = cfg.maxDupBigramFrac,
-        maxTopBigramFrac = cfg.maxTopBigramFrac, ordered = false)
-      .filter(col("pass")).select(col("doc_id").as(idCol))
-    val gated = cleaned.join(gateIds, idCol)
-    // learned gate: pure inference (one projection, weights as a
-    // literal) — runs BEFORE decontamination so the shingle pass only
-    // sees docs that survive both quality filters
-    val learned = cfg.classifierWeights match {
-      case Some(w) =>
-        val keep = QualityClassifier.score(gated, idCol, "text", w,
-            cfg.classifierBias, ordered = false)
-          .filter(col("prob") >= cfg.classifierThreshold)
-          .select(col("doc_id").as(idCol))
-        gated.join(keep, idCol)
-      case None => gated
-    }
+    val learned = gateStage(cleanStage(df, idCol, textCol, cfg), idCol, cfg)
     // decontamination: the EVAL SET is the reference side (its shingle
     // set is benchmark-sized and broadcasts); each surviving corpus
     // doc's containment in it decides the drop. ≥ threshold on the
@@ -121,16 +140,7 @@ object Pipeline {
     // otherwise silently escape the drop.
     val decontaminated = evalSet match {
       case Some(ev) =>
-        val evNfc = TextNormalize.nfc(
-            ev.select(col(idCol), col(textCol).cast("string").as(textCol)),
-            idCol, textCol, ordered = false)
-          .select(col(idCol), col("nfc").as("text"))
-        val evClean =
-          if (cfg.stripHtml)
-            TextClean.stripHtml(
-              evNfc.select(col(idCol), col("text").as("html")),
-              idCol, "html", ordered = false)
-          else evNfc
+        val evClean = cleanStage(ev, idCol, textCol, cfg)
         val dropIds = Decontamination.containment(
             evClean, learned, idCol, "text",
             shingleN = cfg.decontamShingleN, ordered = false)

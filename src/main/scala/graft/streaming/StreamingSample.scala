@@ -22,17 +22,22 @@ import org.apache.spark.sql.streaming.DataStreamWriter
  * re-delivered key hashes identically; the (stratum, key) dedup
  * collapses it before ranking).
  *
- * CRASH SAFETY: a merge never overwrites the table in place. The
- * merged sample is written to a FRESH versioned sibling directory and
- * swapped in with ONE atomic `ALTER TABLE ... SET LOCATION` (the
- * IndexStore swap discipline, sized down): a crash before the ALTER
- * leaves the table on its old complete data (the replayed batch
- * re-merges and converges by the semilattice law); the table itself
- * is never dropped, so the (salt, k) stamps written at creation
- * survive every merge and a stamp-less or drifted table is always
- * REFUSED as foreign. Superseded directories are retained for one
- * merge generation (a reader whose listing spans the swap finishes)
- * and reclaimed at the next merge.
+ * CRASH SAFETY: a merge never overwrites the table in place — the
+ * [[graft.llm.SwapTable]] discipline: the merged sample is written to
+ * a FRESH versioned sibling directory and swapped in with ONE atomic
+ * `ALTER TABLE ... SET LOCATION`; a crash before the ALTER leaves the
+ * table on its old complete data (the replayed batch re-merges and
+ * converges by the semilattice law); the table itself is never
+ * dropped, so the (salt, k) stamps written at creation survive every
+ * merge and a stamp-less or drifted table is always REFUSED as
+ * foreign. Superseded directories are RETIRED with the merge's own
+ * `graceMs` stamped per entry (the IndexStore retire/vacuum
+ * discipline) and reclaimed at a later merge once that grace has
+ * elapsed: the default 0 keeps the one-generation window (a reader
+ * whose listing spans one swap finishes before the next merge); under
+ * a high-frequency trigger with slow concurrent readers, set
+ * `graceMs` above the longest read and a generation survives that
+ * long regardless of merge cadence.
  *
  * SCALE SHAPE: each merge is O(batch) — the ranking pass is the exact
  * batch sampler over (existing ∪ batch) where existing is strata×k
@@ -47,9 +52,12 @@ object StreamingSample {
   /** Merge one batch into the persisted sample table (created at
     * `path` on first use; later merges write `path-v<n>` siblings).
     * Batch-callable — [[sink]] wraps it in foreachBatch. Returns the
-    * table's row count after the merge. */
+    * table's row count after the merge. `graceMs`: how long a
+    * superseded generation must survive after its swap (stamped per
+    * entry — see the retention note above). */
   def mergeBatch(batch: DataFrame, keyCol: String, strataCol: String,
-      k: Int, salt: String, tableName: String, path: String): Long = {
+      k: Int, salt: String, tableName: String, path: String,
+      graceMs: Long = 0L): Long = {
     val spark = batch.sparkSession
     val slim = batch.select(col(keyCol), col(strataCol))
     val exists = spark.catalog.tableExists(tableName)
@@ -71,40 +79,8 @@ object StreamingSample {
     // eager checkpoint: the swap replaces the very data the merge reads
     val out = merged.localCheckpoint(true)
     val n = out.count()
-    if (!exists) {
-      out.write.option("path", path).mode("overwrite").format("parquet")
-        .saveAsTable(tableName)
-      spark.sql(s"ALTER TABLE $tableName SET TBLPROPERTIES " +
-        s"('$SaltKey'='$salt', '$KKey'='$k')")
-    } else {
-      val hadoopConf = spark.sessionState.newHadoopConf()
-      val base = new org.apache.hadoop.fs.Path(path)
-      val fs = base.getFileSystem(hadoopConf)
-      val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
-      val current = fs.makeQualified(new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.getTableMetadata(ident).location)).toString
-      // reclaim generations from >= 2 merges ago: every base/base-v*
-      // sibling except the CURRENT location (which a reader whose file
-      // listing predates this swap may still be scanning)
-      val parent = base.getParent
-      val prefix = base.getName
-      if (fs.exists(parent)) fs.listStatus(parent).foreach { st =>
-        val name = st.getPath.getName
-        val q = fs.makeQualified(st.getPath).toString
-        if ((name == prefix || name.startsWith(prefix + "-v")) && q != current)
-          fs.delete(st.getPath, true)
-      }
-      // fresh versioned sibling; probe-and-retry (the IndexStore rule:
-      // never trust a generated path not to exist)
-      val newPath = Iterator.iterate(System.currentTimeMillis())(_ + 1)
-        .map(v => s"$path-v$v")
-        .find(p => !fs.exists(new org.apache.hadoop.fs.Path(p)))
-        .get
-      out.write.mode("overwrite").parquet(newPath)
-      val newQ = fs.makeQualified(new org.apache.hadoop.fs.Path(newPath))
-      spark.sql(s"ALTER TABLE $tableName SET LOCATION '$newQ'")
-      spark.catalog.refreshTable(tableName)
-    }
+    graft.llm.SwapTable.upsert(out, tableName, path,
+      stamps = Seq(SaltKey -> salt, KKey -> k.toString), graceMs = graceMs)
     n
   }
 
@@ -122,11 +98,11 @@ object StreamingSample {
     * to the identical table. */
   def sink(stream: DataFrame, keyCol: String, strataCol: String,
       k: Int, salt: String, tableName: String, path: String,
-      onBatch: (Long, Long) => Unit = (_, _) => ())
-      : DataStreamWriter[Row] =
+      onBatch: (Long, Long) => Unit = (_, _) => (),
+      graceMs: Long = 0L): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      onBatch(mergeBatch(batch, keyCol, strataCol, k, salt, tableName, path),
-        batchId)
+      onBatch(mergeBatch(batch, keyCol, strataCol, k, salt, tableName, path,
+        graceMs), batchId)
     }
 
   private def requireStamps(spark: SparkSession, tableName: String,

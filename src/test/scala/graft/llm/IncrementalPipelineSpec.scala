@@ -1,0 +1,204 @@
+package graft.llm
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Laws of the MAINTAINING builder ([[IncrementalPipeline]]):
+ *
+ *  - IDENTITY: one batch against fresh state == the one-shot builder,
+ *    span for span;
+ *  - ACCUMULATION (id-ordered batches): the union of per-batch
+ *    emissions selects exactly the one-shot union's docs with the same
+ *    per-doc token mass, and the packing-budget law survives the
+ *    batch boundary (all but each shard's last sequence carry exactly
+ *    targetTokens across the CONCATENATED emissions);
+ *  - REPLAY: a re-delivered batch emits nothing and every state table
+ *    converges (keeper index, cursors, sample, matched ledger);
+ *  - SIDE ARTIFACTS: the maintained sample equals the one-shot
+ *    min-k over all emitted docs; the contamination ledger equals the
+ *    one-shot containment of the eval set in the emitted corpus;
+ *  - DRIFT: cursor stamps refuse a changed salt.
+ */
+class IncrementalPipelineSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+
+  private val cfg = Pipeline.Config(minTokens = 5, maxTokens = 10000,
+    minMeanWlen = 1.0, maxMeanWlen = 20.0, minStopRatio = 0.0,
+    minTtr = 0.05, maxDupBigramFrac = 1.0, maxTopBigramFrac = 1.0,
+    sampleRate = 0.7, targetTokens = 64, shards = 4, salt = "ips",
+    decontamShingleN = 3, decontamThreshold = 0.8)
+
+  /** Eval set: some verbatim corpus docs (fully contained — must drop
+    * their corpus twins) + fresh text (never matches). */
+  private def evalSet: DataFrame =
+    docs.filter(col("doc_id") < 8)
+      .select((col("doc_id") + 90000).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") >= 30 && col("doc_id") < 35)
+        .select((col("doc_id") + 91000).as("doc_id"),
+          concat(lit("z"), col("doc_id"), lit("a z"), col("doc_id"),
+            lit("b z"), col("doc_id"), lit("c")).as("text")))
+
+  private def st(name: String) = IncrementalPipeline.State(
+    name, java.nio.file.Files.createTempDirectory(name).toString + "/state")
+
+  private def spans(df: DataFrame): Set[(Long, Long, Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSet
+
+  private def cleanup(s: IncrementalPipeline.State): Unit =
+    IncrementalPipeline.reset(spark, s)
+
+  test("identity: one batch against fresh state == the one-shot builder") {
+    val state = st("graft_ip_id")
+    try {
+      IncrementalPipeline.saveEvalIndex(evalSet, "doc_id", "text", cfg, state,
+        buckets = 4)
+      val inc = IncrementalPipeline.processBatch(docs, "doc_id", "text", cfg,
+        state, sampleK = 5, buckets = 4)
+      val one = Pipeline.buildTrainingSet(docs, "doc_id", "text", cfg,
+        evalSet = Some(evalSet))
+      assert(spans(inc) == spans(one) && spans(inc).nonEmpty)
+      // the eval twins really were dropped: no doc_id < 8 in the output
+      assert(!spans(inc).exists(_._3 < 8))
+    } finally cleanup(state)
+  }
+
+  test("accumulation: id-ordered batches select the one-shot docs; budget law crosses the boundary") {
+    val state = st("graft_ip_acc")
+    try {
+      IncrementalPipeline.saveEvalIndex(evalSet, "doc_id", "text", cfg, state,
+        buckets = 4)
+      val cut = 60L // sf0.001 ids are 0..~119
+      val b1 = IncrementalPipeline.processBatch(
+        docs.filter(col("doc_id") < cut), "doc_id", "text", cfg, state,
+        sampleK = 5, buckets = 4)
+      val b2 = IncrementalPipeline.processBatch(
+        docs.filter(col("doc_id") >= cut), "doc_id", "text", cfg, state,
+        sampleK = 5, buckets = 4)
+      val all = spans(b1) ++ spans(b2)
+      val one = spans(Pipeline.buildTrainingSet(docs, "doc_id", "text", cfg,
+        evalSet = Some(evalSet)))
+      // id-ordered arrival makes first-arrival == min-id, so the doc
+      // SET and each doc's token mass match the one-shot chain (the
+      // span LAYOUT differs: arrival order interleaves differently)
+      def byDoc(s: Set[(Long, Long, Long, Long, Long)]) =
+        s.groupBy(_._3).view.mapValues(_.toSeq.map(t => t._5 - t._4).sum).toMap
+      assert(byDoc(all) == byDoc(one) && all.nonEmpty)
+      assert(b2.count() > 0, "second batch must contribute docs")
+      // budget law over the CONCATENATED emissions: all but each
+      // shard's last sequence carry exactly targetTokens
+      val bySeq = all.groupBy(t => (t._1, t._2)).view
+        .mapValues(_.toSeq.map(t => t._5 - t._4).sum).toMap
+      val lastSeq = bySeq.keys.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      bySeq.foreach { case ((shard, seq), toks) =>
+        if (seq != lastSeq(shard))
+          assert(toks == cfg.targetTokens, s"seq ($shard, $seq) carries $toks")
+        else assert(toks <= cfg.targetTokens)
+      }
+      // at least one sequence straddles the batch boundary OR batch 2
+      // opened exactly at a boundary — either way batch 2's first spans
+      // must start at the cursor, not at zero: shards with batch-1
+      // tokens never see batch-2 seq_id 0 unless seq 0 was still open
+      val b1Sums = spans(b1).groupBy(_._1).view
+        .mapValues(_.toSeq.map(t => t._5 - t._4).sum).toMap
+      spans(b2).groupBy(_._1).foreach { case (shard, s2) =>
+        val base = b1Sums.getOrElse(shard, 0L)
+        val minSeq = s2.map(_._2).min
+        assert(minSeq == base / cfg.targetTokens,
+          s"shard $shard: batch-2 must resume at seq ${base / cfg.targetTokens}, got $minSeq")
+      }
+    } finally cleanup(state)
+  }
+
+  test("replay: a re-delivered batch emits nothing and state converges") {
+    val state = st("graft_ip_rep")
+    try {
+      IncrementalPipeline.saveEvalIndex(evalSet, "doc_id", "text", cfg, state,
+        buckets = 4)
+      val first = IncrementalPipeline.processBatch(docs, "doc_id", "text",
+        cfg, state, sampleK = 5, buckets = 4)
+      assert(first.count() > 0)
+      def stateSnapshot(): (Set[String], Set[(Long, Long)], Long, Long) = (
+        spark.table(state.dedupTable).collect()
+          .map(r => r.getString(0) + ":" + r.getLong(1)).toSet,
+        spark.table(state.cursorTable).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet,
+        spark.table(state.sampleTable).count(),
+        spark.table(state.matchedTable).count())
+      val before = stateSnapshot()
+      val replay = IncrementalPipeline.processBatch(docs, "doc_id", "text",
+        cfg, state, sampleK = 5, buckets = 4)
+      assert(replay.count() == 0, "a replayed batch must emit nothing")
+      assert(stateSnapshot() == before, "replay must not move state")
+    } finally cleanup(state)
+  }
+
+  test("side artifacts: maintained sample == one-shot min-k; ledger == one-shot containment of emitted docs") {
+    val state = st("graft_ip_side")
+    try {
+      IncrementalPipeline.saveEvalIndex(evalSet, "doc_id", "text", cfg, state,
+        buckets = 4)
+      val cut = 60L
+      val b1 = IncrementalPipeline.processBatch(
+        docs.filter(col("doc_id") < cut), "doc_id", "text", cfg, state,
+        sampleK = 3, buckets = 4)
+      val b2 = IncrementalPipeline.processBatch(
+        docs.filter(col("doc_id") >= cut), "doc_id", "text", cfg, state,
+        sampleK = 3, buckets = 4)
+      val emittedIds = (spans(b1) ++ spans(b2)).map(_._3).toSeq
+      val emitted = Pipeline.cleanStage(
+        docs.filter(col("doc_id").isin(emittedIds: _*)),
+        "doc_id", "text", cfg)
+      // sample law: the maintained table == the one-shot exact sampler
+      // over every emitted doc, stratified by the packing shard
+      val expectSample = Sampling.topKPerStratum(
+          emitted.select(col("doc_id"),
+            Packing.shardOf(col("doc_id"), cfg.shards, cfg.salt).as("shard")),
+          "doc_id", "shard", k = 3, salt = cfg.salt)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gotSample = graft.streaming.StreamingSample.sample(
+          spark, state.sampleTable, k = 3, salt = cfg.salt)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotSample == expectSample && gotSample.nonEmpty)
+      // ledger law: containmentState == one-shot containment of the
+      // eval set in the emitted corpus (same cleaning on both sides)
+      val expectLedger = Decontamination.containment(
+          emitted, Pipeline.cleanStage(evalSet, "doc_id", "text", cfg),
+          "doc_id", "text", cfg.decontamShingleN, ordered = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val gotLedger = Decontamination.containmentState(
+          spark, state.evalTable, state.matchedTable, ordered = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(gotLedger == expectLedger && gotLedger.nonEmpty)
+      // decontam held: every emitted doc is below the drop threshold
+      assert(Decontamination.containmentAgainstIndex(
+          emitted, "doc_id", "text", state.evalTable, ordered = false)
+        .filter(col("containment") >= cfg.decontamThreshold).count() == 0)
+    } finally cleanup(state)
+  }
+
+  test("drift: cursor stamps refuse a changed salt") {
+    val state = st("graft_ip_drift")
+    try {
+      IncrementalPipeline.saveEvalIndex(evalSet, "doc_id", "text", cfg, state,
+        buckets = 4)
+      IncrementalPipeline.processBatch(docs.filter(col("doc_id") < 40),
+        "doc_id", "text", cfg, state, sampleK = 0, buckets = 4)
+      val e = intercept[Exception] {
+        IncrementalPipeline.processBatch(docs.filter(col("doc_id") >= 40),
+          "doc_id", "text", cfg.copy(salt = "other"), state, sampleK = 0,
+          buckets = 4)
+      }
+      assert(e.getMessage.contains("graft.pipeline.salt"))
+    } finally cleanup(state)
+  }
+}

@@ -111,6 +111,41 @@ class StreamingSampleSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("graceMs pins a superseded generation across later merges; the stamped grace is honored per entry") {
+    val tbl = "graft_ssample_grace"
+    val base = tmp(tbl)
+    def gens(): Set[String] = {
+      val parent = new java.io.File(base).getParentFile
+      parent.listFiles().map(_.getName)
+        .filter(n => n == tbl || n.startsWith(tbl + "-v")).toSet
+    }
+    try {
+      StreamingSample.mergeBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "source", k = 5, salt = "ss6", tbl, base)
+      // merges 2 and 3 retire their predecessors with a LONG grace:
+      // unlike the default one-generation window, the first generation
+      // must survive BOTH later merges (a slow concurrent reader's
+      // listing outliving several swaps — the case the stamp exists for)
+      StreamingSample.mergeBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+        "doc_id", "source", k = 5, salt = "ss6", tbl, base,
+        graceMs = 3600000L)
+      StreamingSample.mergeBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2),
+        "doc_id", "source", k = 5, salt = "ss6", tbl, base,
+        graceMs = 3600000L)
+      assert(gens().size == 3,
+        s"both superseded generations must survive their grace: ${gens()}")
+      // explicit operator override reclaims everything now
+      graft.llm.IndexStore.vacuum(spark, tbl, 0L)
+      assert(gens().size == 1, s"override vacuum must reclaim: ${gens()}")
+      val expect = rows(Sampling.topKPerStratum(docs, "doc_id", "source",
+        k = 5, salt = "ss6"))
+      assert(rows(StreamingSample.sample(spark, tbl, 5, "ss6")) == expect)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("a stamp-less table is refused as foreign — merges can no longer create that state") {
     import spark.implicits._
     val tbl = "graft_ssample_foreign"
