@@ -264,6 +264,10 @@ object IndexStore {
     val props = ivfProps(nlist, m)
       .map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
     spark.sql(s"ALTER TABLE $tableName SET TBLPROPERTIES ($props)")
+    // a rebuilt index invalidates any (id → cell) sidecar: stale cells
+    // AND missing new ids — the double-index hazard probeCodedByIds
+    // documents. Dropped here, lazily rebuilt on the next probe.
+    dropIdmap(spark, tableName)
   }
 
   /**
@@ -285,6 +289,14 @@ object IndexStore {
     requireStamped(spark, tableName, ivfProps(nlist, m))
     coded.select(spark.table(tableName).columns.map(col).toIndexedSeq: _*)
       .write.mode("append").insertInto(tableName)
+    // keep the (id → cell) sidecar COMPLETE when one exists — the
+    // probe's safety property (see probeCodedByIds): every row that
+    // enters the index enters the map, O(batch)
+    if (idmapExists(spark, tableName)) {
+      val idColName = coded.columns.find(c => c != "list" && c != "codes").get
+      coded.select(col(idColName).as("_id"), col("list"))
+        .write.mode("append").insertInto(idmapTable(tableName))
+    }
   }
 
   /**
@@ -456,6 +468,93 @@ object IndexStore {
     if (repair) spark.catalog.recoverPartitions(tableName)
     requireStamped(spark, tableName, ivfProps(nlist, m))
     spark.table(tableName)
+  }
+
+  // ------------------------------------------------------------------
+  // (id → cell) sidecar: the O(batch) update probe for the coded index
+  // ------------------------------------------------------------------
+
+  private def idmapTable(tableName: String): String = tableName + "_idmap"
+
+  /** True when `tableName` has an (id → cell) sidecar. */
+  def idmapExists(spark: SparkSession, tableName: String): Boolean =
+    spark.catalog.tableExists(idmapTable(tableName))
+
+  /**
+   * (Re)build the `<table>_idmap` sidecar from the coded index itself:
+   * one narrow (id, cell) projection — the [[SwapTable]] swap, so a
+   * crash mid-rebuild leaves the previous complete sidecar in place
+   * (a HALF-readable sidecar would be worse than none: a missing
+   * entry hides an id's old row from the update probe and the id gets
+   * double-indexed). Also the FOLD for the staleness appends/updates
+   * accumulate — run it on the maintenance cadence.
+   */
+  def rebuildIdmap(spark: SparkSession, tableName: String): Unit = {
+    val t = spark.table(tableName)
+    val idColName = t.columns.find(c => c != "list" && c != "codes").getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName has no id column beside (list, codes)"))
+    val rows = t.select(col(idColName).as("_id"), col("list"))
+    val path = tablePath(spark, tableName).stripSuffix("/")
+      .replaceAll("-compact-\\d+$", "") + "_idmap"
+    SwapTable.upsert(rows, idmapTable(tableName), path)
+    ()
+  }
+
+  /** Drop the sidecar (metadata + files) — required whenever the index
+    * is REBUILT under new encodings ([[saveCoded]] overwrite,
+    * [[reindexCoded]]): old entries would name cells of the previous
+    * quantizer and, worse, the new build's ids would be MISSING, which
+    * makes the probe classify an indexed id `new` and double-index it.
+    * Lazily rebuilt on the next [[probeCodedByIds]]. */
+  def dropIdmap(spark: SparkSession, tableName: String): Unit = {
+    val mt = idmapTable(tableName)
+    if (!spark.catalog.tableExists(mt)) return
+    val p = new org.apache.hadoop.fs.Path(tablePath(spark, mt))
+    spark.sql(s"DROP TABLE $mt")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // the sidecar swaps locations (SwapTable -v siblings): clear them all
+    val parent = p.getParent
+    val prefix = p.getName.replaceAll("-v\\d+$", "")
+    if (fs.exists(parent))
+      fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (n == prefix || n.startsWith(prefix + "-v")) {
+          fs.delete(st.getPath, true); ()
+        }
+      }
+  }
+
+  /**
+   * The coded index's BY-ID probe, O(batch): the old rows of `ids`,
+   * found through the sidecar instead of a full index pass. The
+   * sidecar (built from the index on first use) maps each id to every
+   * cell that ever held it; the index scan is partition-pruned to
+   * exactly those cells — bounded by the batch, never by the index.
+   * Stale sidecar entries (rows since retracted or updated away) cost
+   * a pruned cell read and match nothing — harmless, folded away by
+   * [[rebuildIdmap]] on the maintenance cadence. The sidecar lookup
+   * itself broadcasts the batch ids, so neither side shuffles.
+   *
+   * COMPLETENESS is the safety property: every id in the index must
+   * be in the sidecar, else its old row is invisible and an update
+   * double-indexes. [[appendCoded]] maintains it on every append when
+   * it exists; [[saveCoded]]/[[reindexCoded]] drop it when they
+   * rebuild the index (single-writer, like every maintainer here).
+   */
+  def probeCodedByIds(spark: SparkSession, tableName: String,
+      ids: DataFrame, idCol: String): DataFrame = {
+    if (!idmapExists(spark, tableName)) rebuildIdmap(spark, tableName)
+    val mt = idmapTable(tableName)
+    spark.catalog.refreshTable(mt)
+    val probeIds = ids.select(col(idCol).as("_probe_id")).distinct()
+    val cells = spark.table(mt)
+      .join(broadcast(probeIds), col("_id") === col("_probe_id"), "left_semi")
+      .select("list").distinct().collect().map(_.getInt(0)).toSeq
+    val t = spark.table(tableName)
+    if (cells.isEmpty) t.limit(0)
+    else t.filter(col("list").isin(cells.map(Int.box): _*))
+      .join(broadcast(probeIds), col(idCol) === col("_probe_id"), "left_semi")
   }
 
   // ------------------------------------------------------------------
@@ -762,6 +861,9 @@ object IndexStore {
       spark.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
       spark.catalog.refreshTable(tableName)
       vacuum(spark, tableName)
+      // the re-encode moved every vector's cell: any sidecar is now
+      // wrong AND incomplete — drop it (probeCodedByIds rebuilds)
+      dropIdmap(spark, tableName)
       (centroids, model)
     } finally ck.foreach(_.unpersist(blocking = false))
   }

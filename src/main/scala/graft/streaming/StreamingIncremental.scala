@@ -249,20 +249,24 @@ object StreamingIncremental {
    * (+ `updated` when `allowUpdates`).
    *
    * UPDATES (`allowUpdates = true`): the probe switches from
-   * cell-pruned to a BY-ID probe across all cells — the index is
-   * semi-joined against the batch's broadcast id set (one un-pruned
-   * pass over the index's (id, list, codes) columns, no shuffle of
-   * the index side), so a re-delivered id is found wherever its old
-   * row lives. An id whose re-arrival encodes to the same (cell,
-   * codes) classifies `already_indexed` (a replay — appends nothing);
-   * one whose encoding CHANGED classifies `updated` and is handled as
+   * cell-pruned to a BY-ID probe through the `<table>_idmap` SIDECAR
+   * ([[graft.llm.IndexStore.probeCodedByIds]]) — a tiny (id, cell)
+   * map, built from the index on first use and kept complete by every
+   * append, names each batch id's OLD cells, and the index scan is
+   * partition-pruned to exactly those — so a re-delivered id is found
+   * wherever its old row lives at O(batch) cost (the `_tombstones`
+   * discipline applied to the update problem; the pre-sidecar form
+   * read the full (id, list, codes) index every batch). An id whose
+   * re-arrival encodes to the same (cell, codes) classifies
+   * `already_indexed` (a replay — appends nothing); one whose
+   * encoding CHANGED classifies `updated` and is handled as
    * retract-old-rows + append-new-row inside the batch, so a search
    * never returns one id twice, and a pre-existing double-indexed id
-   * self-heals to one row on its next update. The cost is the full
-   * index read each batch (the pruned probe reads ~|batch cells|/
-   * nlist of it) — the right trade only when the feed genuinely
-   * carries updates; a crash between the retract and the append
-   * replays as `new` and converges identically.
+   * self-heals to one row on its next update. Stale sidecar entries
+   * (updated/retracted rows) cost a pruned cell read and match
+   * nothing; the maintenance cadence folds them via
+   * [[graft.llm.IndexStore.rebuildIdmap]]. A crash between the
+   * retract and the append replays as `new` and converges identically.
    *
    * RETRACTIONS: the takedown feed applies
    * [[graft.llm.IndexStore.retractCoded]] per batch BEFORE the encode/
@@ -328,14 +332,14 @@ object StreamingIncremental {
       if (cells.nonEmpty) {
         spark.catalog.refreshTable(tableName)
         val classified = (if (allowUpdates) {
-          // by-id probe across ALL cells: the only probe that can see
-          // a changed vector's old row in its old cell. Index side is
-          // semi-joined against the broadcast batch ids — one un-pruned
-          // read, no index shuffle.
-          val batchIds = broadcast(
-            coded.select(col(idCol).as("_probe_id")).distinct())
-          val matches = spark.table(tableName)
-            .join(batchIds, col(idCol) === col("_probe_id"), "left_semi")
+          // by-id probe through the (id → cell) SIDECAR: finds a
+          // changed vector's old row in its old cell with the index
+          // scan partition-pruned to the batch ids' old cells — O(batch)
+          // per batch, where the previous full (id, list, codes) pass
+          // was O(index). The sidecar builds from the index on first
+          // use and appendCoded keeps it complete thereafter.
+          val matches = IndexStore.probeCodedByIds(spark, tableName,
+              coded.select(col(idCol)), idCol)
             .select(col(idCol).as("_seen_id"), col("list").as("_old_list"),
               col("codes").as("_old_codes"))
           // one status row per (id, encoding): a pre-existing
@@ -396,6 +400,10 @@ object StreamingIncremental {
       if (maintainEvery > 0 && batches.incrementAndGet() % maintainEvery == 0) {
         IndexStore.compactCoded(spark, tableName, nlist, model.m,
           maxFilesPerCell, graceMs = graceMs)
+        // fold the sidecar's stale entries + per-batch append files
+        // back to one clean (id, cell) map on the same cadence
+        if (IndexStore.idmapExists(spark, tableName))
+          IndexStore.rebuildIdmap(spark, tableName)
         ()
       }
     }

@@ -548,6 +548,77 @@ class StreamingIncrementalSinkSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("probeCodedByIds: the update probe reads ONLY the ids' old cells — O(batch), not O(index); sidecar stays complete and folds") {
+    import graft.llm.{Clustering, ProductQuant}
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = ProductQuant.train(e, "vec_id", "embedding", m = 16, ksub = 16, iters = 2)
+    val centroids = Clustering.train(e, "vec_id", "embedding", k = 4, iters = 3).centroids
+    val tbl = "graft_coded_probe"
+    try {
+      IndexStore.saveCoded(
+        ProductQuant.buildCodedIndex(e, "vec_id", "embedding",
+          centroids, model, ordered = false),
+        tbl,
+        Files.createTempDirectory("graft_coded_probe").resolve(tbl).toString,
+        nlist = centroids.length, m = model.m)
+      val cellOf = spark.table(tbl).select("vec_id", "list").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // probe ids all living in ONE cell: the scan must touch only it
+      val someCell = cellOf.values.groupBy(identity).maxBy(_._2.size)._1
+      val inCell = cellOf.collect { case (id, c) if c == someCell => id }
+        .take(5).toSeq
+      val probe = IndexStore.probeCodedByIds(spark, tbl,
+        inCell.toDF("vec_id"), "vec_id")
+      val files = probe.inputFiles.filter(_.contains("list="))
+      assert(files.nonEmpty &&
+        files.forall(_.contains(s"list=$someCell")),
+        s"probe must prune to list=$someCell; read: ${files.toSeq}")
+      assert(probe.collect().map(_.getLong(0)).toSet == inCell.toSet)
+      // completeness through appendCoded: new rows enter the sidecar
+      IndexStore.appendCoded(
+        ProductQuant.buildCodedIndex(
+          e.filter(col("vec_id") === 3L)
+            .select(lit(900001L).as("vec_id"), col("embedding")),
+          "vec_id", "embedding", centroids, model, ordered = false),
+        tbl, centroids.length, model.m)
+      val late = IndexStore.probeCodedByIds(spark, tbl,
+        Seq(900001L).toDF("vec_id"), "vec_id")
+      assert(late.collect().map(_.getLong(0)).toSeq == Seq(900001L),
+        "an appended id must be visible through the sidecar probe")
+      // an id absent from index and sidecar probes to zero rows (and,
+      // with no known cells, to zero input files)
+      val miss = IndexStore.probeCodedByIds(spark, tbl,
+        Seq(123456789L).toDF("vec_id"), "vec_id")
+      assert(miss.count() == 0)
+      // fold: rebuild collapses the append-accumulated sidecar files
+      // to the same (id, cell) contents
+      spark.catalog.refreshTable(tbl + "_idmap")
+      val before = spark.table(tbl + "_idmap").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      IndexStore.rebuildIdmap(spark, tbl)
+      spark.catalog.refreshTable(tbl + "_idmap")
+      val after = spark.table(tbl + "_idmap").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(after == before && after.contains((900001L, cellOf(3L))))
+      // a saveCoded rebuild invalidates the sidecar (new encodings,
+      // missing ids) — it must be dropped, then lazily rebuilt
+      IndexStore.saveCoded(
+        ProductQuant.buildCodedIndex(e, "vec_id", "embedding",
+          centroids, model, ordered = false),
+        tbl,
+        Files.createTempDirectory("graft_coded_probe2").resolve(tbl).toString,
+        nlist = centroids.length, m = model.m)
+      assert(!IndexStore.idmapExists(spark, tbl),
+        "saveCoded must drop the sidecar — stale maps double-index")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_idmap")
+    }
+  }
+
   test("reindexCoded: quantizer rebuild between batches — membership preserved (takedowns not resurrected, missing vectors dropped), sink resumes under the new stamps, search law on the new quantizer") {
     import graft.llm.{Clustering, ProductQuant}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
