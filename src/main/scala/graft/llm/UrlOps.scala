@@ -74,4 +74,62 @@ object UrlOps {
   def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
     ExactDedup(canonicalizeUrls(df, idCol, urlCol, ordered = false),
       idCol, "canonical")
+
+  /** HOST of a URL: the [[canonicalize]]d form's authority minus
+    * userinfo and port — already lowercased by the canonical chain.
+    * NULL for scheme-less strings (no authority to name) and for an
+    * empty authority; that null is a GROUP, not an error — the
+    * host-keyed operators below treat "no host" as its own stratum so
+    * garbage rows surface in reports instead of vanishing. Bracketed
+    * IPv6 literals are out of scope (the first ':' ends the host —
+    * crawl corpora key on hostnames). Same Java-regex ∩ RE2 subset as
+    * the canonical chain. */
+  def host(url: Column): Column = {
+    val h = regexp_extract(canonicalize(url),
+      "(?s)^([a-z][a-z0-9+.-]*)://(?:[^/?#]*@)?([^/:?#]+)", 2)
+    when(length(h) > 0, h)
+  }
+
+  /**
+   * Per-host corpus footprint — the FineWeb/RefinedWeb-style source
+   * report that decides host-level curation (one spam host flooding
+   * the mix is the classic crawl pathology): (host, n_docs, n_tokens,
+   * doc_share) per distinct host, null host = the no-authority group.
+   *
+   * Scale shape: ONE host-keyed map-side-combined aggregate (the host
+   * projection is a codegen'd regex chain on the scan — URLs never
+   * shuffle raw; the host vocabulary bounds the result), plus a
+   * broadcast one-row total for the share. doc_share is ROUND(6) of
+   * one exact-BIGINT division (values, never membership).
+   */
+  def hostStats(df: DataFrame, urlCol: String, tokensCol: String,
+      ordered: Boolean = true): DataFrame = {
+    val agg = df
+      .select(host(col(urlCol)).as("host"),
+        coalesce(col(tokensCol).cast("long"), lit(0L)).as("_t"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_t")).as("n_tokens"))
+    val total = df.select(count(lit(1)).cast("double").as("_total"))
+    agg.crossJoin(broadcast(total))
+      .withColumn("doc_share", round(col("n_docs") / col("_total"), 6))
+      .drop("_total")
+      .transform(Presented(_, ordered, "host"))
+  }
+
+  /** Per-host document CAP — the anti-spam curation step: keep at most
+    * `k` docs per host, the deterministic smallest-(md5(salt,key), key)
+    * survivors, so the kept set is a pure function of (salt, keys) and
+    * re-crawls keep the same docs. Hosts under the cap keep everything;
+    * the null-host group is capped like any other (garbage shouldn't
+    * flood the mix either). Pure composition: the [[host]] projection
+    * feeding [[Sampling.topKPerStratum]] with the host as the stratum —
+    * one codegen'd prefilter + a survivor-bounded window, never a
+    * window over the raw Zipfian host key. Output: the surviving input
+    * rows, original columns. */
+  def capPerHost(df: DataFrame, idCol: String, urlCol: String, k: Int,
+      salt: String = "", safety: Double = 4.0): DataFrame =
+    Sampling.topKPerStratum(
+        df.withColumn("_uh_host", host(col(urlCol))),
+        idCol, "_uh_host", k, salt, safety)
+      .drop("_uh_host")
 }

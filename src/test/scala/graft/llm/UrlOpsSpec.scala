@@ -60,6 +60,53 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(canon(once) == once, "canonicalize must be idempotent")
   }
 
+  test("host: strips userinfo and port, folds case, nulls scheme-less") {
+    def host(u: String): Option[String] = {
+      val df = spark.createDataFrame(Seq((1L, u))).toDF("id", "url")
+      Option(df.select(UrlOps.host(org.apache.spark.sql.functions.col("url")))
+        .collect()(0).getString(0))
+    }
+    assert(host("HTTP://User:pw@Example.COM:8080/p?q=1#f") == Some("example.com"))
+    assert(host("https://a.b.c") == Some("a.b.c"))
+    assert(host("http://a.com:80/x") == Some("a.com"))
+    assert(host("not a url") == None)
+    assert(host("relative/path?x=1") == None)
+    assert(host("") == None)
+  }
+
+  test("hostStats: host-keyed counts, token sums, shares; null-host group") {
+    val rows = Seq(
+      (1L, "http://a.com/1", 10L), (2L, "HTTP://A.COM:80/2", 20L),
+      (3L, "https://b.com/x", 5L), (4L, "garbage", 7L))
+    val df = spark.createDataFrame(rows).toDF("id", "url", "toks")
+    val got = UrlOps.hostStats(df, "url", "toks", ordered = false)
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(Some("a.com")) == ((2L, 30L, 0.5)))
+    assert(got(Some("b.com")) == ((1L, 5L, 0.25)))
+    assert(got(None) == ((1L, 7L, 0.25)), "no-authority rows form a group")
+  }
+
+  test("capPerHost: at most k per host (null group capped too); " +
+      "under-cap hosts keep everything; deterministic") {
+    val rows = (1L to 40L).map { i =>
+      val url = if (i % 10 == 0) "no scheme"
+        else if (i <= 36) s"http://big.com/$i" else s"http://small.com/$i"
+      (i, url)
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "url")
+    val a = UrlOps.capPerHost(df, "id", "url", k = 5, salt = "t")
+    val kept = a.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byHost = kept.groupBy { case (_, u) =>
+      if (u == "no scheme") "null" else u.stripPrefix("http://").takeWhile(_ != '/') }
+    assert(byHost("big.com").size == 5)
+    assert(byHost("null").size == 4, "4 null-host rows, under the cap")
+    assert(byHost("small.com").size == 3, "3 small.com rows, under the cap")
+    assert(a.columns.toSeq == Seq("id", "url"), "original columns only")
+    val b = UrlOps.capPerHost(df.repartition(13), "id", "url", k = 5, salt = "t")
+    assert(a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet)
+  }
+
   test("urlDedup collapses spelling variants to one canonical row") {
     val rows = Seq(
       (1L, "HTTP://Example.COM:80/p?utm_source=x#f"),
