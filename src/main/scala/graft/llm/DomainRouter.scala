@@ -181,17 +181,32 @@ object DomainRouter {
    *                 non-integer labels are refused up front via the
    *                 sentinel group — a silently-skipped row is a
    *                 training bug nobody finds.
+   * @param tol      convergence probe: stop early once the loss
+   *                 improvement between consecutive iterations drops to
+   *                 ≤ tol · max(1, |prev|) — relative on large losses,
+   *                 absolute near zero. 0 (default) disables; `iters`
+   *                 stays the hard budget either way. The probe is FREE
+   *                 (the loss already rides each iteration's gradient
+   *                 aggregate) and deterministic; `losses.length` in
+   *                 the result reports how many iterations ran, and the
+   *                 early-stopped model is bit-identical to
+   *                 train(iters = losses.length) — the prefix identity
+   *                 the spec pins.
    */
   def train(docs: DataFrame, textCol: String, labelCol: String,
-      k: Int, dim: Int, iters: Int = 5, lr: Double = 0.5): TrainedRouter = {
+      k: Int, dim: Int, iters: Int = 5, lr: Double = 0.5,
+      tol: Double = 0.0): TrainedRouter = {
     require(k >= 2, s"train: need >= 2 classes, got $k")
     require(dim > 0, s"train: dim must be positive, got $dim")
     require(iters >= 1, s"train: iters must be >= 1, got $iters")
+    require(tol >= 0, s"train: tol must be >= 0, got $tol")
     val w = Array.fill(k, dim)(0.0)
     val b = Array.fill(k)(0.0)
-    val losses = new Array[Double](iters)
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
     val y = col(labelCol).cast("double")
-    for (i <- 0 until iters) {
+    var it = 0
+    var plateaued = false
+    while (it < iters && !plateaued) {
       val bad = col("_y").isNull || col("_y") < 0.0 || col("_y") >= k ||
         col("_y") =!= floor(col("_y"))
       // residual K-vector: (1[y=cls] − p_cls); the stable softmax
@@ -234,14 +249,23 @@ object DomainRouter {
       require(sentinel.getLong(k + 2) == 0L,
         s"train: $labelCol must be an integer in [0, $k) and non-null " +
           s"(${sentinel.getLong(k + 2)} offending rows)")
-      losses(i) = sentinel.getDouble(k + 1)
+      losses += sentinel.getDouble(k + 1)
       rows.foreach { r =>
         val bkt = r.getLong(0)
         if (bkt >= 0L)
           (0 until k).foreach(c => w(c)(bkt.toInt) += lr * r.getDouble(c + 1))
       }
       (0 until k).foreach(c => b(c) += lr * sentinel.getDouble(c + 1))
+      // convergence probe: the loss already rides the gradient
+      // aggregate (the sentinel row), so the check is FREE — no extra
+      // job. The plateau iteration's update is still applied, keeping
+      // the prefix identity: train(iters, tol) ≡ train(n_run, tol=0)
+      // bit-for-bit, where n_run = losses.length.
+      val n = losses.length
+      plateaued = tol > 0 && n >= 2 &&
+        losses(n - 2) - losses(n - 1) <= tol * math.max(1.0, losses(n - 2).abs)
+      it += 1
     }
-    TrainedRouter(w, b, losses)
+    TrainedRouter(w, b, losses.toArray)
   }
 }

@@ -154,4 +154,43 @@ class DomainRouterSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("non-null"))
   }
+
+  test("convergence probe: early stop obeys the prefix identity and the budget") {
+    val docs = (0 until 60).map { i =>
+      val cls = i % 2
+      val text = if (cls == 0) "alpha beta gamma" else "delta epsilon zeta"
+      (i.toLong, text, cls.toDouble)
+    }.toDF("doc_id", "text", "y")
+
+    // a loose tol stops well inside the budget...
+    val stopped = DomainRouter.train(docs, "text", "y", k = 2, dim = 64,
+      iters = 50, lr = 0.5, tol = 0.01)
+    assert(stopped.losses.length < 50,
+      s"separable 2-class GD must plateau inside 50 iters " +
+        s"(ran ${stopped.losses.length})")
+    assert(stopped.losses.length >= 2, "the probe needs two losses to fire")
+
+    // ...and the early-stopped model is BIT-IDENTICAL to training for
+    // exactly that many iterations with the probe off (prefix identity)
+    val exact = DomainRouter.train(docs, "text", "y", k = 2, dim = 64,
+      iters = stopped.losses.length, lr = 0.5)
+    assert(stopped.losses.toSeq == exact.losses.toSeq)
+    assert(stopped.biases.toSeq == exact.biases.toSeq)
+    assert(stopped.weights.map(_.toSeq).toSeq == exact.weights.map(_.toSeq).toSeq)
+
+    // tol = 0 disables: the full budget runs
+    val full = DomainRouter.train(docs, "text", "y", k = 2, dim = 64,
+      iters = 7, lr = 0.5)
+    assert(full.losses.length == 7)
+
+    // the plateau improvement really was within tol of the previous loss
+    val n = stopped.losses.length
+    assert(stopped.losses(n - 2) - stopped.losses(n - 1) <=
+      0.01 * math.max(1.0, math.abs(stopped.losses(n - 2))))
+
+    intercept[IllegalArgumentException] {
+      DomainRouter.train(docs, "text", "y", k = 2, dim = 64, iters = 5,
+        lr = 0.5, tol = -0.1)
+    }
+  }
 }
