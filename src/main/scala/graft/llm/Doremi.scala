@@ -133,4 +133,40 @@ object Doremi {
           lit(smoothing) / col("_k"), 6).as("weight"))
       .transform(Presented(_, ordered, "stratum"))
   }
+
+  /**
+   * Close the DoReMi round: [[reweight]] the excess losses and feed the
+   * resulting domain weights straight into [[Sampling.mixtureRates]] as
+   * the next round's target shares — the handoff that turns "these
+   * domains are under-learned" into "sample them at these rates".
+   *
+   * The weights frame is K-bounded (one row per domain), so collecting
+   * it is model-sized driver state — the [[DomainRouter]] discipline,
+   * never corpus data. The ROUND(6) weights can sum to 1 ± K·5e-7, so
+   * they are renormalized (w / Σw, the sum a SORTED stratum-ordered
+   * fold) before the share contract's Σ ≤ 1 check — shares shift by
+   * ≤ 1e-5 relative, rates carry [[Sampling.mixtureRates]]'s own
+   * ROUND(6).
+   *
+   * @param losses   per-doc (domain, excess) frame for [[reweight]]
+   * @param corpus   the corpus to mix — may be the same frame or a
+   *                 different snapshot; grouped by `strataCol`
+   * @param tokensCol per-doc token count in `corpus`
+   * @param weightCol optional count-valued token multiplier (the
+   *                 [[SoftDedup]] composition, see mixtureRates)
+   * @return mixtureRates output: (stratum, n_tokens, rate, capped)
+   */
+  def nextMixture(losses: DataFrame, corpus: DataFrame, strataCol: String,
+      excessCol: String, tokensCol: String, eta: Double, smoothing: Double,
+      budgetTokens: Long, prevWeights: Option[Map[String, Double]] = None,
+      weightCol: Option[String] = None): DataFrame = {
+    val w = reweight(losses, strataCol, excessCol, eta, smoothing,
+        prevWeights, ordered = false)
+      .select(col("stratum"), col("weight")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .sortBy(_._1)
+    val z = w.foldLeft(0.0)(_ + _._2)
+    Sampling.mixtureRates(corpus, strataCol, tokensCol,
+      w.map { case (s, v) => s -> v / z }.toMap, budgetTokens, weightCol)
+  }
 }

@@ -107,6 +107,31 @@ class DoremiSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("nextMixture ≡ mixtureRates over the renormalized reweight output") {
+    val losses = Seq(("a", 1.0), ("a", 0.5), ("b", 0.0), ("c", 2.0))
+      .toDF("dom", "excess")
+    val corpus = Seq(("a", 100L), ("a", 50L), ("b", 400L), ("c", 30L))
+      .toDF("dom", "n_tok")
+    val got = Doremi.nextMixture(losses, corpus, "dom", "excess", "n_tok",
+      eta = eta, smoothing = c, budgetTokens = 300L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+
+    val w = Doremi.reweight(losses, "dom", "excess", eta, c, ordered = false)
+      .select("stratum", "weight").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).sortBy(_._1)
+    val z = w.foldLeft(0.0)(_ + _._2)
+    val expect = Sampling.mixtureRates(corpus, "dom", "n_tok",
+      w.map { case (s, v) => s -> v / z }.toMap, 300L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    assert(got == expect)
+    // the under-asked big stratum is uncapped, the tiny one capped
+    val byS = got.map(r => r._1 -> r).toMap
+    assert(!byS("b")._4 && byS("c")._4)
+    assert(got.forall { case (_, _, rate, _) => rate > 0 && rate <= 1.0 })
+  }
+
   test("refusals: knobs, null stratum, null excess, bad prevWeights") {
     val ok = Seq(("a", 1.0)).toDF("dom", "excess")
     intercept[IllegalArgumentException] {
