@@ -157,6 +157,14 @@ class ScaleSpec extends AnyFunSuite {
         d, "doc_id", "text", Seq("scan", "merge")))
       constructionJobs("temperatureMixtureRates")(
         Sampling.temperatureMixtureRates(d, "source", "n_chars", 0.5, 1000L))
+      // the host report's total and the MW step's normalizer both ride
+      // broadcast one-row aggregates — plan-only until an action
+      constructionJobs("hostStats")(
+        UrlOps.hostStats(d.withColumn("url",
+          concat(lit("http://h"), col("doc_id"), lit(".x/"))), "url", "n_chars"))
+      constructionJobs("Doremi.reweight")(
+        Doremi.reweight(d.select(col("source"), lit(0.5).as("ex")),
+          "source", "ex", eta = 0.5, smoothing = 0.1))
       // the SRP-bucketed ops sniff the embedding DIMENSION via a
       // limit(1) probe — O(1) rows regardless of corpus size; pin that
       // the construction cost stays a few bounded jobs, never a scan
