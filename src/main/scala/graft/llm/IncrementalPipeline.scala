@@ -176,7 +176,13 @@ object IncrementalPipeline {
       classified.filter(col("status") === "new")
         .select(col("doc_id").as(idCol)),
       idCol)
+    // the emission set is consumed by THREE multi-action consumers
+    // (packing, the audit, the sample merge) — checkpoint it once so
+    // the gate/containment/classify chain is computed once, not once
+    // per downstream action (measured 19 → 8 s at sf0.1 without it;
+    // released below once the state appends are done)
     val sampled = Sampling.hashSample(kept, idCol, cfg.sampleRate, cfg.salt)
+      .localCheckpoint(true)
     // stage 8: pack from the persisted cursors (zeros on first batch)
     val cursorExists = spark.catalog.tableExists(st.cursorTable)
     val bases =
@@ -234,6 +240,12 @@ object IncrementalPipeline {
       classified.filter(col("status") === "new")
         .select(col("content_hash"), col("doc_id").as("keep_id")),
       st.dedupTable, st.dedupPath, buckets)
+    // release the per-batch checkpoints (spans — the returned frame —
+    // keeps its own); a long batch loop must not pin one batch-sized
+    // RDD pair per call in the block manager
+    Seq(sampled, classified)
+      .flatMap(graft.CacheScope.checkpointRdd)
+      .foreach(_.unpersist(blocking = false))
     spans
   }
 
