@@ -233,15 +233,35 @@ object Decontamination {
       .localCheckpoint(true)
     val n = newly.count()
     if (n > 0L) {
+      // one file per append: the delta is eval-bounded, and a
+      // long-running audit loop must not accrete shuffle-partition-many
+      // tiny files per batch into an eval-sized table
       if (spark.catalog.tableExists(matchedTable))
         newly.select(spark.table(matchedTable).columns.map(col).toIndexedSeq: _*)
-          .write.mode("append").insertInto(matchedTable)
+          .coalesce(1).write.mode("append").insertInto(matchedTable)
       else
-        newly.write.option("path", matchedPath).format("parquet")
+        newly.coalesce(1).write.option("path", matchedPath).format("parquet")
           .saveAsTable(matchedTable)
     }
     n
   }
+
+  /** Fold the matched-state table back to few files (contents
+    * unchanged — the rows are distinct (_id, _sh) pairs by
+    * construction) through the [[SwapTable]] stamped-grace swap: the
+    * audit appends one file per batch, so a long-running stream needs
+    * a cadence compaction exactly like the index sinks' `maintain`.
+    * No-op when the table doesn't exist yet. */
+  def compactMatched(spark: org.apache.spark.sql.SparkSession,
+      matchedTable: String, matchedPath: String, graceMs: Long = 0L): Unit =
+    if (spark.catalog.tableExists(matchedTable)) {
+      val folded = spark.table(matchedTable).coalesce(1)
+        .localCheckpoint(true) // the swap replaces the data this reads
+      try { SwapTable.upsert(folded, matchedTable, matchedPath,
+        graceMs = graceMs); () }
+      finally graft.CacheScope.checkpointRdd(folded)
+        .foreach(_.unpersist(blocking = false))
+    }
 
   /**
    * Per-CORPUS-DOC containment against the PERSISTED eval-shingle

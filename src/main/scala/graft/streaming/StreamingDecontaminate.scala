@@ -61,14 +61,22 @@ object StreamingDecontaminate {
    *                     is eagerly checkpointed — safe to count/write —
    *                     and its storage is released when onBatch
    *                     returns (consume it inside the callback)
+   * @param compactEvery fold the matched state's one-file-per-batch
+   *                     append log every N batches through the
+   *                     stamped-grace swap (0 disables) — the sibling
+   *                     sinks' maintain cadence; counts batches seen by
+   *                     THIS writer, so restarts don't skip windows
+   * @param graceMs      swap-retention grace for the compaction
    */
   def sink(stream: DataFrame, idCol: String, textCol: String,
       tableName: String, matchedTable: String, matchedPath: String,
       threshold: Double,
-      onBatch: (DataFrame, Long) => Unit = (_, _) => ())
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      compactEvery: Long = 100, graceMs: Long = 0L)
       : DataStreamWriter[Row] = {
     require(threshold > 0 && threshold <= 1,
       s"sinkDecontaminate: threshold in (0, 1], got $threshold")
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       // the audit re-derives the batch's shingles; checkpoint once so
       // a non-replayable source (rate, socket) can't diverge between
@@ -93,6 +101,9 @@ object StreamingDecontaminate {
       finally Seq(b, annotated)
         .flatMap(graft.CacheScope.checkpointRdd)
         .foreach(_.unpersist(blocking = false))
+      if (compactEvery > 0 && batches.incrementAndGet() % compactEvery == 0)
+        Decontamination.compactMatched(batch.sparkSession, matchedTable,
+          matchedPath, graceMs)
     }
   }
 }

@@ -69,7 +69,10 @@ object StreamingFootprint {
       .agg(count(lit(1)).as("n_docs"), sum(col("_t")).as("n_tokens"))
       .withColumn("batch_id", lit(batchId))
     if (!spark.catalog.tableExists(tableName)) {
-      agg.write.option("path", path).format("parquet").saveAsTable(tableName)
+      // one file per delta: the batch aggregate is strata-bounded, and
+      // the log must not accrete shuffle-partition-many tiny files
+      agg.coalesce(1).write.option("path", path).format("parquet")
+        .saveAsTable(tableName)
       true
     } else {
       // the fence rides IN the delta rows: one max() over the log's
@@ -80,7 +83,7 @@ object StreamingFootprint {
       if (batchId <= applied) false
       else {
         agg.select(spark.table(tableName).columns.map(col).toIndexedSeq: _*)
-          .write.mode("append").insertInto(tableName)
+          .coalesce(1).write.mode("append").insertInto(tableName)
         true
       }
     }
@@ -110,6 +113,7 @@ object StreamingFootprint {
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"))
       .withColumn("batch_id", lit(maxId))
+      .coalesce(1) // one folded file — the state is strata-sized
       // the swap's write reads the very table it replaces
       .localCheckpoint(true)
     try SwapTable.upsert(folded, tableName, path, graceMs = graceMs)

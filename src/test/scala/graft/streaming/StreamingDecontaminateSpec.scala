@@ -130,6 +130,36 @@ class StreamingDecontaminateSpec extends AnyFunSuite {
     }
   }
 
+  test("the matched-state append log compacts to one file with identical state, and keeps learning after the swap") {
+    val (tbl, matched, matchedPath) = freshIndex("compact")
+    try {
+      val out = scala.collection.mutable.Map[Long, (Double, String)]()
+      runBatches(tbl, matched, matchedPath, Seq(b1, b2), out)
+      val before = stateRows(tbl, matched)
+
+      Decontamination.compactMatched(spark, matched, matchedPath)
+      spark.catalog.refreshTable(matched)
+      assert(graft.llm.IndexStore.dataFileCount(spark, matched) == 1,
+        "compaction must fold the one-file-per-batch append log")
+      assert(stateRows(tbl, matched) == before,
+        "compaction must not change the matched state")
+
+      // the audit keeps appending into the swapped table: a new batch
+      // hitting a previously-unmatched eval shingle adds state
+      val b3 = Seq((9L, "theta iota kappa padding words"))
+      val out2 = scala.collection.mutable.Map[Long, (Double, String)]()
+      runBatches(tbl, matched, matchedPath, Seq(b3), out2)
+      assert(stateRows(tbl, matched) != before,
+        "a fresh hit after compaction must still append")
+
+      // compacting a non-existent table is a no-op, not an error
+      Decontamination.compactMatched(spark, "graft_sdecon_nope", "/tmp/nope")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS $matched")
+    }
+  }
+
   test("threshold outside (0, 1] is refused") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -58,6 +58,8 @@ class StreamingFootprintSpec extends AnyFunSuite {
       StreamingFootprint.compact(spark, tbl, path)
       spark.catalog.refreshTable(tbl)
       assert(spark.table(tbl).count() == 4L, "one folded row per stratum")
+      assert(graft.llm.IndexStore.dataFileCount(spark, tbl) == 1,
+        "the fold must land in one file (the delta log was one per batch)")
       assert(snap(tbl) == expect)
 
       // the fence survives the fold: old ids still skip...
