@@ -361,14 +361,162 @@ object Sampling {
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String, k: Int,
       salt: String = ""): DataFrame = {
     require(k > 0, s"weightedSample: k must be positive, got $k")
-    val u32 = conv(substring(
-      md5(concat(lit(salt), col(keyCol).cast("string")).cast("binary")), 1, 8),
-      16, 10).cast("long")
-    val u = (u32 + lit(1L)).cast("double") / lit(4294967296.0)
     df.filter(col(keyCol).isNotNull && col(weightCol).isNotNull &&
         col(weightCol).cast("double") > 0.0)
-      .withColumn("priority", col(weightCol).cast("double") / u)
+      .withColumn("priority", poissonPriority(col(keyCol), col(weightCol), salt))
       .orderBy(col("priority").desc, col(keyCol).asc)
       .limit(k)
+  }
+
+  /** The sequential-Poisson order-sampling priority w/u shared by
+    * [[weightedSample]] and [[weightedTopKPerStratum]]: one
+    * correctly-rounded IEEE division of two exact values (see the
+    * [[weightedSample]] scaladoc for why this beats the A-ES pow form
+    * on cross-engine determinism). */
+  private def poissonPriority(key: Column, weight: Column,
+      salt: String): Column = {
+    val u32 = conv(substring(
+      md5(concat(lit(salt), key.cast("string")).cast("binary")), 1, 8),
+      16, 10).cast("long")
+    weight.cast("double") / ((u32 + lit(1L)).cast("double") / lit(4294967296.0))
+  }
+
+  /**
+   * Per-stratum WEIGHTED sample without replacement: min(k, |stratum|)
+   * rows per stratum drawn with probability proportional to
+   * `weightCol`, by the same sequential-Poisson priorities as
+   * [[weightedSample]] (w/u, ties to the key) — the weighted sibling of
+   * [[topKPerStratum]] for "keep each source's k docs favoring high
+   * quality-score / duplicate-count weight".
+   *
+   * A max-k set under a per-row-intrinsic priority, so it is a
+   * SEMILATTICE exactly like the uniform sampler's min-k — the property
+   * [[graft.streaming.StreamingSample]]'s weighted merge leans on.
+   *
+   * Execution: the rank-limit filter sits immediately on the window, so
+   * Spark's `WindowGroupLimit` pushdown keeps <= k rows per stratum per
+   * map partition BEFORE the exchange — a Zipf-headed stratum never
+   * lands whole in one task. [[topKPerStratum]]'s hash-prefilter phase
+   * does NOT carry over: it works because a uniform rate keeps a PREFIX
+   * of the hash order, but w/u priorities have no distribution-free
+   * prefix (an unseen heavy weight can outrank any survivor), so the
+   * pushdown window is the honest one-shot plan — and the maintaining
+   * merge ([[graft.streaming.StreamingSample.mergeBatchWeighted]]),
+   * where every ranking pass is batch-sized, is the scale path for a
+   * corpus that arrives over time.
+   *
+   * Null keys and null/non-positive weights are excluded (the
+   * [[weightedSample]] contract); a null stratum forms its own group.
+   * Weights must be a pure function of the key (quality score, length,
+   * duplicate count) — the priority, and with it membership, is only
+   * replay-stable if a re-delivered key carries the same weight.
+   */
+  def weightedTopKPerStratum(df: DataFrame, keyCol: String,
+      strataCol: String, weightCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 0, s"weightedTopKPerStratum: k must be positive, got $k")
+    val outCols = df.columns.toSeq.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(poissonPriority(col(keyCol), col(weightCol), salt).desc,
+        col(keyCol).asc)
+    df.filter(col(keyCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol).cast("double") > 0.0)
+      .withColumn("_wk_rn", row_number().over(w))
+      .filter(col("_wk_rn") <= k)
+      .select(outCols: _*)
+  }
+
+  /**
+   * UniMax allocation (Chung et al. 2023, "UniMax: Fairer and More
+   * Effective Language Sampling for Large-Scale Multilingual
+   * Pretraining"): split a token budget across strata as UNIFORMLY as
+   * possible, subject to a per-stratum repetition cap of `maxEpochs`
+   * passes over its data — the epoch-capped alternative to
+   * [[temperatureMixtureRates]]'s exponent smoothing (temperature
+   * still over-samples small strata without bound as the corpus skews;
+   * UniMax bounds repetition explicitly, which is what actually
+   * protects against memorizing a tiny source).
+   *
+   * The greedy loop of the paper (ascending by capacity, give each
+   * stratum min(its capacity, an equal share of what remains)) has a
+   * WATER-FILLING closed form this evaluates declaratively: sort strata
+   * ascending by capacity `cap = n_tokens * maxEpochs`; stratum i (of
+   * n) SATURATES — receives its full capacity — iff
+   * `cap_i * (n-i+1) + cum_{i-1} <= budget` (the predicate is monotone
+   * along the sort, so the saturated set is a prefix); everyone else
+   * shares the remainder equally at the water level
+   * `lambda = (budget - sum(saturated caps)) / #unsaturated`.
+   *
+   * Numeric discipline: capacities are held in integer MILLI-tokens
+   * (`n_tokens * round(maxEpochs*1000)` as BIGINT), so every cumulative
+   * sum is exact and order-free — no summation-order ulp to diverge
+   * across engines; the saturation predicate and the water level are
+   * then single correctly-rounded double ops on those exact values,
+   * bit-identical in any engine (the [[weightedSample]] discipline).
+   * Output values round to 6.
+   *
+   * Scale shape: ONE map-side-combined corpus aggregate; everything
+   * after runs on the strata-sized frame (the windows are
+   * single-partition by construction, over tens-to-thousands of rows —
+   * the [[temperatureMixtureRates]] normalizer judgment). Output:
+   * (stratum, n_tokens, cap, alloc, epochs, saturated) — `epochs` is
+   * the realized repetition alloc/n_tokens, <= maxEpochs by
+   * construction. A null stratum allocates as its own group; a
+   * zero-token stratum saturates at cap 0. `weightCol` weighs token
+   * mass as in [[mixtureRates]] (the [[graft.llm.SoftDedup]]
+   * composition).
+   */
+  def unimaxAllocation(df: DataFrame, strataCol: String, tokensCol: String,
+      budgetTokens: Long, maxEpochs: Double, ordered: Boolean = true,
+      weightCol: Option[String] = None): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val epochsMilli = math.round(maxEpochs * 1000)
+    require(epochsMilli > 0 && epochsMilli <= 1000000L,
+      s"maxEpochs must be in [0.001, 1000] (milli-exact cap arithmetic), got $maxEpochs")
+    require(budgetTokens <= Long.MaxValue / 2000,
+      s"budgetTokens too large for exact milli-token arithmetic: $budgetTokens")
+    val budgetMilli = budgetTokens * 1000L
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(strataCol).as("stratum"))
+      .agg(coalesce(sum(weightedTokens(tokensCol, weightCol)), lit(0L))
+        .as("n_tokens"))
+      .withColumn("_cap_m", col("n_tokens") * lit(epochsMilli))
+    // ascending capacity, key tie-break; nulls first explicitly so the
+    // oracle's NULLS FIRST spells the identical total order
+    val byCap = Window.orderBy(col("_cap_m").asc,
+      col("stratum").asc_nulls_first)
+    val whole = Window.partitionBy()
+    val ranked = counts
+      .withColumn("_i", row_number().over(byCap))
+      .withColumn("_n", count(lit(1)).over(whole))
+      // exact BIGINT running sum — order-free, no double ulp drift
+      .withColumn("_cum_prev", coalesce(
+        sum(col("_cap_m")).over(byCap.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("saturated",
+        col("_cap_m").cast("double") * (col("_n") - col("_i") + lit(1L)) <=
+          (lit(budgetMilli) - col("_cum_prev")).cast("double"))
+    val leveled = ranked
+      .withColumn("_sat_sum", coalesce(
+        sum(when(col("saturated"), col("_cap_m"))).over(whole), lit(0L)))
+      .withColumn("_sat_cnt",
+        sum(when(col("saturated"), lit(1L)).otherwise(lit(0L))).over(whole))
+      .withColumn("_lambda_m",
+        (lit(budgetMilli) - col("_sat_sum")).cast("double") /
+          (col("_n") - col("_sat_cnt")).cast("double"))
+      .withColumn("_alloc_m",
+        when(col("saturated"), col("_cap_m").cast("double"))
+          .otherwise(col("_lambda_m")))
+    leveled
+      .withColumn("cap", round(col("_cap_m") / lit(1000.0), 6))
+      .withColumn("alloc", round(col("_alloc_m") / lit(1000.0), 6))
+      .withColumn("epochs",
+        when(col("n_tokens") > 0,
+          round(col("_alloc_m") / (col("n_tokens").cast("double") * lit(1000.0)), 6))
+        .otherwise(lit(0.0)))
+      .select(col("stratum"), col("n_tokens"), col("cap"), col("alloc"),
+        col("epochs"), col("saturated"))
+      .transform(Presented(_, ordered, "stratum"))
   }
 }

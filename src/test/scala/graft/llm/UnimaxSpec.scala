@@ -1,0 +1,122 @@
+package graft.llm
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * UniMax allocation laws (the fixture row set is oracle-pinned in
+ * pq123; these pin the algebra the closed form must satisfy):
+ *
+ *  - GREEDY EQUIVALENCE: the declarative water-filling closed form
+ *    equals the paper's sequential greedy loop (ascending by capacity,
+ *    min(cap, equal share of the remainder)) recomputed driver-side;
+ *  - budget conservation: Σ alloc = min(budget, Σ cap);
+ *  - the epoch cap binds: alloc <= cap, epochs <= maxEpochs;
+ *  - the water level sits above every saturated capacity and is shared
+ *    exactly by every unsaturated stratum;
+ *  - degenerate shapes: over-budget (all saturated), zero-token
+ *    strata, and the soft-dedup weight composition.
+ */
+class UnimaxSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def df(rows: Seq[(String, Long)]) = rows.toDF("source", "n_chars")
+
+  private def run(rows: Seq[(String, Long)], budget: Long, epochs: Double) =
+    Sampling.unimaxAllocation(df(rows), "source", "n_chars", budget, epochs)
+      .select("stratum", "n_tokens", "cap", "alloc", "epochs", "saturated")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))
+
+  /** The paper's greedy loop: ascending capacity, each stratum gets
+    * min(cap, remaining / #remaining). */
+  private def greedy(tokens: Map[String, Long], budget: Long,
+      epochs: Double): Map[String, Double] = {
+    val caps = tokens.toSeq.map { case (s, n) => (s, n * epochs) }
+      .sortBy { case (s, c) => (c, s) }
+    var remaining = budget.toDouble
+    var left = caps.size
+    val out = Map.newBuilder[String, Double]
+    caps.foreach { case (s, c) =>
+      val a = math.min(c, remaining / left)
+      out += s -> a
+      remaining -= a
+      left -= 1
+    }
+    out.result()
+  }
+
+  // skewed strata: tiny (always saturated), mid, and a giant
+  private val skewed = Seq("a" -> 10L, "b" -> 400L, "c" -> 500L, "d" -> 5000L)
+
+  test("law: closed form equals the sequential greedy loop") {
+    val got = run(skewed, budget = 3000L, epochs = 2.0)
+    val want = greedy(skewed.toMap, 3000L, 2.0)
+    got.foreach { case (s, _, _, alloc, _, _) =>
+      assert(math.abs(alloc - want(s)) < 1e-4, s"stratum $s: $alloc vs ${want(s)}")
+    }
+    // branch coverage: the fixture must exercise both arms
+    assert(got.count(_._6) > 0 && got.count(r => !r._6) > 0)
+  }
+
+  test("law: budget conservation and the epoch cap") {
+    val got = run(skewed, budget = 3000L, epochs = 2.0)
+    val capSum = got.map(_._3).sum
+    assert(math.abs(got.map(_._4).sum - math.min(3000.0, capSum)) < 1e-6)
+    got.foreach { case (s, n, cap, alloc, ep, _) =>
+      assert(alloc <= cap + 1e-6, s"$s: alloc $alloc over cap $cap")
+      assert(ep <= 2.0 + 1e-6, s"$s: epochs $ep over the cap")
+      assert(math.abs(cap - n * 2.0) < 1e-6)
+    }
+  }
+
+  test("law: one shared water level, above every saturated capacity") {
+    val got = run(skewed, budget = 3000L, epochs = 2.0)
+    val levels = got.filter(!_._6).map(_._4).distinct
+    assert(levels.length == 1, s"unsaturated allocs must be equal: ${levels.toSeq}")
+    val maxSat = got.filter(_._6).map(_._3).max
+    assert(levels.head >= maxSat - 1e-6)
+  }
+
+  test("over-budget: every stratum saturates at its full capacity") {
+    val got = run(skewed, budget = 1000000L, epochs = 1.5)
+    got.foreach { case (s, _, cap, alloc, ep, sat) =>
+      assert(sat, s"$s must saturate under an over-budget")
+      assert(math.abs(alloc - cap) < 1e-6 && math.abs(ep - 1.5) < 1e-6)
+    }
+  }
+
+  test("zero-token stratum: cap 0, alloc 0, epochs 0, saturated") {
+    val got = run(skewed :+ ("z" -> 0L), budget = 3000L, epochs = 2.0)
+    val z = got.find(_._1 == "z").get
+    assert(z._3 == 0.0 && z._4 == 0.0 && z._5 == 0.0 && z._6)
+    // and the zero stratum does not disturb the others
+    val others = got.filter(_._1 != "z").map(r => r._1 -> r._4).toMap
+    val want = run(skewed, budget = 3000L, epochs = 2.0)
+      .map(r => r._1 -> r._4).toMap
+    assert(others === want)
+  }
+
+  test("weightCol: duplicate-count weights reproduce the un-deduped allocation") {
+    // three copies of each 'b' row collapsed to one keeper with weight 3
+    val full = Seq("a" -> 10L, "b" -> 400L, "b" -> 400L, "b" -> 400L, "c" -> 5000L)
+    val deduped = Seq(("a", 10L, 1L), ("b", 400L, 3L), ("c", 5000L, 1L))
+      .toDF("source", "n_chars", "w")
+    val wantRows = Sampling.unimaxAllocation(df(full), "source", "n_chars",
+      budgetTokens = 3000L, maxEpochs = 2.0)
+      .select("stratum", "alloc").as[(String, Double)].collect().toMap
+    val gotRows = Sampling.unimaxAllocation(deduped, "source", "n_chars",
+      budgetTokens = 3000L, maxEpochs = 2.0, weightCol = Some("w"))
+      .select("stratum", "alloc").as[(String, Double)].collect().toMap
+    assert(gotRows === wantRows)
+  }
+
+  test("knob guards: non-positive budget and out-of-range epochs refused") {
+    intercept[IllegalArgumentException](run(skewed, budget = 0L, epochs = 2.0))
+    intercept[IllegalArgumentException](run(skewed, budget = 10L, epochs = 0.0))
+    intercept[IllegalArgumentException](run(skewed, budget = 10L, epochs = 1001.0))
+  }
+}
