@@ -48,6 +48,7 @@ object StreamingSample {
 
   private val SaltKey = "graft.sample.salt"
   private val KKey = "graft.sample.k"
+  private val ModeKey = "graft.sample.mode"
 
   /** Merge one batch into the persisted sample table (created at
     * `path` on first use; later merges write `path-v<n>` siblings).
@@ -69,7 +70,7 @@ object StreamingSample {
     // re-delivered would otherwise crowd the min-k window with copies.
     val merged =
       if (exists) {
-        requireStamps(spark, tableName, k, salt)
+        requireStamps(spark, tableName, k, salt, "uniform")
         spark.catalog.refreshTable(tableName)
         Sampling.topKPerStratum(
           spark.table(tableName).unionByName(slim)
@@ -80,14 +81,82 @@ object StreamingSample {
     val out = merged.localCheckpoint(true)
     val n = out.count()
     graft.llm.SwapTable.upsert(out, tableName, path,
-      stamps = Seq(SaltKey -> salt, KKey -> k.toString), graceMs = graceMs)
+      stamps = Seq(SaltKey -> salt, KKey -> k.toString, ModeKey -> "uniform"),
+      graceMs = graceMs)
     n
+  }
+
+  /**
+   * The WEIGHTED maintaining merge — [[mergeBatch]] with rows drawn
+   * proportionally to `weightCol` by the sequential-Poisson priorities
+   * of [[Sampling.weightedTopKPerStratum]]. The max-k set under the
+   * per-row-intrinsic priority w/u is a semilattice exactly like the
+   * uniform min-k, so the union law, batch-boundary independence, and
+   * replay idempotence all carry over; the table persists
+   * (key, stratum, weight) so later merges re-rank on exact values.
+   *
+   * Weights must be a pure function of the key (length, quality score,
+   * duplicate count AT the batch's view — see the caveat below); a
+   * key re-delivered with a CONFLICTING weight folds deterministically
+   * to the max (monotone, so replays can only promote — but the
+   * one-shot union law is only guaranteed under consistent weights).
+   * The mode stamp carries the weight column name: a weighted table
+   * refuses uniform merges and vice versa, and a different weight
+   * column refuses too.
+   */
+  def mergeBatchWeighted(batch: DataFrame, keyCol: String, strataCol: String,
+      weightCol: String, k: Int, salt: String, tableName: String,
+      path: String, graceMs: Long = 0L): Long = {
+    val spark = batch.sparkSession
+    val slim = batch.select(col(keyCol), col(strataCol), col(weightCol))
+    val exists = spark.catalog.tableExists(tableName)
+    val mode = weightedMode(weightCol)
+    val merged =
+      if (exists) {
+        requireStamps(spark, tableName, k, salt, mode)
+        spark.catalog.refreshTable(tableName)
+        dedupMaxWeight(spark.table(tableName).unionByName(slim),
+          keyCol, strataCol, weightCol)
+          .transform(Sampling.weightedTopKPerStratum(_, keyCol, strataCol,
+            weightCol, k, salt))
+      } else dedupMaxWeight(slim, keyCol, strataCol, weightCol)
+        .transform(Sampling.weightedTopKPerStratum(_, keyCol, strataCol,
+          weightCol, k, salt))
+    val out = merged.localCheckpoint(true)
+    val n = out.count()
+    graft.llm.SwapTable.upsert(out, tableName, path,
+      stamps = Seq(SaltKey -> salt, KKey -> k.toString, ModeKey -> mode),
+      graceMs = graceMs)
+    n
+  }
+
+  /** Deterministic duplicate resolution for the weighted merge: a
+    * (stratum, key) delivered twice keeps its max weight — replays
+    * with the contract-consistent weight collapse to one row, and a
+    * conflicting replay resolves the same way on every engine. */
+  private def dedupMaxWeight(df: DataFrame, keyCol: String,
+      strataCol: String, weightCol: String): DataFrame =
+    df.groupBy(col(keyCol), col(strataCol))
+      .agg(max(col(weightCol)).as(weightCol))
+
+  private def weightedMode(weightCol: String): String = {
+    require(!weightCol.contains("'"), s"weight column name must not quote: $weightCol")
+    s"weighted:$weightCol"
   }
 
   /** The current sample, parameter-checked against the stamps. */
   def sample(spark: SparkSession, tableName: String, k: Int,
       salt: String): DataFrame = {
-    requireStamps(spark, tableName, k, salt)
+    requireStamps(spark, tableName, k, salt, "uniform")
+    spark.catalog.refreshTable(tableName)
+    spark.table(tableName)
+  }
+
+  /** The current WEIGHTED sample, parameter-checked against the stamps
+    * (including the weight column the table was built on). */
+  def sampleWeighted(spark: SparkSession, tableName: String, k: Int,
+      salt: String, weightCol: String): DataFrame = {
+    requireStamps(spark, tableName, k, salt, weightedMode(weightCol))
     spark.catalog.refreshTable(tableName)
     spark.table(tableName)
   }
@@ -105,8 +174,19 @@ object StreamingSample {
         graceMs), batchId)
     }
 
+  /** The weighted maintaining sink: [[mergeBatchWeighted]] per
+    * micro-batch, same replay-convergence law. */
+  def sinkWeighted(stream: DataFrame, keyCol: String, strataCol: String,
+      weightCol: String, k: Int, salt: String, tableName: String,
+      path: String, onBatch: (Long, Long) => Unit = (_, _) => (),
+      graceMs: Long = 0L): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onBatch(mergeBatchWeighted(batch, keyCol, strataCol, weightCol, k,
+        salt, tableName, path, graceMs), batchId)
+    }
+
   private def requireStamps(spark: SparkSession, tableName: String,
-      k: Int, salt: String): Unit = {
+      k: Int, salt: String, mode: String): Unit = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     def stamp(key: String): String = props.getOrElse(key, sys.error(
@@ -117,5 +197,11 @@ object StreamingSample {
         s"but this merge uses salt=$salt k=$k — mixing samples built on " +
         "different knobs silently corrupts the min-k law; rebuild or pass " +
         "the stamped knobs")
+    // pre-ModeKey tables (all uniform by construction) read as uniform
+    val tableMode = props.getOrElse(ModeKey, "uniform")
+    require(tableMode == mode,
+      s"$tableName was built in mode=$tableMode but this call is mode=$mode " +
+        "— a uniform min-k and a weighted max-k table are different samples; " +
+        "rebuild or route through the matching merge/sample call")
   }
 }

@@ -60,4 +60,19 @@ class WeightedSampleSpec extends AnyFunSuite {
     assert(got.contains(1L), "the 1e9-weight row must out-prioritize unit weights")
     assert(!got.contains(4L) && got.size == 3)
   }
+
+  test("weightedTopKPerStratum == per-stratum brute-force top-k of the same priorities") {
+    val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .filter(col("doc_id").isNotNull && col("n_chars").isNotNull && col("n_chars") > 0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val expect = base.groupBy(_._2).flatMap { case (_, rs) =>
+      val pri = priorities(rs.map(t => (t._1, t._3.toDouble)), "tw").toMap
+      rs.sortBy(t => (-pri(t._1), t._1)).take(6)
+    }.map(t => (t._1, t._2)).toSet
+    val got = Sampling.weightedTopKPerStratum(
+        docs.select("doc_id", "source", "n_chars").repartition(11),
+        "doc_id", "source", "n_chars", k = 6, salt = "tw")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expect)
+  }
 }

@@ -176,4 +176,109 @@ class StreamingSampleSpec extends AnyFunSuite {
       assert(e2.getMessage.contains("salt=ss3"))
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  // ---- weighted merge (max-k over sequential-Poisson priorities) ----
+
+  private val wdocs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select("doc_id", "source", "n_chars")
+
+  private def wrows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("weighted union law: three batch boundaries converge to the one-shot weighted sample; replay changes nothing") {
+    val tbl = "graft_ssample_wunion"
+    try {
+      val expect = wrows(Sampling.weightedTopKPerStratum(wdocs, "doc_id",
+        "source", "n_chars", k = 5, salt = "sw"))
+      Seq(0, 1, 2).foreach { m =>
+        StreamingSample.mergeBatchWeighted(
+          wdocs.filter(pmod(col("doc_id"), lit(3)) === m),
+          "doc_id", "source", "n_chars", k = 5, salt = "sw", tbl, tmp(tbl))
+        ()
+      }
+      assert(wrows(StreamingSample.sampleWeighted(spark, tbl, 5, "sw",
+        "n_chars")) == expect,
+        "weighted batch merges must equal the one-shot weighted sample")
+      StreamingSample.mergeBatchWeighted(
+        wdocs.filter(pmod(col("doc_id"), lit(3)) === 1),
+        "doc_id", "source", "n_chars", k = 5, salt = "sw", tbl, tmp(tbl))
+      assert(wrows(StreamingSample.sampleWeighted(spark, tbl, 5, "sw",
+        "n_chars")) == expect,
+        "a replayed weighted batch must not change the sample")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("weighted streaming sink maintains the table to the batch law") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tbl = "graft_ssample_wstream"
+    try {
+      val data = wdocs.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      val (b1, b2) = data.splitAt(data.length / 2)
+      val input = MemoryStream[(Long, String, Long)]
+      val q = StreamingSample.sinkWeighted(
+          input.toDF().toDF("doc_id", "source", "n_chars"),
+          "doc_id", "source", "n_chars", k = 5, salt = "sw2", tbl, tmp(tbl))
+        .option("checkpointLocation", tmp("wchk"))
+        .start()
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      val expect = wrows(Sampling.weightedTopKPerStratum(wdocs, "doc_id",
+        "source", "n_chars", k = 5, salt = "sw2"))
+      assert(wrows(StreamingSample.sampleWeighted(spark, tbl, 5, "sw2",
+        "n_chars")) == expect)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("a conflicting replayed weight folds to the max, deterministically") {
+    import spark.implicits._
+    val tbl = "graft_ssample_wconflict"
+    try {
+      StreamingSample.mergeBatchWeighted(
+        Seq((1L, "s", 10L), (2L, "s", 20L)).toDF("doc_id", "source", "n_chars"),
+        "doc_id", "source", "n_chars", k = 5, salt = "swc", tbl, tmp(tbl))
+      // key 1 re-delivered with a SMALLER weight: the max (10) must hold
+      StreamingSample.mergeBatchWeighted(
+        Seq((1L, "s", 4L), (3L, "s", 30L)).toDF("doc_id", "source", "n_chars"),
+        "doc_id", "source", "n_chars", k = 5, salt = "swc", tbl, tmp(tbl))
+      val got = wrows(StreamingSample.sampleWeighted(spark, tbl, 5, "swc",
+        "n_chars")).map(t => t._1 -> t._3).toMap
+      assert(got == Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("uniform and weighted tables refuse each other's calls via the mode stamp") {
+    val tbl = "graft_ssample_mode"
+    try {
+      StreamingSample.mergeBatch(docs, "doc_id", "source", k = 5,
+        salt = "sm", tbl, tmp(tbl))
+      val e1 = intercept[Exception] {
+        StreamingSample.mergeBatchWeighted(wdocs, "doc_id", "source",
+          "n_chars", k = 5, salt = "sm", tbl, tmp(tbl))
+      }
+      assert(e1.getMessage.contains("mode=uniform"))
+      val e2 = intercept[Exception] {
+        StreamingSample.sampleWeighted(spark, tbl, 5, "sm", "n_chars")
+      }
+      assert(e2.getMessage.contains("mode=uniform"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("a weighted table refuses a different weight column") {
+    val tbl = "graft_ssample_wcol"
+    try {
+      StreamingSample.mergeBatchWeighted(wdocs, "doc_id", "source",
+        "n_chars", k = 5, salt = "swd", tbl, tmp(tbl))
+      val e = intercept[Exception] {
+        StreamingSample.sampleWeighted(spark, tbl, 5, "swd", "other_w")
+      }
+      assert(e.getMessage.contains("weighted:n_chars"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
