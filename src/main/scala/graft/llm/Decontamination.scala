@@ -317,6 +317,109 @@ object Decontamination {
 
   /** Distinct shingle rows plus a NULL-spine row per shingle-less doc
     * — the persisted form of the eval side of [[finish]]. */
+  /**
+   * SEMANTIC (embedding-space) decontamination: flag every training doc
+   * whose nearest eval embedding clears `tau` cosine — the
+   * representation-level contamination check that catches paraphrase,
+   * translation, and template leakage the word-shingle [[containment]]
+   * misses (and its complement: it needs an embedding per doc where
+   * containment needs only text). Output one row per FLAGGED train doc:
+   * (idCol, match_id, cos) — the argmax eval (ties to the smaller eval
+   * id) with the cosine rounded to 4; the threshold compares the
+   * ROUNDED value inclusively (the [[contaminationReport]] discipline —
+   * no new float hazard at the boundary).
+   *
+   * Scale shape — the train side is the whole corpus, the eval side is
+   * benchmark-sized by construction, so this is the [[Similarity.cosineTopK]]
+   * broadcast discipline with the roles reversed: the PREPPED eval
+   * vectors (integer-quantized, exact norms) collect and broadcast as a
+   * plain array, and ONE train scan computes each doc's argmax eval
+   * in-partition — zero shuffle, zero pair rows, nothing corpus-sized
+   * ever moves. `bucketBits > 0` restricts each doc's candidates to
+   * evals sharing its sign-prefix bucket (the [[Similarity.nearDupPairs]]
+   * LSH shape, evaluated against a bucket-keyed broadcast map): at
+   * near-exact tau this trades vanishing recall for |eval|/2^bits of
+   * the dot products — and is EXACT for scaled-copy contamination,
+   * whose sign pattern is identical. The candidate restriction changes
+   * which evals compete in the argmax, so the two arms are pinned by
+   * separate oracles (pq125 brute, pq125b bucket-replicating).
+   *
+   * Train ids never compare to eval ids (different namespaces — no
+   * self-exclusion, unlike top-k search). Null ids, null embeddings,
+   * and zero-norm vectors are excluded on both sides (the
+   * [[Similarity]] contract).
+   */
+  def semanticFlags(train: DataFrame, eval: DataFrame, idCol: String,
+      vecCol: String, tau: Double, bucketBits: Int = 0,
+      ordered: Boolean = true): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    require(bucketBits >= 0, s"bucketBits must be >= 0, got $bucketBits")
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val tPrep = Similarity.prepTyped(train, idCol, "_tid", vecCol)
+      .filter(col("_tid").isNotNull && col("_v").isNotNull && col("_n2") > 0)
+    val ePrep = Similarity.prepTyped(eval, idCol, "_eid", vecCol)
+      .filter(col("_eid").isNotNull && col("_v").isNotNull && col("_n2") > 0)
+    val eidOrd = Similarity.idOrdering(ePrep.schema("_eid").dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        "semanticFlags needs an eval id type with a JVM ordering agreeing " +
+          s"with Catalyst (numeric or string), got ${ePrep.schema("_eid").dataType}"))
+    // JVM twin of Similarity.signBucket over the quantized vector
+    def bucketOf(v: Array[Long]): String = {
+      val sb = new java.lang.StringBuilder(bucketBits)
+      var i = 0
+      while (i < bucketBits) {
+        sb.append(if (i < v.length && v(i) > 0) '1' else '0'); i += 1
+      }
+      sb.toString
+    }
+    val evals = ePrep.collect()
+      .map(r => (r.get(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val byBucket: Map[String, Array[(Any, Array[Long], Long)]] =
+      if (bucketBits == 0) Map("" -> evals)
+      else evals.groupBy { case (_, v, _) => bucketOf(v) }
+    val evalB = train.sparkSession.sparkContext.broadcast(byBucket)
+    val outSchema = StructType(Seq(
+      tPrep.schema("_tid").copy(name = idCol),
+      ePrep.schema("_eid").copy(name = "match_id"),
+      StructField("cos", DoubleType, nullable = false)))
+    val bits = bucketBits
+    val flagged = tPrep.mapPartitions { rows =>
+      val buckets = evalB.value
+      rows.flatMap { r =>
+        val vt = r.getSeq[Long](1)
+        val nb = r.getLong(2)
+        val cands = buckets.getOrElse(
+          if (bits == 0) "" else bucketOf(vt.toArray), Array.empty)
+        var bestCos = Double.NegativeInfinity
+        var bestId: Any = null
+        var ci = 0
+        while (ci < cands.length) {
+          val (eid, ve, na) = cands(ci)
+          var d = 0L
+          var i = 0
+          val n = math.min(ve.length, vt.length)
+          while (i < n) { d += ve(i) * vt(i); i += 1 }
+          val cos = d.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+          if (cos > bestCos || (cos == bestCos && bestId != null &&
+              eidOrd.lt(eid, bestId))) {
+            bestCos = cos; bestId = eid
+          }
+          ci += 1
+        }
+        if (bestId == null) Iterator.empty
+        else {
+          // Spark round(col, 4): BigDecimal HALF_UP — the exact twin
+          val rounded = java.math.BigDecimal.valueOf(bestCos)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+          if (rounded >= tau) Iterator.single(Row(r.get(0), bestId, rounded))
+          else Iterator.empty
+        }
+      }
+    }(Encoders.row(outSchema))
+    flagged.transform(Presented(_, ordered, idCol))
+  }
+
   private def evalShingleRows(eval: DataFrame, idCol: String,
       textCol: String, shingleN: Int): DataFrame = {
     val sh = TextOps.shingleIndex(eval, idCol, textCol, shingleN)
