@@ -519,4 +519,52 @@ object Sampling {
         col("epochs"), col("saturated"))
       .transform(Presented(_, ordered, "stratum"))
   }
+
+  /**
+   * MATERIALIZE a [[unimaxAllocation]]: emit each doc `floor(epochs_s)`
+   * times plus one more iff the key hash-samples at the fractional rate
+   * `epochs_s - floor(epochs_s)` — the step that turns the allocation
+   * into an actual epoch-repeated training corpus (UniMax's "repeat
+   * small sources up to the cap" is REPETITION, which plain
+   * rate-sampling cannot express: [[mixtureRates]] caps at keeping
+   * everything once). Output: the input rows with a `copy` index
+   * (0-based; a doc drawn c times appears with copy 0..c-1, so
+   * downstream shuffling/packing can treat copies as distinct rows),
+   * realized tokens per stratum = alloc in expectation, exact per-key
+   * determinism via [[samplePredicate]].
+   *
+   * Scale shape: the allocation's strata-sized output collects
+   * driver-side (the model-sized-collect discipline) into ONE sorted
+   * when-chain of literal (full, fractional-threshold) pairs — the
+   * [[stratifiedSample]] dispatch, zero shuffle beyond the
+   * allocation's own aggregate; the copy explode is a codegen'd
+   * `sequence` bounded by ceil(maxEpochs) per row. Null keys are
+   * excluded (no hash identity — the [[Sampling]] contract); a null
+   * stratum materializes through its own dispatch branch.
+   */
+  def unimaxMaterialize(df: DataFrame, keyCol: String, strataCol: String,
+      tokensCol: String, budgetTokens: Long, maxEpochs: Double,
+      salt: String = "", weightCol: Option[String] = None): DataFrame = {
+    val alloc = unimaxAllocation(df, strataCol, tokensCol, budgetTokens,
+        maxEpochs, ordered = false, weightCol)
+      .select("stratum", "epochs").collect()
+    val key = col(keyCol)
+    def copiesOf(epochs: Double): Column = {
+      val full = math.floor(epochs).toLong
+      val frac = epochs - full
+      lit(full) + when(samplePredicate(key, frac, salt), lit(1L))
+        .otherwise(lit(0L))
+    }
+    val named = alloc.filter(r => !r.isNullAt(0))
+      .map(r => r.getString(0) -> copiesOf(r.getDouble(1))).toSeq
+    val nullBranch = alloc.find(_.isNullAt(0))
+      .map(r => copiesOf(r.getDouble(1))).getOrElse(lit(0L))
+    val chain = stratumCase(col(strataCol), named,
+      when(col(strataCol).isNull, nullBranch).otherwise(lit(0L)))
+    df.filter(key.isNotNull)
+      .withColumn("_nc", chain)
+      .filter(col("_nc") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("_nc") - 1)))
+      .drop("_nc")
+  }
 }

@@ -119,4 +119,50 @@ class UnimaxSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](run(skewed, budget = 10L, epochs = 0.0))
     intercept[IllegalArgumentException](run(skewed, budget = 10L, epochs = 1001.0))
   }
+
+  // ---- materialization (epoch repetition realized) ----
+
+  private lazy val corpus = TestSpark.spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select("doc_id", "source", "n_chars")
+
+  test("materialize: per-key copies = floor(epochs) + the deterministic fractional draw, copy indices 0..c-1") {
+    val epochs = Sampling.unimaxAllocation(corpus, "source", "n_chars",
+        budgetTokens = 360000L, maxEpochs = 2.5, ordered = false)
+      .select("stratum", "epochs").as[(String, Double)].collect().toMap
+    // the fixture must exercise the cap AND the water level
+    assert(epochs.values.exists(_ == 2.5) && epochs.values.exists(_ < 2.5))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def expectCopies(id: Long, src: String): Long = {
+      val e = epochs(src)
+      val full = math.floor(e).toLong
+      val u32 = java.lang.Long.parseLong(
+        TextOps.md5HexJvm(md, "mx" + id.toString).substring(0, 8), 16)
+      full + (if (u32 < ((e - full) * 4294967296.0).toLong) 1L else 0L)
+    }
+    val got = Sampling.unimaxMaterialize(corpus, "doc_id", "source",
+        "n_chars", budgetTokens = 360000L, maxEpochs = 2.5, salt = "mx")
+      .select("doc_id", "source", "copy")
+      .as[(Long, String, Long)].collect()
+    val byKey = got.groupBy(t => (t._1, t._2))
+    corpus.select("doc_id", "source").as[(Long, String)].collect()
+      .foreach { case (id, src) =>
+        val want = expectCopies(id, src)
+        val copies = byKey.getOrElse((id, src), Array.empty).map(_._3).sorted
+        assert(copies.toSeq == (0L until want),
+          s"doc $id/$src: copies ${copies.toSeq} vs expected $want")
+      }
+  }
+
+  test("materialize: over-budget corpus repeats everything at the cap; null keys drop") {
+    val withNull = Seq[(java.lang.Long, String, java.lang.Long)](
+      (1L, "a", 50L), (2L, "a", 50L), (null, "a", 50L))
+    val d = spark.createDataFrame(withNull).toDF("doc_id", "source", "n_chars")
+    val got = Sampling.unimaxMaterialize(d, "doc_id", "source", "n_chars",
+        budgetTokens = 100000L, maxEpochs = 3.0, salt = "mo")
+      .select("doc_id", "copy").as[(Long, Long)].collect()
+    // every stratum saturates at exactly 3.0 epochs: 3 full copies, no draw
+    assert(got.groupBy(_._1).view.mapValues(_.length).toMap ==
+      Map(1L -> 3, 2L -> 3))
+  }
 }
