@@ -96,4 +96,63 @@ object QualityClassifier {
       .drop(scored("doc_id"))
       .transform(Presented(_, ordered, idCol))
   }
+
+  /**
+   * Empirical calibration + threshold sweep over SCORE bins — the
+   * reliability read that turns "we trained a quality classifier" into
+   * "gate at this score for this precision": per bin of width
+   * `binWidth` in raw-score (log-odds) space, the observed positive
+   * rate, plus the CUMULATIVE precision of gating at that bin's lower
+   * bound (sum over this-and-better bins — the threshold-sweep table,
+   * one pass instead of re-gating per candidate threshold).
+   *
+   * Bins are over the SCORE, not the probability, deliberately: the
+   * score is exact arithmetic (hash-bucket weight sums) while prob
+   * crosses libm's exp — binning on prob would hang bin MEMBERSHIP on
+   * a libm ulp (the pq54 rule: rounding absorbs value drift, never
+   * membership). Monotone binning makes the curves equivalent reads.
+   *
+   * One map-side-combined aggregate over the scored corpus (bins are
+   * data-bounded: scores are bounded by the weight mass), then
+   * bin-count-sized windows; counts are exact BIGINTs, each rate ONE
+   * division under ROUND(6). Null labels and null scores are excluded.
+   * Output: (bucket, n_docs, n_pos, pos_rate, cum_docs, cum_pos,
+   * cum_precision); `bucket * binWidth` is the bin's score lower bound.
+   */
+  def calibrationSweep(scored: DataFrame, scoreCol: String,
+      labelCol: String, binWidth: Double = 1.0,
+      ordered: Boolean = true): DataFrame = {
+    require(binWidth > 0, s"calibrationSweep: binWidth must be positive, got $binWidth")
+    import org.apache.spark.sql.expressions.Window
+    val agg = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(floor(col(scoreCol) / lit(binWidth)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(labelCol).cast("long")).as("n_pos"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg
+      .withColumn("pos_rate",
+        round(col("n_pos").cast("double") / col("n_docs"), 6))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .withColumn("cum_precision",
+        round(col("cum_pos").cast("double") / col("cum_docs"), 6))
+      .transform(Presented(_, ordered, "bucket"))
+  }
+
+  /** The gate threshold a [[calibrationSweep]] recommends: the LOWEST
+    * bin lower-bound whose cumulative precision clears the target —
+    * lowest because every cleared bin keeps strictly more docs at
+    * acceptable precision. None when no bin clears. The sweep is
+    * bin-count-sized, so the collect is model-sized by construction. */
+  def pickScoreThreshold(sweep: DataFrame, targetPrecision: Double,
+      binWidth: Double = 1.0): Option[Double] = {
+    require(targetPrecision > 0 && targetPrecision <= 1,
+      s"pickScoreThreshold: target in (0, 1], got $targetPrecision")
+    require(binWidth > 0, s"pickScoreThreshold: binWidth must be positive")
+    val hit = sweep.filter(col("cum_precision") >= targetPrecision)
+      .agg(min(col("bucket"))).collect()
+    hit.headOption.filterNot(_.isNullAt(0)).map(_.getLong(0) * binWidth)
+  }
 }
