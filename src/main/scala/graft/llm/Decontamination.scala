@@ -352,14 +352,23 @@ object Decontamination {
   def semanticFlags(train: DataFrame, eval: DataFrame, idCol: String,
       vecCol: String, tau: Double, bucketBits: Int = 0,
       ordered: Boolean = true): DataFrame = {
+    val ePrep = Similarity.prepTyped(eval, idCol, "_eid", vecCol)
+      .filter(col("_eid").isNotNull && col("_v").isNotNull && col("_n2") > 0)
+    semanticFlagsPrepped(train, ePrep, idCol, vecCol, tau, bucketBits, ordered)
+  }
+
+  /** [[semanticFlags]] with the eval side ALREADY prepped — the shared
+    * core for the one-shot form and the persisted-index form (the
+    * index stores exactly the prep: no re-quantization per batch). */
+  private def semanticFlagsPrepped(train: DataFrame, ePrep: DataFrame,
+      idCol: String, vecCol: String, tau: Double, bucketBits: Int,
+      ordered: Boolean): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     require(bucketBits >= 0, s"bucketBits must be >= 0, got $bucketBits")
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     import org.apache.spark.sql.{Encoders, Row}
     val tPrep = Similarity.prepTyped(train, idCol, "_tid", vecCol)
       .filter(col("_tid").isNotNull && col("_v").isNotNull && col("_n2") > 0)
-    val ePrep = Similarity.prepTyped(eval, idCol, "_eid", vecCol)
-      .filter(col("_eid").isNotNull && col("_v").isNotNull && col("_n2") > 0)
     val eidOrd = Similarity.idOrdering(ePrep.schema("_eid").dataType)
       .getOrElse(throw new IllegalArgumentException(
         "semanticFlags needs an eval id type with a JVM ordering agreeing " +
@@ -418,6 +427,57 @@ object Decontamination {
       }
     }(Encoders.row(outSchema))
     flagged.transform(Presented(_, ordered, idCol))
+  }
+
+  private val EvalEmbScaleKey = "graft.quantScale"
+  private val EvalEmbBitsKey = "graft.bucketBits"
+
+  /**
+   * Persist the PREPPED eval embedding set as a stamped table — the
+   * semantic sibling of [[saveEvalShingleIndex]]: the quantized vectors
+   * and exact norms are computed ONCE at save time, so every later
+   * batch gate ([[semanticFlagsAgainstIndex]], the streaming sink)
+   * reads model-ready rows instead of re-quantizing the eval set per
+   * run. Stamps pin the quantization scale and the LSH bucket width the
+   * index was built for; a drifted reader is refused fail-fast (mixing
+   * scales silently corrupts every cosine). Re-saving swaps through
+   * [[SwapTable]] — concurrent readers finish on the retained
+   * generation. Returns the row count.
+   */
+  def saveEvalEmbeddingIndex(eval: DataFrame, idCol: String,
+      vecCol: String, tableName: String, path: String,
+      bucketBits: Int = 0, graceMs: Long = 0L): Long = {
+    require(bucketBits >= 0, s"bucketBits must be >= 0, got $bucketBits")
+    val prep = Similarity.prepTyped(eval, idCol, "_eid", vecCol)
+      .filter(col("_eid").isNotNull && col("_v").isNotNull && col("_n2") > 0)
+    val out = prep.localCheckpoint(true)
+    val n = out.count()
+    SwapTable.upsert(out, tableName, path,
+      stamps = Seq(EvalEmbScaleKey -> "1000",
+        EvalEmbBitsKey -> bucketBits.toString), graceMs = graceMs)
+    n
+  }
+
+  /** [[semanticFlags]] against the persisted eval-embedding index:
+    * the stamped bucket width drives the candidate restriction, the
+    * stamped scale is checked against the quantizer the batch side
+    * uses. The index read is eval-sized by contract. */
+  def semanticFlagsAgainstIndex(batch: DataFrame, idCol: String,
+      vecCol: String, tableName: String, tau: Double,
+      ordered: Boolean = true): DataFrame = {
+    val spark = batch.sparkSession
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def stamp(key: String): String = props.getOrElse(key, sys.error(
+      s"$tableName carries no $key stamp — not an eval-embedding index; " +
+        "re-save through saveEvalEmbeddingIndex"))
+    require(stamp(EvalEmbScaleKey) == "1000",
+      s"$tableName was quantized at scale ${stamp(EvalEmbScaleKey)}, this " +
+        "reader uses 1000 — mixing scales corrupts every cosine; rebuild")
+    val bits = stamp(EvalEmbBitsKey).toInt
+    spark.catalog.refreshTable(tableName)
+    semanticFlagsPrepped(batch, spark.table(tableName), idCol, vecCol,
+      tau, bits, ordered)
   }
 
   private def evalShingleRows(eval: DataFrame, idCol: String,

@@ -104,4 +104,93 @@ class SemanticDecontamSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](run(t, t, tau = 1.5))
     intercept[IllegalArgumentException](run(t, t, tau = 0.5, bits = -1))
   }
+
+  // ---- persisted eval-embedding index + streaming sink ----
+
+  private def embCorpus = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select("vec_id", "embedding")
+
+  private def embEval = embCorpus.filter(col("vec_id") < 10).select(
+    (col("vec_id") + 50000).as("vec_id"),
+    transform(col("embedding"), x => (x.cast("double") * 1.01).cast("float"))
+      .as("embedding"))
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory("graft_semdec").resolve(name).toString
+
+  test("flags against the persisted index == one-shot semanticFlags, at both bucket widths") {
+    def fl(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Seq(0, 4).foreach { bits =>
+      val tbl = s"graft_semdec_idx$bits"
+      try {
+        val n = Decontamination.saveEvalEmbeddingIndex(embEval, "vec_id",
+          "embedding", tbl, tmp(tbl), bucketBits = bits)
+        assert(n == 10)
+        val got = fl(Decontamination.semanticFlagsAgainstIndex(embCorpus,
+          "vec_id", "embedding", tbl, tau = 0.99, ordered = false))
+        val want = fl(Decontamination.semanticFlags(embCorpus, embEval,
+          "vec_id", "embedding", tau = 0.99, bucketBits = bits,
+          ordered = false))
+        assert(got == want && got.size == 10, s"bits=$bits")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
+  test("a stamp-less table is refused as foreign") {
+    import spark.implicits._
+    val tbl = "graft_semdec_foreign"
+    try {
+      Seq((1L, Seq(1L), 1L)).toDF("_eid", "_v", "_n2")
+        .write.option("path", tmp(tbl)).format("parquet").saveAsTable(tbl)
+      val e = intercept[Exception] {
+        Decontamination.semanticFlagsAgainstIndex(embCorpus, "vec_id",
+          "embedding", tbl, tau = 0.99)
+      }
+      assert(e.getMessage.contains("not an eval-embedding index"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("streaming sink: union of per-batch flags == one-shot; a replayed batch annotates identically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tbl = "graft_semdec_stream"
+    try {
+      Decontamination.saveEvalEmbeddingIndex(embEval, "vec_id",
+        "embedding", tbl, tmp(tbl))
+      val data = embCorpus.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      val (b1, b2) = data.splitAt(data.length / 2)
+      val input = MemoryStream[(Long, Seq[Float])]
+      val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val statuses = scala.collection.mutable.ArrayBuffer.empty[Map[Long, String]]
+      val q = graft.streaming.StreamingSemantic.sink(
+          input.toDF().toDF("vec_id", "embedding"),
+          "vec_id", "embedding", tbl, tau = 0.99,
+          onBatch = (a, _) => flagged.synchronized {
+            statuses += a.select(col("vec_id"), col("status"))
+              .as[(Long, String)].collect().toMap
+            flagged ++= a.filter(col("status") === "contaminated")
+              .select(col("vec_id"), col("match_id"))
+              .as[(Long, Long)].collect()
+            ()
+          })
+        .option("checkpointLocation", tmp("chk"))
+        .start()
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // replay batch 1's rows — the gate is stateless, annotation identical
+      input.addData(b1: _*); q.processAllAvailable()
+      q.stop()
+      val oneShot = Decontamination.semanticFlags(embCorpus, embEval,
+          "vec_id", "embedding", tau = 0.99, ordered = false)
+        .select("vec_id", "match_id").as[(Long, Long)].collect().toSet
+      assert(flagged.toSet == oneShot && oneShot.size == 10,
+        "union of per-batch flags must equal the one-shot flags")
+      assert(statuses.size == 3 && statuses(2) == statuses(0),
+        "a replayed batch must annotate identically")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
