@@ -43,6 +43,12 @@ import org.apache.spark.sql.streaming.DataStreamWriter
  * batch sampler over (existing ∪ batch) where existing is strata×k
  * rows (model-sized, never corpus-sized), and the swap rewrites only
  * that tiny table.
+ *
+ * WEIGHTED MODE ([[mergeBatchWeighted]]/[[sinkWeighted]]/
+ * [[sampleWeighted]]): the same maintaining discipline drawing
+ * proportionally to a weight column via sequential-Poisson max-k
+ * priorities — also a semilattice, so every law above carries over;
+ * the mode stamp keeps uniform and weighted tables from ever mixing.
  */
 object StreamingSample {
 

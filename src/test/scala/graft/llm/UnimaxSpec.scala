@@ -154,6 +154,29 @@ class UnimaxSpec extends AnyFunSuite {
       }
   }
 
+  test("materialize composes with packing: copies are first-class rows under a (doc, copy) key") {
+    val corpus = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "n_chars", "text")
+    val mat = Sampling.unimaxMaterialize(corpus, "doc_id", "source",
+        "n_chars", budgetTokens = 360000L, maxEpochs = 2.5, salt = "mp")
+      // the copy index makes the key unique again — the shardShuffle
+      // precondition repetition would otherwise break
+      .withColumn("rep_id", col("doc_id") * 8 + col("copy"))
+    assert(mat.count() > corpus.count(), "2.5-epoch budget must repeat docs")
+    val packed = Packing.packGreedy(mat, "rep_id", "text",
+      targetTokens = 64, shards = 16)
+    // token conservation: every copy's tokens land in exactly one pack
+    val wantTokens = mat
+      .select(size(TextOps.tokens(col("text").cast("string"))).cast("long"))
+      .as[Long].collect().sum
+    val gotTokens = packed.select(col("n_tokens")).as[Long].collect().sum
+    assert(gotTokens == wantTokens,
+      s"packed token mass $gotTokens must equal materialized mass $wantTokens")
+    assert(packed.select("doc_id").distinct().count() == mat.count(),
+      "every (doc, copy) row packs exactly once")
+  }
+
   test("materialize: over-budget corpus repeats everything at the cap; null keys drop") {
     val withNull = Seq[(java.lang.Long, String, java.lang.Long)](
       (1L, "a", 50L), (2L, "a", 50L), (null, "a", 50L))
