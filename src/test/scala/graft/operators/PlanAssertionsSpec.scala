@@ -347,4 +347,47 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
       s"PassJoin planned a product join:\n$p")
   }
+
+  test("semantic decontamination is ZERO-shuffle: one scan, no Exchange, both arms") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val eval = e.filter(col("vec_id") < 5)
+    Seq(0, 4).foreach { bits =>
+      val plan = graft.llm.Decontamination.semanticFlags(e, eval, "vec_id",
+          "embedding", tau = 0.99, bucketBits = bits, ordered = false)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"semanticFlags(bits=$bits) shuffles — the broadcast-argmax contract broke:\n$plan")
+    }
+  }
+
+  test("weighted per-stratum sampler: the rank-limit pushdown fires (WindowGroupLimit)") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "n_chars")
+    val plan = graft.llm.Sampling.weightedTopKPerStratum(d, "doc_id",
+        "source", "n_chars", k = 5, salt = "pl")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown lost — a Zipf stratum would sort whole in one task:\n$plan")
+  }
+
+  test("UniMax allocation prunes the scan to (stratum, tokens); materialization adds no shuffle") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val alloc = graft.llm.Sampling.unimaxAllocation(d, "source", "n_chars",
+      budgetTokens = 360000L, maxEpochs = 2.5, ordered = false)
+    val readSchema = alloc.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("source") && readSchema.contains("n_chars") &&
+      !readSchema.contains("text"),
+      s"allocation must read only the stratum and token columns: $readSchema")
+    // the materialized frame itself is filter + literal when-chain +
+    // bounded sequence explode — no Exchange (the allocation's own
+    // aggregate ran eagerly at call time, outside this plan)
+    val mat = graft.llm.Sampling.unimaxMaterialize(
+      d.select("doc_id", "source", "n_chars"), "doc_id", "source",
+      "n_chars", budgetTokens = 360000L, maxEpochs = 2.5, salt = "pl")
+    val mplan = mat.queryExecution.executedPlan.toString
+    assert(!mplan.contains("Exchange"),
+      s"materialization must be a shuffle-free projection over the scan:\n$mplan")
+  }
 }
