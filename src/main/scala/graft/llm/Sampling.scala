@@ -567,4 +567,42 @@ object Sampling {
       .withColumn("copy", explode(sequence(lit(0L), col("_nc") - 1)))
       .drop("_nc")
   }
+
+  /**
+   * The allocate → materialize AUDIT: per stratum, the token mass a
+   * materialized corpus actually realized against what the allocation
+   * asked for — the report that catches a drifted salt, a re-run on
+   * changed data, or a downstream filter silently starving a stratum
+   * before training reads the mix. Output: (stratum, n_tokens, alloc,
+   * realized_tokens, realized_epochs, deviation) with deviation =
+   * (realized - alloc)/alloc rounded to 6 (binomial noise from the
+   * fractional draws shows up here as small deviations — that is the
+   * point of reading the audit, not a defect of it).
+   *
+   * ONE map-side-combined aggregate over the materialized corpus
+   * (copies count each — `tokensCol` rides every copy row), then a
+   * strata-sized full-outer join against the allocation so a stratum
+   * the materialization starved to zero rows still reports.
+   */
+  def realizedMixture(materialized: DataFrame, strataCol: String,
+      tokensCol: String, alloc: DataFrame,
+      ordered: Boolean = true): DataFrame = {
+    val real = materialized.groupBy(col(strataCol).as("stratum"))
+      .agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L))
+        .as("realized_tokens"))
+    alloc.select(col("stratum"), col("n_tokens"), col("alloc"))
+      .join(real, Seq("stratum"), "full_outer")
+      .withColumn("realized_tokens", coalesce(col("realized_tokens"), lit(0L)))
+      .withColumn("realized_epochs",
+        when(col("n_tokens") > 0,
+          round(col("realized_tokens").cast("double") /
+            col("n_tokens").cast("double"), 6))
+        .otherwise(lit(0.0)))
+      .withColumn("deviation",
+        when(col("alloc") > 0,
+          round((col("realized_tokens").cast("double") - col("alloc")) /
+            col("alloc"), 6))
+        .otherwise(lit(0.0)))
+      .transform(Presented(_, ordered, "stratum"))
+  }
 }

@@ -177,6 +177,31 @@ class UnimaxSpec extends AnyFunSuite {
       "every (doc, copy) row packs exactly once")
   }
 
+  test("realized-mixture audit: totals conserve, every allocation stratum reports, starved strata read zero") {
+    val alloc = Sampling.unimaxAllocation(corpus, "source", "n_chars",
+      budgetTokens = 360000L, maxEpochs = 2.5, ordered = false)
+    val mat = Sampling.unimaxMaterialize(corpus, "doc_id", "source",
+      "n_chars", budgetTokens = 360000L, maxEpochs = 2.5, salt = "ra")
+    val audit = Sampling.realizedMixture(mat, "source", "n_chars", alloc,
+      ordered = false)
+    // conservation: the audit's realized mass is exactly the
+    // materialized corpus's token mass, stratum by stratum and total
+    val want = mat.groupBy("source").agg(sum("n_chars").as("m"))
+      .as[(String, Long)].collect().toMap
+    val got = audit.select("stratum", "realized_tokens")
+      .as[(String, Long)].collect().toMap
+    assert(got == want ++ alloc.select("stratum").as[String].collect()
+      .filterNot(want.contains).map(_ -> 0L).toMap)
+    // a stratum the materialization never saw still reports, at zero
+    val starved = Sampling.realizedMixture(
+      mat.filter(col("source") =!= "src0"), "source", "n_chars", alloc,
+      ordered = false)
+    val z = starved.filter(col("stratum") === "src0").collect()
+    assert(z.length == 1 && z.head.getAs[Long]("realized_tokens") == 0L &&
+      z.head.getAs[Double]("deviation") == -1.0,
+      "a starved stratum must report zero realized and deviation -1")
+  }
+
   test("materialize: over-budget corpus repeats everything at the cap; null keys drop") {
     val withNull = Seq[(java.lang.Long, String, java.lang.Long)](
       (1L, "a", 50L), (2L, "a", 50L), (null, "a", 50L))
