@@ -243,6 +243,9 @@ object Decontamination {
         newly.coalesce(1).write.option("path", matchedPath).format("parquet")
           .saveAsTable(matchedTable)
     }
+    // the checkpoint served the append — release it, or a long-running
+    // audit loop pins one eval-bounded block set per batch
+    graft.CacheScope.checkpointRdd(newly).foreach(_.unpersist(blocking = false))
     n
   }
 
@@ -405,9 +408,16 @@ object Decontamination {
         var ci = 0
         while (ci < cands.length) {
           val (eid, ve, na) = cands(ci)
+          // fail fast on a train/eval dimensionality mismatch: a
+          // truncated dot (norms still full-length) silently DEFLATES
+          // the cosine, letting contaminated docs slip under tau
+          if (ve.length != vt.length) throw new IllegalArgumentException(
+            s"semanticFlags: eval embedding dim ${ve.length} != train " +
+              s"dim ${vt.length} — the index was built on a different " +
+              "embedding space than this batch; rebuild one side")
           var d = 0L
           var i = 0
-          val n = math.min(ve.length, vt.length)
+          val n = vt.length
           while (i < n) { d += ve(i) * vt(i); i += 1 }
           val cos = d.toDouble / math.sqrt(na.toDouble * nb.toDouble)
           if (cos > bestCos || (cos == bestCos && bestId != null &&

@@ -192,14 +192,38 @@ object DomainRouter {
    *                 early-stopped model is bit-identical to
    *                 train(iters = losses.length) — the prefix identity
    *                 the spec pins.
+   * @param sampleRate mini-batch arm: each iteration's gradient is
+   *                 computed over a DETERMINISTIC [[Sampling]] hash
+   *                 sample of the corpus at this rate, keyed on
+   *                 `sampleKeyCol` with a per-iteration salt
+   *                 (`sampleSalt:it<i>`) so successive iterations draw
+   *                 independent subsets — the SGD-flavored option for
+   *                 corpora where even one full pass per iteration is
+   *                 expensive. At the default 1.0 the filter is NOT
+   *                 applied at all, so the full-batch path is
+   *                 bit-identical to the pre-arm behavior (the rate-1
+   *                 identity law the spec pins). At rate < 1 the loss
+   *                 sequence (and the `tol` plateau probe reading it)
+   *                 estimates the full-batch loss on that iteration's
+   *                 subset — expected sampling noise, not drift; pick
+   *                 `tol` above the noise floor or leave it 0.
+   * @param sampleKeyCol doc-id column hashing the mini-batch membership
+   *                 (required when sampleRate < 1; null keys are
+   *                 excluded per the [[Sampling]] contract)
    */
   def train(docs: DataFrame, textCol: String, labelCol: String,
       k: Int, dim: Int, iters: Int = 5, lr: Double = 0.5,
-      tol: Double = 0.0): TrainedRouter = {
+      tol: Double = 0.0, sampleRate: Double = 1.0,
+      sampleKeyCol: String = "", sampleSalt: String = ""): TrainedRouter = {
     require(k >= 2, s"train: need >= 2 classes, got $k")
     require(dim > 0, s"train: dim must be positive, got $dim")
     require(iters >= 1, s"train: iters must be >= 1, got $iters")
     require(tol >= 0, s"train: tol must be >= 0, got $tol")
+    require(sampleRate > 0 && sampleRate <= 1.0,
+      s"train: sampleRate must be in (0, 1], got $sampleRate")
+    require(sampleRate >= 1.0 || sampleKeyCol.nonEmpty,
+      "train: sampleRate < 1 needs sampleKeyCol (hash-sampled mini-batches " +
+        "are keyed — membership must be a pure function of (salt, key))")
     val w = Array.fill(k, dim)(0.0)
     val b = Array.fill(k)(0.0)
     val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -221,7 +245,13 @@ object DomainRouter {
       val loss = when(bad, lit(0.0)).otherwise(
         log(col("_den")) + col("_mx") -
           element_at(col("_sv"), (col("_y") + 1).cast("int")))
-      val rows = docs
+      // mini-batch arm: rate 1 skips the filter entirely (bit-identical
+      // full-batch plan), rate < 1 is a per-iteration-salted hash sample
+      val iterDocs =
+        if (sampleRate >= 1.0) docs
+        else docs.filter(Sampling.samplePredicate(col(sampleKeyCol),
+          sampleRate, s"$sampleSalt:it$it"))
+      val rows = iterDocs
         .select(y.as("_y"),
           coalesce(filter(TextOps.tokens(col(textCol)), t => t =!= ""),
             array()).as("_tk"))
@@ -245,7 +275,10 @@ object DomainRouter {
             count(when(col("_tok").isNull && col("_bad"), 1)).as("_nbad")): _*)
         .collect()
       val sentinel = rows.find(_.getLong(0) == -1L).getOrElse(
-        sys.error("train: empty corpus — nothing to fit"))
+        sys.error(if (sampleRate >= 1.0)
+          "train: empty corpus — nothing to fit"
+        else s"train: iteration $it sampled no rows at rate $sampleRate — " +
+          "raise sampleRate or shrink the iteration count"))
       require(sentinel.getLong(k + 2) == 0L,
         s"train: $labelCol must be an integer in [0, $k) and non-null " +
           s"(${sentinel.getLong(k + 2)} offending rows)")

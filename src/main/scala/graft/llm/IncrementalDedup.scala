@@ -238,6 +238,20 @@ object IncrementalMinHash {
       idCol, textCol, shingleN, numHashes, bands, minMatch, scope)
   }
 
+  /** An empty band-exploded index — [[classifyBanded]] against it is
+    * pure in-batch near-dup semantics (the one-shot builder's stage
+    * 6b, and the maintaining builder's first batch). */
+  def emptyBandedIndex(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("band_idx", IntegerType),
+        StructField("band_key", StringType),
+        StructField("keep_id", LongType),
+        StructField("sig", ArrayType(StringType)))))
+  }
+
   /** The band-exploded index shape the bucketed [[IndexStore]] persists:
     * one row per (band position, band key) per accepted doc, with the
     * doc's full signature inline — sig is duplicated `bands`x (a few

@@ -76,9 +76,27 @@ object IncrementalPipeline {
   private val TargetKey = "graft.pipeline.targetTokens"
   private val ShardsKey = "graft.pipeline.shards"
 
-  /** The five state locations, derived from one (name, path) root:
+  /** Release the block-manager storage behind a [[processBatch]]
+    * emission once it has been consumed. The returned frame is an
+    * EAGER localCheckpoint (its batch-sized blocks stay pinned in the
+    * block manager until released); a loop feeding thousands of
+    * batches through one session must call this per batch after
+    * writing/collecting the spans — or route everything through one
+    * [[graft.CacheScope]] — or storage grows by one emission per call.
+    * (Bench/Verify inherit the session scope and are cleaned between
+    * queries; a library user looping batches owns this call.) Safe to
+    * call twice; after release the frame recomputes from nothing — do
+    * not read it again. */
+  def releaseEmission(spans: DataFrame): Unit =
+    graft.CacheScope.checkpointRdd(spans)
+      .foreach(_.unpersist(blocking = false))
+
+  /** The state locations, derived from one (name, path) root:
     * keeper index, eval-shingle index, matched-shingle ledger,
-    * inspection sample, packing cursors. */
+    * inspection sample, packing cursors, plus the two OPTIONAL-stage
+    * tables — the MinHash band index (stage 6b) and the eval-embedding
+    * index (stage 5b); the optional tables exist only when their
+    * stages are used. */
   final case class State(baseName: String, basePath: String) {
     def dedupTable: String = baseName + "_dedup"
     def dedupPath: String = basePath + "/dedup"
@@ -90,8 +108,13 @@ object IncrementalPipeline {
     def samplePath: String = basePath + "/sample"
     def cursorTable: String = baseName + "_cursors"
     def cursorPath: String = basePath + "/cursors"
+    def fuzzyTable: String = baseName + "_fuzzy"
+    def fuzzyPath: String = basePath + "/fuzzy"
+    def semanticTable: String = baseName + "_semantic"
+    def semanticPath: String = basePath + "/semantic"
     def allTables: Seq[String] =
-      Seq(dedupTable, evalTable, matchedTable, sampleTable, cursorTable)
+      Seq(dedupTable, evalTable, matchedTable, sampleTable, cursorTable,
+        fuzzyTable, semanticTable)
   }
 
   /** Persist the eval set's shingle index for stage 5, cleaned through
@@ -104,6 +127,15 @@ object IncrementalPipeline {
     Decontamination.saveEvalShingleIndex(
       Pipeline.cleanStage(eval, idCol, textCol, cfg), idCol, "text",
       st.evalTable, st.evalPath, cfg.decontamShingleN, buckets)
+
+  /** Persist the eval set's EMBEDDING index for the semantic gate
+    * (stage 5b) — [[Decontamination.saveEvalEmbeddingIndex]] under the
+    * state root. Overwrites. `bucketBits` > 0 is the sign-bucket LSH
+    * arm; the stamp makes a drifted reader refuse. */
+  def saveEvalEmbeddings(eval: DataFrame, idCol: String, vecCol: String,
+      st: State, bucketBits: Int = 0, graceMs: Long = 0L): Long =
+    Decontamination.saveEvalEmbeddingIndex(eval, idCol, vecCol,
+      st.semanticTable, st.semanticPath, bucketBits, graceMs)
 
   /** Drop all five state tables and delete `basePath` — a fresh chain.
     * For fixtures and tests; production state is the point of the
@@ -123,6 +155,12 @@ object IncrementalPipeline {
    * use). With a single batch and fresh state this is EXACTLY
    * [[Pipeline.buildTrainingSet]] (the law the spec pins).
    *
+   * The returned frame's checkpoint storage belongs to the CALLER:
+   * consume it, then [[releaseEmission]] — a long-running batch loop
+   * that never releases pins one emission-sized block set per call
+   * (the per-batch INTERNAL checkpoints are always released before
+   * returning; only the emission outlives the call, by design).
+   *
    * @param decontaminate stage 5 on/off; when on, the eval index must
    *                      have been saved via [[saveEvalIndex]] (a
    *                      missing index fails fast — silently skipping
@@ -133,15 +171,38 @@ object IncrementalPipeline {
    *                      emitted docs (requires the eval index)
    * @param graceMs       swap-retention grace for the cursor and
    *                      sample tables ([[SwapTable]])
+   * @param batchEmbeddings stage 5b — SEMANTIC decontamination: this
+   *                      batch's per-doc embeddings (idCol + `vecCol`);
+   *                      docs whose argmax cosine against the PERSISTED
+   *                      eval-embedding index ([[saveEvalEmbeddings]])
+   *                      reaches `cfg.semanticTau` drop before dedup.
+   *                      A doc with no embedding row passes (no
+   *                      evidence). Like stage 5, the gate is a pure
+   *                      per-doc function of the fixed index — batch-
+   *                      decomposable by construction. None skips the
+   *                      stage (bit-identical to the pre-stage chain).
+   *
+   * `cfg.fuzzyDedup` enables stage 6b — MinHash near-dup dedup against
+   * the PERSISTED band index (created under `st` on first use): an
+   * exact-new doc near-duplicating ANY earlier accepted doc (or a
+   * smaller-id doc in this batch) drops; accepted docs' banded
+   * sketches append O(batch). A `dup_of_history` hit whose keeper is
+   * the doc ITSELF is accepted (self-matches only arise when a crash
+   * between the fuzzy append and the exact commit point replays the
+   * batch — treating them as dups would silently drop the whole
+   * replayed batch; a genuinely-new doc can never self-match because
+   * its sketch enters the index only on acceptance). Off ≡ today's
+   * chain bit-for-bit.
    */
   def processBatch(batch: DataFrame, idCol: String, textCol: String,
       cfg: Pipeline.Config, st: State, decontaminate: Boolean = true,
       sampleK: Int = 16, audit: Boolean = true, buckets: Int = 32,
-      graceMs: Long = 0L): DataFrame = {
+      graceMs: Long = 0L, batchEmbeddings: Option[DataFrame] = None,
+      vecCol: String = "embedding"): DataFrame = {
     val spark = batch.sparkSession
     val gated = Pipeline.gateStage(
       Pipeline.cleanStage(batch, idCol, textCol, cfg), idCol, cfg)
-    val decontaminated =
+    val shingleDecontaminated =
       if (decontaminate) {
         require(spark.catalog.tableExists(st.evalTable),
           s"decontaminate=true but ${st.evalTable} does not exist — " +
@@ -153,6 +214,28 @@ object IncrementalPipeline {
           .select(col("doc_id").as(idCol))
         gated.join(dropIds, Seq(idCol), "left_anti")
       } else gated
+    // stage 5b: semantic gate against the persisted eval-embedding
+    // index — zero shuffle (broadcast argmax) + one id anti-join
+    val decontaminatedLazy = batchEmbeddings match {
+      case Some(embs) =>
+        require(spark.catalog.tableExists(st.semanticTable),
+          s"batchEmbeddings passed but ${st.semanticTable} does not exist " +
+            "— save it via saveEvalEmbeddings first (skipping silently " +
+            "would ship paraphrased eval content)")
+        val dropIds = Decontamination.semanticFlagsAgainstIndex(
+            embs, idCol, vecCol, st.semanticTable, cfg.semanticTau,
+            ordered = false)
+          .select(col(idCol))
+        shingleDecontaminated.join(dropIds, Seq(idCol), "left_anti")
+      case None => shingleDecontaminated
+    }
+    // the gate/containment chain feeds TWO materializations (the
+    // classify checkpoint and the emission checkpoint read it through
+    // different joins) — checkpoint it once so the per-doc text work
+    // (NFC, tokenize, classifier fold, shingle project) runs once per
+    // batch, not once per consumer (measured 58 → ~44 jobs and -2.5 s
+    // per batch at sf0.1; released with the other per-batch checkpoints)
+    val decontaminated = decontaminatedLazy.localCheckpoint(true)
     // stage 6: classify against the persisted keeper index; the
     // classified frame is checkpointed because the keeper append below
     // mutates the very table the classify join reads
@@ -172,16 +255,50 @@ object IncrementalPipeline {
                 org.apache.spark.sql.types.LongType)))),
           idCol, "text")
       ).localCheckpoint(true)
-    val kept = decontaminated.join(
+    val keptLazy = decontaminated.join(
       classified.filter(col("status") === "new")
         .select(col("doc_id").as(idCol)),
       idCol)
+    // with the fuzzy tier on, `kept` feeds THREE consumers (the fuzzy
+    // classification, the sketch append, and the emission chain) —
+    // checkpoint it once so the gate/containment chain is not
+    // recomputed per consumer (the `sampled` discipline below); off,
+    // the single consumer reads the lazy plan as before
+    val kept = if (cfg.fuzzyDedup) keptLazy.localCheckpoint(true) else keptLazy
+    // stage 6b: fuzzy (MinHash) tier against the persisted band index;
+    // the classification is checkpointed because the sketch append
+    // below mutates the very table its plan reads
+    val fuzzyState: Option[(DataFrame, Boolean)] =
+      if (!cfg.fuzzyDedup) None
+      else {
+        val fuzzyExists = spark.catalog.tableExists(st.fuzzyTable)
+        val banded =
+          if (fuzzyExists) IndexStore.minhashIndex(spark, st.fuzzyTable,
+            cfg.fuzzyShingleN, cfg.fuzzyNumHashes, cfg.fuzzyBands)
+          else IncrementalMinHash.emptyBandedIndex(spark)
+        val fuzzyScope = new graft.CacheScope
+        val cls = try IncrementalMinHash.classifyBanded(kept, banded, idCol,
+            "text", cfg.fuzzyShingleN, cfg.fuzzyNumHashes, cfg.fuzzyBands,
+            cfg.fuzzyMinMatch, scope = fuzzyScope)
+          .localCheckpoint(true)
+        finally fuzzyScope.release() // sketch cache dies with the ckpt
+        Some((cls, fuzzyExists))
+      }
+    val fuzzyKept = fuzzyState match {
+      case Some((cls, _)) =>
+        // self-match acceptance: see the crash-replay note above
+        val accepted = cls.filter(col("status") === "new" ||
+          (col("status") === "dup_of_history" &&
+            col("dup_of") === col("doc_id")))
+        kept.join(accepted.select(col("doc_id").as(idCol)), idCol)
+      case None => kept
+    }
     // the emission set is consumed by THREE multi-action consumers
     // (packing, the audit, the sample merge) — checkpoint it once so
     // the gate/containment/classify chain is computed once, not once
     // per downstream action (measured 19 → 8 s at sf0.1 without it;
     // released below once the state appends are done)
-    val sampled = Sampling.hashSample(kept, idCol, cfg.sampleRate, cfg.salt)
+    val sampled = Sampling.hashSample(fuzzyKept, idCol, cfg.sampleRate, cfg.salt)
       .localCheckpoint(true)
     // stage 8: pack from the persisted cursors (zeros on first batch)
     val cursorExists = spark.catalog.tableExists(st.cursorTable)
@@ -206,15 +323,24 @@ object IncrementalPipeline {
     // at the advanced cursor) — benign. The reverse order would
     // instead make that crash window SILENTLY DROP the batch's docs
     // from the training set (keepers known, nothing ever emitted).
+    // an empty emission contributes nothing to the ledger or the
+    // sample — skip their jobs and catalog round-trips (the replay
+    // path: every table already converged). The sample table is still
+    // CREATED on a first empty batch so later readers find a stamped
+    // table; the matched ledger is created lazily by design (first hit).
+    val emptySample = sampled.isEmpty
     if (audit) {
       require(spark.catalog.tableExists(st.evalTable),
         s"audit=true but ${st.evalTable} does not exist — " +
           "save it via saveEvalIndex first")
-      Decontamination.auditBatch(sampled, idCol, "text",
-        st.evalTable, st.matchedTable, st.matchedPath)
-      ()
+      if (!emptySample) {
+        Decontamination.auditBatch(sampled, idCol, "text",
+          st.evalTable, st.matchedTable, st.matchedPath)
+        ()
+      }
     }
-    if (sampleK > 0) {
+    if (sampleK > 0 &&
+        (!emptySample || !spark.catalog.tableExists(st.sampleTable))) {
       graft.streaming.StreamingSample.mergeBatch(
         sampled.select(col(idCol),
           Packing.shardOf(col(idCol), cfg.shards, cfg.salt).as("shard")),
@@ -224,16 +350,45 @@ object IncrementalPipeline {
     }
     // cursor advance: per-shard token mass of THIS emission (each
     // doc's spans slice [tok_start, tok_end) partition its tokens, so
-    // the span sum per shard IS the batch's packed token count there)
-    val batchSums = spans.groupBy("shard")
-      .agg(sum(col("tok_end") - col("tok_start")).as("_adv"))
-    val newBases = bases.join(batchSums, Seq("shard"), "full_outer")
-      .select(col("shard").cast("long").as("shard"),
-        (coalesce(col("base"), lit(0L)) + coalesce(col("_adv"), lit(0L)))
-          .as("base"))
-      .localCheckpoint(true) // the upsert swaps the table this plan reads
-    SwapTable.upsert(newBases, st.cursorTable, st.cursorPath,
-      stamps = cursorStamps(cfg), graceMs = graceMs)
+    // the span sum per shard IS the batch's packed token count there).
+    // An EMPTY emission advances nothing — skip the full_outer action
+    // and the swap entirely (the replay path then costs zero cursor
+    // jobs), except on the very first batch, which must still CREATE
+    // the stamped table for the drift guard.
+    val emptyEmission = spans.isEmpty
+    if (!emptyEmission || !cursorExists) {
+      val batchSums = spans.groupBy("shard")
+        .agg(sum(col("tok_end") - col("tok_start")).as("_adv"))
+      val newBases = bases.join(batchSums, Seq("shard"), "full_outer")
+        .select(col("shard").cast("long").as("shard"),
+          (coalesce(col("base"), lit(0L)) + coalesce(col("_adv"), lit(0L)))
+            .as("base"))
+        .localCheckpoint(true) // the upsert swaps the table this plan reads
+      SwapTable.upsert(newBases, st.cursorTable, st.cursorPath,
+        stamps = cursorStamps(cfg), graceMs = graceMs)
+      graft.CacheScope.checkpointRdd(newBases)
+        .foreach(_.unpersist(blocking = false))
+    }
+    // fuzzy sketch append BEFORE the exact commit point: a crash in
+    // between replays the batch, whose accepted docs then self-match
+    // (accepted — see the stage-6b note); the reverse order would let
+    // a crash skip the sketches forever (exact index says
+    // dup_of_history, fuzzy stage never sees the docs again)
+    fuzzyState.foreach { case (cls, existed) =>
+      if (existed)
+        IndexStore.appendMinhashAccepted(kept, cls, idCol, "text",
+          st.fuzzyTable, cfg.fuzzyShingleN, cfg.fuzzyNumHashes,
+          cfg.fuzzyBands)
+      else
+        IndexStore.saveMinhash(
+          IncrementalMinHash.buildIndex(
+            kept.join(cls.filter(col("status") === "new")
+              .select(col("doc_id").as(idCol)), idCol),
+            idCol, "text", cfg.fuzzyShingleN, cfg.fuzzyNumHashes,
+            cfg.fuzzyBands),
+          st.fuzzyTable, st.fuzzyPath, buckets, cfg.fuzzyShingleN,
+          cfg.fuzzyNumHashes, cfg.fuzzyBands)
+    }
     // the commit point (see ordering note above)
     if (dedupExists) IndexStore.appendExactKeepers(classified, st.dedupTable)
     else IndexStore.saveExact(
@@ -243,7 +398,8 @@ object IncrementalPipeline {
     // release the per-batch checkpoints (spans — the returned frame —
     // keeps its own); a long batch loop must not pin one batch-sized
     // RDD pair per call in the block manager
-    Seq(sampled, classified)
+    (Seq(sampled, classified, decontaminated) ++
+        fuzzyState.toSeq.flatMap { case (cls, _) => Seq(cls, kept) })
       .flatMap(graft.CacheScope.checkpointRdd)
       .foreach(_.unpersist(blocking = false))
     spans

@@ -64,7 +64,28 @@ object Pipeline {
       classifierBias: Double = 0.0,
       classifierThreshold: Double = 0.5,
       decontamShingleN: Int = 3,
-      decontamThreshold: Double = 0.8)
+      decontamThreshold: Double = 0.8,
+      fuzzyDedup: Boolean = false,
+      fuzzyShingleN: Int = 3,
+      fuzzyNumHashes: Int = 9,
+      fuzzyBands: Int = 3,
+      fuzzyMinMatch: Int = 5,
+      semanticTau: Double = 0.99)
+
+  /** The SEMANTIC decontamination input for [[buildTrainingSet]]'s
+    * stage 5b: per-doc embeddings for the corpus and the eval set,
+    * both carrying the builder's id column plus `vecCol`
+    * (Array[Float]/Array[Double]). A corpus doc whose argmax cosine
+    * against the eval set reaches `Config.semanticTau` is dropped —
+    * the paraphrase-level check shingle containment cannot see
+    * ([[Decontamination.semanticFlags]] semantics verbatim: rounded
+    * cosine, inclusive threshold). Docs with no embedding row pass
+    * (no evidence). `bucketBits` > 0 is the sign-bucket LSH arm. */
+  final case class Semantic(
+      corpusEmbeddings: DataFrame,
+      evalEmbeddings: DataFrame,
+      vecCol: String = "embedding",
+      bucketBits: Int = 0)
 
   /** Stages 1-2 (NFC normalization + optional HTML strip) as one
     * reusable hand-off: (idCol, text). Shared verbatim by
@@ -86,29 +107,37 @@ object Pipeline {
   }
 
   /** Stages 3-4 (heuristic quality gate + optional learned gate) over
-    * a [[cleanStage]] output — keyed semi-joins only, per-doc
-    * decisions, so the stage is batch-decomposable by construction
-    * (the property [[IncrementalPipeline]] relies on). */
+    * a [[cleanStage]] output — per-doc decisions evaluated as pure
+    * FILTERS, so the stage is batch-decomposable by construction (the
+    * property [[IncrementalPipeline]] relies on) and costs ZERO
+    * shuffles: both gates emit exactly one verdict row per input doc,
+    * so the id semi-join the stage used to pay (two corpus-sized
+    * exchanges per gate) is semantically a filter. The doc's (id,
+    * text) rides THROUGH each gate operator as a struct-typed id —
+    * the very same operator the standalone rows pin (pq41/pq99), no
+    * reimplemented predicate to drift. */
   private[llm] def gateStage(cleaned: DataFrame, idCol: String,
       cfg: Config): DataFrame = {
-    val gateIds = TextAnalysis.qualityGate(cleaned, idCol, "text",
+    def packed(df: DataFrame): DataFrame =
+      df.select(struct(col(idCol), col("text")).as("_doc"), col("text"))
+    def unpacked(df: DataFrame): DataFrame = df.select(col("doc_id.*"))
+    val gated = unpacked(
+      TextAnalysis.qualityGate(packed(cleaned), "_doc", "text",
         minTokens = cfg.minTokens, maxTokens = cfg.maxTokens,
         minMeanWlen = cfg.minMeanWlen, maxMeanWlen = cfg.maxMeanWlen,
         minStopRatio = cfg.minStopRatio, minTtr = cfg.minTtr,
         maxDupBigramFrac = cfg.maxDupBigramFrac,
         maxTopBigramFrac = cfg.maxTopBigramFrac, ordered = false)
-      .filter(col("pass")).select(col("doc_id").as(idCol))
-    val gated = cleaned.join(gateIds, idCol)
+      .filter(col("pass")))
     // learned gate: pure inference (one projection, weights as a
     // literal) — runs BEFORE decontamination so the shingle pass only
     // sees docs that survive both quality filters
     cfg.classifierWeights match {
       case Some(w) =>
-        val keep = QualityClassifier.score(gated, idCol, "text", w,
+        unpacked(
+          QualityClassifier.score(packed(gated), "_doc", "text", w,
             cfg.classifierBias, ordered = false)
-          .filter(col("prob") >= cfg.classifierThreshold)
-          .select(col("doc_id").as(idCol))
-        gated.join(keep, idCol)
+          .filter(col("prob") >= cfg.classifierThreshold))
       case None => gated
     }
   }
@@ -124,10 +153,29 @@ object Pipeline {
     *                containment in this set reaches
     *                `cfg.decontamThreshold` is dropped before dedup —
     *                the training set never ships eval content. None
-    *                skips the stage. */
+    *                skips the stage.
+    * @param semantic stage 5b — embedding-space decontamination (see
+    *                [[Semantic]]): dropped ids come from the argmax
+    *                cosine against the eval embeddings at
+    *                `cfg.semanticTau`. None skips the stage (the
+    *                chain is then bit-identical to the pre-stage
+    *                builder — the identity law the spec pins). The
+    *                flags are computed over the FULL embedding table
+    *                and anti-joined on the id (zero extra shuffle:
+    *                the flag pass is the broadcast-argmax zero-shuffle
+    *                shape, and the anti-join is on the id the chain
+    *                already keys).
+    *
+    * `cfg.fuzzyDedup` enables stage 6b — MinHash near-dup dedup AFTER
+    * exact dedup ([[IncrementalMinHash.classifyBanded]] against an
+    * empty history: in-batch semantics — a doc near-duplicating a
+    * smaller-id doc drops, `cfg.fuzzyMinMatch` of
+    * `cfg.fuzzyNumHashes` signature components). Off ≡ today's chain
+    * bit-for-bit. */
   def buildTrainingSet(df: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config(),
-      evalSet: Option[DataFrame] = None): DataFrame = {
+      evalSet: Option[DataFrame] = None,
+      semantic: Option[Semantic] = None): DataFrame = {
     val learned = gateStage(cleanStage(df, idCol, textCol, cfg), idCol, cfg)
     // decontamination: the EVAL SET is the reference side (its shingle
     // set is benchmark-sized and broadcasts); each surviving corpus
@@ -149,10 +197,34 @@ object Pipeline {
         learned.join(dropIds, Seq(idCol), "left_anti")
       case None => learned
     }
-    val keepers = ExactDedup(decontaminated, idCol, "text")
+    // stage 5b: semantic (embedding-space) decontamination — the
+    // paraphrase-level drop shingle containment cannot see
+    val semDecontaminated = semantic match {
+      case Some(sc) =>
+        val dropIds = Decontamination.semanticFlags(
+            sc.corpusEmbeddings, sc.evalEmbeddings, idCol, sc.vecCol,
+            cfg.semanticTau, sc.bucketBits, ordered = false)
+          .select(col(idCol))
+        decontaminated.join(dropIds, Seq(idCol), "left_anti")
+      case None => decontaminated
+    }
+    val keepers = ExactDedup(semDecontaminated, idCol, "text")
       .select(col("keep_id").as(idCol))
-    val deduped = decontaminated.join(keepers, idCol)
-    val sampled = Sampling.hashSample(deduped, idCol, cfg.sampleRate, cfg.salt)
+    val deduped = semDecontaminated.join(keepers, idCol)
+    // stage 6b: MinHash near-dup tier — classify against an EMPTY
+    // history (in-batch semantics; the maintaining builder's persisted
+    // index is the same operator with history filled in)
+    val fuzzyDeduped =
+      if (!cfg.fuzzyDedup) deduped
+      else {
+        val cls = IncrementalMinHash.classifyBanded(deduped,
+          IncrementalMinHash.emptyBandedIndex(df.sparkSession), idCol, "text",
+          cfg.fuzzyShingleN, cfg.fuzzyNumHashes, cfg.fuzzyBands,
+          cfg.fuzzyMinMatch)
+        deduped.join(cls.filter(col("status") === "new")
+          .select(col("doc_id").as(idCol)), idCol)
+      }
+    val sampled = Sampling.hashSample(fuzzyDeduped, idCol, cfg.sampleRate, cfg.salt)
     Packing.packSequences(sampled, idCol, "text", cfg.targetTokens, cfg.shards,
       cfg.salt)
   }

@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
+  /** Hard cap on [[unimaxMaterialize]]'s driver-built dispatch chain:
+    * one when-branch per stratum, so the allocation must be
+    * domain-sized (sources/domains/host classes), never host-scale. */
+  val MaterializeMaxStrata = 4096
+
   /** The 8-hex-char threshold under which a key is in-sample:
     * floor(rate * 2^32) zero-padded — e.g. 0.5 -> "80000000". */
   def thresholdHex(rate: Double): String = {
@@ -481,7 +486,20 @@ object Sampling {
     val counts = df.groupBy(col(strataCol).as("stratum"))
       .agg(coalesce(sum(weightedTokens(tokensCol, weightCol)), lit(0L))
         .as("n_tokens"))
-      .withColumn("_cap_m", col("n_tokens") * lit(epochsMilli))
+      // the per-stratum cap shares the budget's exact-milli-arithmetic
+      // guard: n_tokens * epochsMilli must not wrap (epochsMilli can
+      // reach 1e6 at maxEpochs=1000, so a stratum past ~9.2e12 tokens
+      // would silently corrupt the water-filling). raise_error keeps it
+      // a codegen'd projection — no extra job on the strata-sized frame
+      .withColumn("_cap_m",
+        when(col("n_tokens") <= lit(Long.MaxValue / epochsMilli),
+          col("n_tokens") * lit(epochsMilli))
+        .otherwise(raise_error(concat(
+          lit("unimaxAllocation: stratum token mass "),
+          col("n_tokens").cast("string"),
+          lit(s" overflows exact milli-token capacity at maxEpochs=$maxEpochs" +
+            s" (limit ${Long.MaxValue / epochsMilli}) — lower maxEpochs or " +
+            "pre-scale the token column")))))
     // ascending capacity, key tie-break; nulls first explicitly so the
     // oracle's NULLS FIRST spells the identical total order
     val byCap = Window.orderBy(col("_cap_m").asc,
@@ -540,7 +558,18 @@ object Sampling {
    * allocation's own aggregate; the copy explode is a codegen'd
    * `sequence` bounded by ceil(maxEpochs) per row. Null keys are
    * excluded (no hash identity — the [[Sampling]] contract); a null
-   * stratum materializes through its own dispatch branch.
+   * stratum materializes through its own dispatch branch. The stratum
+   * may be any literal-able type (string domains, BIGINT router preds —
+   * dispatch compares on the column's native type, the
+   * [[unimaxAllocation]] composition contract).
+   *
+   * DOMAIN-SIZED STRATA ONLY: the dispatch is a driver-built when-chain
+   * with one branch per stratum, so the allocation's cardinality is
+   * hard-capped at `MaterializeMaxStrata` (4096 — generous for
+   * domain/source/host-class mixes, far under a plan-size blowup). A
+   * host-scale stratum column (millions of distinct keys) must be
+   * bucketed/classed BEFORE allocation — refusing here beats a
+   * driver-side OOM building a million-branch expression tree.
    */
   def unimaxMaterialize(df: DataFrame, keyCol: String, strataCol: String,
       tokensCol: String, budgetTokens: Long, maxEpochs: Double,
@@ -548,6 +577,11 @@ object Sampling {
     val alloc = unimaxAllocation(df, strataCol, tokensCol, budgetTokens,
         maxEpochs, ordered = false, weightCol)
       .select("stratum", "epochs").collect()
+    require(alloc.length <= MaterializeMaxStrata,
+      s"unimaxMaterialize: ${alloc.length} strata exceed the when-chain " +
+        s"dispatch bound ($MaterializeMaxStrata) — the stratum column is " +
+        "host-scale, not domain-scale; bucket or classify it before " +
+        "allocating (a million-branch expression tree would kill the driver)")
     val key = col(keyCol)
     def copiesOf(epochs: Double): Column = {
       val full = math.floor(epochs).toLong
@@ -555,12 +589,20 @@ object Sampling {
       lit(full) + when(samplePredicate(key, frac, salt), lit(1L))
         .otherwise(lit(0L))
     }
+    // dispatch on the stratum's NATIVE value (r.get / lit of the raw
+    // value): a BIGINT or other non-string stratum — anything
+    // unimaxAllocation groups on — composes without a cast; branch
+    // order sorts on the string form purely for plan determinism
     val named = alloc.filter(r => !r.isNullAt(0))
-      .map(r => r.getString(0) -> copiesOf(r.getDouble(1))).toSeq
+      .map(r => r.get(0) -> copiesOf(r.getDouble(1))).toSeq
+      .sortBy(_._1.toString)
     val nullBranch = alloc.find(_.isNullAt(0))
       .map(r => copiesOf(r.getDouble(1))).getOrElse(lit(0L))
-    val chain = stratumCase(col(strataCol), named,
-      when(col(strataCol).isNull, nullBranch).otherwise(lit(0L)))
+    val chain = named.foldRight(
+      when(col(strataCol).isNull, nullBranch).otherwise(lit(0L))) {
+        case ((stratum, value), elseExpr) =>
+          when(col(strataCol) === lit(stratum), value).otherwise(elseExpr)
+      }
     df.filter(key.isNotNull)
       .withColumn("_nc", chain)
       .filter(col("_nc") > 0)
@@ -590,8 +632,14 @@ object Sampling {
     val real = materialized.groupBy(col(strataCol).as("stratum"))
       .agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L))
         .as("realized_tokens"))
+      .withColumnRenamed("stratum", "_rstratum")
+    // null-SAFE join key: unimaxAllocation treats a null stratum as its
+    // own group, so the audit must line its allocation row up with its
+    // realized row — a plain equi-join would emit two half-rows instead
     alloc.select(col("stratum"), col("n_tokens"), col("alloc"))
-      .join(real, Seq("stratum"), "full_outer")
+      .join(real, col("stratum") <=> col("_rstratum"), "full_outer")
+      .withColumn("stratum", coalesce(col("stratum"), col("_rstratum")))
+      .drop("_rstratum")
       .withColumn("realized_tokens", coalesce(col("realized_tokens"), lit(0L)))
       .withColumn("realized_epochs",
         when(col("n_tokens") > 0,

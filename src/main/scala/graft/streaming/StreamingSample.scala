@@ -89,6 +89,9 @@ object StreamingSample {
     graft.llm.SwapTable.upsert(out, tableName, path,
       stamps = Seq(SaltKey -> salt, KKey -> k.toString, ModeKey -> "uniform"),
       graceMs = graceMs)
+    // the checkpoint served the swap — release it, or a long-running
+    // merge loop pins one strata×k block set per batch
+    graft.CacheScope.checkpointRdd(out).foreach(_.unpersist(blocking = false))
     n
   }
 
@@ -133,6 +136,7 @@ object StreamingSample {
     graft.llm.SwapTable.upsert(out, tableName, path,
       stamps = Seq(SaltKey -> salt, KKey -> k.toString, ModeKey -> mode),
       graceMs = graceMs)
+    graft.CacheScope.checkpointRdd(out).foreach(_.unpersist(blocking = false))
     n
   }
 

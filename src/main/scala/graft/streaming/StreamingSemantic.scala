@@ -23,27 +23,46 @@ import org.apache.spark.sql.streaming.DataStreamWriter
  * so at-least-once delivery converges with nothing to dedup. One job
  * per batch: the index read is eval-sized and broadcast, the batch
  * never shuffles (the semanticFlags zero-shuffle shape).
+ *
+ * RESERVED OUTPUT COLUMNS: the annotation ADDS `match_id`, `cos`, and
+ * `status` to the batch's own columns — a batch already carrying any
+ * of those names is refused up front (silently shadowing a caller's
+ * column, or handing `onBatch` an ambiguous frame, would corrupt the
+ * quarantine routing downstream).
  */
 object StreamingSemantic {
+
+  /** The columns [[sink]] adds to each annotated batch. */
+  val ReservedColumns: Seq[String] = Seq("match_id", "cos", "status")
 
   def sink(stream: DataFrame, idCol: String, vecCol: String,
       tableName: String, tau: Double,
       onBatch: (DataFrame, Long) => Unit = (_, _) => ())
       : DataStreamWriter[Row] = {
     require(tau > 0 && tau <= 1, s"sink: tau in (0, 1], got $tau")
+    val clash = stream.columns.toSeq.intersect(ReservedColumns)
+    require(clash.isEmpty,
+      s"sink: batch columns ${clash.mkString(", ")} collide with the " +
+        s"reserved annotation columns (${ReservedColumns.mkString(", ")}) — " +
+        "rename them upstream; shadowing would corrupt the routing")
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       // checkpoint once: a non-replayable source must not diverge
       // between the gate's scan and the annotation join
       val b = batch.localCheckpoint(true)
+      // private-prefixed flag columns through the join (the _fid
+      // discipline), final names only on the emitted frame
       val flags = Decontamination.semanticFlagsAgainstIndex(
         b, idCol, vecCol, tableName, tau, ordered = false)
-        .withColumnRenamed(idCol, "_fid")
+        .select(col(idCol).as("_fid"), col("match_id").as("_match_id"),
+          col("cos").as("_cos"))
       val annotated = b
         .join(flags, col(idCol) === col("_fid"), "left")
         .drop("_fid")
         .withColumn("status",
-          when(col("match_id").isNotNull, lit("contaminated"))
+          when(col("_match_id").isNotNull, lit("contaminated"))
             .otherwise(lit("clean")))
+        .withColumnRenamed("_match_id", "match_id")
+        .withColumnRenamed("_cos", "cos")
         .localCheckpoint(true)
       // release both per-batch checkpoints once consumed (the
       // StreamingDecontaminate discipline)

@@ -186,6 +186,183 @@ class IncrementalPipelineSpec extends AnyFunSuite {
     } finally cleanup(state)
   }
 
+  test("fuzzy tier: near-dups drop in-batch and across batches; no-near-dup corpus == fuzzy-off chain") {
+    import TestSpark.spark.implicits._
+    // sampleRate 1: the fuzzy KEEPER must be observable in the emission
+    val offCfg = cfg.copy(sampleRate = 1.0)
+    val fcfg = offCfg.copy(fuzzyDedup = true)
+    // ids 9200/9201: in-batch near-dup pair (one-token tail edit on a
+    // 30-token base — shingle Jaccard ~0.93, well above the 5-of-9
+    // estimate threshold); id 9300 (batch 2): near-dup of batch 1's
+    // accepted 9200 — must drop against the PERSISTED band index
+    // without rescanning batch 1. Ids sit ABOVE the corpus range
+    // (sf0.001 doc_ids reach 499).
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val extras = Seq(
+      (9200L, base + " one"), (9201L, base + " two"), (9777L, base)
+    ).toDF("doc_id", "text")
+    val b2extras = Seq((9300L, base + " three")).toDF("doc_id", "text")
+    val state = st("graft_ip_fz")
+    try {
+      IncrementalPipeline.saveEvalIndex(evalSet, "doc_id", "text", fcfg,
+        state, buckets = 4)
+      val b1 = IncrementalPipeline.processBatch(
+        docs.filter(col("doc_id") < 60).unionByName(extras),
+        "doc_id", "text", fcfg, state, sampleK = 0, buckets = 4)
+      val b2 = IncrementalPipeline.processBatch(
+        docs.filter(col("doc_id") >= 60).unionByName(b2extras),
+        "doc_id", "text", fcfg, state, sampleK = 0, buckets = 4)
+      val ids = (spans(b1) ++ spans(b2)).map(_._3)
+      assert(ids.contains(9200L), "the smallest near-dup id is the keeper")
+      assert(!ids.contains(9201L), "in-batch near-dup must drop")
+      assert(!ids.contains(9300L), "cross-batch near-dup must drop against the index")
+      assert(!ids.contains(9777L), "9777 near-duplicates 9200/9201 too")
+
+      // identity: on a corpus with PROVABLY disjoint shingle sets (no
+      // two docs share a token, so no bands can collide beyond hash
+      // accident and no estimate can clear 5-of-9) the fuzzy chain
+      // emits exactly the fuzzy-off chain's spans (off ≡ before, so
+      // this also pins fuzzy-on as a pure extension)
+      val disjoint = (0 until 40).map { d =>
+        (1000L + d, (1 to 8).map(i => s"d${d}t$i").mkString(" "))
+      }.toDF("doc_id", "text")
+      val s2 = st("graft_ip_fz2")
+      val s3 = st("graft_ip_fz3")
+      try {
+        IncrementalPipeline.saveEvalIndex(evalSet, "doc_id", "text", fcfg,
+          s2, buckets = 4)
+        IncrementalPipeline.saveEvalIndex(evalSet, "doc_id", "text", offCfg,
+          s3, buckets = 4)
+        val on = IncrementalPipeline.processBatch(disjoint, "doc_id", "text",
+          fcfg, s2, sampleK = 0, buckets = 4)
+        val off = IncrementalPipeline.processBatch(disjoint, "doc_id", "text",
+          offCfg, s3, sampleK = 0, buckets = 4)
+        assert(spans(on) == spans(off) && spans(on).nonEmpty,
+          "disjoint-shingle docs carry no near-dups; the fuzzy tier " +
+            "must then be the identity")
+      } finally { cleanup(s2); cleanup(s3) }
+
+      // one-batch identity with the ONE-SHOT fuzzy builder
+      val s4 = st("graft_ip_fz4")
+      try {
+        IncrementalPipeline.saveEvalIndex(evalSet, "doc_id", "text", fcfg,
+          s4, buckets = 4)
+        val inc = IncrementalPipeline.processBatch(
+          docs.filter(col("doc_id") < 60).unionByName(extras),
+          "doc_id", "text", fcfg, s4, sampleK = 0, buckets = 4)
+        val one = Pipeline.buildTrainingSet(
+          docs.filter(col("doc_id") < 60).unionByName(extras),
+          "doc_id", "text", fcfg, evalSet = Some(evalSet))
+        assert(spans(inc) == spans(one) && spans(inc).nonEmpty)
+      } finally cleanup(s4)
+
+      // replay with the fuzzy tier: emits nothing, fuzzy index unmoved
+      val fuzzyBefore = spark.table(state.fuzzyTable).count()
+      val replay = IncrementalPipeline.processBatch(
+        docs.filter(col("doc_id") < 60).unionByName(extras),
+        "doc_id", "text", fcfg, state, sampleK = 0, buckets = 4)
+      assert(replay.count() == 0, "a replayed batch must emit nothing")
+      assert(spark.table(state.fuzzyTable).count() == fuzzyBefore,
+        "replay must not grow the fuzzy index")
+    } finally cleanup(state)
+  }
+
+  test("semantic gate: flagged docs drop; no-embeddings call is the identity; missing index refused") {
+    import TestSpark.spark.implicits._
+    // embeddings: distinctive unit-ish vectors; eval copies doc 20/21's
+    // vectors, so those two docs (cosine 1.0 >= tau) must drop
+    def vec(d: Long): Array[Float] =
+      Array((d % 7).toFloat + 1f, ((d + 3) % 5).toFloat + 1f, 2f)
+    val corpusEmb = (0L until 120L).map(d => (d, vec(d)))
+      .toDF("doc_id", "embedding")
+    val evalEmb = Seq((9020L, vec(20L)), (9021L, vec(21L)))
+      .toDF("doc_id", "embedding")
+    val state = st("graft_ip_sem")
+    try {
+      IncrementalPipeline.saveEvalIndex(evalSet, "doc_id", "text", cfg,
+        state, buckets = 4)
+      IncrementalPipeline.saveEvalEmbeddings(evalEmb, "doc_id", "embedding",
+        state)
+      val out = IncrementalPipeline.processBatch(docs, "doc_id", "text",
+        cfg, state, sampleK = 0, buckets = 4,
+        batchEmbeddings = Some(corpusEmb))
+      val ids = spans(out).map(_._3)
+      assert(spans(out).nonEmpty)
+      // every doc sharing 20/21's direction drops (vec(d) repeats with
+      // period 35, and scaling preserves cosine — flag the full set)
+      val flagged = Decontamination.semanticFlagsAgainstIndex(
+          corpusEmb, "doc_id", "embedding", state.semanticTable,
+          cfg.semanticTau, ordered = false)
+        .select("doc_id").as[Long].collect().toSet
+      assert(flagged.contains(20L) && flagged.contains(21L))
+      assert(ids.intersect(flagged).isEmpty,
+        "semantically flagged docs must not be emitted")
+
+      // identity with the one-shot semantic builder on fresh state
+      val s2 = st("graft_ip_sem2")
+      try {
+        IncrementalPipeline.saveEvalIndex(evalSet, "doc_id", "text", cfg,
+          s2, buckets = 4)
+        IncrementalPipeline.saveEvalEmbeddings(evalEmb, "doc_id",
+          "embedding", s2)
+        val inc = IncrementalPipeline.processBatch(docs, "doc_id", "text",
+          cfg, s2, sampleK = 0, buckets = 4,
+          batchEmbeddings = Some(corpusEmb))
+        val one = Pipeline.buildTrainingSet(docs, "doc_id", "text", cfg,
+          evalSet = Some(evalSet),
+          semantic = Some(Pipeline.Semantic(corpusEmb, evalEmb)))
+        assert(spans(inc) == spans(one) && spans(inc).nonEmpty)
+      } finally cleanup(s2)
+
+      // None skips the stage: bit-identical to the pre-stage chain
+      val s3 = st("graft_ip_sem3")
+      try {
+        IncrementalPipeline.saveEvalIndex(evalSet, "doc_id", "text", cfg,
+          s3, buckets = 4)
+        val none = IncrementalPipeline.processBatch(docs, "doc_id", "text",
+          cfg, s3, sampleK = 0, buckets = 4)
+        val oneNone = Pipeline.buildTrainingSet(docs, "doc_id", "text", cfg,
+          evalSet = Some(evalSet), semantic = None)
+        assert(spans(none) == spans(oneNone))
+        assert(spans(none) != spans(out),
+          "the gate must actually change this fixture's emission")
+      } finally cleanup(s3)
+
+      // refusal: embeddings passed but no saved index
+      val s4 = st("graft_ip_sem4")
+      try {
+        IncrementalPipeline.saveEvalIndex(evalSet, "doc_id", "text", cfg,
+          s4, buckets = 4)
+        val e = intercept[IllegalArgumentException] {
+          IncrementalPipeline.processBatch(docs, "doc_id", "text", cfg,
+            s4, sampleK = 0, buckets = 4,
+            batchEmbeddings = Some(corpusEmb))
+        }
+        assert(e.getMessage.contains("saveEvalEmbeddings"))
+      } finally cleanup(s4)
+    } finally cleanup(state)
+  }
+
+  test("batch loop: released emissions keep block-manager storage bounded across 5 batches") {
+    val state = st("graft_ip_loop")
+    try {
+      IncrementalPipeline.saveEvalIndex(evalSet, "doc_id", "text", cfg, state,
+        buckets = 4)
+      def stored = spark.sparkContext.getPersistentRDDs.size
+      val base = stored
+      (0 until 5).foreach { i =>
+        val spans = IncrementalPipeline.processBatch(
+          docs.filter(pmod(col("doc_id"), lit(5)) === i), "doc_id", "text",
+          cfg, state, sampleK = 3, buckets = 4)
+        spans.count() // consume
+        IncrementalPipeline.releaseEmission(spans)
+        assert(stored <= base + 1,
+          s"batch $i leaked checkpoint storage: $stored persistent RDDs " +
+            s"(started at $base) — the loop must stay bounded")
+      }
+    } finally cleanup(state)
+  }
+
   test("drift: cursor stamps refuse a changed salt") {
     val state = st("graft_ip_drift")
     try {

@@ -193,4 +193,19 @@ class SemanticDecontamSpec extends AnyFunSuite {
         "a replayed batch must annotate identically")
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("streaming sink refuses a batch carrying the reserved annotation columns") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Seq[Float], String)]
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingSemantic.sink(
+        input.toDF().toDF("vec_id", "embedding", "status"),
+        "vec_id", "embedding", "graft_semdec_never", tau = 0.99)
+    }
+    assert(e.getMessage.contains("status") &&
+      e.getMessage.contains("reserved"),
+      s"must name the clashing column: ${e.getMessage}")
+  }
 }

@@ -213,4 +213,64 @@ class UnimaxSpec extends AnyFunSuite {
     assert(got.groupBy(_._1).view.mapValues(_.length).toMap ==
       Map(1L -> 3, 2L -> 3))
   }
+
+  test("materialize dispatches on the stratum's native type (BIGINT strata)") {
+    // a BIGINT stratum — the router-pred composition pq132 feeds the
+    // allocation — must materialize without a ClassCastException, and
+    // per-stratum copy counts must respect each stratum's epochs
+    val d = Seq((1L, 0L, 50L), (2L, 0L, 50L), (3L, 1L, 50L))
+      .toDF("doc_id", "pred", "n_chars")
+    val got = Sampling.unimaxMaterialize(d, "doc_id", "pred", "n_chars",
+        budgetTokens = 100000L, maxEpochs = 2.0, salt = "nt")
+      .select("doc_id", "copy").as[(Long, Long)].collect()
+    assert(got.groupBy(_._1).view.mapValues(_.length).toMap ==
+      Map(1L -> 2, 2L -> 2, 3L -> 2))
+    // and agrees with the string-stratum materialization of the same
+    // shape (same doc ids/salt → same draws)
+    val s = Seq((1L, "0", 50L), (2L, "0", 50L), (3L, "1", 50L))
+      .toDF("doc_id", "pred", "n_chars")
+    val gotS = Sampling.unimaxMaterialize(s, "doc_id", "pred", "n_chars",
+        budgetTokens = 100000L, maxEpochs = 2.0, salt = "nt")
+      .select("doc_id", "copy").as[(Long, Long)].collect()
+    assert(got.sorted.toSeq == gotS.sorted.toSeq)
+  }
+
+  test("materialize refuses a host-scale stratum column") {
+    val d = (0 until (Sampling.MaterializeMaxStrata + 1))
+      .map(i => (i.toLong, s"host$i", 10L))
+      .toDF("doc_id", "host", "n_chars")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.unimaxMaterialize(d, "doc_id", "host", "n_chars",
+        budgetTokens = 1000L, maxEpochs = 2.0, salt = "hs")
+    }
+    assert(e.getMessage.contains("host-scale"))
+  }
+
+  test("allocation refuses a stratum whose milli-token cap would overflow") {
+    // epochsMilli = 1e6 at maxEpochs 1000: a stratum past ~9.2e12
+    // tokens would wrap Long — the guard must raise, not corrupt
+    val d = Seq(("big", Long.MaxValue / 1000000L + 1L), ("small", 10L))
+      .toDF("source", "n_chars")
+    val e = intercept[Exception] {
+      Sampling.unimaxAllocation(d, "source", "n_chars",
+        budgetTokens = 1000L, maxEpochs = 1000.0).collect()
+    }
+    assert(e.getMessage.contains("overflows exact milli-token capacity"))
+  }
+
+  test("realized-mixture audit lines up a NULL stratum as one row") {
+    val d = Seq[(java.lang.Long, String, java.lang.Long)](
+      (1L, null, 40L), (2L, "a", 60L))
+    val corpus = spark.createDataFrame(d).toDF("doc_id", "source", "n_chars")
+    val alloc = Sampling.unimaxAllocation(corpus, "source", "n_chars",
+      budgetTokens = 1000L, maxEpochs = 1.0, ordered = false)
+    // materialized = the corpus itself (1 epoch fits the budget)
+    val audit = Sampling.realizedMixture(corpus, "source", "n_chars", alloc,
+      ordered = false).collect()
+    assert(audit.length == 2, s"null stratum must audit as ONE row, got " +
+      audit.map(_.toString).mkString(", "))
+    val nullRow = audit.find(_.isNullAt(0)).get
+    assert(nullRow.getAs[Long]("realized_tokens") == 40L)
+    assert(nullRow.getAs[Long]("n_tokens") == 40L)
+  }
 }
