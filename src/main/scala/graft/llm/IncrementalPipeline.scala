@@ -329,24 +329,37 @@ object IncrementalPipeline {
     // CREATED on a first empty batch so later readers find a stamped
     // table; the matched ledger is created lazily by design (first hit).
     val emptySample = sampled.isEmpty
-    if (audit) {
-      require(spark.catalog.tableExists(st.evalTable),
-        s"audit=true but ${st.evalTable} does not exist — " +
-          "save it via saveEvalIndex first")
-      if (!emptySample) {
+    if (audit) require(spark.catalog.tableExists(st.evalTable),
+      s"audit=true but ${st.evalTable} does not exist — " +
+        "save it via saveEvalIndex first")
+    val emptyEmission = spans.isEmpty
+    // The three side-state updates below touch DISJOINT tables and
+    // read only materialized checkpoints, so they run CONCURRENTLY
+    // (Spark schedules jobs from separate threads freely; each
+    // maintainer stays single-writer on ITS table). All three join
+    // before the keeper append — the commit point stays last. The
+    // concurrency buys back the per-action scheduling latency that
+    // dominates these model-sized updates (~1.5 s/batch at sf0.1).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val auditF = Future {
+      if (audit && !emptySample) {
         Decontamination.auditBatch(sampled, idCol, "text",
           st.evalTable, st.matchedTable, st.matchedPath)
         ()
       }
     }
-    if (sampleK > 0 &&
-        (!emptySample || !spark.catalog.tableExists(st.sampleTable))) {
-      graft.streaming.StreamingSample.mergeBatch(
-        sampled.select(col(idCol),
-          Packing.shardOf(col(idCol), cfg.shards, cfg.salt).as("shard")),
-        idCol, "shard", sampleK, cfg.salt, st.sampleTable, st.samplePath,
-        graceMs)
-      ()
+    val mergeF = Future {
+      if (sampleK > 0 &&
+          (!emptySample || !spark.catalog.tableExists(st.sampleTable))) {
+        graft.streaming.StreamingSample.mergeBatch(
+          sampled.select(col(idCol),
+            Packing.shardOf(col(idCol), cfg.shards, cfg.salt).as("shard")),
+          idCol, "shard", sampleK, cfg.salt, st.sampleTable, st.samplePath,
+          graceMs)
+        ()
+      }
     }
     // cursor advance: per-shard token mass of THIS emission (each
     // doc's spans slice [tok_start, tok_end) partition its tokens, so
@@ -355,20 +368,24 @@ object IncrementalPipeline {
     // and the swap entirely (the replay path then costs zero cursor
     // jobs), except on the very first batch, which must still CREATE
     // the stamped table for the drift guard.
-    val emptyEmission = spans.isEmpty
-    if (!emptyEmission || !cursorExists) {
-      val batchSums = spans.groupBy("shard")
-        .agg(sum(col("tok_end") - col("tok_start")).as("_adv"))
-      val newBases = bases.join(batchSums, Seq("shard"), "full_outer")
-        .select(col("shard").cast("long").as("shard"),
-          (coalesce(col("base"), lit(0L)) + coalesce(col("_adv"), lit(0L)))
-            .as("base"))
-        .localCheckpoint(true) // the upsert swaps the table this plan reads
-      SwapTable.upsert(newBases, st.cursorTable, st.cursorPath,
-        stamps = cursorStamps(cfg), graceMs = graceMs)
-      graft.CacheScope.checkpointRdd(newBases)
-        .foreach(_.unpersist(blocking = false))
+    val cursorF = Future {
+      if (!emptyEmission || !cursorExists) {
+        val batchSums = spans.groupBy("shard")
+          .agg(sum(col("tok_end") - col("tok_start")).as("_adv"))
+        val newBases = bases.join(batchSums, Seq("shard"), "full_outer")
+          .select(col("shard").cast("long").as("shard"),
+            (coalesce(col("base"), lit(0L)) + coalesce(col("_adv"), lit(0L)))
+              .as("base"))
+          .localCheckpoint(true) // the upsert swaps the table this plan reads
+        SwapTable.upsert(newBases, st.cursorTable, st.cursorPath,
+          stamps = cursorStamps(cfg), graceMs = graceMs)
+        graft.CacheScope.checkpointRdd(newBases)
+          .foreach(_.unpersist(blocking = false))
+      }
     }
+    Await.result(auditF, Duration.Inf)
+    Await.result(mergeF, Duration.Inf)
+    Await.result(cursorF, Duration.Inf)
     // fuzzy sketch append BEFORE the exact commit point: a crash in
     // between replays the batch, whose accepted docs then self-match
     // (accepted — see the stage-6b note); the reverse order would let
