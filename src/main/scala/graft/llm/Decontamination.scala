@@ -229,8 +229,11 @@ object Decontamination {
       else hits.limit(0)
     // eager checkpoint: the anti-join reads the very table the append
     // below writes (the appendExactKeepers discipline)
+    // lazy checkpoint + count = one materializing job (the DupClusters
+    // discipline); the append below then reads checkpoint storage, not
+    // the table it writes
     val newly = hits.join(existing, Seq("_id", "_sh"), "left_anti")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val n = newly.count()
     if (n > 0L) {
       // one file per append: the delta is eval-bounded, and a

@@ -137,7 +137,7 @@ object IncrementalPipeline {
     Decontamination.saveEvalEmbeddingIndex(eval, idCol, vecCol,
       st.semanticTable, st.semanticPath, bucketBits, graceMs)
 
-  /** Drop all five state tables and delete `basePath` — a fresh chain.
+  /** Drop all state tables and delete `basePath` — a fresh chain.
     * For fixtures and tests; production state is the point of the
     * operator and outlives every batch. */
   def reset(spark: SparkSession, st: State): Unit = {
@@ -145,6 +145,32 @@ object IncrementalPipeline {
     val p = new org.apache.hadoop.fs.Path(st.basePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** Drop only the CORPUS-derived state (keeper index, matched ledger,
+    * sample, cursors, fuzzy band index) and keep the eval-derived
+    * tables (shingle index, embedding index) — a fresh corpus run
+    * against the same benchmark set. The eval artifacts are pure
+    * functions of the eval fixture, so re-runs (and bench
+    * re-executions) skip their rebuild. */
+  def resetCorpusState(spark: SparkSession, st: State): Unit = {
+    val corpus = Seq(
+      st.dedupTable -> st.dedupPath, st.matchedTable -> st.matchedPath,
+      st.sampleTable -> st.samplePath, st.cursorTable -> st.cursorPath,
+      st.fuzzyTable -> st.fuzzyPath)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    corpus.foreach { case (t, path) =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(hadoopConf)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+      // swap generations live beside the base path (path-v<n>)
+      val parent = p.getParent
+      if (parent != null && fs.exists(parent)) {
+        fs.globStatus(new org.apache.hadoop.fs.Path(path + "-v*"))
+          .foreach(g => fs.delete(g.getPath, true))
+      }
+    }
   }
 
   /**
@@ -383,29 +409,34 @@ object IncrementalPipeline {
           .foreach(_.unpersist(blocking = false))
       }
     }
-    Await.result(auditF, Duration.Inf)
-    Await.result(mergeF, Duration.Inf)
-    Await.result(cursorF, Duration.Inf)
     // fuzzy sketch append BEFORE the exact commit point: a crash in
     // between replays the batch, whose accepted docs then self-match
     // (accepted — see the stage-6b note); the reverse order would let
     // a crash skip the sketches forever (exact index says
-    // dup_of_history, fuzzy stage never sees the docs again)
-    fuzzyState.foreach { case (cls, existed) =>
-      if (existed)
-        IndexStore.appendMinhashAccepted(kept, cls, idCol, "text",
-          st.fuzzyTable, cfg.fuzzyShingleN, cfg.fuzzyNumHashes,
-          cfg.fuzzyBands)
-      else
-        IndexStore.saveMinhash(
-          IncrementalMinHash.buildIndex(
-            kept.join(cls.filter(col("status") === "new")
-              .select(col("doc_id").as(idCol)), idCol),
-            idCol, "text", cfg.fuzzyShingleN, cfg.fuzzyNumHashes,
-            cfg.fuzzyBands),
-          st.fuzzyTable, st.fuzzyPath, buckets, cfg.fuzzyShingleN,
-          cfg.fuzzyNumHashes, cfg.fuzzyBands)
+    // dup_of_history, fuzzy stage never sees the docs again). Joins
+    // the same pre-commit barrier as the other three (disjoint table,
+    // checkpointed inputs).
+    val fuzzyF = Future {
+      fuzzyState.foreach { case (cls, existed) =>
+        if (existed)
+          IndexStore.appendMinhashAccepted(kept, cls, idCol, "text",
+            st.fuzzyTable, cfg.fuzzyShingleN, cfg.fuzzyNumHashes,
+            cfg.fuzzyBands)
+        else
+          IndexStore.saveMinhash(
+            IncrementalMinHash.buildIndex(
+              kept.join(cls.filter(col("status") === "new")
+                .select(col("doc_id").as(idCol)), idCol),
+              idCol, "text", cfg.fuzzyShingleN, cfg.fuzzyNumHashes,
+              cfg.fuzzyBands),
+            st.fuzzyTable, st.fuzzyPath, buckets, cfg.fuzzyShingleN,
+            cfg.fuzzyNumHashes, cfg.fuzzyBands)
+      }
     }
+    Await.result(auditF, Duration.Inf)
+    Await.result(mergeF, Duration.Inf)
+    Await.result(cursorF, Duration.Inf)
+    Await.result(fuzzyF, Duration.Inf)
     // the commit point (see ordering note above)
     if (dedupExists) IndexStore.appendExactKeepers(classified, st.dedupTable)
     else IndexStore.saveExact(

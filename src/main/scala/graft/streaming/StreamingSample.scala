@@ -83,8 +83,10 @@ object StreamingSample {
             .dropDuplicates(keyCol, strataCol),
           keyCol, strataCol, k, salt)
       } else Sampling.topKPerStratum(slim, keyCol, strataCol, k, salt)
-    // eager checkpoint: the swap replaces the very data the merge reads
-    val out = merged.localCheckpoint(true)
+    // checkpoint: the swap replaces the very data the merge reads; the
+    // count below is the materializing action (lazy ckpt + count = ONE
+    // job, the DupClusters discipline)
+    val out = merged.localCheckpoint(false)
     val n = out.count()
     graft.llm.SwapTable.upsert(out, tableName, path,
       stamps = Seq(SaltKey -> salt, KKey -> k.toString, ModeKey -> "uniform"),
@@ -131,7 +133,7 @@ object StreamingSample {
       } else dedupMaxWeight(slim, keyCol, strataCol, weightCol)
         .transform(Sampling.weightedTopKPerStratum(_, keyCol, strataCol,
           weightCol, k, salt))
-    val out = merged.localCheckpoint(true)
+    val out = merged.localCheckpoint(false) // count materializes (one job)
     val n = out.count()
     graft.llm.SwapTable.upsert(out, tableName, path,
       stamps = Seq(SaltKey -> salt, KKey -> k.toString, ModeKey -> mode),
