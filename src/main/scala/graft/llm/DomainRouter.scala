@@ -88,31 +88,67 @@ object DomainRouter {
     val dim = weights(0).length
     require(dim > 0 && weights.forall(_.length == dim),
       "score: every class row must have the same positive dim")
-    // staged selects: the fold, then max/denominator, then consumers —
-    // HOF lambdas get no codegen CSE, and CollapseProject never merges
-    // a multiply-referenced non-cheap expression upward, so each stage
-    // evaluates once per doc (the QualityClassifier discipline)
-    val stable = transform(col("_sv"), s => exp(s - col("_mx")))
-    docs
-      .select(col(idCol).as("doc_id"),
-        coalesce(filter(TextOps.tokens(col(textCol)), t => t =!= ""), array())
-          .as("_tk"))
-      .select(col("doc_id"), col("_tk"),
-        foldScores(col("_tk"), flatten(weights), biases, dim).as("_sv"))
-      .select(col("doc_id"), col("_tk"), col("_sv"),
-        array_max(col("_sv")).as("_mx"))
-      .select(col("doc_id"), col("_tk"), col("_sv"), stable.as("_ex"))
-      .select(col("doc_id"), col("_tk"), col("_sv"), col("_ex"),
-        aggregate(col("_ex"), lit(0.0), (a, b) => a + b).as("_den"))
-      .select(
-        Seq(col("doc_id"), size(col("_tk")).cast("long").as("n_tokens")) ++
-        (0 until k).map(i =>
-          round(element_at(col("_sv"), i + 1), 6).as(s"score_$i")) ++
-        (0 until k).map(i =>
-          round(element_at(col("_ex"), i + 1) / col("_den"), 4)
-            .as(s"prob_$i")) :+
-        (array_position(col("_sv"), array_max(col("_sv"))) - 1)
-          .cast("long").as("pred"): _*)
+    // ONE typed pass (the QualityClassifier.score discipline): the
+    // K-vector HOF fold evaluated interpreted per token was the hot
+    // expression; the JVM twin runs the identical arithmetic — same
+    // token order, per-class left-to-right accumulation, stable
+    // softmax through java.lang.Math (the same libm Spark's exp
+    // calls), first-index argmax on EXACT scores (ties → lowest
+    // class), Spark's exact HALF_UP rounding — pinned bit-for-bit by
+    // the pq108 oracle.
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = StructType(
+      Seq(docs.schema(docs.schema.fieldIndex(idCol)).copy(name = "doc_id"),
+        StructField("n_tokens", LongType, nullable = false)) ++
+      (0 until k).map(i => StructField(s"score_$i", DoubleType, nullable = false)) ++
+      (0 until k).map(i => StructField(s"prob_$i", DoubleType, nullable = false)) :+
+      StructField("pred", LongType, nullable = false))
+    val w = weights
+    val b = biases
+    docs.select(col(idCol), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val sv = b.clone()
+          var n = 0L
+          if (!r.isNullAt(1)) {
+            val toks = TextOps.tokensJvm(r.getString(1))
+            var i = 0
+            while (i < toks.length) {
+              val t = toks(i)
+              if (t.nonEmpty) {
+                val bkt = TextOps.bucketJvm(md, t, dim)
+                var c = 0
+                while (c < k) { sv(c) += w(c)(bkt); c += 1 }
+                n += 1
+              }
+              i += 1
+            }
+          }
+          var mx = sv(0)
+          var c = 1
+          while (c < k) { if (sv(c) > mx) mx = sv(c); c += 1 }
+          val ex = new Array[Double](k)
+          var den = 0.0
+          c = 0
+          while (c < k) { ex(c) = math.exp(sv(c) - mx); den += ex(c); c += 1 }
+          var pred = 0
+          c = 1
+          while (c < k) { if (sv(c) > sv(pred)) pred = c; c += 1 }
+          val out = new Array[Any](2 + 2 * k + 1)
+          out(0) = r.get(0)
+          out(1) = n
+          c = 0
+          while (c < k) {
+            out(2 + c) = TextOps.roundHalfUpJvm(sv(c), 6)
+            out(2 + k + c) = TextOps.roundHalfUpJvm(ex(c) / den, 4)
+            c += 1
+          }
+          out(2 + 2 * k) = pred.toLong
+          Row(out.toIndexedSeq: _*)
+        }
+      }(Encoders.row(outSchema))
       .transform(Presented(_, ordered, "doc_id"))
   }
 

@@ -142,6 +142,14 @@ object Pipeline {
     }
   }
 
+  /** Test-visibility handle for the plan pin: the clean + gate prefix
+    * of the chain ([[cleanStage]] then [[gateStage]], which are
+    * private[llm]) — PlanAssertionsSpec asserts it compiles to
+    * shuffle-free filters over one scan. */
+  private[graft] def gateStageForPlanPin(df: DataFrame, idCol: String,
+      cfg: Config): DataFrame =
+    gateStage(cleanStage(df, idCol, "text", cfg), idCol, cfg)
+
   /** docs(idCol, textCol) → packed training sequences
     * (shard, seq, doc_id, tok_start, tok_end, ...) in deterministic
     * shard order — [[Packing.packSequences]]'s layout over the cleaned,

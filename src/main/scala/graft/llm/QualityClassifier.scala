@@ -56,24 +56,44 @@ object QualityClassifier {
       ordered: Boolean = true): DataFrame = {
     require(weights.nonEmpty, "score: weights must be non-empty")
     val dim = weights.length
-    val w = typedLit(weights.toSeq)
-    val toks = coalesce(
-      filter(TextOps.tokens(col(textCol)), t => t =!= ""),
-      array())
-    // fold materialized in a lower projection: HOF lambdas get no
-    // codegen CSE, and `score`/`prob` both read the fold — staged
-    // selects are a CollapseProject barrier, so the tokenize+md5 fold
-    // runs once per doc, not once per consumer
-    docs
-      .select(col(idCol).as("doc_id"), toks.as("_tk"))
-      .select(col("doc_id"), col("_tk"),
-        aggregate(col("_tk"), lit(bias), (acc, t) =>
-          acc + element_at(w, (bucket(t, dim) + 1).cast("int"))).as("_raw"))
-      .select(
-        col("doc_id"),
-        size(col("_tk")).cast("long").as("n_tokens"),
-        round(col("_raw"), 6).as("score"),
-        round(lit(1.0) / (lit(1.0) + exp(-col("_raw"))), 4).as("prob"))
+    // ONE typed pass (the qualityGate discipline): Catalyst evaluates
+    // higher-order-function lambdas INTERPRETED — per token, per doc —
+    // so at bench scale the HOF fold was the chain's hottest
+    // expression; the JVM twin evaluates the identical fold (same
+    // token order, same left-to-right double accumulation, the same
+    // md5-prefix bucket via TextOps.bucketJvm, Spark's exact HALF_UP
+    // rounding) and is pinned bit-for-bit by the pq99/pq100 oracles.
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = StructType(Seq(
+      docs.schema(docs.schema.fieldIndex(idCol)).copy(name = "doc_id"),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false),
+      StructField("prob", DoubleType, nullable = false)))
+    val w = weights
+    val b = bias
+    docs.select(col(idCol), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          var raw = b
+          var n = 0L
+          if (!r.isNullAt(1)) {
+            val toks = TextOps.tokensJvm(r.getString(1))
+            var i = 0
+            while (i < toks.length) {
+              val t = toks(i)
+              if (t.nonEmpty) {
+                raw += w(TextOps.bucketJvm(md, t, dim))
+                n += 1
+              }
+              i += 1
+            }
+          }
+          Row(r.get(0), n, TextOps.roundHalfUpJvm(raw, 6),
+            TextOps.roundHalfUpJvm(1.0 / (1.0 + math.exp(-raw)), 4))
+        }
+      }(Encoders.row(outSchema))
       .transform(Presented(_, ordered, "doc_id"))
   }
 

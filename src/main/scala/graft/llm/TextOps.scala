@@ -117,6 +117,24 @@ object TextOps {
     new String(out)
   }
 
+  /** JVM twin of [[QualityClassifier.bucket]]: the md5 digest's first
+    * 4 bytes read as an unsigned 32-bit value (== parsing the first 8
+    * lowercase-hex chars) mod `dim` — the feature hash of the learned
+    * gates, evaluated without the hex round-trip. */
+  def bucketJvm(md: java.security.MessageDigest, tok: String, dim: Int): Int = {
+    md.reset()
+    val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (v % dim).toInt
+  }
+
+  /** Exact twin of Spark's `round(col, scale)` on DOUBLE (BigDecimal
+    * HALF_UP — the Decontamination cosine discipline). */
+  def roundHalfUpJvm(d: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue
+
   /** FNV-1a 64-bit over the string's chars — a stable, allocation-free
     * key-compression hash for shuffle keys whose downstream use is pure
     * equality counting (e.g. [[graft.llm.NgramJaccard]]'s inverted index:

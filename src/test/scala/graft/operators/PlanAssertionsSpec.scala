@@ -390,4 +390,25 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!mplan.contains("Exchange"),
       s"materialization must be a shuffle-free projection over the scan:\n$mplan")
   }
+
+  test("the builder's gate stage is SHUFFLE-FREE: clean + both gates run as filters over one scan") {
+    // the gates emit one verdict per doc, so gating is a filter, not an
+    // id semi-join — gateStage must compile to mapPartitions + Filter
+    // over the scan with ZERO Exchange (at 100 TB the old semi-join
+    // shape paid four full-corpus shuffles before the first real
+    // aggregate)
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val weights = Array.tabulate(64)(i => (i % 7 - 3).toDouble / 10)
+    val cfg = graft.llm.Pipeline.Config(minTokens = 2, maxTokens = 100000,
+      minMeanWlen = 1.0, maxMeanWlen = 30.0, minStopRatio = 0.0,
+      minTtr = 0.0, maxDupBigramFrac = 1.0, maxTopBigramFrac = 1.0,
+      classifierWeights = Some(weights))
+    val gated = graft.llm.Pipeline.gateStageForPlanPin(d, "doc_id", cfg)
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"the gate stage must be shuffle-free filters over the scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"gating is a per-doc decision — no join belongs in this stage:\n$plan")
+  }
 }
