@@ -227,8 +227,6 @@ object Decontamination {
       if (spark.catalog.tableExists(matchedTable))
         spark.table(matchedTable)
       else hits.limit(0)
-    // eager checkpoint: the anti-join reads the very table the append
-    // below writes (the appendExactKeepers discipline)
     // lazy checkpoint + count = one materializing job (the DupClusters
     // discipline); the append below then reads checkpoint storage, not
     // the table it writes

@@ -433,10 +433,24 @@ object IncrementalPipeline {
             cfg.fuzzyNumHashes, cfg.fuzzyBands)
       }
     }
-    Await.result(auditF, Duration.Inf)
-    Await.result(mergeF, Duration.Inf)
-    Await.result(cursorF, Duration.Inf)
-    Await.result(fuzzyF, Duration.Inf)
+    // join ALL four before propagating any failure: rethrowing on the
+    // first failed future would leave the others still mutating their
+    // tables in the background while the caller already retries the
+    // batch — two concurrent upserts on one cursor table is exactly
+    // the corruption the single-writer contract exists to prevent.
+    // Each await is bounded (a fatal error inside a future never
+    // completes its promise — an unbounded await would hang forever).
+    val joined = Seq("audit" -> auditF, "sample" -> mergeF,
+      "cursor" -> cursorF, "fuzzy" -> fuzzyF).map { case (what, f) =>
+        what -> scala.util.Try(Await.result(f,
+          scala.concurrent.duration.Duration(1, "day")))
+      }
+    joined.collectFirst { case (what, scala.util.Failure(e)) =>
+      throw new RuntimeException(
+        s"processBatch: the $what state update failed (all state " +
+          "updates have been joined; replay the batch — state " +
+          "converges by the merge laws)", e)
+    }
     // the commit point (see ordering note above)
     if (dedupExists) IndexStore.appendExactKeepers(classified, st.dedupTable)
     else IndexStore.saveExact(

@@ -183,7 +183,8 @@ object Pipeline {
   def buildTrainingSet(df: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config(),
       evalSet: Option[DataFrame] = None,
-      semantic: Option[Semantic] = None): DataFrame = {
+      semantic: Option[Semantic] = None,
+      scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
     val learned = gateStage(cleanStage(df, idCol, textCol, cfg), idCol, cfg)
     // decontamination: the EVAL SET is the reference side (its shingle
     // set is benchmark-sized and broadcasts); each surviving corpus
@@ -228,7 +229,7 @@ object Pipeline {
         val cls = IncrementalMinHash.classifyBanded(deduped,
           IncrementalMinHash.emptyBandedIndex(df.sparkSession), idCol, "text",
           cfg.fuzzyShingleN, cfg.fuzzyNumHashes, cfg.fuzzyBands,
-          cfg.fuzzyMinMatch)
+          cfg.fuzzyMinMatch, scope = scope)
         deduped.join(cls.filter(col("status") === "new")
           .select(col("doc_id").as(idCol)), idCol)
       }

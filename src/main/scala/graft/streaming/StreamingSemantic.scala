@@ -40,7 +40,13 @@ object StreamingSemantic {
       onBatch: (DataFrame, Long) => Unit = (_, _) => ())
       : DataStreamWriter[Row] = {
     require(tau > 0 && tau <= 1, s"sink: tau in (0, 1], got $tau")
-    val clash = stream.columns.toSeq.intersect(ReservedColumns)
+    // case-INsensitive clash check: Spark resolves columns
+    // case-insensitively by default, so a batch column "Status" would
+    // otherwise pass a case-sensitive guard and then be silently
+    // REPLACED by the annotation's withColumn("status", ...)
+    val reservedLower = ReservedColumns.map(_.toLowerCase)
+    val clash = stream.columns.toSeq
+      .filter(c => reservedLower.contains(c.toLowerCase))
     require(clash.isEmpty,
       s"sink: batch columns ${clash.mkString(", ")} collide with the " +
         s"reserved annotation columns (${ReservedColumns.mkString(", ")}) — " +
