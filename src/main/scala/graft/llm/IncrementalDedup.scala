@@ -93,6 +93,40 @@ object IncrementalDedup {
           .as("dup_of"))
   }
 
+  /** [[classify]] with the batch's text column CARRIED THROUGH — the
+    * [[IncrementalPipeline]] fold: the pipeline previously checkpointed
+    * the gate/containment chain once for classify and AGAIN for the
+    * kept-join that re-attached text; with text on the classified rows
+    * one checkpoint serves both (kept = filter status = new, no join).
+    * Output (doc_id, text, content_hash, status, dup_of). Same keyed
+    * shapes as [[classify]]: the keeper aggregate still shuffles only
+    * (hash, id) — Catalyst prunes text below the exchange — and text
+    * crosses the wire once in the keeper join, exactly the once the
+    * old kept-join paid. */
+  private[llm] def classifyWithText(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val hashed = batch.select(
+      col(idCol).as("doc_id"),
+      col(textCol).as("text"),
+      contentHash(col(textCol)).as("content_hash"))
+    val keepers = hashed.groupBy("content_hash")
+      .agg(min(col("doc_id")).as("_batch_keep"))
+    hashed
+      .join(keepers, Seq("content_hash"))
+      .join(index.select(col("content_hash"), col("keep_id").as("_hist")),
+        Seq("content_hash"), "left")
+      .select(
+        col("doc_id"),
+        col("text"),
+        col("content_hash"),
+        when(col("_hist").isNotNull, lit("dup_of_history"))
+          .when(col("doc_id") =!= col("_batch_keep"), lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"),
+        when(col("_hist").isNotNull, col("_hist"))
+          .when(col("doc_id") =!= col("_batch_keep"), col("_batch_keep"))
+          .as("dup_of"))
+  }
+
   /** The next run's index: history plus the batch's accepted keepers.
     * First-wins on the hash — a content already indexed keeps its
     * original keeper id (classified rows for it were dup_of_history,
@@ -282,12 +316,51 @@ object IncrementalMinHash {
   def classifyBanded(batch: DataFrame, banded: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3, numHashes: Int = 9,
       bands: Int = 3, minMatch: Int = 5,
-      scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
+      scope: graft.CacheScope = graft.CacheScope.session): DataFrame =
+    classifyBandedCore(batch, banded, idCol, textCol, shingleN, numHashes,
+      bands, minMatch, scope, withSketch = false)
+
+  /**
+   * [[classifyBanded]] with the batch's own sketch carried on the
+   * output — (doc_id, status, dup_of, _sig, _bands, _self_exact), where
+   * _sig/_bands are null for docs too short to shingle and _self_exact
+   * is 1 iff the doc's HISTORY match on its own id was signature-
+   * identical (all `numHashes` components equal). Lets a maintainer
+   * append accepted sketches to its band index without re-tokenizing
+   * and re-hashing the accepted docs (the [[IncrementalPipeline]]
+   * fuzzy-append fold), and lets the crash-replay self-match acceptance
+   * demand an IDENTICAL signature — a reused id carrying merely
+   * near-dup text no longer slips through as its own keeper.
+   */
+  private[llm] def classifyBandedSketched(batch: DataFrame, banded: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, numHashes: Int = 9,
+      bands: Int = 3, minMatch: Int = 5,
+      scope: graft.CacheScope = graft.CacheScope.session): DataFrame =
+    classifyBandedCore(batch, banded, idCol, textCol, shingleN, numHashes,
+      bands, minMatch, scope, withSketch = true)
+
+  private def classifyBandedCore(batch: DataFrame, banded: DataFrame,
+      idCol: String, textCol: String, shingleN: Int, numHashes: Int,
+      bands: Int, minMatch: Int,
+      scope: graft.CacheScope, withSketch: Boolean): DataFrame = {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must divide into bands ($bands)")
-    val spine = batch.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // the sketched variant is the pipeline-internal path whose input
+    // ids are unique by the builder contract (Packing requires it) —
+    // skip the defensive distinct and its exchange; the public variant
+    // keeps the one-row-per-id contract for arbitrary batches
+    val spine =
+      if (withSketch) batch.select(col(idCol).cast("long").as("doc_id"))
+      else batch.select(col(idCol).cast("long").as("doc_id")).distinct()
     val bs = scope.track(sketch(batch, idCol, textCol, shingleN, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val bBand = bs.select(col("_id"), posexplode(col("_bands")).as(Seq("_b", "_bk")))
+    // the batch band rows carry the signature INLINE (duplicated bands×
+    // — the same sketch-sized trade the persisted index makes), so
+    // candidate verification needs no signature re-join: the old shape
+    // paid a pair distinct plus TWO extra shuffles joining bs back per
+    // side; verifying a pair once per matching band instead is free
+    // under the min/max aggregates
+    val bBand = bs.select(col("_id"), col("_sig"),
+      posexplode(col("_bands")).as(Seq("_b", "_bk")))
     val hBand = banded
       // an index built with MORE bands than this call would surface as
       // band positions this batch never probes — matches silently lost;
@@ -303,30 +376,46 @@ object IncrementalMinHash {
         col("keep_id"),
         widthChecked(col("sig"), numHashes, "signature").as("sig"))
 
-    val histDup = bBand.join(hBand, Seq("_b", "_bk"))
-      .join(bs.select(col("_id"), col("_sig")), Seq("_id"))
-      .filter(matchCount(col("_sig"), col("sig")) >= minMatch)
-      .groupBy(col("_id")).agg(min(col("keep_id")).as("_hist"))
+    // history matches and in-batch matches UNION into ONE keyed
+    // aggregate (the old shape paid two groupBy exchanges and two
+    // spine joins for what is a single per-doc reduction)
+    val histPairs = bBand.join(hBand, Seq("_b", "_bk"))
+      .withColumn("_mc", matchCount(col("_sig"), col("sig")))
+      .filter(col("_mc") >= minMatch)
+      .select(col("_id"), col("keep_id"), col("_mc"),
+        lit(true).as("_fromHist"))
+    val batchPairs = bBand
+      .select(col("_id").as("_aid"), col("_sig").as("_siga"),
+        col("_b"), col("_bk"))
+      .join(bBand.select(col("_id").as("_bid"), col("_sig").as("_sigb"),
+          col("_b"), col("_bk")),
+        Seq("_b", "_bk"))
+      .filter(col("_aid") < col("_bid") &&
+        matchCount(col("_siga"), col("_sigb")) >= minMatch)
+      .select(col("_bid").as("_id"), col("_aid").as("keep_id"),
+        lit(0).as("_mc"), lit(false).as("_fromHist"))
+    val dups = histPairs.unionByName(batchPairs)
+      .groupBy(col("_id"))
+      .agg(
+        min(when(col("_fromHist"), col("keep_id"))).as("_hist"),
+        min(when(!col("_fromHist"), col("keep_id"))).as("_prev"),
+        max(when(col("_fromHist") && col("keep_id") === col("_id") &&
+          col("_mc") === numHashes, 1).otherwise(0)).as("_selfx"))
 
-    val batchDup = bBand.as("a")
-      .join(bBand.as("b"),
-        col("a._bk") === col("b._bk") && col("a._b") === col("b._b") &&
-          col("a._id") < col("b._id"))
-      .select(col("a._id").as("_aid"), col("b._id").as("_bid")).distinct()
-      .join(bs.select(col("_id").as("_aid"), col("_sig").as("_siga")), Seq("_aid"))
-      .join(bs.select(col("_id").as("_bid"), col("_sig").as("_sigb")), Seq("_bid"))
-      .filter(matchCount(col("_siga"), col("_sigb")) >= minMatch)
-      .groupBy(col("_bid")).agg(min(col("_aid")).as("_prev"))
-
-    spine
-      .join(histDup, spine("doc_id") === histDup("_id"), "left")
-      .join(batchDup, spine("doc_id") === batchDup("_bid"), "left")
-      .select(
-        spine("doc_id"),
-        when(col("_hist").isNotNull, lit("dup_of_history"))
-          .when(col("_prev").isNotNull, lit("dup_in_batch"))
-          .otherwise(lit("new")).as("status"),
-        coalesce(col("_hist"), col("_prev"), lit(-1L)).as("dup_of"))
+    val joined = spine
+      .join(dups, spine("doc_id") === dups("_id"), "left")
+    val statusCols = Seq(
+      spine("doc_id"),
+      when(col("_hist").isNotNull, lit("dup_of_history"))
+        .when(col("_prev").isNotNull, lit("dup_in_batch"))
+        .otherwise(lit("new")).as("status"),
+      coalesce(col("_hist"), col("_prev"), lit(-1L)).as("dup_of"))
+    if (!withSketch) joined.select(statusCols: _*)
+    else joined
+      .join(bs.select(col("_id").as("_skid"), col("_sig"), col("_bands")),
+        spine("doc_id") === col("_skid"), "left")
+      .select(statusCols ++ Seq(col("_sig"), col("_bands"),
+        coalesce(col("_selfx"), lit(0)).as("_self_exact")): _*)
   }
 
   /**

@@ -77,9 +77,9 @@ object IncrementalPipeline {
   private val ShardsKey = "graft.pipeline.shards"
 
   /** Release the block-manager storage behind a [[processBatch]]
-    * emission once it has been consumed. The returned frame is an
-    * EAGER localCheckpoint (its batch-sized blocks stay pinned in the
-    * block manager until released); a loop feeding thousands of
+    * emission once it has been consumed. The returned frame is a
+    * localCheckpoint materialized before return (its batch-sized
+    * blocks stay pinned in the block manager until released); a loop feeding thousands of
     * batches through one session must call this per batch after
     * writing/collecting the spans — or route everything through one
     * [[graft.CacheScope]] — or storage grows by one emission per call.
@@ -226,17 +226,33 @@ object IncrementalPipeline {
       graceMs: Long = 0L, batchEmbeddings: Option[DataFrame] = None,
       vecCol: String = "embedding"): DataFrame = {
     val spark = batch.sparkSession
+    // the gated batch feeds THREE plan branches inside the
+    // decontamination checkpoint below (the containment aggregate, its
+    // per-doc spine, and the anti-join spine) and physical plans
+    // re-execute shared subtrees per branch — persist so the per-doc
+    // text work (NFC, tokenize, classifier fold) runs once per batch;
+    // released as soon as the checkpoint materializes
     val gated = Pipeline.gateStage(
       Pipeline.cleanStage(batch, idCol, textCol, cfg), idCol, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shingleDecontaminated =
       if (decontaminate) {
         require(spark.catalog.tableExists(st.evalTable),
           s"decontaminate=true but ${st.evalTable} does not exist — " +
             "save it via saveEvalIndex first (skipping silently would " +
             "ship eval content)")
-        val dropIds = Decontamination.containmentAgainstIndex(
-            gated, idCol, "text", st.evalTable, ordered = false)
-          .filter(col("containment") >= cfg.decontamThreshold)
+        // spine-free drop set when the threshold can never catch a
+        // shingle-less doc (threshold > 0) — saves a batch-sized
+        // distinct + join per batch; the threshold-0 edge keeps the
+        // full per-doc form
+        val dropIds =
+          (if (cfg.decontamThreshold > 0)
+            Decontamination.containmentDropIdsAgainstIndex(
+              gated, idCol, "text", st.evalTable, cfg.decontamThreshold)
+          else
+            Decontamination.containmentAgainstIndex(
+              gated, idCol, "text", st.evalTable, ordered = false)
+              .filter(col("containment") >= cfg.decontamThreshold))
           .select(col("doc_id").as(idCol))
         gated.join(dropIds, Seq(idCol), "left_anti")
       } else gated
@@ -255,23 +271,21 @@ object IncrementalPipeline {
         shingleDecontaminated.join(dropIds, Seq(idCol), "left_anti")
       case None => shingleDecontaminated
     }
-    // the gate/containment chain feeds TWO materializations (the
-    // classify checkpoint and the emission checkpoint read it through
-    // different joins) — checkpoint it once so the per-doc text work
-    // (NFC, tokenize, classifier fold, shingle project) runs once per
-    // batch, not once per consumer (measured 58 → ~44 jobs and -2.5 s
-    // per batch at sf0.1; released with the other per-batch checkpoints)
-    val decontaminated = decontaminatedLazy.localCheckpoint(true)
-    // stage 6: classify against the persisted keeper index; the
-    // classified frame is checkpointed because the keeper append below
-    // mutates the very table the classify join reads
+    // stage 6: classify against the persisted keeper index, with the
+    // text CARRIED THROUGH the classification — ONE checkpoint then
+    // serves as the gate/containment materialization, the keeper-append
+    // input, and (as a pure filter, no join) the kept set. The old
+    // shape paid two sequential full-batch materializations here
+    // (decontaminated, then classified) plus a kept-join per consumer.
+    // Checkpointed because the keeper append below mutates the very
+    // table the classify join reads.
     val dedupExists = spark.catalog.tableExists(st.dedupTable)
     val classified = (
       if (dedupExists)
-        IncrementalDedup.classify(decontaminated,
+        IncrementalDedup.classifyWithText(decontaminatedLazy,
           IndexStore.exactIndex(spark, st.dedupTable), idCol, "text")
       else
-        IncrementalDedup.classify(decontaminated,
+        IncrementalDedup.classifyWithText(decontaminatedLazy,
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             org.apache.spark.sql.types.StructType(Seq(
@@ -280,20 +294,18 @@ object IncrementalPipeline {
               org.apache.spark.sql.types.StructField("keep_id",
                 org.apache.spark.sql.types.LongType)))),
           idCol, "text")
-      ).localCheckpoint(true)
-    val keptLazy = decontaminated.join(
-      classified.filter(col("status") === "new")
-        .select(col("doc_id").as(idCol)),
-      idCol)
-    // with the fuzzy tier on, `kept` feeds THREE consumers (the fuzzy
-    // classification, the sketch append, and the emission chain) —
-    // checkpoint it once so the gate/containment chain is not
-    // recomputed per consumer (the `sampled` discipline below); off,
-    // the single consumer reads the lazy plan as before
-    val kept = if (cfg.fuzzyDedup) keptLazy.localCheckpoint(true) else keptLazy
+      ).transform(c => labeled(spark, "classify ckpt")(c.localCheckpoint(true)))
+    gated.unpersist(blocking = false) // checkpoint holds the data now
+    // kept = a FILTER over the classify checkpoint (no join): its
+    // consumers (the fuzzy sketch pass, the emission chain) re-run only
+    // the filter against materialized storage
+    val kept = classified.filter(col("status") === "new")
+      .select(col("doc_id").as(idCol), col("text"))
     // stage 6b: fuzzy (MinHash) tier against the persisted band index;
-    // the classification is checkpointed because the sketch append
-    // below mutates the very table its plan reads
+    // the SKETCHED classification carries each doc's (sig, bands) so
+    // the sketch append below writes them directly instead of
+    // re-tokenizing the accepted docs; it is checkpointed because the
+    // append mutates the very table its plan reads
     val fuzzyState: Option[(DataFrame, Boolean)] =
       if (!cfg.fuzzyDedup) None
       else {
@@ -303,29 +315,46 @@ object IncrementalPipeline {
             cfg.fuzzyShingleN, cfg.fuzzyNumHashes, cfg.fuzzyBands)
           else IncrementalMinHash.emptyBandedIndex(spark)
         val fuzzyScope = new graft.CacheScope
-        val cls = try IncrementalMinHash.classifyBanded(kept, banded, idCol,
-            "text", cfg.fuzzyShingleN, cfg.fuzzyNumHashes, cfg.fuzzyBands,
-            cfg.fuzzyMinMatch, scope = fuzzyScope)
-          .localCheckpoint(true)
+        val cls = try labeled(spark, "fuzzy classify ckpt")(
+            IncrementalMinHash.classifyBandedSketched(kept, banded,
+              idCol, "text", cfg.fuzzyShingleN, cfg.fuzzyNumHashes,
+              cfg.fuzzyBands, cfg.fuzzyMinMatch, scope = fuzzyScope)
+            .localCheckpoint(true))
         finally fuzzyScope.release() // sketch cache dies with the ckpt
         Some((cls, fuzzyExists))
       }
     val fuzzyKept = fuzzyState match {
       case Some((cls, _)) =>
-        // self-match acceptance: see the crash-replay note above
+        // self-match acceptance (see the crash-replay note above),
+        // tightened to SIGNATURE-IDENTICAL matches: a replayed batch
+        // re-sketches the same text, so all components equal; a REUSED
+        // id carrying merely near-dup text matches fewer than all
+        // components and is dropped like any other near-dup (the
+        // unique-id contract no longer load-bearing for correctness)
         val accepted = cls.filter(col("status") === "new" ||
           (col("status") === "dup_of_history" &&
-            col("dup_of") === col("doc_id")))
+            col("dup_of") === col("doc_id") && col("_self_exact") === 1))
         kept.join(accepted.select(col("doc_id").as(idCol)), idCol)
       case None => kept
     }
-    // the emission set is consumed by THREE multi-action consumers
-    // (packing, the audit, the sample merge) — checkpoint it once so
-    // the gate/containment/classify chain is computed once, not once
-    // per downstream action (measured 19 → 8 s at sf0.1 without it;
-    // released below once the state appends are done)
-    val sampled = Sampling.hashSample(fuzzyKept, idCol, cfg.sampleRate, cfg.salt)
-      .localCheckpoint(true)
+    if (audit) require(spark.catalog.tableExists(st.evalTable),
+      s"audit=true but ${st.evalTable} does not exist — " +
+        "save it via saveEvalIndex first")
+    // the emission set is consumed by packing plus, when enabled, the
+    // audit and the sample merge — multi-action consumers. It is
+    // checkpointed ONLY when the audit/sample side artifacts will read
+    // it (otherwise packing is its sole consumer and the spans
+    // checkpoint below materializes the chain once); the LAZY
+    // checkpoint + count fold materializes it and answers the
+    // empty-emission probe in ONE job (the auditBatch discipline),
+    // where an eager checkpoint + isEmpty paid two.
+    val needSampled = audit || sampleK > 0
+    val sampledLazy = Sampling.hashSample(fuzzyKept, idCol, cfg.sampleRate, cfg.salt)
+    val sampled =
+      if (needSampled) sampledLazy.localCheckpoint(false) else sampledLazy
+    val emptySample =
+      if (needSampled) labeled(spark, "sampled ckpt+count")(sampled.count()) == 0L
+      else false
     // stage 8: pack from the persisted cursors (zeros on first batch)
     val cursorExists = spark.catalog.tableExists(st.cursorTable)
     val bases =
@@ -335,9 +364,14 @@ object IncrementalPipeline {
         spark.table(st.cursorTable)
       } else
         spark.range(0).select(col("id").as("shard"), col("id").as("base"))
+    // lazy checkpoint + count: materializes BEFORE any state append
+    // (the ordering discipline) and folds the empty-emission probe into
+    // the materializing job
     val spans = Packing.packSequencesFrom(sampled, idCol, "text",
         cfg.targetTokens, cfg.shards, bases, cfg.salt)
-      .localCheckpoint(true) // materialize BEFORE any state append
+      .localCheckpoint(false)
+    val emptyEmission =
+      labeled(spark, "spans ckpt+count")(spans.count()) == 0L
     // ---- state appends, all O(batch) ----
     // Ordering: the keeper append goes LAST, because it is the COMMIT
     // POINT — once the batch's hashes are in the index, a replay
@@ -354,29 +388,23 @@ object IncrementalPipeline {
     // path: every table already converged). The sample table is still
     // CREATED on a first empty batch so later readers find a stamped
     // table; the matched ledger is created lazily by design (first hit).
-    val emptySample = sampled.isEmpty
-    if (audit) require(spark.catalog.tableExists(st.evalTable),
-      s"audit=true but ${st.evalTable} does not exist — " +
-        "save it via saveEvalIndex first")
-    val emptyEmission = spans.isEmpty
-    // The three side-state updates below touch DISJOINT tables and
-    // read only materialized checkpoints, so they run CONCURRENTLY
-    // (Spark schedules jobs from separate threads freely; each
-    // maintainer stays single-writer on ITS table). All three join
-    // before the keeper append — the commit point stays last. The
-    // concurrency buys back the per-action scheduling latency that
-    // dominates these model-sized updates (~1.5 s/batch at sf0.1).
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val auditF = Future {
+    // The side-state updates below touch DISJOINT tables and read only
+    // materialized checkpoints, so they run CONCURRENTLY on the
+    // dedicated [[stateEc]] pool (Spark schedules jobs from separate
+    // threads freely; each maintainer stays single-writer on ITS
+    // table). All of them join before the keeper append — the commit
+    // point stays last. The concurrency buys back the per-action
+    // scheduling latency that dominates these model-sized updates
+    // (~1.5 s/batch at sf0.1).
+    import scala.concurrent.Await
+    val auditF = stateUpdate(labeled(spark, "audit") {
       if (audit && !emptySample) {
         Decontamination.auditBatch(sampled, idCol, "text",
           st.evalTable, st.matchedTable, st.matchedPath)
         ()
       }
-    }
-    val mergeF = Future {
+    })
+    val mergeF = stateUpdate(labeled(spark, "sample merge") {
       if (sampleK > 0 &&
           (!emptySample || !spark.catalog.tableExists(st.sampleTable))) {
         graft.streaming.StreamingSample.mergeBatch(
@@ -386,7 +414,7 @@ object IncrementalPipeline {
           graceMs)
         ()
       }
-    }
+    })
     // cursor advance: per-shard token mass of THIS emission (each
     // doc's spans slice [tok_start, tok_end) partition its tokens, so
     // the span sum per shard IS the batch's packed token count there).
@@ -394,7 +422,7 @@ object IncrementalPipeline {
     // and the swap entirely (the replay path then costs zero cursor
     // jobs), except on the very first batch, which must still CREATE
     // the stamped table for the drift guard.
-    val cursorF = Future {
+    val cursorF = stateUpdate(labeled(spark, "cursor advance") {
       if (!emptyEmission || !cursorExists) {
         val batchSums = spans.groupBy("shard")
           .agg(sum(col("tok_end") - col("tok_start")).as("_adv"))
@@ -408,7 +436,7 @@ object IncrementalPipeline {
         graft.CacheScope.checkpointRdd(newBases)
           .foreach(_.unpersist(blocking = false))
       }
-    }
+    })
     // fuzzy sketch append BEFORE the exact commit point: a crash in
     // between replays the batch, whose accepted docs then self-match
     // (accepted — see the stage-6b note); the reverse order would let
@@ -416,30 +444,31 @@ object IncrementalPipeline {
     // dup_of_history, fuzzy stage never sees the docs again). Joins
     // the same pre-commit barrier as the other three (disjoint table,
     // checkpointed inputs).
-    val fuzzyF = Future {
+    val fuzzyF = stateUpdate(labeled(spark, "fuzzy sketch append") {
       fuzzyState.foreach { case (cls, existed) =>
+        // the sketched classification carries each accepted doc's
+        // (sig, bands), so both arms write them directly — no second
+        // tokenize/hash pass over the accepted docs' text
         if (existed)
-          IndexStore.appendMinhashAccepted(kept, cls, idCol, "text",
-            st.fuzzyTable, cfg.fuzzyShingleN, cfg.fuzzyNumHashes,
-            cfg.fuzzyBands)
+          IndexStore.appendMinhashSketched(cls, st.fuzzyTable,
+            cfg.fuzzyShingleN, cfg.fuzzyNumHashes, cfg.fuzzyBands)
         else
           IndexStore.saveMinhash(
-            IncrementalMinHash.buildIndex(
-              kept.join(cls.filter(col("status") === "new")
-                .select(col("doc_id").as(idCol)), idCol),
-              idCol, "text", cfg.fuzzyShingleN, cfg.fuzzyNumHashes,
-              cfg.fuzzyBands),
+            cls.filter(col("status") === "new" && col("_sig").isNotNull)
+              .select(col("doc_id").as("keep_id"), col("_sig").as("sig"),
+                col("_bands").as("bands")),
             st.fuzzyTable, st.fuzzyPath, buckets, cfg.fuzzyShingleN,
             cfg.fuzzyNumHashes, cfg.fuzzyBands)
       }
-    }
+    })
     // join ALL four before propagating any failure: rethrowing on the
     // first failed future would leave the others still mutating their
     // tables in the background while the caller already retries the
     // batch — two concurrent upserts on one cursor table is exactly
     // the corruption the single-writer contract exists to prevent.
-    // Each await is bounded (a fatal error inside a future never
-    // completes its promise — an unbounded await would hang forever).
+    // Each await is bounded purely defensively: stateUpdate completes
+    // its promise on EVERY Throwable (fatal included), so a wedged
+    // await would require a hang inside Spark itself.
     val joined = Seq("audit" -> auditF, "sample" -> mergeF,
       "cursor" -> cursorF, "fuzzy" -> fuzzyF).map { case (what, f) =>
         what -> scala.util.Try(Await.result(f,
@@ -452,19 +481,61 @@ object IncrementalPipeline {
           "converges by the merge laws)", e)
     }
     // the commit point (see ordering note above)
-    if (dedupExists) IndexStore.appendExactKeepers(classified, st.dedupTable)
-    else IndexStore.saveExact(
-      classified.filter(col("status") === "new")
-        .select(col("content_hash"), col("doc_id").as("keep_id")),
-      st.dedupTable, st.dedupPath, buckets)
+    labeled(spark, "keeper append (commit)") {
+      if (dedupExists) IndexStore.appendExactKeepers(classified, st.dedupTable)
+      else IndexStore.saveExact(
+        classified.filter(col("status") === "new")
+          .select(col("content_hash"), col("doc_id").as("keep_id")),
+        st.dedupTable, st.dedupPath, buckets)
+    }
     // release the per-batch checkpoints (spans — the returned frame —
     // keeps its own); a long batch loop must not pin one batch-sized
     // RDD pair per call in the block manager
-    (Seq(sampled, classified, decontaminated) ++
-        fuzzyState.toSeq.flatMap { case (cls, _) => Seq(cls, kept) })
+    ((if (needSampled) Seq(sampled) else Nil) ++
+        Seq(classified) ++
+        fuzzyState.toSeq.map { case (cls, _) => cls })
       .flatMap(graft.CacheScope.checkpointRdd)
       .foreach(_.unpersist(blocking = false))
     spans
+  }
+
+  /** Dedicated pool for [[processBatch]]'s concurrent side-state
+    * updates: four daemon threads (the maximum in flight per call), so
+    * a caller saturating the global ExecutionContext with its own work
+    * cannot serialize the "concurrent" updates — and each update runs
+    * inside a Promise completed on EVERY Throwable (scala.concurrent's
+    * Future only catches NonFatal, so a fatal error — an executor OOM
+    * surfacing on the await — would otherwise never complete the
+    * promise and stall the join for its full bound). */
+  private lazy val stateEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r,
+              s"graft-pipeline-state-${n.incrementAndGet()}")
+            t.setDaemon(true)
+            t
+          }
+        }))
+
+  /** Thread-local job label around an action (guide §1.5) — restores
+    * the previous description so the caller's labeling survives. */
+  private def labeled[T](spark: org.apache.spark.sql.SparkSession,
+      what: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"pipeline: $what")
+    try body finally sc.setJobDescription(prev)
+  }
+
+  private def stateUpdate(body: => Unit): scala.concurrent.Future[Unit] = {
+    val p = scala.concurrent.Promise[Unit]()
+    stateEc.execute(() => p.complete(
+      try { body; scala.util.Success(()) }
+      catch { case t: Throwable => scala.util.Failure(t) }))
+    p.future
   }
 
   private def cursorStamps(cfg: Pipeline.Config): Seq[(String, String)] = Seq(

@@ -200,6 +200,32 @@ object IndexStore {
       tableName, tablePath(spark, tableName), buckets, keys, "append")
   }
 
+  /** [[appendMinhashAccepted]] from a SKETCH-CARRYING classification
+    * ([[IncrementalMinHash.classifyBandedSketched]] output): the
+    * accepted `new` docs' signatures and band keys are already on the
+    * classified rows, so the append writes them directly instead of
+    * re-tokenizing and re-hashing the accepted docs — one projection +
+    * explode over a model-sized frame, no second sketch pass over the
+    * batch text (guide §1.2: don't compute things twice). Docs with a
+    * null sketch (too short to shingle) have nothing to append, exactly
+    * as [[IncrementalMinHash.buildIndex]] drops them. */
+  private[llm] def appendMinhashSketched(classified: DataFrame,
+      tableName: String, shingleN: Int = 3, numHashes: Int = 9,
+      bands: Int = 3): Unit = {
+    val spark = classified.sparkSession
+    val (buckets, keys) = bucketSpecOf(spark, tableName)
+    require(keys == Seq("band_idx", "band_key"),
+      s"$tableName is not a minhash index table (bucket keys $keys)")
+    // fail fast on parameter drift before any job runs
+    requireStamped(spark, tableName, minhashProps(shingleN, numHashes, bands))
+    writeBucketed(
+      IncrementalMinHash.bandedIndex(
+        classified.filter(col("status") === "new" && col("_sig").isNotNull)
+          .select(col("doc_id").as("keep_id"), col("_sig").as("sig"),
+            col("_bands").as("bands"))),
+      tableName, tablePath(spark, tableName), buckets, keys, "append")
+  }
+
   /** File-layout compaction (+ tombstone fold) for the banded index —
     * see [[compactExact]]. */
   def compactMinhash(spark: SparkSession, fromTable: String, toTable: String,

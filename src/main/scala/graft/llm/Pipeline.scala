@@ -185,7 +185,18 @@ object Pipeline {
       evalSet: Option[DataFrame] = None,
       semantic: Option[Semantic] = None,
       scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
-    val learned = gateStage(cleanStage(df, idCol, textCol, cfg), idCol, cfg)
+    // The gate-stage output feeds AT LEAST two plan branches (the
+    // dedup keeper aggregate and the spine it joins back to, plus the
+    // decontamination branch when enabled) and Spark physical plans
+    // re-execute a shared subtree once per branch — without a persist,
+    // the per-doc text work (NFC, tokenize, classifier fold) runs 3-5x
+    // per action (guide §1.2/§5: cache exactly the reused expensive
+    // intermediate). MEMORY_AND_DISK spills instead of recomputing at
+    // corpus scale; the cache is registered with the caller's scope and
+    // released with it (Bench releases between queries).
+    val learned = scope.track(
+      gateStage(cleanStage(df, idCol, textCol, cfg), idCol, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // decontamination: the EVAL SET is the reference side (its shingle
     // set is benchmark-sized and broadcasts); each surviving corpus
     // doc's containment in it decides the drop. ≥ threshold on the
@@ -198,10 +209,18 @@ object Pipeline {
     val decontaminated = evalSet match {
       case Some(ev) =>
         val evClean = cleanStage(ev, idCol, textCol, cfg)
-        val dropIds = Decontamination.containment(
-            evClean, learned, idCol, "text",
-            shingleN = cfg.decontamShingleN, ordered = false)
-          .filter(col("containment") >= cfg.decontamThreshold)
+        // spine-free drop set when threshold > 0 (a shingle-less doc
+        // can never reach it) — saves a corpus-sized distinct + join;
+        // the threshold-0 edge keeps the full per-doc form
+        val dropIds =
+          (if (cfg.decontamThreshold > 0)
+            Decontamination.containmentDropIds(evClean, learned, idCol,
+              "text", cfg.decontamShingleN, cfg.decontamThreshold)
+          else
+            Decontamination.containment(
+              evClean, learned, idCol, "text",
+              shingleN = cfg.decontamShingleN, ordered = false)
+              .filter(col("containment") >= cfg.decontamThreshold))
           .select(col("doc_id").as(idCol))
         learned.join(dropIds, Seq(idCol), "left_anti")
       case None => learned

@@ -130,9 +130,13 @@ object TextOps {
   }
 
   /** Exact twin of Spark's `round(col, scale)` on DOUBLE (BigDecimal
-    * HALF_UP — the Decontamination cosine discipline). */
+    * HALF_UP — the Decontamination cosine discipline). Non-finite
+    * doubles pass through unchanged, as Spark's Round does —
+    * BigDecimal.valueOf would throw on NaN/±Infinity, crashing the
+    * task where the Catalyst path emitted the value. */
   def roundHalfUpJvm(d: Double, scale: Int): Double =
-    java.math.BigDecimal.valueOf(d)
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d)
       .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue
 
   /** FNV-1a 64-bit over the string's chars — a stable, allocation-free
