@@ -277,8 +277,12 @@ object IncrementalMinHash {
     * 6b, and the maintaining builder's first batch). */
   def emptyBandedIndex(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
+    // LocalRelation-backed (not emptyRDD): the optimizer can PROVE this
+    // empty, so PropagateEmptyRelation deletes the whole history-join
+    // arm from the first-batch/one-shot plan instead of scheduling its
+    // stages against zero rows
     spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       StructType(Seq(
         StructField("band_idx", IntegerType),
         StructField("band_key", StringType),

@@ -285,9 +285,12 @@ object IncrementalPipeline {
         IncrementalDedup.classifyWithText(decontaminatedLazy,
           IndexStore.exactIndex(spark, st.dedupTable), idCol, "text")
       else
+        // LocalRelation-backed empty index: provably empty, so the
+        // optimizer deletes the history left-join from the first
+        // batch's plan (nulls projected directly)
         IncrementalDedup.classifyWithText(decontaminatedLazy,
           spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
             org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField("content_hash",
                 org.apache.spark.sql.types.StringType),
@@ -302,10 +305,19 @@ object IncrementalPipeline {
     val kept = classified.filter(col("status") === "new")
       .select(col("doc_id").as(idCol), col("text"))
     // stage 6b: fuzzy (MinHash) tier against the persisted band index;
-    // the SKETCHED classification carries each doc's (sig, bands) so
-    // the sketch append below writes them directly instead of
-    // re-tokenizing the accepted docs; it is checkpointed because the
-    // append mutates the very table its plan reads
+    // the SKETCHED classification carries each doc's (sig, bands), so
+    // the ACCEPTED join (status + sketch riding along) is the one frame
+    // both the sketch append and the emission chain need — checkpoint
+    // THAT, not the raw classification: one materialization serves the
+    // append (which mutates the very band table the classify plan
+    // reads) and the packing chain, with no separate classification
+    // checkpoint and no second kept-join.
+    // Self-match acceptance (see the crash-replay note above) is
+    // tightened to SIGNATURE-IDENTICAL matches: a replayed batch
+    // re-sketches the same text, so all components equal; a REUSED id
+    // carrying merely near-dup text matches fewer than all components
+    // and is dropped like any other near-dup (the unique-id contract
+    // no longer load-bearing for correctness).
     val fuzzyState: Option[(DataFrame, Boolean)] =
       if (!cfg.fuzzyDedup) None
       else {
@@ -315,26 +327,21 @@ object IncrementalPipeline {
             cfg.fuzzyShingleN, cfg.fuzzyNumHashes, cfg.fuzzyBands)
           else IncrementalMinHash.emptyBandedIndex(spark)
         val fuzzyScope = new graft.CacheScope
-        val cls = try labeled(spark, "fuzzy classify ckpt")(
-            IncrementalMinHash.classifyBandedSketched(kept, banded,
-              idCol, "text", cfg.fuzzyShingleN, cfg.fuzzyNumHashes,
-              cfg.fuzzyBands, cfg.fuzzyMinMatch, scope = fuzzyScope)
-            .localCheckpoint(true))
-        finally fuzzyScope.release() // sketch cache dies with the ckpt
-        Some((cls, fuzzyExists))
+        val fk = try labeled(spark, "fuzzy kept ckpt") {
+          val cls = IncrementalMinHash.classifyBandedSketched(kept, banded,
+            idCol, "text", cfg.fuzzyShingleN, cfg.fuzzyNumHashes,
+            cfg.fuzzyBands, cfg.fuzzyMinMatch, scope = fuzzyScope)
+          val accepted = cls.filter(col("status") === "new" ||
+            (col("status") === "dup_of_history" &&
+              col("dup_of") === col("doc_id") && col("_self_exact") === 1))
+            .select(col("doc_id").as(idCol), col("status"),
+              col("_sig"), col("_bands"))
+          kept.join(accepted, idCol).localCheckpoint(true)
+        } finally fuzzyScope.release() // sketch cache dies with the ckpt
+        Some((fk, fuzzyExists))
       }
     val fuzzyKept = fuzzyState match {
-      case Some((cls, _)) =>
-        // self-match acceptance (see the crash-replay note above),
-        // tightened to SIGNATURE-IDENTICAL matches: a replayed batch
-        // re-sketches the same text, so all components equal; a REUSED
-        // id carrying merely near-dup text matches fewer than all
-        // components and is dropped like any other near-dup (the
-        // unique-id contract no longer load-bearing for correctness)
-        val accepted = cls.filter(col("status") === "new" ||
-          (col("status") === "dup_of_history" &&
-            col("dup_of") === col("doc_id") && col("_self_exact") === 1))
-        kept.join(accepted.select(col("doc_id").as(idCol)), idCol)
+      case Some((fk, _)) => fk.select(col(idCol), col("text"))
       case None => kept
     }
     if (audit) require(spark.catalog.tableExists(st.evalTable),
@@ -445,10 +452,12 @@ object IncrementalPipeline {
     // the same pre-commit barrier as the other three (disjoint table,
     // checkpointed inputs).
     val fuzzyF = stateUpdate(labeled(spark, "fuzzy sketch append") {
-      fuzzyState.foreach { case (cls, existed) =>
-        // the sketched classification carries each accepted doc's
-        // (sig, bands), so both arms write them directly — no second
-        // tokenize/hash pass over the accepted docs' text
+      fuzzyState.foreach { case (fk, existed) =>
+        // the checkpointed accepted frame carries each doc's
+        // (status, sig, bands), so both arms write sketches directly —
+        // no second tokenize/hash pass over the accepted docs' text
+        val cls = fk.select(col(idCol).as("doc_id"), col("status"),
+          col("_sig"), col("_bands"))
         if (existed)
           IndexStore.appendMinhashSketched(cls, st.fuzzyTable,
             cfg.fuzzyShingleN, cfg.fuzzyNumHashes, cfg.fuzzyBands)
@@ -493,7 +502,7 @@ object IncrementalPipeline {
     // RDD pair per call in the block manager
     ((if (needSampled) Seq(sampled) else Nil) ++
         Seq(classified) ++
-        fuzzyState.toSeq.map { case (cls, _) => cls })
+        fuzzyState.toSeq.map { case (fk, _) => fk })
       .flatMap(graft.CacheScope.checkpointRdd)
       .foreach(_.unpersist(blocking = false))
     spans
