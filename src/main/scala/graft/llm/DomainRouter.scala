@@ -47,27 +47,6 @@ object DomainRouter {
       DomainRouter.score(docs, idCol, textCol, weights, biases, ordered)
   }
 
-  /** Flatten K×dim to bucket-major (flat[bucket·K + k]) so one `slice`
-    * fetches a token's K-vector. */
-  private def flatten(weights: Array[Array[Double]]): Array[Double] = {
-    val k = weights.length
-    val dim = weights(0).length
-    Array.tabulate(dim * k)(i => weights(i % k)(i / k))
-  }
-
-  /** Fold the staged token-array column into the K-vector of class
-    * scores (one pass; the weight matrix is the `wLit` literal). */
-  private def foldScores(tokArr: Column, flat: Array[Double],
-      biases: Array[Double], dim: Int): Column = {
-    val k = biases.length
-    val wLit = typedLit(flat.toSeq)
-    aggregate(tokArr, typedLit(biases.toSeq), (acc, t) =>
-      zip_with(acc,
-        slice(wLit, (QualityClassifier.bucket(t, dim) * k + 1).cast("int"),
-          lit(k)),
-        (a, b) => a + b))
-  }
-
   /**
    * Score every document under the hashed softmax model. Output:
    * (doc_id, n_tokens, score_0..score_{K−1} ROUND(6),
@@ -266,44 +245,87 @@ object DomainRouter {
     val y = col(labelCol).cast("double")
     var it = 0
     var plateaued = false
+    // Per-doc gradient prep as ONE TYPED pass (the r20 score-twin
+    // discipline — see [[QualityTrainer.train]]): the per-token
+    // interpreted K-vector fold was this trainer's hot expression; the
+    // JVM twin runs the identical arithmetic (same token order, same
+    // left-to-right per-class accumulation from the biases, the stable
+    // softmax through the same libm) and emits each token's bucket as
+    // a long, so the downstream explode + bucket-keyed aggregate
+    // (unchanged — same rows in the same partition order, so the
+    // double sums are bit-identical) pays no per-token md5 either.
+    import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType, LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val prepSchema = org.apache.spark.sql.types.StructType(Seq(
+      StructField("_r", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("_loss", DoubleType, nullable = false),
+      StructField("_bad", BooleanType, nullable = false),
+      StructField("_bk", ArrayType(LongType, containsNull = false), nullable = false)))
     while (it < iters && !plateaued) {
-      val bad = col("_y").isNull || col("_y") < 0.0 || col("_y") >= k ||
-        col("_y") =!= floor(col("_y"))
-      // residual K-vector: (1[y=cls] − p_cls); the stable softmax
-      // stages mirror inference's
-      val resid = zip_with(
-        transform(sequence(lit(0), lit(k - 1)),
-          c => when(col("_y") === c.cast("double"), 1.0).otherwise(0.0)),
-        transform(col("_ex"), e => e / col("_den")),
-        (ind, p) => ind - p)
-      // cross-entropy −log p_y = log Σ exp(s − mx) + mx − s_y,
-      // bad-label rows contribute 0 (refused via the count anyway)
-      val loss = when(bad, lit(0.0)).otherwise(
-        log(col("_den")) + col("_mx") -
-          element_at(col("_sv"), (col("_y") + 1).cast("int")))
       // mini-batch arm: rate 1 skips the filter entirely (bit-identical
       // full-batch plan), rate < 1 is a per-iteration-salted hash sample
       val iterDocs =
         if (sampleRate >= 1.0) docs
         else docs.filter(Sampling.samplePredicate(col(sampleKeyCol),
           sampleRate, s"$sampleSalt:it$it"))
-      val rows = iterDocs
-        .select(y.as("_y"),
-          coalesce(filter(TextOps.tokens(col(textCol)), t => t =!= ""),
-            array()).as("_tk"))
-        .select(col("_y"), col("_tk"),
-          foldScores(col("_tk"), flatten(w), b, dim).as("_sv"))
-        .select(col("_y"), col("_tk"), col("_sv"),
-          array_max(col("_sv")).as("_mx"))
-        .select(col("_y"), col("_tk"), col("_sv"), col("_mx"),
-          transform(col("_sv"), s => exp(s - col("_mx"))).as("_ex"))
-        .select(col("_y"), col("_tk"), col("_sv"), col("_mx"), col("_ex"),
-          aggregate(col("_ex"), lit(0.0), (a, c) => a + c).as("_den"))
-        .select(resid.as("_r"), loss.as("_loss"), bad.as("_bad"),
-          explode(concat(col("_tk"), array(lit(null).cast("string"))))
+      val wSnap = w.map(_.clone())
+      val bSnap = b.clone()
+      val prepped = iterDocs
+        .select(y.as("_y"), col(textCol).cast("string").as("_t"))
+        .mapPartitions { rowsIt =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rowsIt.map { r =>
+            val yv: java.lang.Double = if (r.isNullAt(0)) null else r.getDouble(0)
+            val toks =
+              if (r.isNullAt(1)) Array.empty[String]
+              else TextOps.tokensJvm(r.getString(1))
+            val sv = bSnap.clone()
+            val bks = Array.newBuilder[Long]
+            var j = 0
+            while (j < toks.length) {
+              val t = toks(j)
+              if (t.nonEmpty) {
+                val bkt = TextOps.bucketJvm(md, t, dim)
+                var c = 0
+                while (c < k) { sv(c) += wSnap(c)(bkt); c += 1 }
+                bks += bkt.toLong
+              }
+              j += 1
+            }
+            // stable softmax + residual K-vector (1[y=cls] − p_cls);
+            // the label indicator is 0 (not null) for a null/bad label,
+            // exactly the Catalyst when/otherwise result
+            var mx = sv(0)
+            var c = 1
+            while (c < k) { if (sv(c) > mx) mx = sv(c); c += 1 }
+            val ex = new Array[Double](k)
+            var den = 0.0
+            c = 0
+            while (c < k) { ex(c) = math.exp(sv(c) - mx); den += ex(c); c += 1 }
+            val resid = new Array[Double](k)
+            c = 0
+            while (c < k) {
+              val ind = if (yv != null && yv.doubleValue == c) 1.0 else 0.0
+              resid(c) = ind - ex(c) / den
+              c += 1
+            }
+            val bad = yv == null || yv.doubleValue < 0.0 ||
+              yv.doubleValue >= k ||
+              yv.doubleValue != math.floor(yv.doubleValue)
+            // cross-entropy −log p_y = log Σ exp(s − mx) + mx − s_y,
+            // bad-label rows contribute 0 (refused via the count anyway)
+            val loss =
+              if (bad) 0.0
+              else math.log(den) + mx - sv(yv.doubleValue.toInt)
+            Row(resid.toIndexedSeq, loss, bad, bks.result().toIndexedSeq)
+          }
+        }(Encoders.row(prepSchema))
+      val rows = prepped
+        .select(col("_r"), col("_loss"), col("_bad"),
+          explode(concat(col("_bk"), array(lit(null).cast("long"))))
             .as("_tok"))
         .groupBy(when(col("_tok").isNull, lit(-1L))
-          .otherwise(QualityClassifier.bucket(col("_tok"), dim)).as("_bkt"))
+          .otherwise(col("_tok")).as("_bkt"))
         .agg(sum(element_at(col("_r"), 1)).as("_g0"),
           (1 until k).map(c =>
             sum(element_at(col("_r"), c + 1)).as(s"_g$c")) ++

@@ -71,44 +71,76 @@ object QualityTrainer {
     var b = initBias
     val losses = new Array[Double](iters)
     val y = col(labelCol).cast("double")
-    val toks = coalesce(
-      filter(TextOps.tokens(col(textCol)), t => t =!= ""), array())
+    // Per-doc gradient prep as ONE TYPED pass (the r20 score-twin
+    // discipline: Catalyst evaluates HOF lambdas INTERPRETED per token,
+    // and the per-token md5+lookup fold was this trainer's hot
+    // expression). The JVM twin runs the identical arithmetic — same
+    // token order (tokensJvm ≡ tokens, pinned), same left-to-right
+    // accumulation from the bias, the same libm exp/log1p — and emits
+    // each token's BUCKET as a long, so the downstream explode +
+    // bucket-keyed aggregate (unchanged: same rows in the same
+    // partition order, so the double sums are bit-identical) no longer
+    // pays a per-token md5 either.
+    import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType, LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val prepSchema = StructType(Seq(
+      StructField("_r", DoubleType, nullable = true),
+      StructField("_loss", DoubleType, nullable = true),
+      StructField("_bad", BooleanType, nullable = false),
+      StructField("_bk", ArrayType(LongType, containsNull = false), nullable = false)))
     for (i <- 0 until iters) {
-      val wLit = typedLit(w.toSeq)
-      // MATERIALIZE the fold, then consume it: HOF lambdas get no
-      // codegen CSE, and this projection sits under a Generate — score
-      // referenced from residual AND the three loss terms would re-run
-      // the whole tokenize+md5+lookup fold ~5× per doc (measured 13.5 s
-      // → ~1 s at sf0.1). The staged selects are a CollapseProject
-      // barrier: a multiply-referenced non-cheap expression is never
-      // merged upward, so the fold and the token array evaluate ONCE.
-      val sc = col("_sc")
-      // stable logistic loss: max(s,0) − s·y + log1p(exp(−|s|))
-      val loss = greatest(sc, lit(0.0)) - sc * col("_y") +
-        log1p(exp(-abs(sc)))
+      val wSnap = w.clone()
+      val bSnap = b
+      val prepped = docs
+        .select(y.as("_y"), col(textCol).cast("string").as("_t"))
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { r =>
+            val yv: java.lang.Double = if (r.isNullAt(0)) null else r.getDouble(0)
+            val toks =
+              if (r.isNullAt(1)) Array.empty[String]
+              else TextOps.tokensJvm(r.getString(1))
+            var sc = bSnap
+            val bks = Array.newBuilder[Long]
+            var j = 0
+            while (j < toks.length) {
+              val t = toks(j)
+              if (t.nonEmpty) {
+                val bkt = TextOps.bucketJvm(md, t, dim)
+                sc += wSnap(bkt)
+                bks += bkt.toLong
+              }
+              j += 1
+            }
+            // residual y − σ(s) and the stable logistic loss
+            // max(s,0) − s·y + log1p(exp(−|s|)); both NULL when the
+            // label is null (exactly the Catalyst three-valued result)
+            val (resid, loss) =
+              if (yv == null) (null, null)
+              else (java.lang.Double.valueOf(
+                  yv.doubleValue - 1.0 / (1.0 + math.exp(-sc))),
+                java.lang.Double.valueOf(
+                  math.max(sc, 0.0) - sc * yv.doubleValue +
+                    math.log1p(math.exp(-math.abs(sc)))))
+            val bad = yv == null ||
+              (yv.doubleValue != 0.0 && yv.doubleValue != 1.0)
+            Row(resid, loss, bad, bks.result().toIndexedSeq)
+          }
+        }(Encoders.row(prepSchema))
       // ONE aggregate carries everything: each doc's token occurrences
       // (multiplicity = the count feature) plus one SENTINEL null-token
       // row per doc, exploded together and grouped by bucket — the
       // sentinel group (-1) accumulates the bias gradient, the loss,
-      // and the bad-label count, so no second pass and no Observation
-      // (whose metrics silently vanish when the optimizer collapses a
-      // folded-local plan to a jobless LocalTableScan). The shuffle is
+      // and the bad-label count, so no second pass. The shuffle is
       // dim+1 groups, map-side combined — corpus-size-independent.
-      val bad = col("_y").isNull || (col("_y") =!= 0.0 && col("_y") =!= 1.0)
-      val rows = docs
-        .select(y.as("_y"), toks.as("_tk"))
-        .select(col("_y"), col("_tk"),
-          aggregate(col("_tk"), lit(b), (acc, t) => acc +
-            element_at(wLit, (QualityClassifier.bucket(t, dim) + 1).cast("int")))
-            .as("_sc"))
-        .select(col("_y"), (col("_y") - lit(1.0) / (lit(1.0) + exp(-sc))).as("_r"),
-          loss.as("_loss"),
-          explode(concat(col("_tk"), array(lit(null).cast("string")))).as("_tok"))
+      val rows = prepped
+        .select(col("_r"), col("_loss"), col("_bad"),
+          explode(concat(col("_bk"), array(lit(null).cast("long")))).as("_tok"))
         .groupBy(when(col("_tok").isNull, lit(-1L))
-          .otherwise(QualityClassifier.bucket(col("_tok"), dim)).as("_bkt"))
+          .otherwise(col("_tok")).as("_bkt"))
         .agg(sum(col("_r")).as("_g"),
           sum(when(col("_tok").isNull, col("_loss"))).as("_l"),
-          count(when(col("_tok").isNull && bad, 1)).as("_bad"))
+          count(when(col("_tok").isNull && col("_bad"), 1)).as("_bad"))
         .collect()
       val sentinel = rows.find(_.getLong(0) == -1L).getOrElse(
         sys.error("train: empty corpus — nothing to fit"))
