@@ -42,7 +42,6 @@ object LmScore {
     // aggregate — composition stays lazy, no eager driver action.
     val lmStats = lm.agg(
       coalesce(sum("cnt"), lit(0L)).as("_lm_t"), count(lit(1)).as("_lm_v"))
-    val denom = (col("_lm_t") + col("_lm_v")).cast("double")
     // explode_OUTER keeps token-free docs (null/empty text) as a single
     // null-word row, so every document flows through the ONE keyed
     // aggregate — the alternative is a corpus-sized spine left-join at
@@ -58,24 +57,41 @@ object LmScore {
       words, lm.select(col("word"), col("cnt").as("_cnt")),
       Seq("word"), "left", saltBuckets)
     // deterministic per-doc fold: sorted (word, occ, cnt) structs summed
-    // in word order, so the double total never depends on partitioning
-    val term: Column => Column = s =>
-      when(s.getField("w").isNull, lit(0.0))
-        .otherwise(s.getField("o").cast("double") *
-          log((s.getField("c") + lit(1L)).cast("double") / denom))
+    // in word order, so the double total never depends on partitioning.
+    // The fold itself runs as ONE TYPED pass over the sorted array (the
+    // trainer-twin discipline — Catalyst evaluates HOF lambdas
+    // interpreted per element): same left-to-right order over the same
+    // sort_array output, the same libm log, so the sums are
+    // bit-identical to the HOF form.
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = StructType(Seq(
+      docs.schema(docs.schema.fieldIndex(idCol)).copy(name = idCol),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("logprob", DoubleType, nullable = false)))
     joined
       .select(col("_id"), struct(col("word").as("w"), col("_occ").as("o"),
         coalesce(col("_cnt"), lit(0L)).as("c")).as("_s"))
       .groupBy("_id").agg(sort_array(collect_list(col("_s"))).as("_ws"))
       .crossJoin(broadcast(lmStats))
-      .select(col("_id"),
-        aggregate(col("_ws"), lit(0L), (acc, s) =>
-          acc + when(s.getField("w").isNull, lit(0L))
-            .otherwise(s.getField("o"))).as("n_tokens"),
-        aggregate(col("_ws"), lit(0.0), (acc, s) => acc + term(s)).as("_lpsum"))
-      .select(col("_id").as(idCol), col("n_tokens"),
-        when(col("n_tokens") === 0L, lit(0.0))
-          .otherwise(col("_lpsum") / col("n_tokens")).as("logprob"))
+      .select(col("_id"), col("_ws"),
+        (col("_lm_t") + col("_lm_v")).cast("double").as("_denom"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val ws = r.getSeq[Row](1)
+          val dn = r.getDouble(2)
+          var n = 0L
+          var lpsum = 0.0
+          ws.foreach { s =>
+            if (!s.isNullAt(0)) { // w null = token-free sentinel row
+              val o = s.getLong(1)
+              n += o
+              lpsum += o.toDouble * math.log((s.getLong(2) + 1L).toDouble / dn)
+            }
+          }
+          Row(r.get(0), n, if (n == 0L) 0.0 else lpsum / n)
+        }
+      }(Encoders.row(outSchema))
       .transform(Presented(_, ordered, idCol))
   }
 
@@ -149,7 +165,6 @@ object LmScore {
     require(alpha > 0 && alpha <= 1, s"bigramLogProb: alpha in (0, 1], got $alpha")
     val lmStats = uni.agg(
       coalesce(sum("cnt"), lit(0L)).as("_lm_t"), count(lit(1)).as("_lm_v"))
-    val denom = (col("_lm_t") + col("_lm_v")).cast("double")
     // posexplode_OUTER: token-free docs survive as one (null pos, null
     // word) row and the trailing corpus-sized spine join disappears —
     // see [[unigramLogProb]]; null words match neither LM join and the
@@ -166,21 +181,20 @@ object LmScore {
     val withBi = SkewJoin.saltedJoin(withCtx,
       bi.select(col("w1").as("ctx"), col("w2").as("word"), col("cnt").as("_bcnt")),
       Seq("ctx", "word"), "left", saltBuckets)
-    val term: Column => Column = s => {
-      val unigram = (s.getField("u") + lit(1L)).cast("double") / denom
-      when(s.getField("x").isNull, lit(0.0)) // token-free doc's null row
-        .when(s.getField("f"), log(unigram))
-        .when(s.getField("b").isNotNull && s.getField("p").isNotNull &&
-          s.getField("p") > 0L,
-          log(s.getField("b").cast("double") / s.getField("p").cast("double")))
-        .otherwise(log(lit(alpha) * unigram))
-    }
-    // the fold struct carries ONLY what term() reads: `_pos` (unique
+    // the fold struct carries ONLY what the fold reads: `_pos` (unique
     // per doc, so it alone fixes the sort_array order — bit-identical
     // summation) plus the three counts and a first-position flag. The
     // ctx/word STRINGS stay out of the per-doc collect_list shuffle —
-    // they were ~half its bytes and term() never read them beyond
-    // ctx IS NULL
+    // they were ~half its bytes and the fold never read them beyond
+    // ctx IS NULL. The fold itself runs as ONE TYPED pass over the
+    // sorted array (the trainer-twin discipline): same left-to-right
+    // position order, the same libm log — bit-identical to the HOF form.
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = StructType(Seq(
+      docs.schema(docs.schema.fieldIndex(idCol)).copy(name = idCol),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("logprob", DoubleType, nullable = false)))
     withBi
       .select(col("_id"), struct(col("_pos").as("x"),
         col("ctx").isNull.as("f"),
@@ -188,14 +202,29 @@ object LmScore {
         coalesce(col("_ccnt"), lit(0L)).as("u")).as("_s"))
       .groupBy("_id").agg(sort_array(collect_list(col("_s"))).as("_ws"))
       .crossJoin(broadcast(lmStats))
-      .select(col("_id"),
-        aggregate(col("_ws"), lit(0L), (acc, s) =>
-          acc + when(s.getField("x").isNull, lit(0L)).otherwise(lit(1L)))
-          .as("n_tokens"),
-        aggregate(col("_ws"), lit(0.0), (acc, s) => acc + term(s)).as("_lpsum"))
-      .select(col("_id").as(idCol), col("n_tokens"),
-        when(col("n_tokens") === 0L, lit(0.0))
-          .otherwise(col("_lpsum") / col("n_tokens")).as("logprob"))
+      .select(col("_id"), col("_ws"),
+        (col("_lm_t") + col("_lm_v")).cast("double").as("_denom"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val ws = r.getSeq[Row](1)
+          val dn = r.getDouble(2)
+          var n = 0L
+          var lpsum = 0.0
+          ws.foreach { s =>
+            if (!s.isNullAt(0)) { // x null = token-free doc's null row
+              n += 1L
+              val u = s.getLong(4)
+              val unigram = (u + 1L).toDouble / dn
+              lpsum +=
+                (if (s.getBoolean(1)) math.log(unigram)
+                else if (!s.isNullAt(2) && !s.isNullAt(3) && s.getLong(3) > 0L)
+                  math.log(s.getLong(2).toDouble / s.getLong(3).toDouble)
+                else math.log(alpha * unigram))
+            }
+          }
+          Row(r.get(0), n, if (n == 0L) 0.0 else lpsum / n)
+        }
+      }(Encoders.row(outSchema))
       .transform(Presented(_, ordered, idCol))
   }
 
