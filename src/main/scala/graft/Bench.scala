@@ -493,7 +493,11 @@ object Bench {
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       pb.redirectOutput(outFile.toFile)
       val proc = pb.start()
-      val done = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+      // 900 s (was 300): this round's loaded host pushed the full
+      // DuckDB pass past 300 s twice, dropping the denominator from
+      // the artifact — the cap only guards a WEDGED child, so it
+      // should sit far above any honest slow pass
+      val done = proc.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)
       if (!done) proc.destroyForcibly()
       val out = java.nio.file.Files.readString(outFile)
       java.nio.file.Files.deleteIfExists(tmp)
