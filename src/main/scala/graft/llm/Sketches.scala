@@ -23,27 +23,45 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object CountMin {
 
-  /** Row j's bucket: a 32-bit window of an md5. One digest yields FOUR
-    * independent 32-bit words, so rows share a digest in groups of 4
-    * (row j reads window j%4 of digest j/4) — for the standard depth 4
-    * that is ONE md5 per item instead of four, and Catalyst's
-    * subexpression elimination evaluates the shared digest once across
-    * the exploded row structs. */
-  private def bucket(item: Column, j: Int, width: Int, salt: String): Column =
-    conv(substring(md5(concat(lit(s"$salt:${j / 4}:"), item.cast("string")).cast("binary")),
-      1 + 8 * (j % 4), 8), 16, 10).cast("long") % width
-
   /** Build the sketch: one (row, bucket, cnt) output row per non-empty
     * counter (absent counters are zero — the SQL GROUP BY shape). Null
-    * items are skipped. */
+    * items are skipped.
+    *
+    * Row j's bucket is a 32-bit window of an md5: one digest yields
+    * FOUR independent 32-bit words, so rows share a digest in groups
+    * of 4 (row j reads window j%4 of digest j/4). The (row, bucket)
+    * pairs are generated in ONE TYPED pass — the Catalyst form
+    * computed the shared digest once per row-struct under a Generate
+    * (no codegen subexpression elimination there: depth md5+conv
+    * chains per item); the JVM twin is the exact hashing
+    * [[Sketch.estimate]] already runs driver-side, and the counts are
+    * integers, so equivalence is arithmetic (pinned by pq57). The
+    * item is cast to string IN CATALYST first, so non-string callers
+    * keep Spark's cast formatting. */
   def build(df: DataFrame, itemCol: String, depth: Int = 4, width: Int = 1024,
       salt: String = "cms", ordered: Boolean = true): DataFrame = {
     require(depth >= 1 && width >= 1, s"build: need depth, width >= 1; got $depth, $width")
-    val pairs = (0 until depth).map(j =>
-      struct(lit(j.toLong).as("row"), bucket(col(itemCol), j, width, salt).as("bucket")))
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val pairSchema = StructType(Seq(
+      StructField("row", LongType, nullable = false),
+      StructField("bucket", LongType, nullable = false)))
+    val nDigests = (depth + 3) / 4
     df.filter(col(itemCol).isNotNull)
-      .select(explode(array(pairs: _*)).as("_p"))
-      .select(col("_p.row"), col("_p.bucket"))
+      .select(col(itemCol).cast("string").as("_i"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          val item = r.getString(0)
+          val digests = Array.tabulate(nDigests)(g =>
+            TextOps.md5HexJvm(md, s"$salt:$g:$item"))
+          (0 until depth).iterator.map { j =>
+            val off = 8 * (j % 4)
+            Row(j.toLong, java.lang.Long.parseLong(
+              digests(j / 4).substring(off, off + 8), 16) % width)
+          }
+        }
+      }(Encoders.row(pairSchema))
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
       .transform(Presented(_, ordered, "row", "bucket"))
   }

@@ -62,33 +62,103 @@ object TextNormalize {
    * is exactly the cross-engine trap this library avoids), the null
    * dominant alone marks the no-text case.
    */
+  /** The literal ranges of a "[a-bc-d…]" class pattern, parsed from
+    * the pattern itself so the typed pass below can never drift from
+    * the documented class definitions. */
+  private def classRanges(cls: String): Array[(Int, Int)] = {
+    require(cls.head == '[' && cls.last == ']', s"not a class: $cls")
+    val body = cls.substring(1, cls.length - 1)
+    require(body.length % 3 == 0 && body.grouped(3).forall(_.charAt(1) == '-'),
+      s"not a pure range class: $cls")
+    body.grouped(3).map(g => (g.charAt(0).toInt, g.charAt(2).toInt)).toArray
+  }
+
   def scriptProfile(df: DataFrame, idCol: String, textCol: String,
       ordered: Boolean = true): DataFrame = {
-    val t = col(textCol).cast("string")
-    val total = length(t)
-    // the length-difference spelling is DELIBERATE: `regexp_count`
-    // looks cheaper but is RuntimeReplaceable into
-    // size(regexp_extract_all(...)) — one allocated substring PER
-    // MATCHED CHARACTER for these single-char classes, measured ~1.8x
-    // slower at sf0.1 than one replaced-string allocation per class
-    val counts = ScriptClasses.map { case (name, cls) =>
-      name -> (total - length(regexp_replace(t, cls, "")))
-    }
-    val digit = total - length(regexp_replace(t, "[0-9]", ""))
-    val other = counts.foldLeft(total - digit) { case (acc, (_, c)) => acc - c }
-    // argmax with earliest-class tie-break: fold from the LAST class up,
-    // each class taking over when its count is >= the running best
-    val (domName, _) = counts.reverse.foldLeft((lit("none"), lit(0L))) {
-      case ((bn, bc), (name, c)) =>
-        (when(c > lit(0L) && c >= bc, lit(name)).otherwise(bn),
-          when(c > lit(0L) && c >= bc, c).otherwise(bc))
-    }
-    def z(c: Column): Column = coalesce(c.cast("long"), lit(0L))
-    df.select(Seq(col(idCol).as("doc_id"), z(total).as("n_chars")) ++
-        counts.map { case (n, c) => z(c).as(n) } ++
-        Seq(z(digit).as("digit"), z(other).as("other"),
-          when(total.isNull, lit(null).cast("string")).otherwise(domName)
-            .as("dominant")): _*)
+    // ONE typed codepoint pass per document. The previous form ran one
+    // codegen'd regexp_replace scan per class (8 scans, each allocating
+    // the replaced string) and took the count as the length difference;
+    // the classes are pure literal codepoint ranges, so a single loop
+    // classifying each codepoint computes the identical integer counts
+    // (Spark's length() counts codepoints, exactly this iteration) —
+    // no float anywhere, bit-equivalence is arithmetic. The ranges are
+    // parsed from the same pattern literals the oracle uses.
+    val ranges = ScriptClasses.map { case (name, cls) => name -> classRanges(cls) }
+    val classNames = ranges.map(_._1)
+    val nClasses = ranges.length
+    val rangeArr = ranges.map(_._2).toArray
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val in = df.select(col(idCol).as("doc_id"), col(textCol).cast("string"))
+    val outSchema = StructType(
+      Seq(in.schema.head.copy(name = "doc_id"),
+        StructField("n_chars", LongType, nullable = false)) ++
+      classNames.map(n => StructField(n, LongType, nullable = false)) ++
+      Seq(StructField("digit", LongType, nullable = false),
+        StructField("other", LongType, nullable = false),
+        StructField("dominant", StringType, nullable = true)))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(1)) {
+          val out = new Array[Any](3 + nClasses + 2)
+          out(0) = r.get(0)
+          var i = 1
+          while (i < out.length - 1) { out(i) = 0L; i += 1 }
+          out(out.length - 1) = null
+          Row(out.toIndexedSeq: _*)
+        } else {
+          val s = r.getString(1)
+          val counts = new Array[Long](nClasses)
+          var digit = 0L
+          var total = 0L
+          var i = 0
+          while (i < s.length) {
+            val cp = s.codePointAt(i)
+            total += 1
+            if (cp >= '0' && cp <= '9') digit += 1
+            else {
+              var c = 0
+              var done = false
+              while (c < nClasses && !done) {
+                val rs = rangeArr(c)
+                var k = 0
+                while (k < rs.length && !done) {
+                  if (cp >= rs(k)._1 && cp <= rs(k)._2) {
+                    counts(c) += 1; done = true
+                  }
+                  k += 1
+                }
+                c += 1
+              }
+            }
+            i += Character.charCount(cp)
+          }
+          var other = total - digit
+          var c = 0
+          while (c < nClasses) { other -= counts(c); c += 1 }
+          // argmax with earliest-class tie-break: fold from the LAST
+          // class up, each class taking over when count >= running best
+          var domName = "none"
+          var domCount = 0L
+          c = nClasses - 1
+          while (c >= 0) {
+            if (counts(c) > 0L && counts(c) >= domCount) {
+              domName = classNames(c); domCount = counts(c)
+            }
+            c -= 1
+          }
+          val out = new Array[Any](3 + nClasses + 2)
+          out(0) = r.get(0)
+          out(1) = total
+          c = 0
+          while (c < nClasses) { out(2 + c) = counts(c); c += 1 }
+          out(2 + nClasses) = digit
+          out(3 + nClasses) = other
+          out(4 + nClasses) = domName
+          Row(out.toIndexedSeq: _*)
+        }
+      }
+    }(Encoders.row(outSchema))
       .transform(Presented(_, ordered, "doc_id"))
   }
 

@@ -363,6 +363,44 @@ class IncrementalPipelineSpec extends AnyFunSuite {
     } finally cleanup(state)
   }
 
+  test("fuzzy self-match acceptance demands an IDENTICAL signature: a reused id with near-dup text drops") {
+    val state = st("graft_ip_selfx")
+    try {
+      val fc = cfg.copy(fuzzyDedup = true, salt = "ipsx", sampleRate = 1.0)
+      import spark.implicits._
+      val text1 = "alpha beta gamma delta epsilon zeta eta theta"
+      val b1 = Seq((1L, text1)).toDF("doc_id", "text")
+      val e1 = IncrementalPipeline.processBatch(b1, "doc_id", "text", fc,
+        state, decontaminate = false, sampleK = 0, audit = false, buckets = 2)
+      assert(e1.count() > 0, "the first delivery must be accepted")
+      // the same id re-delivered with NEAR-dup text (one appended
+      // token): the exact stage passes (new hash), the fuzzy stage
+      // matches the id's own historical sketch — under the
+      // signature-identical rule that self-match is NOT the crash
+      // replay (some components differ) and the doc drops like any
+      // other near-dup. (Before the rule, dup_of == own id alone was
+      // accepted and the near-dup shipped.)
+      val b2 = Seq((1L, text1 + " iota")).toDF("doc_id", "text")
+      val e2 = IncrementalPipeline.processBatch(b2, "doc_id", "text", fc,
+        state, decontaminate = false, sampleK = 0, audit = false, buckets = 2)
+      assert(e2.count() == 0,
+        "a reused id with merely near-dup text must drop at the fuzzy tier")
+      // the crash-replay polarity stands: the SAME text re-delivered
+      // under a fresh exact index (the crash window re-creates exactly
+      // this: sketch present, hash absent) re-emits — verified by the
+      // replay golden above via the full crash path; here the
+      // signature-identical arm is pinned directly on the classifier
+      val banded = IndexStore.minhashIndex(spark, state.fuzzyTable)
+      val cls = IncrementalMinHash.classifyBandedSketched(
+        b1, banded, "doc_id", "text")
+      val r = cls.collect().head
+      assert(r.getAs[String]("status") == "dup_of_history" &&
+        r.getAs[Long]("dup_of") == 1L &&
+        r.getAs[Int]("_self_exact") == 1,
+        s"identical text must self-match with _self_exact = 1, got $r")
+    } finally cleanup(state)
+  }
+
   test("drift: cursor stamps refuse a changed salt") {
     val state = st("graft_ip_drift")
     try {

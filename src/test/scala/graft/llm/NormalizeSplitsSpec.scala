@@ -103,4 +103,26 @@ class NormalizeSplitsSpec extends AnyFunSuite {
     assert(got(6L)._1.contains(0L) && got(6L)._2("latin") == 0L &&
       got(6L)._3.isEmpty, "null text -> zero counts, null dominant")
   }
+
+  test("scriptProfile: codepoint iteration — supplementary chars count once as other; range boundaries exact") {
+    // the typed pass iterates CODE POINTS (Spark's length() semantics):
+    // an emoji is one surrogate PAIR but must count as ONE other-char;
+    // range boundaries are inclusive on both ends ('ӿ' = U+04FF in,
+    // 'Ԁ' = U+0500 out)
+    val rows = Seq[(java.lang.Long, String)](
+      (1L, "a😀b"),   // a, emoji (U+1F600), b -> 3 chars, latin 2, other 1
+      (2L, "ӿԀ"))               // U+04FF (cyrillic) + U+0500 (not) -> 2 chars
+    val df = graft.TestSpark.df("doc_id bigint, text string",
+      rows.map { case (i, t) => org.apache.spark.sql.Row(i, t) })
+    val got = TextNormalize.scriptProfile(df, "doc_id", "text", ordered = false)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_chars") == 3L &&
+      got(1L).getAs[Long]("latin") == 2L &&
+      got(1L).getAs[Long]("other") == 1L,
+      s"surrogate pair must count once: ${got(1L)}")
+    assert(got(2L).getAs[Long]("n_chars") == 2L &&
+      got(2L).getAs[Long]("cyrillic") == 1L &&
+      got(2L).getAs[Long]("other") == 1L,
+      s"range boundary must be inclusive-exclusive exactly: ${got(2L)}")
+  }
 }
