@@ -29,9 +29,13 @@ object JobProfile {
     // warmup
     fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
     CacheScope.releaseSession()
-    case class J(id: Int, desc: String, var stages: Int, start: Long, var end: Long)
+    // listener callbacks run on the bus thread; everything shared with
+    // the main thread is volatile / concurrent (a plain var would have
+    // no happens-before edge and could silently drop the whole profile)
+    case class J(id: Int, desc: String, stages: Int, start: Long)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
-    var recording = false
+    val jobEnds = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    @volatile var recording = false
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         if (recording) {
@@ -40,11 +44,11 @@ object JobProfile {
             .orElse(Option(js.properties)
               .flatMap(p => Option(p.getProperty("callSite.short"))))
             .getOrElse("?")
-          jobs.put(js.jobId, J(js.jobId, d, js.stageInfos.size, js.time, js.time))
+          jobs.put(js.jobId, J(js.jobId, d, js.stageInfos.size, js.time))
         }
       override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        val j = jobs.get(je.jobId)
-        if (j != null) j.end = je.time
+        jobEnds.put(je.jobId, je.time)
+        ()
       }
     }
     spark.sparkContext.addSparkListener(l)
@@ -57,8 +61,11 @@ object JobProfile {
     import scala.jdk.CollectionConverters._
     val all = jobs.values().asScala.toSeq.sortBy(_.id)
     println(f"== $name: ${secs}%.2f s, ${all.size} jobs ==")
-    all.foreach(j => println(
-      f"job ${j.id}%4d  ${(j.end - j.start) / 1000.0}%7.3f s  stages=${j.stages}%2d  ${j.desc.take(140)}"))
+    all.foreach { j =>
+      val dur = (jobEnds.getOrDefault(j.id, j.start) - j.start) / 1000.0
+      println(
+        f"job ${j.id}%4d  $dur%7.3f s  stages=${j.stages}%2d  ${j.desc.take(140)}")
+    }
     CacheScope.releaseSession()
     spark.stop()
   }

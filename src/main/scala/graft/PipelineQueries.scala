@@ -47,19 +47,19 @@ object PipelineQueries {
     * of re-fitting per execution — the QualityClassifier contract
     * ("ship the trained matrix, never re-train per site") applied to
     * the harness itself. pq100 and pq108 keep pinning the training
-    * step itself per execution. ASSUMES the data dirs are immutable
-    * for the JVM's lifetime (the testdata contract — the driver never
-    * rewrites a dir in place); the cache holds one model per dir ever
-    * seen (three dirs here). A mutable-corpus deployment would key on
-    * a content fingerprint instead. */
+    * step itself per execution. Keys are [[modelCacheKey]] CONTENT
+    * fingerprints, so a fixture dir regenerated in place retrains
+    * instead of serving a stale model; the superseded entry lingers
+    * (bounded by the number of regenerations — the harness uses three
+    * immutable dirs, so in practice three entries ever). */
   private val routerCache =
     new java.util.concurrent.ConcurrentHashMap[String, DomainRouter.TrainedRouter]
   /** Cheap content fingerprint of the dir's documents file (length +
     * mtime of every part), so a fixture dir regenerated IN PLACE within
     * one JVM retrains instead of silently serving a stale model — the
     * raw-path key assumed dir immutability the harness cannot enforce. */
-  private def modelCacheKey(dir: String): String = {
-    val p = java.nio.file.Paths.get(dir, "documents.parquet")
+  private def modelCacheKey(dir: String, file: String = "documents.parquet"): String = {
+    val p = java.nio.file.Paths.get(dir, file)
     val parts =
       try {
         if (java.nio.file.Files.isDirectory(p)) {
@@ -76,6 +76,23 @@ object PipelineQueries {
       } catch { case _: Exception => "?" }
     s"$dir#$parts"
   }
+  /** Per-JVM record of the content fingerprint each persisted eval
+    * INDEX TABLE was built from — the [[modelCacheKey]] discipline
+    * applied to the catalog: a bare tableExists guard would silently
+    * serve a stale index if a fixture dir were regenerated in place.
+    * Returns true when the caller must (re)build the table (all the
+    * builders overwrite/swap, so a rebuild is always safe). */
+  private val evalTableFingerprints =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def evalTableStale(s: SparkSession, tbl: String, dir: String,
+      file: String = "documents.parquet"): Boolean = {
+    val fp = modelCacheKey(dir, file)
+    val fresh = s.catalog.tableExists(tbl) &&
+      fp == evalTableFingerprints.get(tbl)
+    if (!fresh) evalTableFingerprints.put(tbl, fp)
+    !fresh
+  }
+
   private def trainedRouter(s: SparkSession, dir: String): DomainRouter.TrainedRouter =
     routerCache.computeIfAbsent(modelCacheKey(dir), _ => {
       val labeled = docs(s, dir).select(col("doc_id"), col("text"),
@@ -1303,7 +1320,7 @@ object PipelineQueries {
       // pq114/pq98 precedent — a pure function of the fixture)
       val tbl = perDirName("graft_pq120_eval", dir)
       val mtbl = perDirName("graft_pq120_matched", dir)
-      if (!s.catalog.tableExists(tbl))
+      if (evalTableStale(s, tbl, dir))
         Decontamination.saveEvalShingleIndex(eval, "doc_id", "text",
           tbl, perDirPath("graft_pq120_eval", dir), shingleN = 3, buckets = 8)
       val schema = docs(s, dir).schema
@@ -1469,7 +1486,7 @@ object PipelineQueries {
       // eval-embedding index keyed per dir, persisted across executions
       // (the pq114/pq98 precedent — a pure function of the fixture)
       val tbl = perDirName("graft_pq130_eval", dir)
-      if (!s.catalog.tableExists(tbl)) {
+      if (evalTableStale(s, tbl, dir, "embeddings.parquet")) {
         Decontamination.saveEvalEmbeddingIndex(semanticEvalSet(s, dir),
           "vec_id", "embedding", tbl, perDirPath("graft_pq130_eval", dir))
         ()
@@ -1826,7 +1843,7 @@ object PipelineQueries {
       // the audits + state read are the operator's steady-state shape
       val tbl = perDirName("graft_pq98_eval", dir)
       val mtbl = perDirName("graft_pq98_matched", dir)
-      if (!s.catalog.tableExists(tbl))
+      if (evalTableStale(s, tbl, dir))
         Decontamination.saveEvalShingleIndex(eval, "doc_id", "text",
           tbl, perDirPath("graft_pq98_eval", dir), shingleN = 3, buckets = 8)
       Decontamination.auditBatch(train.filter(col("doc_id") % 2 === 0),
@@ -2204,7 +2221,7 @@ object PipelineQueries {
       // last run's keeper index); the eval index is a pure function of
       // the fixture, so it persists across executions
       IncrementalPipeline.resetCorpusState(s, st)
-      if (!s.catalog.tableExists(st.evalTable))
+      if (evalTableStale(s, st.evalTable, dir))
         IncrementalPipeline.saveEvalIndex(eval, "doc_id", "text", cfg, st,
           buckets = 8)
       val d = docs(s, dir).select("doc_id", "text")
@@ -2260,10 +2277,10 @@ object PipelineQueries {
       val st = IncrementalPipeline.State(
         perDirName("graft_pq136", dir), perDirPath("graft_pq136", dir))
       IncrementalPipeline.resetCorpusState(s, st)
-      if (!s.catalog.tableExists(st.evalTable))
+      if (evalTableStale(s, st.evalTable, dir))
         IncrementalPipeline.saveEvalIndex(eval, "doc_id", "text", cfg, st,
           buckets = 8)
-      if (!s.catalog.tableExists(st.semanticTable)) {
+      if (evalTableStale(s, st.semanticTable, dir, "embeddings.parquet")) {
         IncrementalPipeline.saveEvalEmbeddings(
           semanticEvalSet(s, dir)
             .select(col("vec_id").as("doc_id"), col("embedding")),
@@ -2312,7 +2329,7 @@ object PipelineQueries {
       val st = IncrementalPipeline.State(
         perDirName("graft_pq137", dir), perDirPath("graft_pq137", dir))
       IncrementalPipeline.resetCorpusState(s, st)
-      if (!s.catalog.tableExists(st.evalTable))
+      if (evalTableStale(s, st.evalTable, dir))
         IncrementalPipeline.saveEvalIndex(eval, "doc_id", "text", cfg, st,
           buckets = 8)
       // bounded fixture: the QUARTER corpus (batches = the mod-8

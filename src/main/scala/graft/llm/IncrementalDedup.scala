@@ -69,29 +69,8 @@ object IncrementalDedup {
    * store exists to remove.
    */
   def classify(batch: DataFrame, index: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    val hashed = batch.select(
-      col(idCol).as("doc_id"),
-      // sentinel-normalized (see NullHash): null-text rows keep the
-      // one-output-row-per-input-row contract and dedup as one content,
-      // in-batch and across batches, through plain equi-joins
-      contentHash(col(textCol)).as("content_hash"))
-    val keepers = hashed.groupBy("content_hash")
-      .agg(min(col("doc_id")).as("_batch_keep"))
-    hashed
-      .join(keepers, Seq("content_hash"))
-      .join(index.select(col("content_hash"), col("keep_id").as("_hist")),
-        Seq("content_hash"), "left")
-      .select(
-        col("doc_id"),
-        col("content_hash"),
-        when(col("_hist").isNotNull, lit("dup_of_history"))
-          .when(col("doc_id") =!= col("_batch_keep"), lit("dup_in_batch"))
-          .otherwise(lit("new")).as("status"),
-        when(col("_hist").isNotNull, col("_hist"))
-          .when(col("doc_id") =!= col("_batch_keep"), col("_batch_keep"))
-          .as("dup_of"))
-  }
+      idCol: String, textCol: String): DataFrame =
+    classifyCore(batch, index, idCol, textCol, keepText = false)
 
   /** [[classify]] with the batch's text column CARRIED THROUGH — the
     * [[IncrementalPipeline]] fold: the pipeline previously checkpointed
@@ -104,11 +83,21 @@ object IncrementalDedup {
     * crosses the wire once in the keeper join, exactly the once the
     * old kept-join paid. */
   private[llm] def classifyWithText(batch: DataFrame, index: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String): DataFrame =
+    classifyCore(batch, index, idCol, textCol, keepText = true)
+
+  /** The shared classify plan (the classifyBandedCore discipline: one
+    * core, a flag for the variant — the keeper/status logic must never
+    * fork between the public API and the pipeline twin). */
+  private def classifyCore(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, keepText: Boolean): DataFrame = {
     val hashed = batch.select(
-      col(idCol).as("doc_id"),
-      col(textCol).as("text"),
-      contentHash(col(textCol)).as("content_hash"))
+      Seq(col(idCol).as("doc_id")) ++
+      (if (keepText) Seq(col(textCol).as("text")) else Nil) :+
+      // sentinel-normalized (see NullHash): null-text rows keep the
+      // one-output-row-per-input-row contract and dedup as one content,
+      // in-batch and across batches, through plain equi-joins
+      contentHash(col(textCol)).as("content_hash"): _*)
     val keepers = hashed.groupBy("content_hash")
       .agg(min(col("doc_id")).as("_batch_keep"))
     hashed
@@ -116,15 +105,16 @@ object IncrementalDedup {
       .join(index.select(col("content_hash"), col("keep_id").as("_hist")),
         Seq("content_hash"), "left")
       .select(
-        col("doc_id"),
-        col("text"),
-        col("content_hash"),
-        when(col("_hist").isNotNull, lit("dup_of_history"))
-          .when(col("doc_id") =!= col("_batch_keep"), lit("dup_in_batch"))
-          .otherwise(lit("new")).as("status"),
-        when(col("_hist").isNotNull, col("_hist"))
-          .when(col("doc_id") =!= col("_batch_keep"), col("_batch_keep"))
-          .as("dup_of"))
+        Seq(col("doc_id")) ++
+        (if (keepText) Seq(col("text")) else Nil) ++
+        Seq(
+          col("content_hash"),
+          when(col("_hist").isNotNull, lit("dup_of_history"))
+            .when(col("doc_id") =!= col("_batch_keep"), lit("dup_in_batch"))
+            .otherwise(lit("new")).as("status"),
+          when(col("_hist").isNotNull, col("_hist"))
+            .when(col("doc_id") =!= col("_batch_keep"), col("_batch_keep"))
+            .as("dup_of")): _*)
   }
 
   /** The next run's index: history plus the batch's accepted keepers.

@@ -181,6 +181,12 @@ object IncrementalPipeline {
    * use). With a single batch and fresh state this is EXACTLY
    * [[Pipeline.buildTrainingSet]] (the law the spec pins).
    *
+   * PRECONDITION: ids are unique WITHIN the batch (the same contract
+   * [[Packing]] imposes on everything it packs — duplicate ids have no
+   * stable pack order, and the fuzzy tier's internal joins assume one
+   * row per id). Cross-batch reuse of an id is handled (exact dups
+   * drop; near-dup text under a reused id drops at the fuzzy tier).
+   *
    * The returned frame's checkpoint storage belongs to the CALLER:
    * consume it, then [[releaseEmission]] — a long-running batch loop
    * that never releases pins one emission-sized block set per call
@@ -231,10 +237,26 @@ object IncrementalPipeline {
     // per-doc spine, and the anti-join spine) and physical plans
     // re-execute shared subtrees per branch — persist so the per-doc
     // text work (NFC, tokenize, classifier fold) runs once per batch;
-    // released as soon as the checkpoint materializes
+    // released as soon as the checkpoint materializes (try/finally: a
+    // failure before then — a missing state table, a job abort — must
+    // not leak the cached batch into the block manager, or a caller's
+    // replay-the-batch retry loop grows storage per failure)
     val gated = Pipeline.gateStage(
       Pipeline.cleanStage(batch, idCol, textCol, cfg), idCol, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try processBatchFrom(gated, batch.sparkSession, idCol, cfg, st,
+      decontaminate, sampleK, audit, buckets, graceMs, batchEmbeddings,
+      vecCol)
+    finally gated.unpersist(blocking = false)
+  }
+
+  private def processBatchFrom(gated: DataFrame,
+      spark0: SparkSession, idCol: String,
+      cfg: Pipeline.Config, st: State, decontaminate: Boolean,
+      sampleK: Int, audit: Boolean, buckets: Int,
+      graceMs: Long, batchEmbeddings: Option[DataFrame],
+      vecCol: String): DataFrame = {
+    val spark = spark0
     val shingleDecontaminated =
       if (decontaminate) {
         require(spark.catalog.tableExists(st.evalTable),
