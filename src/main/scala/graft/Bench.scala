@@ -95,6 +95,13 @@ object Bench {
     val oracleBefore: Option[Map[String, Double]] =
       if (oracleEnabled) timeOracle(names.toSet, sfDir) else None
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Each query's FIRST timed execution, archived beside the min:
+    // rows that build per-JVM/per-dir state on first use (the eval-index
+    // and trained-model rows) pay that setup in rep 1 only, so min-of-N
+    // reads as the operator's steady state. rep1 − min makes the warm
+    // share DECLARED DATA instead of code archaeology (r21 verdict
+    // "wrong" #1). Additive: the gate metric and estimator unchanged.
+    val firstTimings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // Per-query Spark JOB counts, via job-group tagging (the listener
     // is async; counts are read once at the end, after the bus drains).
@@ -133,6 +140,7 @@ object Bench {
           // and the streaming batch count from a prior successful sweep,
           // which would attribute a "last run" that is not the last run
           timings.filterInPlace((k, _) => k != name && !k.startsWith(name + "#"))
+          firstTimings.filterInPlace((k, _) => k != name)
           PipelineQueries.StreamingBatchCounts.remove(name)
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       } finally {
@@ -206,6 +214,7 @@ object Bench {
           if (!failed.contains(name)) attempt(name) {
             val t = timed(name, SparkEntry.queries(name))
             total += t
+            if (!firstTimings.contains(name)) firstTimings(name) = t
             timings(name) = timings.get(name).fold(t)(math.min(_, t))
           }
         }
@@ -276,7 +285,8 @@ object Bench {
         s"[bench] cpu_ref=${num(cpuRefSweeps.min)} sink_bit=${cpuRefSink & 1L}")
     val details =
       detailsJson(timings, oracle, sweepTotals.toSeq, failed.toSeq, sfDir,
-        floorSweeps.toSeq, queryJobs, cpuRefSweeps.toSeq) + "\n"
+        floorSweeps.toSeq, queryJobs, cpuRefSweeps.toSeq,
+        firstTimings) + "\n"
     val detailsWritten =
       try {
         java.nio.file.Files.writeString(java.nio.file.Paths.get(detailsPath), details)
@@ -426,8 +436,14 @@ object Bench {
       sfDir: String,
       floorSweeps: Seq[Double] = Nil,
       queryJobs: scala.collection.Map[String, Double] = Map.empty,
-      cpuRefSweeps: Seq[Double] = Nil): String = {
+      cpuRefSweeps: Seq[Double] = Nil,
+      rep1: scala.collection.Map[String, Double] = Map.empty): String = {
     val detailsOracle = oracle.fold("")(o => s""","oracle_queries":${obj(o)}""")
+    // each query's FIRST timed execution (see main): rep1 − min is the
+    // per-JVM/per-dir state-setup share the min-of-N estimator excludes
+    val rep1Field =
+      if (rep1.isEmpty) ""
+      else s""","query_rep1":${obj(scala.collection.immutable.SortedMap.from(rep1))}"""
     // Per-query ratios, raw and FLOORED — the floored denominator is
     // max(oracle, job_floor × jobs): a query that needs J Spark jobs can
     // never beat J × the scheduling floor, so a sub-millisecond DuckDB
@@ -467,7 +483,7 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(""","streaming_batches":{""", ",", "}")
     }
-    s"""{"queries":${obj(timings)}$detailsOracle$ratioFields$batches$jobs,"sweep_totals":$sweeps$floors$cpuRef,"failed":${arr(failed)},"sf":"$sfDir"}"""
+    s"""{"queries":${obj(timings)}$detailsOracle$rep1Field$ratioFields$batches$jobs,"sweep_totals":$sweeps$floors$cpuRef,"failed":${arr(failed)},"sf":"$sfDir"}"""
   }
 
   /** Runs tools/oracle_bench.py (DuckDB, min-of-2) over the oracle SQL for

@@ -26,8 +26,10 @@ object JobProfile {
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftExtensions.register(spark)
     val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
-    // warmup
-    fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    // warmup — same env contract as Bench (SPARK_GRAFT_WARM_DIR
+    // overrides; VERDICT r21 nit: dev mains must honor the env too)
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    fn(spark, warmDir).write.format("noop").mode("overwrite").save()
     CacheScope.releaseSession()
     // listener callbacks run on the bus thread; everything shared with
     // the main thread is volatile / concurrent (a plain var would have

@@ -73,7 +73,12 @@ object PipelineQueries {
         } else
           s"${java.nio.file.Files.size(p)}:" +
             java.nio.file.Files.getLastModifiedTime(p).toMillis
-      } catch { case _: Exception => "?" }
+      } catch {
+        // per-call-unique fallback: a transiently unreadable dir must
+        // never cache a model/table under a key a later call reads as
+        // fresh (ADVICE r21 #2 — the constant "?" did exactly that)
+        case _: Exception => s"unreadable:${System.nanoTime()}"
+      }
     s"$dir#$parts"
   }
   /** Per-JVM record of the content fingerprint each persisted eval
@@ -87,11 +92,19 @@ object PipelineQueries {
   private def evalTableStale(s: SparkSession, tbl: String, dir: String,
       file: String = "documents.parquet"): Boolean = {
     val fp = modelCacheKey(dir, file)
-    val fresh = s.catalog.tableExists(tbl) &&
-      fp == evalTableFingerprints.get(tbl)
-    if (!fresh) evalTableFingerprints.put(tbl, fp)
-    !fresh
+    !(s.catalog.tableExists(tbl) && fp == evalTableFingerprints.get(tbl))
   }
+  /** Rebuild-if-stale with the fingerprint recorded only AFTER `build`
+    * succeeds: recording it up front would let a failed rebuild leave
+    * tableExists + matching fingerprint behind, silently serving the
+    * stale index on the next execution (ADVICE r21 #1). */
+  private def ensureEvalTable(s: SparkSession, tbl: String, dir: String,
+      file: String = "documents.parquet")(build: => Unit): Unit =
+    if (evalTableStale(s, tbl, dir, file)) {
+      build
+      evalTableFingerprints.put(tbl, modelCacheKey(dir, file))
+      ()
+    }
 
   private def trainedRouter(s: SparkSession, dir: String): DomainRouter.TrainedRouter =
     routerCache.computeIfAbsent(modelCacheKey(dir), _ => {
@@ -1320,9 +1333,9 @@ object PipelineQueries {
       // pq114/pq98 precedent — a pure function of the fixture)
       val tbl = perDirName("graft_pq120_eval", dir)
       val mtbl = perDirName("graft_pq120_matched", dir)
-      if (evalTableStale(s, tbl, dir))
+      ensureEvalTable(s, tbl, dir)(
         Decontamination.saveEvalShingleIndex(eval, "doc_id", "text",
-          tbl, perDirPath("graft_pq120_eval", dir), shingleN = 3, buckets = 8)
+          tbl, perDirPath("graft_pq120_eval", dir), shingleN = 3, buckets = 8))
       val schema = docs(s, dir).schema
       val s2 = streamSession(s, statePartitions = 2)
       val stream = s2.readStream.schema(schema)
@@ -1486,7 +1499,7 @@ object PipelineQueries {
       // eval-embedding index keyed per dir, persisted across executions
       // (the pq114/pq98 precedent — a pure function of the fixture)
       val tbl = perDirName("graft_pq130_eval", dir)
-      if (evalTableStale(s, tbl, dir, "embeddings.parquet")) {
+      ensureEvalTable(s, tbl, dir, "embeddings.parquet") {
         Decontamination.saveEvalEmbeddingIndex(semanticEvalSet(s, dir),
           "vec_id", "embedding", tbl, perDirPath("graft_pq130_eval", dir))
         ()
@@ -1843,9 +1856,9 @@ object PipelineQueries {
       // the audits + state read are the operator's steady-state shape
       val tbl = perDirName("graft_pq98_eval", dir)
       val mtbl = perDirName("graft_pq98_matched", dir)
-      if (evalTableStale(s, tbl, dir))
+      ensureEvalTable(s, tbl, dir)(
         Decontamination.saveEvalShingleIndex(eval, "doc_id", "text",
-          tbl, perDirPath("graft_pq98_eval", dir), shingleN = 3, buckets = 8)
+          tbl, perDirPath("graft_pq98_eval", dir), shingleN = 3, buckets = 8))
       Decontamination.auditBatch(train.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", tbl, mtbl, perDirPath("graft_pq98_matched", dir))
       Decontamination.auditBatch(train.filter(col("doc_id") % 2 === 1),
@@ -2221,9 +2234,9 @@ object PipelineQueries {
       // last run's keeper index); the eval index is a pure function of
       // the fixture, so it persists across executions
       IncrementalPipeline.resetCorpusState(s, st)
-      if (evalTableStale(s, st.evalTable, dir))
+      ensureEvalTable(s, st.evalTable, dir)(
         IncrementalPipeline.saveEvalIndex(eval, "doc_id", "text", cfg, st,
-          buckets = 8)
+          buckets = 8))
       val d = docs(s, dir).select("doc_id", "text")
       val b1 = IncrementalPipeline.processBatch(
         d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
@@ -2277,10 +2290,10 @@ object PipelineQueries {
       val st = IncrementalPipeline.State(
         perDirName("graft_pq136", dir), perDirPath("graft_pq136", dir))
       IncrementalPipeline.resetCorpusState(s, st)
-      if (evalTableStale(s, st.evalTable, dir))
+      ensureEvalTable(s, st.evalTable, dir)(
         IncrementalPipeline.saveEvalIndex(eval, "doc_id", "text", cfg, st,
-          buckets = 8)
-      if (evalTableStale(s, st.semanticTable, dir, "embeddings.parquet")) {
+          buckets = 8))
+      ensureEvalTable(s, st.semanticTable, dir, "embeddings.parquet") {
         IncrementalPipeline.saveEvalEmbeddings(
           semanticEvalSet(s, dir)
             .select(col("vec_id").as("doc_id"), col("embedding")),
@@ -2329,9 +2342,9 @@ object PipelineQueries {
       val st = IncrementalPipeline.State(
         perDirName("graft_pq137", dir), perDirPath("graft_pq137", dir))
       IncrementalPipeline.resetCorpusState(s, st)
-      if (evalTableStale(s, st.evalTable, dir))
+      ensureEvalTable(s, st.evalTable, dir)(
         IncrementalPipeline.saveEvalIndex(eval, "doc_id", "text", cfg, st,
-          buckets = 8)
+          buckets = 8))
       // bounded fixture: the QUARTER corpus (batches = the mod-8
       // classes) — the fuzzy tier's sketch/band machinery is the
       // heaviest composition, so its bench mass is bounded hardest

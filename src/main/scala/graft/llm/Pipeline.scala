@@ -179,7 +179,17 @@ object Pipeline {
     * empty history: in-batch semantics — a doc near-duplicating a
     * smaller-id doc drops, `cfg.fuzzyMinMatch` of
     * `cfg.fuzzyNumHashes` signature components). Off ≡ today's chain
-    * bit-for-bit. */
+    * bit-for-bit.
+    *
+    * @param scope RETENTION: the gate-stage output (and the fuzzy
+    *              tier's sketch cache) is persisted MEMORY_AND_DISK
+    *              into this scope and stays pinned until the scope is
+    *              released. The default session scope is released by
+    *              Bench/Verify between queries; a library caller
+    *              looping builds must pass its own scope and release
+    *              it (or call [[graft.CacheScope.releaseSession]])
+    *              after consuming the result, or storage grows by one
+    *              corpus-sized cache per call. */
   def buildTrainingSet(df: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config(),
       evalSet: Option[DataFrame] = None,

@@ -84,6 +84,27 @@ object TextNormalize {
     // no float anywhere, bit-equivalence is arithmetic. The ranges are
     // parsed from the same pattern literals the oracle uses.
     val ranges = ScriptClasses.map { case (name, cls) => name -> classRanges(cls) }
+    // the single-pass loop counts each codepoint in AT MOST ONE class
+    // (first match wins) and checks [0-9] first; equivalence with the
+    // independent per-class counts the oracle computes therefore rests
+    // on the ranges being pairwise disjoint and digit-free — a future
+    // overlapping class must fail HERE, not silently diverge (ADVICE
+    // r21 #3)
+    locally {
+      val all = ranges.flatMap { case (n, rs) => rs.map(r => (n, r)) }
+      all.foreach { case (n, (lo, hi)) =>
+        require(hi < '0' || lo > '9',
+          s"scriptProfile: class $n range [$lo,$hi] overlaps digits 0-9")
+      }
+      all.combinations(2).foreach {
+        case Seq((na, (la, ha)), (nb, (lb, hb))) =>
+          require(ha < lb || hb < la,
+            s"scriptProfile: classes $na and $nb have overlapping ranges " +
+              s"[$la,$ha] and [$lb,$hb] — first-match counting would " +
+              "diverge from independent per-class counts")
+        case _ => ()
+      }
+    }
     val classNames = ranges.map(_._1)
     val nClasses = ranges.length
     val rangeArr = ranges.map(_._2).toArray
