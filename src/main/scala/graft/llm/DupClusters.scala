@@ -55,6 +55,12 @@ object DupClusters {
       maxRounds: Int = 20,
       scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
     val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // NOT pre-partitioned by dst, deliberately: a repartition(dst)
+    // before the checkpoint was built and A/B-measured this round —
+    // job counts did NOT drop (AQE coalesces the labels-side shuffle
+    // to a data-sized partition count, which mismatches the
+    // checkpoint's fixed partitioning, so EnsureRequirements re-adds
+    // the edges exchange anyway) and the setup exchange was a net +1.
     val edges = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true) // scanned every round; compute the pair source once

@@ -378,16 +378,89 @@ object IncrementalMinHash {
       .filter(col("_mc") >= minMatch)
       .select(col("_id"), col("keep_id"), col("_mc"),
         lit(true).as("_fromHist"))
+    // in-batch pairs from ONE exchange (guide §2.4): the old self-join
+    // on (_b,_bk) shuffled the batch band rows TWICE (once per side)
+    // and verified candidates through the interpreted HOF matchCount;
+    // hash-repartitioning the band rows once and generating verified
+    // pairs in-partition keeps the same skew posture (a hot band key
+    // lands in one task either way) while the verification runs as a
+    // typed JVM loop. Pair semantics identical: every unordered pair
+    // of DISTINCT ids sharing a (band position, band key), emitted
+    // once per matching band (the min/max aggregates dedup), kept when
+    // >= minMatch signature components are equal (null components
+    // never count — the zip_with twin); null band keys never join, so
+    // they generate nothing here either.
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("keep_id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("_mc",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("_fromHist",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val mm = minMatch
     val batchPairs = bBand
-      .select(col("_id").as("_aid"), col("_sig").as("_siga"),
-        col("_b"), col("_bk"))
-      .join(bBand.select(col("_id").as("_bid"), col("_sig").as("_sigb"),
-          col("_b"), col("_bk")),
-        Seq("_b", "_bk"))
-      .filter(col("_aid") < col("_bid") &&
-        matchCount(col("_siga"), col("_sigb")) >= minMatch)
-      .select(col("_bid").as("_id"), col("_aid").as("keep_id"),
-        lit(0).as("_mc"), lit(false).as("_fromHist"))
+      .repartition(col("_b"), col("_bk"))
+      .sortWithinPartitions(col("_b"), col("_bk"))
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        new scala.collection.AbstractIterator[org.apache.spark.sql.Row] {
+          private var out: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+          private def fill(): Unit = {
+            while (!out.hasNext && it.hasNext) {
+              // skip null band keys (an equi-join key: never matches)
+              if (it.head.isNullAt(3)) { it.next(); () }
+              else {
+                val b = it.head.getInt(2)
+                val bk = it.head.getString(3)
+                val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+                val sigs = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+                while (it.hasNext && !it.head.isNullAt(3) &&
+                    it.head.getInt(2) == b && it.head.getString(3) == bk) {
+                  val r = it.next()
+                  ids += r.getLong(0)
+                  sigs += (if (r.isNullAt(1)) null
+                    else r.getSeq[String](1).toArray)
+                }
+                val buf = scala.collection.mutable.ArrayBuffer
+                  .empty[org.apache.spark.sql.Row]
+                var i = 0
+                while (i < ids.length) {
+                  var j = i + 1
+                  while (j < ids.length) {
+                    val ia = ids(i); val ib = ids(j)
+                    if (ia != ib) {
+                      val sa = sigs(i); val sb = sigs(j)
+                      if (sa != null && sb != null) {
+                        var m = 0
+                        var p = 0
+                        val n = math.min(sa.length, sb.length)
+                        while (p < n) {
+                          val x = sa(p); val y = sb(p)
+                          if (x != null && x == y) m += 1
+                          p += 1
+                        }
+                        if (m >= mm)
+                          buf += org.apache.spark.sql.Row(
+                            math.max(ia, ib), math.min(ia, ib), 0,
+                            false)
+                      }
+                    }
+                    j += 1
+                  }
+                  i += 1
+                }
+                out = buf.iterator
+              }
+            }
+          }
+          def hasNext: Boolean = { fill(); out.hasNext }
+          def next(): org.apache.spark.sql.Row = {
+            fill(); out.next()
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(pairSchema))
     val dups = histPairs.unionByName(batchPairs)
       .groupBy(col("_id"))
       .agg(

@@ -263,20 +263,24 @@ object IncrementalPipeline {
           s"decontaminate=true but ${st.evalTable} does not exist — " +
             "save it via saveEvalIndex first (skipping silently would " +
             "ship eval content)")
-        // spine-free drop set when the threshold can never catch a
-        // shingle-less doc (threshold > 0) — saves a batch-sized
-        // distinct + join per batch; the threshold-0 edge keeps the
-        // full per-doc form
-        val dropIds =
-          (if (cfg.decontamThreshold > 0)
-            Decontamination.containmentDropIdsAgainstIndex(
-              gated, idCol, "text", st.evalTable, cfg.decontamThreshold)
-          else
-            Decontamination.containmentAgainstIndex(
+        // broadcast-filter drop when the threshold can never catch a
+        // shingle-less doc (threshold > 0): the eval index's distinct
+        // shingle KEYS are eval-sized by contract, so they collect once
+        // per batch (one bucketed-scan job) and the drop runs as a pure
+        // map-side filter — no batch-shingle exchange, no per-doc
+        // aggregate, no id anti-join (guide §2.4/§3.1; decisions
+        // bit-identical — see containmentFilterWithKeys). The
+        // threshold-0 edge keeps the full per-doc form.
+        if (cfg.decontamThreshold > 0)
+          Decontamination.containmentFilterAgainstIndex(
+            gated, "text", st.evalTable, cfg.decontamThreshold)
+        else {
+          val dropIds = Decontamination.containmentAgainstIndex(
               gated, idCol, "text", st.evalTable, ordered = false)
-              .filter(col("containment") >= cfg.decontamThreshold))
-          .select(col("doc_id").as(idCol))
-        gated.join(dropIds, Seq(idCol), "left_anti")
+            .filter(col("containment") >= cfg.decontamThreshold)
+            .select(col("doc_id").as(idCol))
+          gated.join(dropIds, Seq(idCol), "left_anti")
+        }
       } else gated
     // stage 5b: semantic gate against the persisted eval-embedding
     // index — zero shuffle (broadcast argmax) + one id anti-join
@@ -459,11 +463,14 @@ object IncrementalPipeline {
           .select(col("shard").cast("long").as("shard"),
             (coalesce(col("base"), lit(0L)) + coalesce(col("_adv"), lit(0L)))
               .as("base"))
-          .localCheckpoint(true) // the upsert swaps the table this plan reads
+        // no checkpoint: the upsert writes the new generation to a
+        // fresh sibling BEFORE the swap, so this plan's read of the
+        // current cursor table stays valid through the write (the
+        // SwapTable contract) — the former eager ckpt was one extra
+        // shards-sized job per batch
         SwapTable.upsert(newBases, st.cursorTable, st.cursorPath,
           stamps = cursorStamps(cfg), graceMs = graceMs)
-        graft.CacheScope.checkpointRdd(newBases)
-          .foreach(_.unpersist(blocking = false))
+        ()
       }
     })
     // fuzzy sketch append BEFORE the exact commit point: a crash in

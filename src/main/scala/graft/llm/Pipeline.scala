@@ -219,20 +219,27 @@ object Pipeline {
     val decontaminated = evalSet match {
       case Some(ev) =>
         val evClean = cleanStage(ev, idCol, textCol, cfg)
-        // spine-free drop set when threshold > 0 (a shingle-less doc
-        // can never reach it) — saves a corpus-sized distinct + join;
-        // the threshold-0 edge keeps the full per-doc form
-        val dropIds =
-          (if (cfg.decontamThreshold > 0)
-            Decontamination.containmentDropIds(evClean, learned, idCol,
-              "text", cfg.decontamShingleN, cfg.decontamThreshold)
-          else
-            Decontamination.containment(
+        // broadcast-filter drop when threshold > 0 (a shingle-less doc
+        // can never reach it): the eval set's distinct shingle keys are
+        // benchmark-sized by contract, so they collect once (one
+        // eval-sized job, run when the chain is BUILT) and the drop
+        // runs as a map-side filter over the gated corpus — no
+        // corpus-shingle aggregate, no id anti-join (guide §2.4/§3.1;
+        // decisions bit-identical — see containmentFilterWithKeys).
+        // The threshold-0 edge keeps the full per-doc form.
+        if (cfg.decontamThreshold > 0)
+          Decontamination.containmentFilterWithKeys(learned, "text",
+            Decontamination.evalShingleKeys(evClean, idCol, "text",
+              cfg.decontamShingleN),
+            cfg.decontamShingleN, cfg.decontamThreshold)
+        else {
+          val dropIds = Decontamination.containment(
               evClean, learned, idCol, "text",
               shingleN = cfg.decontamShingleN, ordered = false)
-              .filter(col("containment") >= cfg.decontamThreshold))
-          .select(col("doc_id").as(idCol))
-        learned.join(dropIds, Seq(idCol), "left_anti")
+            .filter(col("containment") >= cfg.decontamThreshold)
+            .select(col("doc_id").as(idCol))
+          learned.join(dropIds, Seq(idCol), "left_anti")
+        }
       case None => learned
     }
     // stage 5b: semantic (embedding-space) decontamination — the

@@ -33,10 +33,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SwapTable {
 
   /** Write `out` as the table's new contents (create on first use).
-    * `out` MUST be materialized (localCheckpoint) by the caller if its
-    * plan reads the table being swapped — the standard eager-checkpoint
-    * discipline. `stamps` are set once at creation and never touched
-    * again. Returns true if this call CREATED the table. */
+    * `out` MAY read the very table being swapped: the new contents are
+    * fully written to a FRESH versioned sibling BEFORE the retire +
+    * ALTER touch the catalog, and the superseded location survives on
+    * disk until a LATER upsert's vacuum reclaims it — so the read
+    * always sees the complete current generation and no caller-side
+    * checkpoint is needed for the swap itself. (A caller that keeps
+    * reading `out` across MULTIPLE later upserts of the same table
+    * must still materialize, since the generation it captured is
+    * reclaimed after the grace window.) `stamps` are set once at
+    * creation and never touched again. Returns true if this call
+    * CREATED the table. */
   def upsert(out: DataFrame, tableName: String, path: String,
       stamps: Seq[(String, String)] = Nil, graceMs: Long = 0L): Boolean = {
     val spark = out.sparkSession

@@ -84,15 +84,12 @@ object StreamingDecontaminate {
       val b = batch.localCheckpoint(true)
       Decontamination.auditBatch(b, idCol, textCol, tableName,
         matchedTable, matchedPath)
-      val gate = Decontamination.containmentAgainstIndex(
-        b, idCol, textCol, tableName, ordered = false)
-        .withColumnRenamed("doc_id", "_gid")
-      val annotated = b
-        .join(gate, col(idCol) === col("_gid"), "left")
-        .drop("_gid")
-        .withColumn("status",
-          when(col("containment") >= threshold, lit("contaminated"))
-            .otherwise(lit("clean")))
+      // the per-doc gate runs as ONE zero-shuffle typed pass against
+      // the broadcast eval key set (the index is eval-sized by
+      // contract) — the former shape paid a per-doc aggregate, a
+      // spine, and an id join per micro-batch for the same annotation
+      val annotated = Decontamination.annotateContainmentAgainstIndex(
+          b, idCol, textCol, tableName, threshold)
         .localCheckpoint(true)
       // release both per-batch checkpoints once consumed — a
       // long-running stream must not pin one batch-sized RDD pair per

@@ -83,18 +83,19 @@ object StreamingSample {
             .dropDuplicates(keyCol, strataCol),
           keyCol, strataCol, k, salt)
       } else Sampling.topKPerStratum(slim, keyCol, strataCol, k, salt)
-    // checkpoint: the swap replaces the very data the merge reads; the
-    // count below is the materializing action (lazy ckpt + count = ONE
-    // job, the DupClusters discipline)
-    val out = merged.localCheckpoint(false)
-    val n = out.count()
-    graft.llm.SwapTable.upsert(out, tableName, path,
+    // ONE action per merge: the swap's own write executes the merge
+    // plan (SwapTable writes to a FRESH versioned sibling before the
+    // ALTER, so reading the current generation during the write is
+    // safe — see the upsert scaladoc), and the row count rides the
+    // write as an observed metric instead of a separate ckpt+count
+    // pass (guide §1.2: don't run the plan's machinery twice for a
+    // number the one run already knows).
+    val obs = org.apache.spark.sql.Observation()
+    graft.llm.SwapTable.upsert(merged.observe(obs, count(lit(1)).as("n")),
+      tableName, path,
       stamps = Seq(SaltKey -> salt, KKey -> k.toString, ModeKey -> "uniform"),
       graceMs = graceMs)
-    // the checkpoint served the swap — release it, or a long-running
-    // merge loop pins one strata×k block set per batch
-    graft.CacheScope.checkpointRdd(out).foreach(_.unpersist(blocking = false))
-    n
+    obs.get("n").asInstanceOf[Long]
   }
 
   /**
@@ -133,13 +134,14 @@ object StreamingSample {
       } else dedupMaxWeight(slim, keyCol, strataCol, weightCol)
         .transform(Sampling.weightedTopKPerStratum(_, keyCol, strataCol,
           weightCol, k, salt))
-    val out = merged.localCheckpoint(false) // count materializes (one job)
-    val n = out.count()
-    graft.llm.SwapTable.upsert(out, tableName, path,
+    // one action per merge — the swap write runs the plan, the count
+    // rides it as an observed metric (see mergeBatch)
+    val obs = org.apache.spark.sql.Observation()
+    graft.llm.SwapTable.upsert(merged.observe(obs, count(lit(1)).as("n")),
+      tableName, path,
       stamps = Seq(SaltKey -> salt, KKey -> k.toString, ModeKey -> mode),
       graceMs = graceMs)
-    graft.CacheScope.checkpointRdd(out).foreach(_.unpersist(blocking = false))
-    n
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Deterministic duplicate resolution for the weighted merge: a

@@ -127,4 +127,69 @@ class IncrementalDecontamSpec extends AnyFunSuite {
       assert(err.getMessage.contains("graft.shingleN"))
     } finally Seq(tbl, mtbl).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("broadcast containment filter ≡ drop-id anti-join (rounded inclusive boundary, shingle-less and null rows kept); annotation twin ≡ gate join; filter plan is exchange-free") {
+    val s2 = planSession(buckets = 8)
+    import s2.implicits._
+    val tbl = "graft_test_bcfilter_eval"
+    val mtbl = "graft_test_bcfilter_matched" // unused, reserved name hygiene
+    try {
+      // eval doc "a b c d" at shingleN=3 → keys {"a b c", "b c d"}
+      val eval = Seq((50000L, "a b c d")).toDF("doc_id", "text")
+      Decontamination.saveEvalShingleIndex(eval, "doc_id", "text",
+        tbl, tmpPath(tbl), shingleN = 3, buckets = 8)
+      val batch = Seq[(java.lang.Long, String)](
+        (1L, "a b c d"),       // 2/2 matched → 1.0, drops
+        (2L, "a b c d e"),     // 2/3 matched → raw 0.66667 < 0.667 but
+                               // ROUND3 = 0.667 ≥ 0.667 — must DROP
+                               // (pins the rounded-inclusive decision)
+        (3L, "x y z w"),       // 0 matched → keeps
+        (4L, "a b"),           // too short to shingle → keeps
+        (5L, null),            // null text → keeps
+        (null, "a b c d")      // null id: filter drops it (text fully
+                               // contained); gate annotation marks it
+                               // clean with null stats (left-join shape)
+      ).toDF("doc_id", "text")
+      val thr = 0.667
+      val filtered = Decontamination.containmentFilterAgainstIndex(
+        batch, "text", tbl, thr)
+      val viaAnti = batch.join(
+        Decontamination.containmentDropIdsAgainstIndex(
+          batch.filter(col("doc_id").isNotNull), "doc_id", "text", tbl, thr)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      // the anti-join form can't see the null-id row's drop (null never
+      // joins); compare on the non-null-id rows and pin the null-id row
+      // separately against the filter's per-row semantics
+      assert(sortedRows(filtered.filter(col("doc_id").isNotNull)) ==
+        sortedRows(viaAnti.filter(col("doc_id").isNotNull)))
+      assert(sortedRows(filtered.filter(col("doc_id").isNotNull))
+        .map(_.head) == Seq(3L, 4L, 5L).map(x => x: Any).sortBy(_.toString))
+      assert(filtered.filter(col("doc_id").isNull).count() == 0L,
+        "a fully-contained null-id row drops under the per-row filter")
+
+      // zero-exchange pin: the broadcast filter never shuffles
+      val exchanges = filtered.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"broadcast containment filter shuffles:\n${filtered.queryExecution.executedPlan}")
+
+      // annotation twin ≡ the old per-doc-aggregate + spine + id join
+      val annotated = Decontamination.annotateContainmentAgainstIndex(
+        batch, "doc_id", "text", tbl, thr)
+      val gate = Decontamination.containmentAgainstIndex(
+          batch.filter(col("doc_id").isNotNull), "doc_id", "text", tbl,
+          ordered = false)
+        .withColumnRenamed("doc_id", "_gid")
+      val oldForm = batch
+        .join(gate, col("doc_id") === col("_gid"), "left")
+        .drop("_gid")
+        .withColumn("status",
+          when(col("containment") >= thr, lit("contaminated"))
+            .otherwise(lit("clean")))
+      assert(annotated.columns.toSeq == oldForm.columns.toSeq)
+      assert(sortedRows(annotated) == sortedRows(oldForm))
+    } finally Seq(tbl, mtbl).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }

@@ -47,6 +47,36 @@ class IncrementalMinHashSpec extends AnyFunSuite {
     assert(got(31L) == ("dup_of_history", 1L))
   }
 
+  test("in-batch pair generation: a hot band group (many copies of one text) resolves every copy to the min id; independent groups in one partition stay independent") {
+    // five exact copies share every band (the hot-key shape the
+    // in-partition pair generation must handle) → min id keeps, the
+    // other four are dup_in_batch of it; a second, unrelated dup pair
+    // coexists in the same (tiny) shuffle — groups must not bleed
+    val hot = "some very repetitive boilerplate document body repeated verbatim everywhere"
+    val other = "a different duplicated passage that only matches its own twin here"
+    val got = classified(
+      (50L to 54L).map(i => (i, hot)) ++ Seq((60L, other), (61L, other)))
+    assert(got(50L) == ("new", -1L))
+    (51L to 54L).foreach(i => assert(got(i) == ("dup_in_batch", 50L)))
+    assert(got(60L) == ("new", -1L))
+    assert(got(61L) == ("dup_in_batch", 60L))
+  }
+
+  test("in-batch pair generation is partitioning-invariant") {
+    val index = IncrementalMinHash.buildIndex(history, "doc_id", "text")
+    val rows = Seq(
+      (70L, "entirely fresh words nothing shared with the indexed corpus here"),
+      (71L, "entirely fresh words nothing shared with the indexed corpus here"),
+      (72L, "the quick brown fox jumps over the lazy dog again and again extra"),
+      (73L, "another block of novel text with no twin anywhere in this batch"))
+    def run(df: DataFrame): Map[Long, (String, Long)] =
+      IncrementalMinHash.classify(df, index, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val base = run(rows.toDF("doc_id", "text"))
+    assert(run(rows.toDF("doc_id", "text").repartition(7)) == base)
+    assert(run(rows.toDF("doc_id", "text").coalesce(1)) == base)
+  }
+
   test("mergeIndex folds accepted new rows in: re-running the batch flips new to dup_of_history") {
     val index = IncrementalMinHash.buildIndex(history, "doc_id", "text")
     val batch = Seq(
