@@ -138,11 +138,24 @@ object GraphRank {
         .agg(sum(col("_w")).as("_d")).localCheckpoint(true))
       var ranks = nodes.select(col("_id"), lit(1.0 / n).as("_r"))
         .localCheckpoint(true)
+      // the dangling-node SET (no out-edges) is fixed across
+      // iterations — only its rank MASS moves. Probe its existence
+      // once: a k-NN similarity graph (the operator's natural input)
+      // has every node as a source, so the per-iteration anti-join +
+      // aggregate action is pure scheduling floor there; an empty set's
+      // mass is the literal 0.0 the old coalesce(sum(∅), 0.0) produced
+      // — bit-identical, and graphs WITH dangling nodes keep the exact
+      // per-iteration aggregate below.
+      val hasDangling = nodes
+        .join(outdeg, nodes("_id") === outdeg("_src"), "left_anti")
+        .limit(1).count() > 0
       for (_ <- 0 until iters) {
-        val dangling = ranks
-          .join(outdeg, ranks("_id") === outdeg("_src"), "left_anti")
-          .agg(coalesce(sum(col("_r")), lit(0.0)))
-          .head.getDouble(0)
+        val dangling =
+          if (!hasDangling) 0.0
+          else ranks
+            .join(outdeg, ranks("_id") === outdeg("_src"), "left_anti")
+            .agg(coalesce(sum(col("_r")), lit(0.0)))
+            .head.getDouble(0)
         val contrib = e
           .join(outdeg, "_src")
           .join(ranks, e("_src") === ranks("_id"))

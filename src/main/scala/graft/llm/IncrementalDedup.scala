@@ -315,16 +315,20 @@ object IncrementalMinHash {
       bands, minMatch, scope, withSketch = false)
 
   /**
-   * [[classifyBanded]] with the batch's own sketch carried on the
-   * output — (doc_id, status, dup_of, _sig, _bands, _self_exact), where
-   * _sig/_bands are null for docs too short to shingle and _self_exact
-   * is 1 iff the doc's HISTORY match on its own id was signature-
-   * identical (all `numHashes` components equal). Lets a maintainer
-   * append accepted sketches to its band index without re-tokenizing
-   * and re-hashing the accepted docs (the [[IncrementalPipeline]]
-   * fuzzy-append fold), and lets the crash-replay self-match acceptance
-   * demand an IDENTICAL signature — a reused id carrying merely
-   * near-dup text no longer slips through as its own keeper.
+   * [[classifyBanded]] with the batch's own sketch AND TEXT carried on
+   * the output — (doc_id, status, dup_of, <textCol>, _sig, _bands,
+   * _self_exact), where doc_id keeps the batch id column's ORIGINAL
+   * type, _sig/_bands are null for docs too short to shingle and
+   * _self_exact is 1 iff the doc's HISTORY match on its own id was
+   * signature-identical (all `numHashes` components equal). Carrying
+   * text through (the [[IncrementalDedup.classifyWithText]] fold
+   * applied to the fuzzy tier) lets [[IncrementalPipeline]] checkpoint
+   * the ACCEPTED rows directly — the old shape re-joined the kept set
+   * on the id to re-attach text, one full id exchange pair per batch —
+   * and still lets the maintainer append accepted sketches without
+   * re-tokenizing. The crash-replay self-match acceptance demands an
+   * IDENTICAL signature — a reused id carrying merely near-dup text
+   * never slips through as its own keeper.
    */
   private[llm] def classifyBandedSketched(batch: DataFrame, banded: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3, numHashes: Int = 9,
@@ -333,26 +337,73 @@ object IncrementalMinHash {
     classifyBandedCore(batch, banded, idCol, textCol, shingleN, numHashes,
       bands, minMatch, scope, withSketch = true)
 
+  /** TOTAL sketch pass for the sketched (pipeline) variant: one output
+    * row PER INPUT ROW — (_oid originally-typed id, _id long,
+    * <textCol>, _sig, _bands), with _sig/_bands null when the row
+    * cannot sketch (null id, null text, or fewer than shingleN
+    * tokens). Carrying the id and text through makes this frame BOTH
+    * the classification spine and the text source, deleting the
+    * kept-rejoin the caller used to pay. */
+  private def sketchTotal(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      df.schema(df.schema.fieldIndex(idCol)).copy(name = "_oid"),
+      StructField("_id", LongType, nullable = true),
+      StructField(textCol, StringType, nullable = true),
+      StructField("_sig", ArrayType(StringType, containsNull = true),
+        nullable = true),
+      StructField("_bands", ArrayType(StringType, containsNull = true),
+        nullable = true)))
+    df.select(col(idCol), col(idCol).cast("long"), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val oid = r.get(0)
+          val lid: java.lang.Long =
+            if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
+          val text = if (r.isNullAt(2)) null else r.getString(2)
+          if (lid == null || text == null)
+            org.apache.spark.sql.Row(oid, lid, text, null, null)
+          else {
+            val toks = TextOps.tokensJvm(text)
+            if (toks.length < shingleN)
+              org.apache.spark.sql.Row(oid, lid, text, null, null)
+            else {
+              val shingles = TextOps.shinglesJvm(toks, shingleN)
+              val sig = TextOps.minhashSignatureJvm(md, shingles, numHashes)
+              org.apache.spark.sql.Row(oid, lid, text, sig,
+                TextOps.bandKeysJvm(md, sig, bands, rowsPerBand))
+            }
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   private def classifyBandedCore(batch: DataFrame, banded: DataFrame,
       idCol: String, textCol: String, shingleN: Int, numHashes: Int,
       bands: Int, minMatch: Int,
       scope: graft.CacheScope, withSketch: Boolean): DataFrame = {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must divide into bands ($bands)")
-    // the sketched variant is the pipeline-internal path whose input
-    // ids are unique by the builder contract (Packing requires it) —
-    // skip the defensive distinct and its exchange; the public variant
-    // keeps the one-row-per-id contract for arbitrary batches
-    val spine =
-      if (withSketch) batch.select(col(idCol).cast("long").as("doc_id"))
-      else batch.select(col(idCol).cast("long").as("doc_id")).distinct()
-    val bs = scope.track(sketch(batch, idCol, textCol, shingleN, numHashes, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // public path: the batch sketch (rows that CAN sketch only) plus a
+    // distinct id spine for the one-row-per-id contract. Sketched
+    // (pipeline) path: ONE total pass carries (id, text, sketch) per
+    // input row — the frame is its own spine, so neither the distinct
+    // nor the sketch re-join nor the caller's kept re-join exist.
+    val bs = scope.track(
+      (if (withSketch)
+        sketchTotal(batch, idCol, textCol, shingleN, numHashes, bands)
+      else sketch(batch, idCol, textCol, shingleN, numHashes, bands))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // the batch band rows carry the signature INLINE (duplicated bands×
     // — the same sketch-sized trade the persisted index makes), so
     // candidate verification needs no signature re-join: the old shape
     // paid a pair distinct plus TWO extra shuffles joining bs back per
     // side; verifying a pair once per matching band instead is free
-    // under the min/max aggregates
+    // under the min/max aggregates. (posexplode drops null-_bands rows,
+    // so the total sketch's unsketchable rows generate no candidates —
+    // the same rows the public sketch never emits.)
     val bBand = bs.select(col("_id"), col("_sig"),
       posexplode(col("_bands")).as(Seq("_b", "_bk")))
     val hBand = banded
@@ -469,20 +520,28 @@ object IncrementalMinHash {
         max(when(col("_fromHist") && col("keep_id") === col("_id") &&
           col("_mc") === numHashes, 1).otherwise(0)).as("_selfx"))
 
-    val joined = spine
-      .join(dups, spine("doc_id") === dups("_id"), "left")
-    val statusCols = Seq(
-      spine("doc_id"),
+    def statusCols(id: Column) = Seq(
+      id,
       when(col("_hist").isNotNull, lit("dup_of_history"))
         .when(col("_prev").isNotNull, lit("dup_in_batch"))
         .otherwise(lit("new")).as("status"),
       coalesce(col("_hist"), col("_prev"), lit(-1L)).as("dup_of"))
-    if (!withSketch) joined.select(statusCols: _*)
-    else joined
-      .join(bs.select(col("_id").as("_skid"), col("_sig"), col("_bands")),
-        spine("doc_id") === col("_skid"), "left")
-      .select(statusCols ++ Seq(col("_sig"), col("_bands"),
-        coalesce(col("_selfx"), lit(0)).as("_self_exact")): _*)
+    if (!withSketch) {
+      val spine = batch.select(col(idCol).cast("long").as("doc_id")).distinct()
+      spine.join(dups, spine("doc_id") === dups("_id"), "left")
+        .select(statusCols(spine("doc_id")): _*)
+    } else {
+      // the total sketch IS the spine (one row per input row, id and
+      // text aboard): one left join against the per-doc match
+      // aggregate replaces the old spine join + sketch re-join +
+      // the caller's kept re-join
+      val d = dups.select(col("_id").as("_did"), col("_hist"),
+        col("_prev"), col("_selfx"))
+      bs.join(d, bs("_id") === col("_did"), "left")
+        .select(statusCols(col("_oid").as("doc_id")) ++ Seq(
+          col(textCol), col("_sig"), col("_bands"),
+          coalesce(col("_selfx"), lit(0)).as("_self_exact")): _*)
+    }
   }
 
   /**

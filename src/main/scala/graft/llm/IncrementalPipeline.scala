@@ -354,15 +354,22 @@ object IncrementalPipeline {
           else IncrementalMinHash.emptyBandedIndex(spark)
         val fuzzyScope = new graft.CacheScope
         val fk = try labeled(spark, "fuzzy kept ckpt") {
+          // the sketched classification carries (id, text) through
+          // (the classifyWithText fold applied to the fuzzy tier), so
+          // the accepted set is a pure FILTER over it — the old shape
+          // re-joined `kept` on the id to re-attach text, one full id
+          // exchange pair per batch. The isNotNull guard mirrors the
+          // old join's null-id semantics exactly (null ids never
+          // joined; cleanStage drops them anyway).
           val cls = IncrementalMinHash.classifyBandedSketched(kept, banded,
             idCol, "text", cfg.fuzzyShingleN, cfg.fuzzyNumHashes,
             cfg.fuzzyBands, cfg.fuzzyMinMatch, scope = fuzzyScope)
-          val accepted = cls.filter(col("status") === "new" ||
+          cls.filter(col("doc_id").isNotNull && (col("status") === "new" ||
             (col("status") === "dup_of_history" &&
-              col("dup_of") === col("doc_id") && col("_self_exact") === 1))
-            .select(col("doc_id").as(idCol), col("status"),
+              col("dup_of") === col("doc_id") && col("_self_exact") === 1)))
+            .select(col("doc_id").as(idCol), col("text"), col("status"),
               col("_sig"), col("_bands"))
-          kept.join(accepted, idCol).localCheckpoint(true)
+            .localCheckpoint(true)
         } finally fuzzyScope.release() // sketch cache dies with the ckpt
         Some((fk, fuzzyExists))
       }
